@@ -1,0 +1,185 @@
+"""Top-K similarity search — the reference's flagship query.
+
+Reference parity:
+- ``searchKNNOptimized``  — /root/reference/hnsw.ts:241-299
+  (score all candidates, ``filter(score > threshold AND NOT deleted)``,
+  similarity-sorted, truncate to K)
+- ``searchAstroDB``       — /root/reference/driver/driver.ts:290-307
+  (public API: threshold = min(0.95, strength/100))
+- top-K truncation        — hnsw.ts:294-296, pqueue.ts ordering
+
+Spark-first physical story:
+
+* Single query: the query vector is a one-row DataFrame broadcast into a
+  cross join (Catalyst: BroadcastNestedLoopJoin with a 1-row build side
+  — effectively a map-side constant).  ``ORDER BY score DESC LIMIT k``
+  compiles to ``TakeOrderedAndProject``: each task keeps a local top-K
+  heap and the driver merges K*numPartitions rows — **no global sort, no
+  shuffle of the corpus**.  This plan scales linearly with corpus size
+  on any number of executors.
+
+* Batch of queries: broadcast the (small) query set, score |Q|x|C|
+  pairs map-side, then reduce to per-query top-K.  A naive window over
+  ``query_id`` shuffles all |Q|x|C| scored rows and serializes each
+  query's ranking into one task (skew at large |C|).  ``batch_topk``
+  therefore does a salted two-stage top-K: stage 1 ranks within
+  (query_id, salt) — a window whose partitions are bounded by
+  |C|/num_salts — and keeps K; stage 2 ranks the surviving
+  |Q| x salts x K rows.  Stage-2 input is tiny by construction, so the
+  final shuffle is negligible at any corpus size.
+
+Determinism: ties broken by ascending id everywhere, and scores are
+rounded to 6 decimals *for output* so an external float64 oracle hashes
+identically (ranking uses the unrounded score).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.vector import similarity, threshold_from_strength
+
+SCORE_DECIMALS = 6
+
+
+def score_against(
+    corpus: DataFrame,
+    query_vector: Sequence[float] | Column,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_col: str = "score",
+) -> DataFrame:
+    """Append a similarity score vs one query vector (no filter/limit).
+
+    The literal query vector is a constant expression — Catalyst folds it
+    and the scoring runs fully map-side inside whole-stage codegen.
+    """
+    if isinstance(query_vector, Column):
+        qv = query_vector
+    else:
+        qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    return corpus.withColumn(score_col, similarity(F.col(vec_col), qv, metric))
+
+
+def topk_search(
+    corpus: DataFrame,
+    query_vector: Sequence[float] | Column,
+    k: int,
+    strength: float = 50.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deleted_col: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact top-K similarity search with score threshold.
+
+    Semantics of hnsw.ts:241-299 + driver/driver.ts:290-307, computed
+    exactly (the reference is approximate only as an artifact of its
+    physical graph index; its *intended* result is the top-K by
+    similarity above threshold).
+
+    Physical plan: scan -> codegen score -> filter -> TakeOrderedAndProject.
+    """
+    scored = score_against(corpus, query_vector, vec_col, metric, score_col)
+    if deleted_col is not None:
+        scored = scored.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    out = (
+        scored.filter(F.col(score_col) > threshold_from_strength(strength))
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+
+
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    strength: float = 0.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "score",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Per-query top-K for a set of queries (salted two-stage ranking).
+
+    Returns columns: (query_id, id_col, score, rank).  Generalizes
+    searchKNNOptimized to a query *set*, the shape Spark wants
+    (SURVEY.md §2.1 O9 "per-query partition for batch of queries").
+    """
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .withColumn(score_col, similarity(F.col(vec_col), F.col(query_vec_col), metric))
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+    )
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if num_salts > 1:
+        # Stage 1: local top-K within (query, salt); salt is derived from
+        # the corpus id, so it's stable and needs no extra state.
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
+        w1 = Window.partitionBy(query_id_col, "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    # Stage 2: final per-query ranking over <= num_salts * k survivors.
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col),
+            "rank",
+        )
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    threshold: float = 0.9,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """All pairs with similarity > threshold.
+
+    ``right=None`` means self-join with ``a.id < b.id`` (dedup-style
+    pair enumeration).  This is the exact O(n^2) baseline; the scale
+    path blocks candidates first (see operators.ann / operators.dedup)
+    and reuses the same scoring expression.  The smaller side should be
+    broadcast; we broadcast ``right`` (or the self-copy) by default
+    since callers pass the query/probe side there.
+    """
+    self_join = right is None
+    right = left if right is None else right
+    a = left.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = right.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    pairs = a.join(F.broadcast(b))
+    if self_join:
+        pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn(score_col, similarity(F.col("a_vec"), F.col("b_vec"), metric))
+        .filter(F.col(score_col) > F.lit(float(threshold)))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col),
+        )
+    )

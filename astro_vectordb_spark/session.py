@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the config choices below are the ones
+that matter identically on a 1000-executor cluster:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+  so a hot key in a similarity join or group-by doesn't strand a task.
+- Arrow on: every pandas_udf / mapInPandas boundary is Arrow-batched.
+- shuffle.partitions sized for the local harness; on a real cluster this
+  is superseded by AQE's coalescing from an intentionally-high initial
+  value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "astro_vectordb_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-provided parquet tables."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from astro_vectordb_spark.functions.vector import cosine_similarity
+from astro_vectordb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from astro_vectordb_spark.operators.text_analysis import (
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    text_stats,
+)
 from astro_vectordb_spark.operators.crud import (
     point_lookup,
     sync_merge,
@@ -165,6 +177,47 @@ def _q_similarity_join(spark, sf_dir):
     return similarity_join(emb, threshold=0.3)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_near_dup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, n=3)
+
+
+def _q_near_dup_minhash(spark, sf_dir):
+    # approximate (xxhash64-based) — no SQL oracle; rows-only check.
+    # recall vs exact jaccard is asserted in tests/test_dedup.py.
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
+    )
+
+
+def _q_near_dup_simhash(spark, sf_dir):
+    # approximate (xxhash64-based) — no SQL oracle; rows-only check.
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_scores(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_exact": _q_topk_exact,
@@ -177,6 +230,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": _q_null_semantics,
         "batch_topk": _q_batch_topk,
         "similarity_join": _q_similarity_join,
+        "dedup_exact": _q_dedup_exact,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "near_dup_minhash": _q_near_dup_minhash,
+        "near_dup_simhash": _q_near_dup_simhash,
+        "text_stats": _q_text_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
     }
 
 
@@ -217,9 +278,40 @@ ORDER BY s DESC, vec_id LIMIT {k}
 """
 
 
+# tokenization twins of functions/text.py (whitespace split on trimmed
+# text, empty tokens dropped)
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_LTOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+_STOP = {
+    "de": "['der','die','und','das','ist','von','mit','den','nicht','ein']",
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "fr": "['le','la','et','les','des','un','une','du','est','pour']",
+}
+
+
+def _shingle_cte() -> str:
+    """Distinct word-3-gram shingles per doc, matching word_shingles()."""
+    return f"""
+toks AS (SELECT doc_id, {_LTOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM toks
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     cos = _cos("e.embedding", "qv")
     euc = f"(1.0 / (1.0 + {_eucdist('e.embedding', 'qv')}))"
+    hits = {
+        lang: f"len(list_filter({_LTOKS}, x -> list_contains({_STOP[lang]}, x)))"
+        for lang in _STOP
+    }
     return {
         "topk_exact": _topk_oracle(0, 0.2, 10, cos),
         "topk_euclidean": _topk_oracle(7, 0.0, 10, euc),
@@ -284,5 +376,98 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 100 AND b.vec_id < 100
   AND {_cos('a.embedding', 'b.embedding')} > 0.3
+""",
+        "dedup_exact": f"""
+SELECT min(doc_id) AS doc_id
+FROM (SELECT doc_id, array_to_string({_LTOKS}, ' ') AS norm FROM documents)
+GROUP BY norm
+""",
+        "near_dup_jaccard": f"""
+WITH {_shingle_cte()},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS s FROM sh)
+SELECT a_id, b_id,
+       round(i::DOUBLE / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE round(i::DOUBLE / (sa.s + sb.s - i), 6) >= 0.8
+""",
+        "text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk, {_LTOKS} AS ltk FROM documents
+)
+SELECT doc_id,
+  len(tk)::BIGINT AS n_tokens,
+  coalesce(list_sum(list_transform(tk, x -> ceil(len(x) / 4.0)::INT)), 0)::BIGINT
+    AS n_subwords,
+  length(text)::BIGINT AS n_chars_m,
+  len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+  len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+  round(CASE WHEN len(tk) > 0
+        THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+        ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN len(tk) > 0
+        THEN len(list_filter(ltk, x -> list_contains({_STOP['en']}, x)))::DOUBLE
+             / len(tk)
+        ELSE 0.0 END, 6) AS stopword_ratio
+FROM t
+""",
+        "quality_scores": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk, {_LTOKS} AS ltk FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(tk) AS tc,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS atl,
+    CASE WHEN len(tk) > 0
+         THEN len(list_filter(ltk, x -> list_contains({_STOP['en']}, x)))::DOUBLE
+              / len(tk)
+         ELSE 0.0 END AS swr,
+    len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+      / greatest(length(text), 1) AS pr,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+      / greatest(length(text), 1) AS dr
+  FROM t
+)
+SELECT doc_id, round(
+    0.25 * (CASE WHEN tc BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+  + 0.25 * (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+  + 0.25 * least(1.0, swr * 4.0)
+  + 0.25 * (1.0 - least(1.0, (pr + dr) * 5.0)), 6) AS quality
+FROM c
+""",
+        "lang_id": f"""
+WITH h AS (
+  SELECT doc_id,
+    {hits['de']}::BIGINT AS hits_de,
+    {hits['en']}::BIGINT AS hits_en,
+    {hits['es']}::BIGINT AS hits_es,
+    {hits['fr']}::BIGINT AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE
+    WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+    WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+    WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+    WHEN hits_en >= hits_de THEN 'en'
+    ELSE 'de'
+  END AS lang_pred
+FROM h
+""",
+        "doc_fingerprints": f"""
+SELECT doc_id,
+  md5(array_to_string({_LTOKS}, ' ')) AS fp_exact,
+  md5(array_to_string(list_sort(list_distinct({_LTOKS})), ' ')) AS fp_sorted
+FROM documents
 """,
     }

@@ -1,0 +1,156 @@
+"""Text-analysis expression library (training-data pipeline extensions).
+
+The reference delegates text -> vector embedding to an external model
+(README.md:99-109) and has no text operators; these are the extended
+capabilities a 100 TB training-data pipeline needs (task brief +
+SURVEY.md §7 step 5), built as pure Catalyst expressions so they run
+inside whole-stage codegen.
+
+Oracle contract: every function here has a DuckDB-expressible twin
+(see __spark_entry__.oracle_sql) — tokenization is whitespace-split on
+trimmed text with empty tokens dropped, ratios are float64 divisions
+rounded at output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deterministic and oracle-expressible; not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text, empty tokens dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word pieces of <=4 chars.
+
+    A BPE-style tokenizer splits rare long words into pieces; the
+    deterministic proxy is ceil(len(word)/4) summed over words — exact
+    integer math, oracle-expressible.
+    """
+    return F.aggregate(
+        tokens(text),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_CLASS))
+
+
+def digit_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit("[0-9]"))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length, float64 (integer sum / integer count)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t))
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    tc = token_count(text)
+    return F.when(tc > 0, stopword_count(text, lang).cast("double") / tc).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0, 1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation/digit noise.  Deterministic
+    length/punct/stopword formula (task brief: "quality scoring").
+    """
+    tc = token_count(text)
+    swr = stopword_ratio(text)
+    atl = avg_token_len(text)
+    pr = punct_count(text).cast("double") / F.greatest(char_count(text), F.lit(1))
+    dr = digit_count(text).cast("double") / F.greatest(char_count(text), F.lit(1))
+    length_ok = F.when((tc >= 5) & (tc <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    word_ok = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        F.lit(0.25) * length_ok
+        + F.lit(0.25) * word_ok
+        + F.lit(0.25) * F.least(F.lit(1.0), swr * F.lit(4.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), (pr + dr) * F.lit(5.0)))
+    )
+    return score
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language with the most stopword hits.
+
+    Ties break to the alphabetically-last language code (struct
+    comparison is field-by-field, so ``array_max`` compares hits first,
+    then the lang string); 'und' (undetermined) when no hits at all.
+    """
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), the unit for
+    Jaccard/MinHash near-dup detection."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # sequence(0, stop) DESCENDS when stop < 0, so guard short docs:
+    # fewer than n tokens -> no shingles.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.array_join(tokens(F.lower(text)), " ")
+    return F.md5(norm)
+
+
+def sorted_token_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    catches reorderings of the same vocabulary."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " "))

@@ -1,0 +1,314 @@
+"""Deduplication operators for training-data pipelines.
+
+Extended capability set (task brief + SURVEY.md §7 step 5): the
+reference's similarity search generalizes to near-duplicate detection
+over documents.  Five family members, all DataFrame -> DataFrame:
+
+- exact_dedup          — hash-groupBy on a normalized fingerprint
+- ngram_jaccard_pairs  — exact n-gram Jaccard via shingle inverted index
+- minhash_lsh_pairs    — MinHash + banded LSH candidate generation,
+                         exact-Jaccard verification of candidates
+- simhash_pairs        — 64-bit SimHash with pigeonhole band blocking
+                         on Hamming distance
+- embedding_near_dups  — cosine threshold on embeddings (delegates to
+                         operators.topk.similarity_join)
+
+Scale notes (100 TB):
+* Everything is expression-level (no Python UDFs) and blocks candidate
+  pairs before scoring — the O(n^2) cross product never materializes.
+* The shingle inverted index (explode -> join on shingle) shuffles
+  O(total shingles); hot shingles are bounded by ``max_shingle_df``
+  (document-frequency cap), the standard guard against the
+  stop-shingle skew that would otherwise quadratically blow up a
+  single reducer.
+* MinHash bands shrink the join key space to b buckets/doc; candidate
+  verification is a semi-join back to the exact Jaccard — the classic
+  LSH recall/cost dial (b bands x r rows = k hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.text import fingerprint, word_shingles
+from astro_vectordb_spark.operators.topk import similarity_join
+
+JACCARD_DECIMALS = 6
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one representative per exact (whitespace/case-normalized)
+    duplicate group.  Map-side partial agg -> single shuffle on the
+    128-bit fingerprint; no skew (fingerprints are uniform)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep_ids, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle.  Returns (a_id, b_id, jaccard), a_id < b_id.
+
+    Plan: shingle inverted index -> self-equi-join on shingle (only
+    co-occurring pairs are generated) -> count intersections ->
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  Two shuffles (index build + pair
+    count), both keyed widely; no cross join anywhere.
+    """
+    idx_all = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    # set sizes derived from the index itself (shingles are distinct per
+    # doc) so the shingle expression is evaluated once, pre-DF-cap
+    sizes = idx_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    idx = idx_all
+    if max_shingle_df is not None:
+        hot = (
+            idx_all.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        idx = idx_all.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = idx.withColumnRenamed(id_col, "a_id")
+    b = idx.withColumnRenamed(id_col, "b_id")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+                JACCARD_DECIMALS,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature (array<bigint>, length ``num_hashes``) per doc.
+
+    hash_i(s) = xxhash64(i, s); minhash_i = min over the doc's shingles.
+    Shape: explode shingles once, then ``num_hashes`` partial MIN
+    aggregates — the expensive tokenize/shingle expression is evaluated
+    exactly once per document (a naive nested ``transform`` re-evaluates
+    it per hash function), and the groupBy is map-side-combining, so the
+    shuffle carries one row per doc per partition.  All JVM-side."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    )
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH.
+
+    ``num_hashes`` hashes split into ``bands`` bands of r = k/b rows;
+    docs colliding in >= 1 band become candidates (P[collide] =
+    1-(1-j^r)^b).  With verify=True (default), candidates are checked
+    with exact n-gram Jaccard, so output = exact pairs *restricted to
+    LSH candidates*: same schema as ngram_jaccard_pairs, recall < 1 by
+    design, cost ~linear.  Scale: band buckets are the join key —
+    O(docs x bands) rows shuffle, never O(n^2)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = minhash_signature(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(F.slice(F.col("signature"), bi * r + 1, r)),
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = banded.withColumnRenamed(id_col, "a_id")
+    b = banded.withColumnRenamed(id_col, "b_id")
+    cands = (
+        a.join(b, on=["band_idx", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # Verify ONLY the candidates: join each side's shingle set in and
+    # compute exact Jaccard per pair with array intersection — work is
+    # O(candidates), not O(co-shingled pairs).
+    sets_ = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a_sets = sets_.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("_sha"))
+    b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cands.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union, JACCARD_DECIMALS),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _mask(j: int) -> int:
+    """int64 bit mask for bit j (bit 63 is the sign bit)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash64(text_col, n: int = 1):
+    """64-bit SimHash of a document as an expression.
+
+    bit_j = 1 iff sum over tokens of sign(bit_j(xxhash64(token))) > 0.
+    The 64 bit tests are generated Python-side with static masks
+    (PySpark's shift functions only take literal shift amounts), so the
+    whole signature is one codegen'd projection — no UDF."""
+    from astro_vectordb_spark.functions.text import tokens
+
+    units = F.array_distinct(tokens(F.lower(text_col))) if n == 1 else word_shingles(
+        text_col, n
+    )
+    hashes = F.transform(units, lambda t: F.xxhash64(t))
+    def _vote(m):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        m = F.lit(_mask(j)).cast("long")
+        sig = sig.bitwiseXOR(
+            F.when(_vote(m) > 0, m).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for j in range(64):
+        out = out + F.when(x.bitwiseAND(F.lit(_mask(j)).cast("long")) != 0, 1).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into ``max_hamming + 1``
+    chunks; by pigeonhole, any pair within distance d shares at least
+    one exact chunk — so the join key is (chunk_idx, chunk_value) and
+    recall is exactly 1.0 at O(docs x chunks) shuffle (Manku et al.,
+    WWW'07 pattern)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("sim"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
+        )
+        for c in range(chunks)
+    ]
+    blocked = sig.select(
+        id_col,
+        "sim",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("a_id"), F.col("sim").alias("a_sim"), "chunk_idx", "chunk_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("b_id"), F.col("sim").alias("b_sim"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score > threshold)."""
+    return similarity_join(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop the higher id of every near-dup pair (greedy min-id keep).
+
+    Not full connected components (which needs iteration); the greedy
+    rule removes every doc that is similar to some lower-id doc — the
+    common one-pass policy in dedup pipelines."""
+    drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

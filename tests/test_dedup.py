@@ -1,0 +1,117 @@
+"""Tests for the dedup operator family."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.dedup import (
+    dedup_keep_representatives,
+    embedding_near_dups,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog today",        # 0
+    "the quick brown fox jumps over the lazy dog today",        # 1 exact dup of 0
+    "the quick brown fox jumps over the lazy cat today",        # 2 near dup of 0
+    "completely different content about spark query engines",   # 3
+    "spark query engines about completely different content",   # 4 reorder of 3
+    "short text",                                               # 5
+]
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, TEXTS)
+    kept = exact_dedup(df)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 dropped (exact dup of 0, min kept)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    df = _docs(spark, TEXTS)
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.0, n=3).collect()}
+    for (i, a), (j, b) in itertools.combinations(enumerate(TEXTS), 2):
+        expected = _py_jaccard(a, b, 3)
+        got = pairs.get((i, j), 0.0)
+        assert abs(got - expected) < 1e-6, (i, j, got, expected)
+
+
+def test_ngram_jaccard_threshold(spark):
+    df = _docs(spark, TEXTS)
+    got = {(r["a_id"], r["b_id"]) for r in ngram_jaccard_pairs(df, 0.5).collect()}
+    assert (0, 1) in got           # exact dup -> jaccard 1.0
+    assert (0, 3) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs(spark, TEXTS)
+    got = {(r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in got  # identical signatures always collide
+    # verification step bounds jaccard, so no false positives above threshold
+    exact = {(r["a_id"], r["b_id"])
+             for r in ngram_jaccard_pairs(df, 0.5).collect()}
+    assert got.issubset(exact)
+
+
+def test_minhash_recall_on_corpus(spark, documents):
+    # LSH candidates restricted-exact vs full-exact at jaccard >= 0.8
+    small = documents.limit(200)
+    exact = {(r["a_id"], r["b_id"])
+             for r in ngram_jaccard_pairs(small, 0.8, n=3).collect()}
+    approx = {(r["a_id"], r["b_id"])
+              for r in minhash_lsh_pairs(small, 0.8, num_hashes=32, bands=8).collect()}
+    assert approx.issubset(exact)
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} on {len(exact)} true pairs"
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark, TEXTS)
+    sigs = {r["doc_id"]: r["sig"]
+            for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert sigs[0] == sigs[1]                      # identical text -> same signature
+    assert sigs[3] == sigs[4]                      # bag-of-words identical -> same
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(df, 3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((3, 4)) == 0
+
+
+def test_hamming64_expression(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
+
+
+def test_embedding_near_dups_and_keep(spark, embeddings):
+    dups = embedding_near_dups(embeddings.limit(100), threshold=0.5)
+    rows = dups.collect()
+    assert all(r["a_id"] < r["b_id"] for r in rows)
+    df = _docs(spark, TEXTS)
+    pairs = ngram_jaccard_pairs(df, 0.5)
+    kept = dedup_keep_representatives(df, pairs)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 not in kept_ids and 0 in kept_ids

@@ -218,6 +218,35 @@ def _q_doc_fingerprints(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    # approximate IVF (KMeans cells + nprobe pruning) — rows-only check;
+    # recall vs exact asserted in tests/test_ann.py.
+    from astro_vectordb_spark.operators.ann import ivf_build, ivf_search
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = ivf_build(emb, k_cells=8)
+    return ivf_search(
+        assigned, centroids, _qvec(spark, sf_dir, 0), k=10, nprobe=6
+    ).select("vec_id", "score")
+
+
+def _q_ann_ivf_exact(spark, sf_dir):
+    # EXACT top-K with IVF triangle-inequality cell pruning: provably
+    # identical to brute force, so it shares the brute-force oracle.
+    from astro_vectordb_spark.operators.ann import (
+        ivf_build,
+        ivf_cell_stats,
+        ivf_search_exact,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = ivf_build(emb, k_cells=8)
+    stats = ivf_cell_stats(assigned, centroids)
+    return ivf_search_exact(
+        assigned, centroids, stats, _qvec(spark, sf_dir, 0), k=10, nprobe_seed=2
+    ).select("vec_id", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_exact": _q_topk_exact,
@@ -238,6 +267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_exact": _q_ann_ivf_exact,
     }
 
 
@@ -377,6 +408,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 100 AND b.vec_id < 100
   AND {_cos('a.embedding', 'b.embedding')} > 0.3
 """,
+        "ann_ivf_exact": _topk_oracle(0, 0.0, 10, cos),
         "dedup_exact": f"""
 SELECT min(doc_id) AS doc_id
 FROM (SELECT doc_id, array_to_string({_LTOKS}, ' ') AS norm FROM documents)

@@ -1,0 +1,300 @@
+"""Approximate nearest-neighbor search: IVF coarse quantization.
+
+The reference's HNSW graph (hnsw.ts:241-299) is a pointer-chasing
+physical index that cannot be (and should not be) ported to Spark —
+SURVEY.md §4.  The Spark-native equivalent of "hierarchical search-space
+pruning" is IVF (inverted-file) partitioning:
+
+  build:  KMeans centroids over the corpus -> every vector gets a
+          ``cell_id`` column -> persist partitioned by cell
+          (sources.vault.save_ivf_index)
+  search: score query vs the tiny centroid table -> take the top
+          ``nprobe`` cells -> exact top-K *within those cells only*.
+
+At scale the cell filter is **partition pruning at the parquet scan**:
+a 1000-executor cluster reads nprobe/k_cells of the data and never
+touches the rest.  Candidate reduction is k_cells/nprobe (e.g. 16/2 =
+8x fewer vectors scored); recall is tunable via nprobe.  Recall is
+checked statistically against the exact path (tests/test_ann.py), not
+hash-compared — ANN is the one non-SQL-expressible family
+(SURVEY.md §5.2).
+
+Centroid fitting uses MLlib KMeans (public Spark API) with a fixed
+seed; for cosine similarity the vectors are L2-normalized first so
+Euclidean KMeans approximates spherical clustering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.vector import l2_norm
+from astro_vectordb_spark.operators.topk import topk_search
+
+DEFAULT_CELLS = 16
+DEFAULT_SEED = 42
+
+
+def _normalized(vec_col):
+    n = l2_norm(vec_col)
+    return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def ivf_build(
+    df: DataFrame,
+    k_cells: int = DEFAULT_CELLS,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit IVF centroids and assign every vector a ``cell_id``.
+
+    Returns ``(assigned, centroids)``:
+      assigned  = input columns + ``cell_id INT``
+      centroids = (cell_id INT, centroid ARRAY<DOUBLE>) — tiny (k_cells
+                  rows), always broadcastable.
+
+    Reference analogue: ``buildIndex`` (hnsw.ts:769-779) — the bulk
+    index-construction job.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = _normalized(F.col(vec_col)) if metric == "cosine" else F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    train = df.select(
+        F.col(id_col), array_to_vector(feat).alias("_features")
+    )
+    model = KMeans(
+        k=k_cells, seed=seed, maxIter=max_iter, featuresCol="_features"
+    ).fit(train)
+    assigned = (
+        model.transform(train)
+        .select(F.col(id_col), F.col("prediction").alias("cell_id"))
+        .join(df, on=id_col)
+    )
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def choose_probe_cells(
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    nprobe: int,
+    metric: str = "cosine",
+) -> list[int]:
+    """Rank cells by query-to-centroid similarity; return top nprobe.
+
+    The centroid table is k_cells rows — this is a driver-side
+    micro-query by design (it *parameterizes the scan pruning* of the
+    big query; it cannot stay distributed and still prune)."""
+    from astro_vectordb_spark.functions.vector import similarity
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    ranked = (
+        centroids.withColumn("_s", similarity(F.col("centroid"), qv, metric))
+        .orderBy(F.col("_s").desc(), F.col("cell_id"))
+        .limit(nprobe)
+    )
+    return [r["cell_id"] for r in ranked.collect()]
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    strength: float = 0.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-K: prune to the top-nprobe cells, exact within.
+
+    ``cell_id IN (...)`` is a literal IN-filter -> partition pruning
+    when ``assigned`` is read from cell-partitioned parquet; the
+    subsequent plan is identical to the exact path (codegen score ->
+    TakeOrderedAndProject)."""
+    cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
+    pruned = assigned.filter(F.col("cell_id").isin(cells))
+    return topk_search(
+        pruned, query_vector, k, strength=strength, metric=metric,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_cell_stats(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell radius statistics for exact bound-based pruning.
+
+    cosine:     ``min_sim``  = worst member-to-centroid cosine (the
+                cell's angular radius is arccos(min_sim)).
+    euclidean:  ``max_dist`` = farthest member-to-centroid distance.
+
+    One small aggregation at build time; k_cells output rows.
+    """
+    from astro_vectordb_spark.functions.vector import (
+        cosine_similarity,
+        euclidean_distance,
+    )
+
+    joined = assigned.join(F.broadcast(centroids), on="cell_id")
+    if metric == "cosine":
+        agg = F.min(
+            cosine_similarity(F.col(vec_col), F.col("centroid"))
+        ).alias("min_sim")
+    else:
+        agg = F.max(
+            euclidean_distance(F.col(vec_col), F.col("centroid"))
+        ).alias("max_dist")
+    return joined.groupBy("cell_id").agg(agg)
+
+
+def ivf_search_exact(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    cell_stats: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    nprobe_seed: int = 2,
+    strength: float = 0.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-K with IVF cell pruning (recall = 1.0 by construction).
+
+    Two-phase branch-and-bound on the sphere (the Spark-native
+    replacement for HNSW's hierarchical pruning, hnsw.ts:260-275,
+    with a *correctness guarantee* the reference lacks):
+
+      1. scan the ``nprobe_seed`` nearest cells exactly -> tau = k-th
+         best score found.
+      2. for every other cell, the best achievable score is bounded by
+         the spherical triangle inequality:
+           angle(q, x) >= angle(q, centroid) - radius(cell)
+         so  best_sim(cell) = cos(max(0, theta_qc - radius)).
+         Cells with bound <= tau are provably irrelevant — skip them;
+         re-scan only the survivors.
+
+    Pruning is data-adaptive: tight clusters prune aggressively, random
+    data degrades gracefully toward a full scan (never below exact
+    correctness).  Cell selection is driver-side math over k_cells
+    rows; the big scans stay distributed and partition-pruned.
+    """
+    import math
+
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    stats = {
+        r["cell_id"]: r[1]
+        for r in cell_stats.collect()
+    }
+    cents = {r["cell_id"]: r["centroid"] for r in centroids.collect()}
+    q = [float(x) for x in query_vector]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos_to(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    def dist_to(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(q, c)))
+
+    if metric == "cosine":
+        order = sorted(cents, key=lambda cid: -cos_to(cents[cid]))
+    else:
+        order = sorted(cents, key=lambda cid: dist_to(cents[cid]))
+    seed_cells = order[:nprobe_seed]
+
+    seed_top = topk_search(
+        assigned.filter(F.col("cell_id").isin(seed_cells)),
+        q, k, strength=strength, metric=metric, id_col=id_col, vec_col=vec_col,
+    ).collect()
+    # scores come back rounded to 6 decimals; relax tau by one ulp of
+    # that rounding so the bound never prunes a true top-K member
+    tau = (seed_top[-1]["score"] - 1e-6) if len(seed_top) >= k else -float("inf")
+
+    survivors = []
+    for cid in order[nprobe_seed:]:
+        if metric == "cosine":
+            s_qc = max(-1.0, min(1.0, cos_to(cents[cid])))
+            radius = math.acos(max(-1.0, min(1.0, stats.get(cid, -1.0))))
+            bound = math.cos(max(0.0, math.acos(s_qc) - radius))
+        else:
+            d_qc = dist_to(cents[cid])
+            radius = stats.get(cid, float("inf"))
+            bound = 1.0 / (1.0 + max(0.0, d_qc - radius))
+        if bound > tau:
+            survivors.append(cid)
+
+    cells = seed_cells + survivors
+    return topk_search(
+        assigned.filter(F.col("cell_id").isin(cells)),
+        q, k, strength=strength, metric=metric, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_batch_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF: each query joins only its top-nprobe cells.
+
+    Plan: broadcast (queries x centroids) ranking -> (query_id, cell_id)
+    probe table -> broadcast-join corpus on cell_id (each corpus row
+    meets only the queries probing its cell) -> per-query top-K via the
+    salted window.  Shuffle volume is |corpus| x avg_probes_per_cell,
+    an nprobe/k_cells fraction of the exact batch path."""
+    from pyspark.sql import Window
+
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    ranked = (
+        queries.join(F.broadcast(centroids))
+        .withColumn(
+            "_s", similarity(F.col("centroid"), F.col(query_vec_col), metric)
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_s").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell_id")
+    )
+    probed = assigned.join(F.broadcast(ranked), on="cell_id")
+    scored = probed.withColumn(
+        "score", similarity(F.col(vec_col), F.col(query_vec_col), metric)
+    )
+    return rank_topk_per_query(
+        scored, k, id_col=id_col, query_id_col=query_id_col
+    )

@@ -95,6 +95,43 @@ def topk_search(
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
 
 
+def rank_topk_per_query(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    score_col: str = "score",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Salted two-stage per-query top-K over an already-scored frame.
+
+    Returns (query_id, id_col, score, rank)."""
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if num_salts > 1:
+        # Stage 1: local top-K within (query, salt); salt is derived from
+        # the corpus id, so it's stable and needs no extra state.
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
+        w1 = Window.partitionBy(query_id_col, "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    # Stage 2: final per-query ranking over <= num_salts * k survivors.
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col),
+            "rank",
+        )
+    )
+
+
 def batch_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,29 +156,9 @@ def batch_topk(
         .withColumn(score_col, similarity(F.col(vec_col), F.col(query_vec_col), metric))
         .filter(F.col(score_col) > threshold_from_strength(strength))
     )
-    order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    if num_salts > 1:
-        # Stage 1: local top-K within (query, salt); salt is derived from
-        # the corpus id, so it's stable and needs no extra state.
-        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
-        w1 = Window.partitionBy(query_id_col, "_salt").orderBy(*order)
-        scored = (
-            scored.withColumn("_salt", salt)
-            .withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= k)
-            .drop("_salt", "_r1")
-        )
-    # Stage 2: final per-query ranking over <= num_salts * k survivors.
-    w2 = Window.partitionBy(query_id_col).orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col),
-            "rank",
-        )
+    return rank_topk_per_query(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=num_salts,
     )
 
 

@@ -1,0 +1,118 @@
+"""IVF ANN recall tests — statistical check vs the exact path
+(SURVEY.md §5.2: recall@K, not hash equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.ann import (
+    ivf_batch_search,
+    ivf_build,
+    ivf_search,
+)
+from astro_vectordb_spark.operators.topk import batch_topk, topk_search
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_ivf_build_assigns_every_vector(spark, embeddings):
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    assert assigned.count() == embeddings.count()
+    assert centroids.count() == 8
+    assert assigned.filter(F.col("cell_id").isNull()).count() == 0
+    # cells cover all vectors exactly once
+    assert assigned.select("vec_id").distinct().count() == embeddings.count()
+
+
+def test_ivf_recall_at_10(spark, embeddings):
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    recalls = []
+    for qid in [0, 5, 11, 17, 23]:
+        qv = embeddings.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = [r["vec_id"] for r in topk_search(embeddings, qv, 10, strength=0).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ivf_search(assigned, centroids, qv, 10, nprobe=6).collect()
+        ]
+        recalls.append(_recall(approx, exact))
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.85, f"IVF recall@10 {avg} (per-query {recalls})"
+
+
+def test_ivf_exact_pruned_matches_brute_force(spark, embeddings):
+    """Bound-based pruning must return EXACTLY the brute-force top-K."""
+    from astro_vectordb_spark.operators.ann import ivf_cell_stats, ivf_search_exact
+
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    stats = ivf_cell_stats(assigned, centroids)
+    for qid in [0, 5, 17]:
+        qv = embeddings.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = topk_search(embeddings, qv, 10, strength=0).collect()
+        pruned = ivf_search_exact(
+            assigned, centroids, stats, qv, 10, nprobe_seed=2
+        ).collect()
+        assert [r["vec_id"] for r in pruned] == [r["vec_id"] for r in exact]
+        for a, b in zip(pruned, exact):
+            assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_ivf_exact_pruned_euclidean(spark, embeddings):
+    from astro_vectordb_spark.operators.ann import ivf_cell_stats, ivf_search_exact
+
+    assigned, centroids = ivf_build(embeddings, k_cells=8, metric="euclidean")
+    stats = ivf_cell_stats(assigned, centroids, metric="euclidean")
+    qv = embeddings.filter(F.col("vec_id") == 5).first()["embedding"]
+    exact = topk_search(embeddings, qv, 10, strength=0, metric="euclidean").collect()
+    pruned = ivf_search_exact(
+        assigned, centroids, stats, qv, 10, nprobe_seed=2, metric="euclidean"
+    ).collect()
+    assert [r["vec_id"] for r in pruned] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_candidate_reduction(spark, embeddings):
+    """nprobe/k_cells of the corpus is actually scanned (>=2x reduction
+    at nprobe=4, k=8; BASELINE.md targets >=5x at nprobe=2, k=16)."""
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    from astro_vectordb_spark.operators.ann import choose_probe_cells
+
+    cells = choose_probe_cells(centroids, qv, nprobe=2)
+    scanned = assigned.filter(F.col("cell_id").isin(cells)).count()
+    assert scanned < embeddings.count() / 2
+
+
+def test_ivf_batch_matches_single(spark, embeddings):
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ivf_batch_search(assigned, centroids, queries, k=5, nprobe=4)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, qrows in by_q.items():
+        qv = embeddings.filter(F.col("vec_id") == qid).first()["embedding"]
+        single = ivf_search(assigned, centroids, qv, 5, nprobe=4).collect()
+        assert sorted(r["vec_id"] for r in qrows) == sorted(
+            r["vec_id"] for r in single
+        )
+
+
+def test_ivf_batch_recall_vs_exact_batch(spark, embeddings):
+    assigned, centroids = ivf_build(embeddings, k_cells=8)
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(embeddings, queries, k=10)
+    approx = ivf_batch_search(assigned, centroids, queries, k=10, nprobe=6)
+    e, a = {}, {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.85, recalls

@@ -218,6 +218,64 @@ def _q_doc_fingerprints(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_events_hourly(spark, sf_dir):
+    from astro_vectordb_spark.operators.events import windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_counts(events, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_event_rates(spark, sf_dir):
+    from astro_vectordb_spark.operators.events import event_type_rates
+
+    return event_type_rates(load_table(spark, sf_dir, "events"))
+
+
+def _q_session_stats(spark, sf_dir):
+    from astro_vectordb_spark.operators.events import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _q_pricing_summary(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_revenue_topn(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import revenue_topn
+
+    return revenue_topn(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        n=10,
+    )
+
+
+def _q_customer_rank(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import customer_rank_in_nation
+
+    return customer_rank_in_nation(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
+    )
+
+
+def _q_order_priority(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import order_priority_counts
+
+    return order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     # approximate IVF (KMeans cells + nprobe pruning) — rows-only check;
     # recall vs exact asserted in tests/test_ann.py.
@@ -269,6 +327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_exact": _q_ann_ivf_exact,
+        "events_hourly": _q_events_hourly,
+        "event_rates": _q_event_rates,
+        "session_stats": _q_session_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_topn": _q_revenue_topn,
+        "customer_rank": _q_customer_rank,
+        "order_priority": _q_order_priority,
     }
 
 
@@ -501,5 +566,86 @@ SELECT doc_id,
   md5(array_to_string({_LTOKS}, ' ')) AS fp_exact,
   md5(array_to_string(list_sort(list_distinct({_LTOKS})), ' ')) AS fp_sorted
 FROM documents
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "event_rates": """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+SELECT event_type, n,
+       round(n::DOUBLE / (SELECT sum(n) FROM c), 6) AS share
+FROM c
+""",
+        "session_stats": """
+WITH ordered AS (
+  SELECT user_id, event_id, value, ts,
+         floor(epoch(ts))::BIGINT AS tsec,
+         lag(floor(epoch(ts))::BIGINT) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sess_n
+  FROM flagged
+)
+SELECT user_id,
+       user_id::VARCHAR || '#' || sess_n::VARCHAR AS session_id,
+       count(*) AS n_events,
+       max(tsec) - min(tsec) AS span_sec,
+       round(sum(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_topn": """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+""",
+        "customer_rank": """
+SELECT * FROM (
+  SELECT n.n_name, c.c_custkey,
+         round(c.c_acctbal, 6) AS acctbal,
+         row_number() OVER (
+           PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+         ) AS rank_in_nation
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rank_in_nation <= 3
+""",
+        "order_priority": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+)
+GROUP BY o_orderpriority
 """,
     }

@@ -1,0 +1,19 @@
+from astro_vectordb_spark.sources.vault import (
+    compact,
+    load_embeddings,
+    load_ivf_index,
+    open_or_create,
+    rebuild_index,
+    save_embeddings,
+    save_ivf_index,
+)
+
+__all__ = [
+    "compact",
+    "load_embeddings",
+    "load_ivf_index",
+    "open_or_create",
+    "rebuild_index",
+    "save_embeddings",
+    "save_ivf_index",
+]

@@ -1,0 +1,135 @@
+"""Parquet-backed persistence — the Spark-native AstroVault.
+
+Reference parity (astrovault.ts):
+- ``create``/``initDB``   (astrovault.ts:20-32)  -> open_or_create
+- ``saveIndex``           (astrovault.ts:34-40)  -> save_embeddings /
+  save_ivf_index — but per *batch*, not per mutation: the reference
+  rewrites the entire JSON snapshot after every single insert
+  (driver/driver.ts:147), an O(N) write amplification we deliberately
+  replace with partitioned parquet commits.
+- ``loadIndex``           (astrovault.ts:45-69)  -> load_embeddings /
+  load_ivf_index
+- ``rebuildGraphNodes``   (astrovault.ts:87-132) -> rebuild_index (re-run
+  the build over live rows)
+- ``deleteIndex``         (astrovault.ts:134-146) -> overwrite/drop path
+- tombstone compaction    (removeNodeFromGraph's intent,
+  hnsw.ts:179-200) -> compact
+
+Index metadata (k_cells, metric, dim — the analogue of M /
+efConstruction / levelMax, hnsw.ts:781-792) is persisted as a one-row
+``_meta`` parquet next to the data, so unlike the reference
+(fromJSON drops the metric — hnsw.ts:794-810, SURVEY.md §1.2) a
+reloaded index keeps its metric.
+
+Scale notes: the vector table is written partitioned by ``cell_id``
+when an IVF index exists — the cell filter of ivf_search then becomes
+*partition pruning at the file listing* (PartitionFilters in the scan
+node), so a 1000-executor job opens nprobe/k_cells of the files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("deleted", BooleanType()),
+    ]
+)
+
+
+def open_or_create(
+    spark: SparkSession, path: str, schema: StructType = EMBEDDINGS_SCHEMA
+) -> DataFrame:
+    """Load the vector table, or create an empty one if absent
+    (getAstroDB/createAstroDB, driver/driver.ts:28-48)."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def save_embeddings(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def load_embeddings(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    cell_stats: DataFrame | None = None,
+    metric: str = "cosine",
+) -> None:
+    """Persist an IVF index: vectors partitioned by cell, centroids +
+    cell radius stats + metric metadata alongside."""
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    if cell_stats is not None:
+        cell_stats.write.mode("overwrite").parquet(os.path.join(path, "cell_stats"))
+    k_cells = centroids.count()
+    dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    spark.createDataFrame(
+        [(metric, int(k_cells), int(dim))], "metric string, k_cells int, dim int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame | None, dict]:
+    """Load (assigned, centroids, cell_stats|None, meta).  The metric
+    survives the round trip (unlike the reference — hnsw.ts:794-810)."""
+    assigned = spark.read.parquet(os.path.join(path, "vectors"))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    stats_path = os.path.join(path, "cell_stats")
+    cell_stats = (
+        spark.read.parquet(stats_path) if os.path.exists(stats_path) else None
+    )
+    meta_row = spark.read.parquet(os.path.join(path, "_meta")).first()
+    return assigned, centroids, cell_stats, meta_row.asDict()
+
+
+def compact(df: DataFrame, deleted_col: str = "deleted") -> DataFrame:
+    """Physically drop tombstoned rows (the graph-cleaning TODO the
+    reference never implemented, README.md:78-81) — run before a
+    save to reclaim space."""
+    if deleted_col not in df.columns:
+        return df
+    return df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+
+
+def rebuild_index(
+    df: DataFrame,
+    k_cells: int = 16,
+    metric: str = "cosine",
+    deleted_col: str = "deleted",
+    **kwargs,
+):
+    """Full re-index over live rows (rebuildGraphNodes,
+    astrovault.ts:87-132): compact tombstones, re-fit IVF."""
+    from astro_vectordb_spark.operators.ann import ivf_build, ivf_cell_stats
+
+    live_rows = compact(df, deleted_col)
+    assigned, centroids = ivf_build(live_rows, k_cells=k_cells, metric=metric, **kwargs)
+    stats = ivf_cell_stats(assigned, centroids, metric=metric)
+    return assigned, centroids, stats

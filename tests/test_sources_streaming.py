@@ -1,0 +1,182 @@
+"""Tests: persistence round-trips, streaming upsert, multimodal
+plumbing, events, relational scaffolding."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.sources.vault import (
+    compact,
+    load_ivf_index,
+    open_or_create,
+    rebuild_index,
+    save_ivf_index,
+)
+
+
+def test_open_or_create_empty_then_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "vault")
+    df = open_or_create(spark, p)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["vec_id", "embedding", "deleted"]
+    again = open_or_create(spark, p)
+    assert again.count() == 0
+
+
+def test_ivf_index_roundtrip_preserves_metric(spark, embeddings, tmp_path):
+    from astro_vectordb_spark.operators.ann import ivf_build, ivf_cell_stats
+
+    p = str(tmp_path / "ivf")
+    assigned, centroids = ivf_build(embeddings, k_cells=4, metric="euclidean")
+    stats = ivf_cell_stats(assigned, centroids, metric="euclidean")
+    save_ivf_index(assigned, centroids, p, cell_stats=stats, metric="euclidean")
+    a2, c2, s2, meta = load_ivf_index(spark, p)
+    # the reference forgets the metric on reload (hnsw.ts:794-810); we don't
+    assert meta["metric"] == "euclidean"
+    assert meta["k_cells"] == 4
+    assert meta["dim"] == 64
+    assert a2.count() == embeddings.count()
+    assert s2 is not None and s2.count() == 4
+
+
+def test_ivf_partition_pruning_in_plan(spark, embeddings, tmp_path):
+    """The cell filter must reach the scan as a PartitionFilter."""
+    from astro_vectordb_spark.operators.ann import ivf_build
+
+    p = str(tmp_path / "ivf2")
+    assigned, centroids = ivf_build(embeddings, k_cells=4)
+    save_ivf_index(assigned, centroids, p)
+    vectors = spark.read.parquet(p + "/vectors")
+    plan = (
+        vectors.filter(F.col("cell_id").isin([0, 1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_and_rebuild(spark, embeddings):
+    from astro_vectordb_spark.operators.crud import tombstone_delete
+
+    marked = tombstone_delete(embeddings, [1, 2, 3])
+    live_rows = compact(marked)
+    assert live_rows.count() == embeddings.count() - 3
+    assigned, centroids, stats = rebuild_index(marked, k_cells=4)
+    assert assigned.count() == embeddings.count() - 3
+    assert centroids.count() == 4
+
+
+def test_stream_upsert_keep_latest(spark, embeddings, tmp_path):
+    """rate-source stream of updates merged into a parquet target."""
+    from astro_vectordb_spark.streaming.upsert import foreach_batch_upsert
+
+    target = str(tmp_path / "target")
+    base = embeddings.select("vec_id", "embedding").limit(50)
+    base.write.parquet(target)
+
+    # stream: every rate tick updates vec_id = value % 10 with a
+    # constant vector [tick, tick]-ish; keep-latest should retain ids
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            (F.col("value") % 10).alias("vec_id"),
+            F.array(F.lit(9.9), F.lit(8.8)).cast("array<float>").alias("embedding"),
+        )
+    )
+    q = foreach_batch_upsert(stream, target)
+    try:
+        # let a few micro-batches commit (readers of a plain-parquet
+        # sink must not race the overwrite; a table format would allow
+        # concurrent reads)
+        deadline = time.time() + 30
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(1)
+        time.sleep(5)
+    finally:
+        q.stop()
+    cur = spark.read.parquet(target)
+    assert cur.count() == 50  # ids 0-9 updated in place, no dupes
+    updated = cur.filter(F.size("embedding") == 2).count()
+    assert updated == 10
+
+
+def test_multimodal_decode_plumbing(spark, documents):
+    from astro_vectordb_spark.multimodal.binary import (
+        FEATURE_DIM,
+        attach_blob,
+        decode_features,
+        frame_sample,
+    )
+
+    blobs = attach_blob(documents.limit(20))
+    row = blobs.first()
+    assert row["n_bytes"] == len(row["text"].encode())
+    assert len(row["content_sha"]) == 64
+
+    feats = decode_features(blobs)
+    frows = feats.collect()
+    assert len(frows) == 20
+    for r in frows:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0 <= x <= 1 for x in r["features"])
+    # determinism: same blob -> same features
+    f2 = {r["doc_id"]: r["features"] for r in decode_features(blobs).collect()}
+    assert all(f2[r["doc_id"]] == r["features"] for r in frows)
+
+    frames = frame_sample(blobs, every_n_bytes=64, max_frames=4)
+    assert frames.groupBy("doc_id").count().filter(F.col("count") > 4).count() == 0
+    assert frames.count() >= 20
+
+
+def test_windowed_counts_and_sessions(spark, sf_dir):
+    from astro_vectordb_spark.operators.events import (
+        event_type_rates,
+        session_stats,
+        sessionize,
+        windowed_counts,
+    )
+
+    from astro_vectordb_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    wc = windowed_counts(events).collect()
+    assert sum(r["n_events"] for r in wc) == events.count()
+
+    s = sessionize(events, gap_minutes=30)
+    # session ids are consistent: same count of rows, no nulls
+    assert s.filter(F.col("session_id").isNull()).count() == 0
+    assert s.count() == events.count()
+    st = session_stats(events)
+    assert st.count() == s.select("session_id").distinct().count()
+
+    rates = event_type_rates(events).collect()
+    assert abs(sum(r["share"] for r in rates) - 1.0) < 1e-3
+
+
+def test_relational_scaffolding(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import (
+        customer_rank_in_nation,
+        pricing_summary,
+        revenue_topn,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    ps = pricing_summary(li).collect()
+    assert len(ps) >= 1
+    total = sum(r["count_order"] for r in ps)
+    assert total == li.filter(F.col("l_shipdate") < "1998-09-01").count()
+
+    top = revenue_topn(li, orders, cust, n=5).collect()
+    assert len(top) == 5
+    assert all(
+        top[i]["revenue"] >= top[i + 1]["revenue"] for i in range(len(top) - 1)
+    )
+
+    ranked = customer_rank_in_nation(cust, nation)
+    assert ranked.filter(F.col("rank_in_nation") > 3).count() == 0

@@ -282,23 +282,27 @@ def _q_ann_ivf_topk(spark, sf_dir):
     from astro_vectordb_spark.operators.ann import ivf_build, ivf_search
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = ivf_build(emb, k_cells=8)
+    assigned, centroids = ivf_build(
+        emb, k_cells=8, max_iter=8, init_mode="random"
+    )
     return ivf_search(
         assigned, centroids, _qvec(spark, sf_dir, 0), k=10, nprobe=6
     ).select("vec_id", "score")
 
 
 def _q_ann_ivf_exact(spark, sf_dir):
-    # EXACT top-K with IVF triangle-inequality cell pruning: provably
-    # identical to brute force, so it shares the brute-force oracle.
+    # EXACT top-K with cell-bound pruning: provably identical to brute
+    # force, so it shares the brute-force oracle.  Cells come from the
+    # fit-free random-hyperplane builder — partition quality only
+    # affects pruning rate, never correctness.
     from astro_vectordb_spark.operators.ann import (
-        ivf_build,
         ivf_cell_stats,
         ivf_search_exact,
+        rp_build,
     )
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = ivf_build(emb, k_cells=8)
+    assigned, centroids = rp_build(emb, n_planes=3, dim=64)
     stats = ivf_cell_stats(assigned, centroids)
     return ivf_search_exact(
         assigned, centroids, stats, _qvec(spark, sf_dir, 0), k=10, nprobe_seed=2

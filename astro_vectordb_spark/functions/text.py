@@ -135,10 +135,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined), the unit for
     Jaccard/MinHash near-dup detection."""
     toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    # sequence(0, stop) DESCENDS when stop < 0, so guard short docs:
-    # fewer than n tokens -> no shingles.
+    m = F.size(toks) - n + 1  # number of shingles
+    # n aligned slices + (n-1) zip_with concats = O(tokens) total work;
+    # the naive transform-with-slice-per-position shape is O(tokens^2).
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )

@@ -51,6 +51,7 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, DataFrame]:
     """Fit IVF centroids and assign every vector a ``cell_id``.
 
@@ -71,8 +72,15 @@ def ivf_build(
     train = df.select(
         F.col(id_col), array_to_vector(feat).alias("_features")
     )
+    # KMeans runs maxIter tiny jobs; right-size the partition count to
+    # the corpus so the iteration overhead doesn't dominate small fits
+    # (a 100 TB corpus keeps its parallelism: ~100k rows per partition).
+    n = train.count()
+    target_parts = max(1, min(train.rdd.getNumPartitions(), n // 100_000 + 1))
+    train = train.coalesce(target_parts)
     model = KMeans(
-        k=k_cells, seed=seed, maxIter=max_iter, featuresCol="_features"
+        k=k_cells, seed=seed, maxIter=max_iter, initMode=init_mode,
+        featuresCol="_features",
     ).fit(train)
     assigned = (
         model.transform(train)
@@ -132,6 +140,68 @@ def ivf_search(
         pruned, query_vector, k, strength=strength, metric=metric,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def rp_build(
+    df: DataFrame,
+    n_planes: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """Random-hyperplane cell partitioner (LSH-style, fit-free).
+
+    ``cell_id = sum_p 2^p * [v . plane_p > 0]`` over ``n_planes``
+    deterministic seeded hyperplanes -> 2^n_planes cells.  One codegen
+    projection per row, NO training job — the right builder when cells
+    only gate *exact* bound-based search (ivf_search_exact), where
+    partition quality affects pruning rate but never correctness.
+    Centroids are empirical per-cell means (posexplode + avg), computed
+    once at build.
+    """
+    import hashlib
+    import struct as _struct
+
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+
+    def plane(p: int) -> list[float]:
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            (u,) = _struct.unpack("<Q", h[:8])
+            vals.append(u / 2**64 - 0.5)
+        return vals
+
+    cell = F.lit(0)
+    for p in range(n_planes):
+        pl = plane(p)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in pl]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell = cell + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+    assigned = df.withColumn("cell_id", cell.cast("int"))
+
+    ex = assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "v"))
+    centroids = (
+        ex.groupBy("cell_id", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    return assigned, centroids
 
 
 def ivf_cell_stats(

@@ -63,44 +63,139 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    algorithm: str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >= 1
-    shingle.  Returns (a_id, b_id, jaccard), a_id < b_id.
+    """Exact n-gram Jaccard pairs at ``jaccard >= threshold``.
+    Returns (a_id, b_id, jaccard), a_id < b_id.
 
-    Plan: shingle inverted index -> self-equi-join on shingle (only
-    co-occurring pairs are generated) -> count intersections ->
-    |A ∪ B| = |A| + |B| - |A ∩ B|.  Two shuffles (index build + pair
-    count), both keyed widely; no cross join anywhere.
+    Two exact physical strategies:
+
+    * ``allpairs`` (default for threshold >= 0.5): prefix filtering
+      (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+      Search").  Each doc indexes only its L = |X| - ceil(t|X|) + 1
+      globally-rarest shingles; any pair with J >= t provably collides
+      within those prefixes.  Candidates are verified with a full
+      ``array_intersect``.  On corpora with hot shingles this generates
+      orders of magnitude fewer candidate rows than the full inverted
+      index — the difference between quadratic and near-linear at 100 TB.
+
+    * ``naive``: full inverted-index self-join + intersection counting.
+      Right when threshold is low/zero (prefixes degenerate to whole
+      sets) or for tiny inputs.
     """
-    idx_all = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    if algorithm == "auto":
+        algorithm = "allpairs" if threshold >= 0.5 else "naive"
+    if algorithm == "allpairs":
+        return _jaccard_allpairs(df, threshold, n, text_col, id_col)
+    return _jaccard_naive(df, threshold, n, text_col, id_col, max_shingle_df)
+
+
+def _jaccard_allpairs(
+    df: DataFrame, threshold: float, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    t = float(threshold)
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    ).withColumn("_sz", F.size("_sh"))
+    # the shingle table feeds four plan branches (freq, prefix, and both
+    # verify sides); materialize it once instead of recomputing the
+    # tokenize+shingle expression per branch
+    base = base.cache()
+    idx = base.select(
+        F.col(id_col), "_sz", F.explode("_sh").alias("shingle")
     )
-    # set sizes derived from the index itself (shingles are distinct per
-    # doc) so the shingle expression is evaluated once, pre-DF-cap
-    sizes = idx_all.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    idx = idx_all
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # Per-doc prefix: the L rarest shingles under the global
+    # (_df, shingle) total order — no global rank materialization, the
+    # sort key itself is the order.
+    prefix_len = (F.col("_sz") - F.ceil(t * F.col("_sz")) + 1).cast("int")
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        idx.join(freq, on="shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(id_col, "_sz", "shingle")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"), "shingle"
+    )
+    cands = (
+        a.join(b, on="shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("_sa") >= t * F.col("_sb"))   # length filter
+            & (F.col("_sb") >= t * F.col("_sa"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_sets = base.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("_sha"))
+    b_sets = base.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cands.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS)
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _jaccard_naive(
+    df: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    # size is known before the explode, so each index row carries its
+    # doc's set size — no join back to a sizes table later.
+    base = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
+    idx = base.select(
+        F.col(id_col),
+        F.size("_sh").alias("_sz"),
+        F.explode("_sh").alias("shingle"),
+    )
     if max_shingle_df is not None:
         hot = (
-            idx_all.groupBy("shingle")
+            idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        idx = idx_all.join(F.broadcast(hot), on="shingle", how="left_anti")
-    a = idx.withColumnRenamed(id_col, "a_id")
-    b = idx.withColumnRenamed(id_col, "b_id")
+        idx = idx.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = idx.select(
+        F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"), "shingle"
+    )
+    b = idx.select(
+        F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"), "shingle"
+    )
+    pair_cond = [F.col("a_id") < F.col("b_id")]
+    if threshold > 0:
+        # length filter (exact-preserving): J(A,B) >= t implies
+        # t*|B| <= |A| and t*|A| <= |B| — prunes pairs BEFORE the
+        # intersection count aggregation.
+        t = float(threshold)
+        pair_cond.append(F.col("_sa") >= t * F.col("_sb"))
+        pair_cond.append(F.col("_sb") >= t * F.col("_sa"))
+    cond = pair_cond[0]
+    for c in pair_cond[1:]:
+        cond = cond & c
     inter = (
         a.join(b, on="shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        .filter(cond)
+        .groupBy("a_id", "b_id", "_sa", "_sb")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("_inter").cast("double")
@@ -240,12 +335,45 @@ def simhash64(text_col, n: int = 1):
 
 
 def hamming64(a, b):
-    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0)
+    """Hamming distance between two 64-bit signatures — a single JVM
+    popcount intrinsic (Long.bitCount) on the XOR."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sim BIGINT) SimHash signatures, computed the scalable way.
+
+    Explode distinct tokens once, hash each token once, then take 64
+    partial-SUM aggregates of the per-bit +/-1 votes (map-side
+    combining, one shuffle of one row per doc per partition).  The
+    expression-only ``simhash64`` re-walks the token array per bit —
+    fine for a single row, wrong shape for a corpus scan."""
+    from astro_vectordb_spark.functions.text import tokens
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t"),
+    ).withColumn("_h", F.xxhash64(F.col("_t")))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(_mask(j)).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
     for j in range(64):
-        out = out + F.when(x.bitwiseAND(F.lit(_mask(j)).cast("long")) != 0, 1).otherwise(0)
-    return out
+        sig = sig.bitwiseXOR(
+            F.when(F.col(f"_b{j}") > 0, F.lit(_mask(j)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(id_col, sig.alias("sim"))
 
 
 def simhash_pairs(
@@ -263,7 +391,7 @@ def simhash_pairs(
     WWW'07 pattern)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
+    sig = simhash_table(df, text_col, id_col)
     chunk_exprs = [
         F.shiftrightunsigned(F.col("sim"), c * width).bitwiseAND(
             F.lit((1 << width) - 1).cast("long")

@@ -67,6 +67,21 @@ def test_ngram_jaccard_threshold(spark):
     assert (0, 3) not in got
 
 
+def test_allpairs_equals_naive(spark, documents):
+    """Prefix-filtered exact join must return exactly the naive result."""
+    small = documents.limit(300)
+    for t in (0.5, 0.8):
+        naive = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(small, t, algorithm="naive").collect()
+        }
+        allp = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(small, t, algorithm="allpairs").collect()
+        }
+        assert naive == allp, f"t={t}: {set(naive) ^ set(allp)}"
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = _docs(spark, TEXTS)
     got = {(r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
@@ -99,6 +114,16 @@ def test_simhash_identical_and_near(spark):
     pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(df, 3).collect()}
     assert pairs.get((0, 1)) == 0
     assert pairs.get((3, 4)) == 0
+
+
+def test_simhash_table_matches_expression(spark):
+    from astro_vectordb_spark.operators.dedup import simhash_table
+
+    df = _docs(spark, TEXTS)
+    expr = {r["doc_id"]: r["sig"]
+            for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()}
+    tbl = {r["doc_id"]: r["sim"] for r in simhash_table(df).collect()}
+    assert expr == tbl
 
 
 def test_hamming64_expression(spark):

@@ -41,48 +41,91 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot_product(a: Column, b: Column) -> Column:
-    """sum_i a_i * b_i, in float64. Reference: similarity.ts:2-11."""
+def _static_sum(terms: list[Column]) -> Column:
+    """Strict left-associated sum — the same association as the fold,
+    so results are bit-identical between the two shapes."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    """sum_i a_i * b_i, in float64. Reference: similarity.ts:2-11.
+
+    With ``dim`` known, the sum is unrolled into a static expression:
+    higher-order functions (aggregate/zip_with) disable whole-stage
+    codegen, so the unrolled form runs compiled while the fold form is
+    interpreted.  Both are strict left folds — bit-identical results.
+    """
+    if dim is not None:
+        return _static_sum(
+            [
+                F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+                for i in range(1, dim + 1)
+            ]
+        )
     return _fold_sum(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y))
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(
+            _static_sum(
+                [
+                    F.element_at(a, i).cast("double")
+                    * F.element_at(a, i).cast("double")
+                    for i in range(1, dim + 1)
+                ]
+            )
+        )
     return F.sqrt(_fold_sum(F.transform(_as_double(a), lambda x: x * x)))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; -1.0 when either side is NULL.
 
     Reference: similarity.ts:13-23 (null contract at line 17).
     """
-    sim = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    sim = dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
     return F.when(a.isNull() | b.isNull(), F.lit(-1.0)).otherwise(sim)
 
 
-def euclidean_distance(a: Column, b: Column) -> Column:
+def euclidean_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     """sqrt(sum_i (a_i - b_i)^2). Reference: similarity.ts:25-34."""
+    if dim is not None:
+        diffs = [
+            (
+                F.element_at(a, i).cast("double")
+                - F.element_at(b, i).cast("double")
+            )
+            for i in range(1, dim + 1)
+        ]
+        return F.sqrt(_static_sum([d * d for d in diffs]))
     return F.sqrt(
         _fold_sum(F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)))
     )
 
 
-def euclidean_similarity(a: Column, b: Column) -> Column:
+def euclidean_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     """1 / (1 + euclidean_distance): larger = closer, range (0, 1].
 
     NULL contract matches cosine (-1.0 on NULL input) so one comparator
     serves both metrics, as in the reference (similarity.ts:36-41 with
     hnsw.ts:39-49 dispatch).
     """
-    sim = F.lit(1.0) / (F.lit(1.0) + euclidean_distance(a, b))
+    sim = F.lit(1.0) / (F.lit(1.0) + euclidean_distance(a, b, dim))
     return F.when(a.isNull() | b.isNull(), F.lit(-1.0)).otherwise(sim)
 
 
-def similarity(a: Column, b: Column, metric: str = "cosine") -> Column:
+def similarity(
+    a: Column, b: Column, metric: str = "cosine", dim: int | None = None
+) -> Column:
     """Metric dispatch. Reference: hnsw.ts:39-49 (throws on unknown)."""
     if metric == "cosine":
-        return cosine_similarity(a, b)
+        return cosine_similarity(a, b, dim)
     if metric == "euclidean":
-        return euclidean_similarity(a, b)
+        return euclidean_similarity(a, b, dim)
     raise ValueError(f"Invalid metric {metric!r}; expected one of {VALID_METRICS}")
 
 

@@ -58,10 +58,13 @@ def score_against(
     and the scoring runs fully map-side inside whole-stage codegen.
     """
     if isinstance(query_vector, Column):
-        qv = query_vector
+        qv, dim = query_vector, None
     else:
         qv = F.array(*[F.lit(float(x)) for x in query_vector])
-    return corpus.withColumn(score_col, similarity(F.col(vec_col), qv, metric))
+        dim = len(query_vector)  # unlocks the codegen'd unrolled kernel
+    return corpus.withColumn(
+        score_col, similarity(F.col(vec_col), qv, metric, dim=dim)
+    )
 
 
 def topk_search(
@@ -74,6 +77,7 @@ def topk_search(
     vec_col: str = "embedding",
     deleted_col: str | None = None,
     score_col: str = "score",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact top-K similarity search with score threshold.
 
@@ -82,9 +86,21 @@ def topk_search(
     physical graph index; its *intended* result is the top-K by
     similarity above threshold).
 
-    Physical plan: scan -> codegen score -> filter -> TakeOrderedAndProject.
+    ``kernel='expr'`` scores with the oracle-reproducible fold
+    expression; ``kernel='numpy'`` scores with the Arrow+BLAS
+    pandas_udf (~7x faster per row at scale, last-ulp summation
+    differences — see functions.vector_np).
+
+    Physical plan: scan -> score -> filter -> TakeOrderedAndProject.
     """
-    scored = score_against(corpus, query_vector, vec_col, metric, score_col)
+    if kernel == "numpy" and not isinstance(query_vector, Column):
+        from astro_vectordb_spark.functions.vector_np import make_score_udf
+
+        scored = corpus.withColumn(
+            score_col, make_score_udf(query_vector, metric)(F.col(vec_col))
+        )
+    else:
+        scored = score_against(corpus, query_vector, vec_col, metric, score_col)
     if deleted_col is not None:
         scored = scored.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     out = (

@@ -1,0 +1,78 @@
+"""Plan-shape tests: lock the physical plans the scale story needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.crud import point_lookup
+from astro_vectordb_spark.operators.topk import (
+    batch_topk,
+    similarity_join,
+    topk_search,
+)
+from astro_vectordb_spark.plans.explain import (
+    has_broadcast_join,
+    has_pushed_filter,
+    has_take_ordered,
+    whole_stage_codegen_spans,
+)
+
+
+def _qv(embeddings, vec_id=0):
+    return embeddings.filter(F.col("vec_id") == vec_id).first()["embedding"]
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = topk_search(emb, _qv(emb), k=10, strength=20)
+    assert has_take_ordered(df), "top-K must avoid a global sort"
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = point_lookup(emb, 42)
+    assert has_pushed_filter(df, "vec_id")
+
+
+def test_scoring_stays_in_codegen(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = topk_search(emb, _qv(emb), k=10, strength=20)
+    assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_batch_topk_broadcasts_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = batch_topk(emb, queries, k=5)
+    assert has_broadcast_join(df), "query set must broadcast, corpus must not shuffle for the join"
+
+
+def test_similarity_join_broadcasts(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    df = similarity_join(emb, threshold=0.5)
+    assert has_broadcast_join(df)
+
+
+def test_relational_star_join_broadcasts_dims(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import revenue_topn
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = revenue_topn(li, orders, cust, n=10)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read all lineitem columns."""
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = executed_plan(df)
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_returnflag" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs, f"column pruning failed: {rs}"

@@ -18,30 +18,40 @@ from astro_vectordb_spark.plans.explain import (
 )
 
 
+# NOTE: plan tests must see real parquet scans. conftest caches the
+# sf0.001 tables, and Spark substitutes a cached InMemoryRelation for
+# any read of the same path — so these tests read sf0.01 instead.
+PLAN_SF = "/root/testdata/sf0.01"
+
+
 def _qv(embeddings, vec_id=0):
     return embeddings.filter(F.col("vec_id") == vec_id).first()["embedding"]
 
 
-def test_topk_compiles_to_take_ordered(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def test_topk_compiles_to_take_ordered(spark):
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
     df = topk_search(emb, _qv(emb), k=10, strength=20)
     assert has_take_ordered(df), "top-K must avoid a global sort"
 
 
-def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def test_point_lookup_pushes_filter_to_scan(spark):
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
     df = point_lookup(emb, 42)
     assert has_pushed_filter(df, "vec_id")
 
 
-def test_scoring_stays_in_codegen(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def test_topk_is_single_stage(spark):
+    """Single-query top-K must be one scan stage: no Exchange anywhere
+    (TakeOrderedAndProject merges per-partition heaps on the driver)."""
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
     df = topk_search(emb, _qv(emb), k=10, strength=20)
-    assert whole_stage_codegen_spans(df) >= 1
+    assert "Exchange" not in executed_plan(df)
 
 
-def test_batch_topk_broadcasts_queries(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def test_batch_topk_broadcasts_queries(spark):
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -49,28 +59,28 @@ def test_batch_topk_broadcasts_queries(spark, sf_dir):
     assert has_broadcast_join(df), "query set must broadcast, corpus must not shuffle for the join"
 
 
-def test_similarity_join_broadcasts(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+def test_similarity_join_broadcasts(spark):
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet").limit(50)
     df = similarity_join(emb, threshold=0.5)
     assert has_broadcast_join(df)
 
 
-def test_relational_star_join_broadcasts_dims(spark, sf_dir):
+def test_relational_star_join_broadcasts_dims(spark):
     from astro_vectordb_spark.operators.relational import revenue_topn
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{PLAN_SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{PLAN_SF}/orders.parquet")
+    cust = spark.read.parquet(f"{PLAN_SF}/customer.parquet")
     df = revenue_topn(li, orders, cust, n=10)
     assert has_broadcast_join(df)
     assert has_take_ordered(df)
 
 
-def test_column_pruning_reaches_scan(spark, sf_dir):
+def test_column_pruning_reaches_scan(spark):
     """A 2-column projection must not read all lineitem columns."""
     from astro_vectordb_spark.plans.explain import executed_plan
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spark.read.parquet(f"{PLAN_SF}/lineitem.parquet")
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     plan = executed_plan(df)
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]

@@ -276,6 +276,66 @@ def _q_order_priority(spark, sf_dir):
     )
 
 
+def _q_knn_classify(spark, sf_dir):
+    from astro_vectordb_spark.operators.classify import knn_classify
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_classify(emb, queries, k=10, exclude_self=True)
+
+
+def _q_validate_dim(spark, sf_dir):
+    from astro_vectordb_spark.operators.crud import validate_embeddings
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corrupted = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 101 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 103 == 0, F.slice("embedding", 1, 3))
+        .otherwise(F.col("embedding")),
+    )
+    return validate_embeddings(corrupted, 64).select("vec_id", "valid")
+
+
+def _q_nation_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_embed_docs(spark, sf_dir):
+    # pluggable embedding hook (stub encoder) — rows-only check; the
+    # contract (dim, normalization, determinism) is tested in pytest.
+    from astro_vectordb_spark.functions.embed import embed_text
+
+    return embed_text(_docs(spark, sf_dir)).select("doc_id", "embedding")
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    # blob -> features mapInPandas plumbing (stub codec) — rows-only.
+    from astro_vectordb_spark.multimodal.binary import attach_blob, decode_features
+
+    return decode_features(attach_blob(_docs(spark, sf_dir)))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     # approximate IVF (KMeans cells + nprobe pruning) — rows-only check;
     # recall vs exact asserted in tests/test_ann.py.
@@ -338,6 +398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_topn": _q_revenue_topn,
         "customer_rank": _q_customer_rank,
         "order_priority": _q_order_priority,
+        "knn_classify": _q_knn_classify,
+        "validate_dim": _q_validate_dim,
+        "nation_revenue": _q_nation_revenue,
+        "embed_docs": _q_embed_docs,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -651,5 +716,49 @@ WHERE EXISTS (
   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= TIMESTAMP '1997-01-01'
 )
 GROUP BY o_orderpriority
+""",
+        "knn_classify": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {cos} AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+  FROM scored WHERE s > 0.0
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rnk <= 10
+  GROUP BY query_id, label
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT query_id, label AS pred_label, votes FROM best WHERE rn = 1
+""",
+        "validate_dim": """
+SELECT vec_id,
+  CASE
+    WHEN vec_id % 101 = 0 THEN FALSE
+    WHEN vec_id % 103 = 0 THEN FALSE
+    ELSE TRUE
+  END AS valid
+FROM embeddings
+""",
+        "nation_revenue": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
     }

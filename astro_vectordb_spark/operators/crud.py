@@ -32,6 +32,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def validate_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    mode: str = "flag",
+) -> DataFrame:
+    """Enforce the table's dimension contract.
+
+    The reference throws on dimension mismatch (hnsw.ts:157-159) and
+    silently drops empty vectors (hnsw.ts:155).  Batch equivalents:
+      mode='flag'   append ``valid BOOLEAN`` (audit-friendly)
+      mode='drop'   keep only valid rows (the reference's net effect)
+    A vector is valid iff non-null and exactly ``dim`` elements.
+    """
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    if mode == "drop":
+        return df.filter(ok)
+    return df.withColumn("valid", ok)
+
+
 def point_lookup(df: DataFrame, key, id_col: str = "vec_id") -> DataFrame:
     """Primary-key lookup. Reference: driver/driver.ts:309-312.
 

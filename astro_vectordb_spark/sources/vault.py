@@ -109,6 +109,31 @@ def load_ivf_index(
     return assigned, centroids, cell_stats, meta_row.asDict()
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 32,
+    key: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist bucketed by key — the scale lever for the mutation path.
+
+    A keyed merge (upsert_latest / sync_merge) against a bucketed base
+    table reads each bucket pre-hashed on the key: Catalyst drops the
+    Exchange on the big side and only the (small) delta shuffles.  At
+    100 TB the base-table shuffle IS the merge cost, so this turns the
+    dominant term into zero.  Bucket count should match downstream
+    ``spark.sql.shuffle.partitions`` (or divide it) for exchange reuse.
+    """
+    df.write.mode(mode).format("parquet").bucketBy(buckets, key).sortBy(
+        key
+    ).saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 def compact(df: DataFrame, deleted_col: str = "deleted") -> DataFrame:
     """Physically drop tombstoned rows (the graph-cleaning TODO the
     reference never implemented, README.md:78-81) — run before a

@@ -336,6 +336,37 @@ def _q_multimodal_decode(spark, sf_dir):
     return decode_features(attach_blob(_docs(spark, sf_dir)))
 
 
+def _q_token_counts(spark, sf_dir):
+    from astro_vectordb_spark.functions.text import (
+        bpe_ish_token_count,
+        regex_token_count,
+        token_count,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        regex_token_count(t).cast("long").alias("n_regex_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_subwords"),
+    )
+
+
+def _q_events_json(spark, sf_dir):
+    # JSON property extraction + aggregation over the event stream table
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     # approximate IVF (KMeans cells + nprobe pruning) — rows-only check;
     # recall vs exact asserted in tests/test_ann.py.
@@ -403,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": _q_nation_revenue,
         "embed_docs": _q_embed_docs,
         "multimodal_decode": _q_multimodal_decode,
+        "token_counts": _q_token_counts,
+        "events_json": _q_events_json,
     }
 
 
@@ -760,5 +793,22 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "token_counts": rf"""
+SELECT doc_id,
+  len({_TOKS})::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+    AS n_regex_tokens,
+  coalesce(list_sum(list_transform({_TOKS}, x -> ceil(len(x) / 4.0)::INT)), 0)::BIGINT
+    AS n_subwords
+FROM documents
+""",
+        "events_json": """
+SELECT event_type,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
 """,
     }

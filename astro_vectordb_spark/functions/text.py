@@ -56,6 +56,17 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-flavored coarse lexer classes: letter runs, digit runs, single
+# non-alnum symbols.  Deliberately restricted to constructs whose
+# semantics agree between Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(text: Column, pattern: str = BPE_REGEX) -> Column:
+    """BPE-ish lexer token count (regex alternation, non-overlapping)."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
 def punct_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(PUNCT_CLASS))
 

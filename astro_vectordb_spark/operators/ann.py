@@ -321,6 +321,47 @@ def ivf_search_exact(
     )
 
 
+def ivf_exact_pruned_cells(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    cell_stats: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    nprobe_seed: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """(cells_scanned, cells_total) for one exact bound-pruned search —
+    instrumentation for recall/cost reporting (BASELINE.md obligation)."""
+    import math
+
+    stats = {r["cell_id"]: r[1] for r in cell_stats.collect()}
+    cents = {r["cell_id"]: r["centroid"] for r in centroids.collect()}
+    q = [float(x) for x in query_vector]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos_to(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+    order = sorted(cents, key=lambda cid: -cos_to(cents[cid]))
+    seed_cells = order[:nprobe_seed]
+    seed_top = topk_search(
+        assigned.filter(F.col("cell_id").isin(seed_cells)),
+        q, k, strength=0.0, metric=metric, id_col=id_col, vec_col=vec_col,
+    ).collect()
+    tau = (seed_top[-1]["score"] - 1e-6) if len(seed_top) >= k else -float("inf")
+    survivors = 0
+    for cid in order[nprobe_seed:]:
+        s_qc = max(-1.0, min(1.0, cos_to(cents[cid])))
+        radius = math.acos(max(-1.0, min(1.0, stats.get(cid, -1.0))))
+        bound = math.cos(max(0.0, math.acos(s_qc) - radius))
+        if bound > tau:
+            survivors += 1
+    return nprobe_seed + survivors, len(cents)
+
+
 def ivf_batch_search(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -368,14 +368,12 @@ def _q_events_json(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    # approximate IVF (KMeans cells + nprobe pruning) — rows-only check;
-    # recall vs exact asserted in tests/test_ann.py.
-    from astro_vectordb_spark.operators.ann import ivf_build, ivf_search
+    # approximate IVF (sample-fit KMeans cells + nprobe pruning) —
+    # rows-only check; recall vs exact asserted in tests/test_ann.py.
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled, ivf_search
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = ivf_build(
-        emb, k_cells=8, max_iter=8, init_mode="random"
-    )
+    assigned, centroids = ivf_build_sampled(emb, k_cells=8)
     return ivf_search(
         assigned, centroids, _qvec(spark, sf_dir, 0), k=10, nprobe=6
     ).select("vec_id", "score")

@@ -102,6 +102,27 @@ def test_ivf_batch_matches_single(spark, embeddings):
         )
 
 
+def test_ivf_build_sampled_same_contract(spark, embeddings):
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled
+
+    assigned, centroids = ivf_build_sampled(embeddings, k_cells=8)
+    assert assigned.count() == embeddings.count()
+    assert centroids.count() == 8
+    assert assigned.filter(F.col("cell_id").isNull()).count() == 0
+    # deterministic across runs
+    a2, _ = ivf_build_sampled(embeddings, k_cells=8)
+    m1 = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    m2 = {r["vec_id"]: r["cell_id"] for r in a2.collect()}
+    assert m1 == m2
+    # search works on top of it with reasonable recall
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in topk_search(embeddings, qv, 10, strength=0).collect()]
+    approx = [
+        r["vec_id"] for r in ivf_search(assigned, centroids, qv, 10, nprobe=6).collect()
+    ]
+    assert _recall(approx, exact) >= 0.6
+
+
 def test_ivf_batch_recall_vs_exact_batch(spark, embeddings):
     assigned, centroids = ivf_build(embeddings, k_cells=8)
     queries = embeddings.filter(F.col("vec_id") < 10).select(

@@ -662,10 +662,22 @@ SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
 FROM h
 """,
         "doc_fingerprints": f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS ltk FROM documents),
+th AS (
+  SELECT doc_id, ltk,
+    list_transform(ltk, tok ->
+      list_reduce(
+        list_transform(generate_series(1, len(tok)), i -> ord(tok[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+  FROM t
+)
 SELECT doc_id,
-  md5(array_to_string({_LTOKS}, ' ')) AS fp_exact,
-  md5(array_to_string(list_sort(list_distinct({_LTOKS})), ' ')) AS fp_sorted
-FROM documents
+  md5(array_to_string(ltk, ' ')) AS fp_exact,
+  md5(array_to_string(list_sort(list_distinct(ltk)), ' ')) AS fp_sorted,
+  CASE WHEN len(hs) > 0
+       THEN list_reduce(hs, (acc, x) -> (acc * 1000003 + x) % 2147483647)
+       ELSE 0 END AS fp_rolling
+FROM th
 """,
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -171,3 +171,35 @@ def sorted_token_fingerprint(text: Column) -> Column:
     """Bag-of-words fingerprint: md5 over the sorted distinct token set —
     catches reorderings of the same vocabulary."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " "))
+
+
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over the token stream (order-sensitive):
+
+        h = fold(tokens, 0, (h, t) -> (h * B + tokhash(t)) mod M)
+
+    with tokhash(t) = a small deterministic per-token integer (sum of
+    code points mod M) so the whole thing is pure integer arithmetic —
+    bit-reproducible in ANSI SQL (DuckDB ``list_reduce``), unlike
+    xxhash64.  All intermediates stay < 2^62, no overflow in int64.
+    """
+    toks = tokens(F.lower(text))
+
+    def tokhash(t):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+        )
+        return F.aggregate(
+            chars, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % ROLLING_MOD
+        )
+
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_BASE + tokhash(t)) % ROLLING_MOD,
+    )

@@ -95,6 +95,35 @@ def decode_features(
     return df.select(id_col, blob_col).mapInPandas(_decode, schema=out_schema)
 
 
+def resize_blob(
+    df: DataFrame,
+    target_bytes: int = 256,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image-resize analogue: downsample each blob to a fixed byte
+    budget by striding (deterministic).  In production the kernel body
+    is a real resize (PIL/opencv); the Spark contract — fixed-size
+    output per row, narrow mapInPandas, no shuffle — is what is tested.
+    """
+    out_schema = f"{id_col} long, resized binary, orig_bytes bigint"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, sizes = [], [], []
+            for _, row in pdf.iterrows():
+                blob = bytes(row[blob_col])
+                stride = max(1, len(blob) // target_bytes)
+                ids.append(row[id_col])
+                blobs.append(blob[::stride][:target_bytes])
+                sizes.append(len(blob))
+            yield pd.DataFrame(
+                {id_col: ids, "resized": blobs, "orig_bytes": sizes}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_resize, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_n_bytes: int = 64,

@@ -65,4 +65,5 @@ def doc_fingerprints(
         F.col(id_col),
         T.fingerprint(t).alias("fp_exact"),
         T.sorted_token_fingerprint(t).alias("fp_sorted"),
+        T.rolling_hash(t).alias("fp_rolling"),
     )

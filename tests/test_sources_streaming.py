@@ -141,6 +141,70 @@ def test_streaming_windowed_counts_with_watermark(spark):
     assert all(r["n_events"] > 0 for r in agg)
 
 
+def test_stateful_user_profiles_stream(spark):
+    """applyInPandasWithState accumulates per-user state across
+    micro-batches."""
+    from astro_vectordb_spark.streaming.stateful import user_profiles_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).alias("user_id"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    out = user_profiles_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        ok = False
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) n FROM profiles GROUP BY user_id"
+            ).collect()
+            # state accumulates: any user with n > one batch's worth
+            # proves cross-batch state (each batch has ~rowsPerSecond/5
+            # events per user per second, trigger ~ every few seconds)
+            if len(rows) == 5 and all(r["n"] > 20 for r in rows):
+                ok = True
+                break
+    finally:
+        q.stop()
+    assert ok, "per-user state did not accumulate across micro-batches"
+
+
+def test_resize_blob(spark, documents):
+    from astro_vectordb_spark.multimodal.binary import attach_blob, resize_blob
+
+    blobs = attach_blob(documents.limit(10))
+    out = resize_blob(blobs, target_bytes=64).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r["resized"]) <= 64
+        assert r["orig_bytes"] > 0
+
+
+def test_rolling_hash(spark):
+    from astro_vectordb_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "c b a"), (3, "")],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["h"] for r in df.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()}
+    assert h[0] == h[1]          # deterministic
+    assert h[0] != h[2]          # order-sensitive
+    assert h[3] == 0             # empty text
+    assert all(0 <= v < 2_147_483_647 for v in h.values())
+
+
 def test_multimodal_decode_plumbing(spark, documents):
     from astro_vectordb_spark.multimodal.binary import (
         FEATURE_DIM,

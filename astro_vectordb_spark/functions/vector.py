@@ -86,8 +86,13 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; -1.0 when either side is NULL.
 
     Reference: similarity.ts:13-23 (null contract at line 17).
+
+    Zero-norm vectors: the reference computes 0/0 -> NaN (JS); under
+    Spark 4 ANSI mode a plain division would *throw*, so we use
+    ``try_divide`` -> NULL score, which every threshold filter drops —
+    same net behavior as the reference's NaN, without the crash.
     """
-    sim = dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+    sim = F.try_divide(dot_product(a, b, dim), l2_norm(a, dim) * l2_norm(b, dim))
     return F.when(a.isNull() | b.isNull(), F.lit(-1.0)).otherwise(sim)
 
 

@@ -1,0 +1,104 @@
+"""Property/metamorphic tests (SURVEY.md §5.3) with hypothesis.
+
+Strategy note: one Spark job per hypothesis example would be very slow,
+so each property generates a BATCH of cases, runs one DataFrame job,
+and checks all rows against numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.vector import (
+    cosine_similarity,
+    euclidean_similarity,
+)
+
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+)
+vec = st.lists(finite, min_size=4, max_size=4)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(list(map(float, a)), list(map(float, b))) for a, b in pairs],
+        "a array<float>, b array<float>",
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=20))
+def test_cosine_properties(spark, pairs):
+    df = _pairs_df(spark, pairs)
+    rows = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("ab"),
+        cosine_similarity(F.col("b"), F.col("a")).alias("ba"),
+        "a",
+        "b",
+    ).collect()
+    for r in rows:
+        a = np.array(r["a"], dtype=np.float64)
+        b = np.array(r["b"], dtype=np.float64)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            # zero-norm contract: NULL score (reference computes NaN;
+            # ANSI Spark would throw on a plain division)
+            assert r["ab"] is None and r["ba"] is None
+            continue
+        # symmetry
+        assert math.isclose(r["ab"], r["ba"], rel_tol=1e-9, abs_tol=1e-12)
+        # range (float32 storage can overshoot |1| by ~1e-7)
+        assert -1.0 - 1e-6 <= r["ab"] <= 1.0 + 1e-6
+        # numpy agreement on the float32-rounded inputs
+        expected = float(a @ b / (na * nb))
+        assert math.isclose(r["ab"], expected, rel_tol=1e-6, abs_tol=1e-9)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=20))
+def test_euclidean_similarity_properties(spark, pairs):
+    df = _pairs_df(spark, pairs)
+    rows = df.select(
+        euclidean_similarity(F.col("a"), F.col("b")).alias("s"), "a", "b"
+    ).collect()
+    for r in rows:
+        # range (0, 1]
+        assert 0.0 < r["s"] <= 1.0
+        a = np.array(r["a"], dtype=np.float64)
+        b = np.array(r["b"], dtype=np.float64)
+        # identity of indiscernibles
+        if np.array_equal(a, b):
+            assert r["s"] == 1.0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), vec),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_upsert_idempotent(spark, rows):
+    """Applying the same update twice == applying it once."""
+    from astro_vectordb_spark.operators.crud import upsert_latest
+
+    base = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    upd = spark.createDataFrame(
+        [(int(i), list(map(float, v))) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    once = upsert_latest(base, upd)
+    twice = upsert_latest(once, upd)
+    a = sorted((r["vec_id"], tuple(r["embedding"])) for r in once.collect())
+    b = sorted((r["vec_id"], tuple(r["embedding"])) for r in twice.collect())
+    assert a == b

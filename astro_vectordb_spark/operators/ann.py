@@ -443,6 +443,49 @@ def ivf_exact_pruned_cells(
     return nprobe_seed + survivors, len(cents)
 
 
+def brp_lsh_topk(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Euclidean ANN via MLlib BucketedRandomProjectionLSH — the
+    built-in alternative to IVF (SURVEY.md §1.3 option b).
+
+    Returns (id, score) with score = 1/(1+distance), aligned with the
+    engine's euclidean_similarity.  Kept as the stock-Spark baseline;
+    IVF gives explicit partition pruning and the exact bound-pruned
+    variant, which the LSH API does not expose.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    feats = corpus.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(feats)
+    key = Vectors.dense([float(x) for x in query_vector])
+    neighbors = model.approxNearestNeighbors(feats, key, k, distCol="_dist")
+    return neighbors.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.col("_dist")), 6).alias("score"),
+    )
+
+
 def ivf_batch_search(
     assigned: DataFrame,
     centroids: DataFrame,

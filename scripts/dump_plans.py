@@ -1,0 +1,52 @@
+"""Regenerate PLANS.md: formatted physical plans of the flagship
+queries, so plan quality is reviewable without running Spark."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from astro_vectordb_spark.session import get_spark
+
+SHOW = [
+    "topk_exact",
+    "batch_topk",
+    "sync_merge",
+    "near_dup_jaccard",
+    "near_dup_minhash",
+    "revenue_topn",
+    "events_hourly",
+]
+
+HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)
+
+Regenerate with `python scripts/dump_plans.py`.  What to look for:
+`TakeOrderedAndProject` (top-K without global sort), `BroadcastHashJoin`
+/ `BroadcastNestedLoopJoin` (small sides broadcast), `PushedFilters`
+(predicates at the parquet reader), single `Exchange` per keyed
+aggregation (map-side partial aggregation before it), `AdaptiveSparkPlan`
+(AQE re-planning enabled).
+"""
+
+
+def main() -> None:
+    spark = get_spark("dump-plans", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = [HEADER]
+    for name in SHOW:
+        df = qs[name](spark, "/root/testdata/sf0.01")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"\n## {name}\n\n```\n{plan.strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,19 @@ def test_ivf_build_sampled_same_contract(spark, embeddings):
     assert _recall(approx, exact) >= 0.6
 
 
+def test_brp_lsh_topk_recall(spark, embeddings):
+    from astro_vectordb_spark.operators.ann import brp_lsh_topk
+
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in topk_search(embeddings, qv, 10, strength=0, metric="euclidean").collect()
+    ]
+    approx = [r["vec_id"] for r in brp_lsh_topk(embeddings, qv, 10).collect()]
+    assert len(approx) == 10
+    assert _recall(approx, exact) >= 0.5  # stock-LSH baseline, loose bar
+
+
 def test_ivf_batch_recall_vs_exact_batch(spark, embeddings):
     assigned, centroids = ivf_build(embeddings, k_cells=8)
     queries = embeddings.filter(F.col("vec_id") < 10).select(

@@ -197,6 +197,16 @@ def _q_near_dup_minhash(spark, sf_dir):
     )
 
 
+def _q_near_dup_minhash_sql(spark, sf_dir):
+    # the SAME LSH pipeline with an ANSI-SQL-expressible hash family —
+    # the full approximate path is hash-checked by the oracle.
+    from astro_vectordb_spark.operators.dedup import minhash_lsh_pairs_sql_safe
+
+    return minhash_lsh_pairs_sql_safe(
+        _docs(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
+    )
+
+
 def _q_near_dup_simhash(spark, sf_dir):
     # approximate (xxhash64-based) — no SQL oracle; rows-only check.
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -413,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_minhash": _q_near_dup_minhash,
+        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
         "near_dup_simhash": _q_near_dup_simhash,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality_scores,
@@ -594,6 +605,47 @@ FROM inter
 JOIN sz sa ON sa.doc_id = a_id
 JOIN sz sb ON sb.doc_id = b_id
 WHERE round(i::DOUBLE / (sa.s + sb.s - i), 6) >= 0.8
+""",
+        "near_dup_minhash_sql": f"""
+WITH {_shingle_cte()},
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s ->
+      list_reduce(
+        list_transform(generate_series(1, len(s)), i -> ord(s[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id, shingles,
+    list_transform(generate_series(0, 31), i ->
+      list_min(list_transform(h, x -> ((2*i+1) * x + 7919*i) % 2147483647))) AS s
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+    list_reduce(
+      list_prepend(0::BIGINT, s[b.b*4+1 : b.b*4+4]),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
+  FROM bands a JOIN bands bb
+    ON a.band_idx = bb.band_idx AND a.band_sig = bb.band_sig
+   AND a.doc_id < bb.doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id,
+    round(
+      len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.8
 """,
         "text_stats": f"""
 WITH t AS (

@@ -208,6 +208,91 @@ def _jaccard_naive(
     )
 
 
+POLY_MOD = 2_147_483_647  # 2^31 - 1
+BAND_BASE = 1_000_003
+
+
+def _char_poly_hash(s):
+    """Char-level polynomial hash, pure int64 arithmetic — ANSI-SQL
+    reproducible (DuckDB list_reduce twin), unlike xxhash64."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % POLY_MOD
+    )
+
+
+def minhash_lsh_pairs_sql_safe(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH with a fully SQL-expressible hash family —
+    the ENTIRE approximate pipeline (signatures -> bands -> candidate
+    buckets -> exact-Jaccard verification) is reproducible by the
+    DuckDB oracle, so even the approximate dedup path is hash-checked,
+    not just rows-counted.
+
+    hash_i(s) = ((2i+1) * polyhash(s) + 7919 i) mod (2^31-1); band
+    signature = left fold of its r member minhashes base 1000003.
+    Same plan shape as minhash_lsh_pairs (explode once, partial-MIN
+    aggs, band-bucket join, candidate-only verification).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    t = float(threshold)
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    ).cache()
+    ex = base.select(
+        F.col(id_col), F.explode("_sh").alias("_s")
+    ).withColumn("_h", _char_poly_hash(F.col("_s")))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i)) % F.lit(POLY_MOD)
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_exprs = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for i in range(b * r, b * r + r):
+            acc = (acc * BAND_BASE + F.col(f"_h{i}")) % POLY_MOD
+        band_exprs.append(acc)
+    banded = mins.select(
+        id_col, F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_sig")
+    )
+    a = banded.withColumnRenamed(id_col, "a_id")
+    b_ = banded.withColumnRenamed(id_col, "b_id")
+    cands = (
+        a.join(b_, on=["band_idx", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_sets = base.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("_sha"))
+    b_sets = base.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cands.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard", F.round(inter.cast("double") / union, JACCARD_DECIMALS)
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     num_hashes: int = 32,

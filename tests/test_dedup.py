@@ -116,6 +116,19 @@ def test_simhash_identical_and_near(spark):
     assert pairs.get((3, 4)) == 0
 
 
+def test_minhash_sql_safe_recall(spark, documents):
+    from astro_vectordb_spark.operators.dedup import minhash_lsh_pairs_sql_safe
+
+    small = documents.limit(200)
+    exact = {(r["a_id"], r["b_id"])
+             for r in ngram_jaccard_pairs(small, 0.8, n=3).collect()}
+    approx = {(r["a_id"], r["b_id"])
+              for r in minhash_lsh_pairs_sql_safe(small, 0.8).collect()}
+    assert approx.issubset(exact)
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.8
+
+
 def test_simhash_table_matches_expression(spark):
     from astro_vectordb_spark.operators.dedup import simhash_table
 

@@ -212,6 +212,14 @@ def _q_near_dup_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_near_dup_simhash_sql(spark, sf_dir):
+    # SQL-expressible hash family -> the SimHash pipeline is fully
+    # oracle-checked (signature, chunking, hamming verify).
+    from astro_vectordb_spark.operators.dedup import simhash_pairs_sql_safe
+
+    return simhash_pairs_sql_safe(_docs(spark, sf_dir), max_hamming=3)
+
+
 def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
@@ -425,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
         "near_dup_simhash": _q_near_dup_simhash,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
@@ -646,6 +655,37 @@ verified AS (
   JOIN sh sb ON sb.doc_id = c.b_id
 )
 SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.8
+""",
+        "near_dup_simhash_sql": f"""
+WITH t AS (SELECT doc_id, list_distinct({_LTOKS}) AS tk FROM documents),
+hs AS (
+  SELECT doc_id,
+    list_transform(tk, tok ->
+      list_reduce(
+        list_transform(generate_series(1, len(tok)), i -> ord(tok[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM t WHERE len(tk) > 0
+),
+sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 30), j ->
+      CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1) * 2 - 1)) > 0
+           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sim
+  FROM hs
+),
+ch AS (SELECT * FROM (VALUES (0, 0, 255), (1, 8, 255), (2, 16, 255), (3, 24, 127))
+       AS c(ci, off, mask)),
+blocked AS (
+  SELECT doc_id, sim, ci, (sim >> off) & mask AS cv FROM sig CROSS JOIN ch
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sim AS sa, b.sim AS sb
+  FROM blocked a JOIN blocked b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "text_stats": f"""
 WITH t AS (

@@ -503,6 +503,66 @@ def simhash_pairs(
     )
 
 
+SIMHASH_SQL_BITS = 31  # char-poly hashes are < 2^31
+SIMHASH_SQL_CHUNKS = [(0, 255), (8, 255), (16, 255), (24, 127)]  # (offset, mask)
+
+
+def simhash_pairs_sql_safe(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with an ANSI-SQL-expressible hash — the
+    whole pipeline (token hashes -> 31-bit signature -> pigeonhole
+    chunks -> hamming verify) is reproducible by the DuckDB oracle.
+
+    Same shape as simhash_pairs: explode distinct tokens once, 31
+    partial-SUM bit votes, chunk-bucket join, popcount verify.
+    4 chunks cover hamming <= 3 with recall exactly 1.0."""
+    from astro_vectordb_spark.functions.text import tokens
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t"),
+    ).withColumn("_h", _char_poly_hash(F.col("_t")))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_b{j}")
+            for j in range(SIMHASH_SQL_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_SQL_BITS):
+        sig = sig + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sigs = votes.select(id_col, sig.alias("sim"))
+    chunk_exprs = [
+        F.shiftright(F.col("sim"), off).bitwiseAND(F.lit(mask).cast("long"))
+        for off, mask in SIMHASH_SQL_CHUNKS
+    ]
+    blocked = sigs.select(
+        id_col, "sim", F.posexplode(F.array(*chunk_exprs)).alias("ci", "cv")
+    )
+    a = blocked.select(
+        F.col(id_col).alias("a_id"), F.col("sim").alias("sa"), "ci", "cv"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("b_id"), F.col("sim").alias("sb"), "ci", "cv"
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

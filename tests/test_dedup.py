@@ -139,6 +139,16 @@ def test_simhash_table_matches_expression(spark):
     assert expr == tbl
 
 
+def test_simhash_sql_safe(spark):
+    from astro_vectordb_spark.operators.dedup import simhash_pairs_sql_safe
+
+    df = _docs(spark, TEXTS)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in simhash_pairs_sql_safe(df, 3).collect()}
+    assert pairs.get((0, 1)) == 0    # identical text
+    assert pairs.get((3, 4)) == 0    # same bag of words
+
+
 def test_hamming64_expression(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2

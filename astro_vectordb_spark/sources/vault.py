@@ -63,8 +63,29 @@ def open_or_create(
     return spark.read.parquet(path)
 
 
-def save_embeddings(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def save_embeddings(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sort_by: str | None = "vec_id",
+) -> None:
+    """Write the vector table; ``sort_by`` sorts within partitions so
+    parquet row-group min/max stats make key lookups skip row groups
+    (free data-skipping on top of PushedFilters)."""
+    if sort_by and sort_by in df.columns:
+        df = df.sortWithinPartitions(sort_by)
     df.write.mode(mode).parquet(path)
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_partitions: int
+) -> None:
+    """Rewrite a table into ``target_partitions`` files — the
+    small-files maintenance job (streaming upserts and per-batch
+    appends fragment a table; scan cost at 100 TB tracks file count as
+    much as byte count)."""
+    df = spark.read.parquet(path).repartition(target_partitions)
+    df.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
 
 def load_embeddings(spark: SparkSession, path: str) -> DataFrame:

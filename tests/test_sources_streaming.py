@@ -57,6 +57,22 @@ def test_ivf_partition_pruning_in_plan(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_save_sorted_and_compact_files(spark, embeddings, tmp_path):
+    from astro_vectordb_spark.sources.vault import compact_files, save_embeddings
+
+    p = str(tmp_path / "sorted")
+    save_embeddings(embeddings.repartition(8), p)
+    back = spark.read.parquet(p)
+    assert back.count() == embeddings.count()
+    import glob
+
+    n_before = len(glob.glob(p + "/part-*"))
+    compact_files(spark, p, 2)
+    n_after = len(glob.glob(p + "/part-*"))
+    assert n_after == 2 and n_after < n_before
+    assert spark.read.parquet(p).count() == embeddings.count()
+
+
 def test_compact_and_rebuild(spark, embeddings):
     from astro_vectordb_spark.operators.crud import tombstone_delete
 

@@ -1,0 +1,123 @@
+"""Scale probe: key operators at 1M vectors / 100k docs (local[32]).
+
+Synthesizes larger corpora from the sf0.1 fixtures (unique ids), times
+the flagship operators, prints one JSON line.  Evidence for the
+ARCHITECTURE.md scale claims; not part of the driver bench.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.session import get_spark
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb1m = (
+        emb.crossJoin(spark.range(500).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000).alias("vec_id"),
+            # perturb first element so replicas aren't exact dups
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.col("rep") / 1e6),
+                F.slice("embedding", 2, 63),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    emb1m.write.mode("overwrite").parquet("/tmp/scale/emb1m")
+    emb1m = spark.read.parquet("/tmp/scale/emb1m")
+    out["corpus_rows"] = emb1m.count()
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    from astro_vectordb_spark.operators.topk import batch_topk, topk_search
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm
+    noop(topk_search(emb1m, qv, 10, strength=0))
+    out["topk_expr_1m_sec"] = timed(lambda: noop(topk_search(emb1m, qv, 10, strength=0)))
+    out["topk_np_1m_sec"] = timed(
+        lambda: noop(topk_search(emb1m, qv, 10, strength=0, kernel="numpy"))
+    )
+
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out["batch_topk_16q_1m_salted_sec"] = timed(
+        lambda: noop(batch_topk(emb1m, queries, 10, num_salts=8))
+    )
+    out["batch_topk_16q_1m_unsalted_sec"] = timed(
+        lambda: noop(batch_topk(emb1m, queries, 10, num_salts=1))
+    )
+
+    from astro_vectordb_spark.operators.crud import sync_merge
+
+    delta = emb1m.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    out["sync_merge_1m_vs_100k_sec"] = timed(
+        lambda: noop(sync_merge(emb1m.select("vec_id", "embedding"), delta.select("vec_id", "embedding")))
+    )
+
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled, ivf_search
+
+    t0 = time.time()
+    assigned, centroids = ivf_build_sampled(emb1m, k_cells=64)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet("/tmp/scale/ivf1m")
+    out["ivf_build_write_1m_sec"] = round(time.time() - t0, 2)
+    assigned2 = spark.read.parquet("/tmp/scale/ivf1m")
+    out["ivf_search_1m_nprobe8of64_sec"] = timed(
+        lambda: noop(ivf_search(assigned2, centroids, qv, 10, nprobe=8))
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs100k = (
+        docs.crossJoin(spark.range(20).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 100_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+        )
+    )
+    docs100k.write.mode("overwrite").parquet("/tmp/scale/docs100k")
+    docs100k = spark.read.parquet("/tmp/scale/docs100k")
+    out["docs_rows"] = docs100k.count()
+
+    from astro_vectordb_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    out["exact_dedup_100k_sec"] = timed(lambda: noop(exact_dedup(docs100k)))
+    out["minhash_lsh_100k_sec"] = timed(
+        lambda: noop(minhash_lsh_pairs(docs100k, 0.8, num_hashes=32, bands=8))
+    )
+    out["jaccard_allpairs_100k_sec"] = timed(
+        lambda: noop(ngram_jaccard_pairs(docs100k, 0.8))
+    )
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,10 @@ def main() -> None:
             ).cast("array<float>").alias("embedding"),
         )
     )
-    emb1m.write.mode("overwrite").parquet("/tmp/scale/emb1m")
+    # crossJoin(BNLJ) collapses to the left side's partitioning — spread
+    # the synthesized corpus before writing or everything downstream
+    # runs on one core
+    emb1m.repartition(32).write.mode("overwrite").parquet("/tmp/scale/emb1m")
     emb1m = spark.read.parquet("/tmp/scale/emb1m")
     out["corpus_rows"] = emb1m.count()
 
@@ -97,7 +100,7 @@ def main() -> None:
             F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
         )
     )
-    docs100k.write.mode("overwrite").parquet("/tmp/scale/docs100k")
+    docs100k.repartition(32).write.mode("overwrite").parquet("/tmp/scale/docs100k")
     docs100k = spark.read.parquet("/tmp/scale/docs100k")
     out["docs_rows"] = docs100k.count()
 

@@ -1,23 +1,21 @@
-"""Vectorized (Arrow + NumPy) similarity kernels — the scale path.
+"""Vectorized (Arrow + NumPy) similarity kernels.
 
-Measured on this harness at 1M x 64-dim rows per scoring pass:
+Measured at 1M x 64-dim rows per scoring pass: single-core, the NumPy
+BLAS kernel does ~2 us/row vs ~15 us/row for the interpreted fold
+expression (higher-order functions disable whole-stage codegen) — for
+dense float math the usual "UDFs are the slow path" rule inverts.
+Fully parallel and warm the two are comparable (scan/schedule overhead
+dominates), and the UDF path pays a one-time Python-worker spawn cost
+per executor.  See ARCHITECTURE.md "Kernel economics".
 
-    interpreted fold expression   ~15 us/row   (higher-order functions
-                                               disable whole-stage codegen)
-    unrolled codegen expression   ~31 us/row   (256 element_at calls)
-    Arrow pandas_udf + NumPy BLAS ~2  us/row   (this module)
-
-So for dense float array math the "UDFs are the slow path" rule
-inverts: an Arrow-batched NumPy matrix product beats Catalyst's
-interpreted array folds ~7x.  The engine therefore carries two kernel
-families:
+The engine therefore carries two kernel families:
 
 * expression kernels (functions.vector) — strict left-fold float64,
-  bit-reproducible by the DuckDB oracle; used by every
-  correctness-gated query.
+  bit-reproducible by the DuckDB oracle; the default, and what every
+  correctness-gated query uses.
 * this module — same math via BLAS (summation order differs in the
   last ~ulp; not oracle-hash-safe, numerically identical for ranking);
-  used where throughput matters.
+  best per-core throughput on warm executors (`kernel='numpy'`).
 
 Both return float64 scores; ranking ties are broken by id downstream
 either way.

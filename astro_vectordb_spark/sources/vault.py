@@ -102,9 +102,12 @@ def save_ivf_index(
     """Persist an IVF index: vectors partitioned by cell, centroids +
     cell radius stats + metric metadata alongside."""
     spark = assigned.sparkSession
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        os.path.join(path, "vectors")
-    )
+    # cluster rows by cell before the partitioned write: without this,
+    # partitionBy emits up to (cells x input-partitions) small files;
+    # with it, one file per cell per final partition
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(path, "vectors"))
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     if cell_stats is not None:
         cell_stats.write.mode("overwrite").parquet(os.path.join(path, "cell_stats"))

@@ -385,6 +385,31 @@ def _q_events_json(spark, sf_dir):
     )
 
 
+def _q_segment_no_orders(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import segment_without_orders
+
+    return segment_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_revenue_rollup(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import revenue_rollup
+
+    return revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_status_pivot(spark, sf_dir):
+    from astro_vectordb_spark.operators.relational import order_status_pivot
+
+    return order_status_pivot(load_table(spark, sf_dir, "orders"))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     # approximate IVF (sample-fit KMeans cells + nprobe pruning) —
     # rows-only check; recall vs exact asserted in tests/test_ann.py.
@@ -454,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "token_counts": _q_token_counts,
         "events_json": _q_events_json,
+        "segment_no_orders": _q_segment_no_orders,
+        "revenue_rollup": _q_revenue_rollup,
+        "status_pivot": _q_status_pivot,
     }
 
 
@@ -895,6 +923,31 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "segment_no_orders": """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "revenue_rollup": """
+SELECT n.n_name, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       grouping(n.n_name, o.o_orderpriority)::BIGINT AS gid
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+""",
+        "status_pivot": """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
 """,
         "token_counts": rf"""
 SELECT doc_id,

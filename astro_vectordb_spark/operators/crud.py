@@ -156,7 +156,11 @@ def sync_merge(
     cur = current.select(
         F.col(id_col), F.col(vec_col).alias("_cur_vec"), F.lit(True).alias("_has_cur")
     )
-    inc = incoming.select(
+    # A micro-batch (or any bulk feed) may carry several updates for
+    # one key; a full-outer join against duplicate keys would multiply
+    # rows. Keep one update per key (callers needing a specific winner
+    # pre-aggregate with their own version column).
+    inc = incoming.dropDuplicates([id_col]).select(
         F.col(id_col), F.col(vec_col).alias("_inc_vec"), F.lit(True).alias("_has_inc")
     )
     joined = cur.join(inc, on=id_col, how="full_outer")

@@ -88,6 +88,66 @@ def customer_rank_in_nation(customer: DataFrame, nation: DataFrame) -> DataFrame
     )
 
 
+def segment_without_orders(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """Set-op shape: customers of a market segment EXCEPT those with an
+    order of the given priority (anti-join is the scalable physical
+    form of EXCEPT on a key — no full-row comparison shuffle)."""
+    with_orders = (
+        orders.filter(F.col("o_orderpriority") == priority)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+        .join(with_orders, on="c_custkey", how="left_anti")
+    )
+
+
+def revenue_rollup(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ROLLUP aggregation: revenue by (nation, order priority), with
+    per-nation and grand totals — one shuffle, Catalyst expands the
+    grouping sets map-side."""
+    joined = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderpriority")),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def order_status_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot shape: order counts per priority, one column per status —
+    expressed as conditional aggregation (the pivot form Catalyst
+    compiles to anyway; dialect-portable)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Orders with at least one late lineitem, counted by priority
     (left-semi join keeps the fact scan single-pass)."""

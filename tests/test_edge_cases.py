@@ -1,0 +1,107 @@
+"""Edge cases: empty inputs, empty results, degenerate parameters.
+
+Reference parity: empty-index short-circuit (hnsw.ts:248-250), empty
+vector skip (hnsw.ts:155).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.crud import sync_merge, upsert_latest
+from astro_vectordb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from astro_vectordb_spark.operators.topk import batch_topk, topk_search
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+def test_topk_on_empty_corpus(spark):
+    # hnsw.ts:248-250: search on empty index returns []
+    out = topk_search(_empty_emb(spark), [1.0, 2.0], k=5, strength=0)
+    assert out.count() == 0
+
+
+def test_batch_topk_on_empty_corpus(spark):
+    queries = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, query_vec array<float>"
+    )
+    assert batch_topk(_empty_emb(spark), queries, 5).count() == 0
+
+
+def test_topk_k_larger_than_corpus(spark, embeddings):
+    import numpy as np
+
+    small = embeddings.limit(3)
+    qv = embeddings.first()["embedding"]
+    q = np.array(qv, dtype=np.float64)
+    expected = 0
+    for r in small.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        if q @ v / (np.linalg.norm(q) * np.linalg.norm(v)) > 0:
+            expected += 1
+    out = topk_search(small, qv, k=100, strength=0).collect()
+    assert len(out) == expected  # k caps, threshold (score>0) filters
+
+
+def test_upsert_into_empty(spark, embeddings):
+    updates = embeddings.limit(5).select("vec_id", "embedding")
+    merged = upsert_latest(_empty_emb(spark), updates)
+    assert merged.count() == 5
+
+
+def test_sync_merge_empty_incoming(spark, embeddings):
+    base = embeddings.limit(10).select("vec_id", "embedding")
+    out = sync_merge(base, _empty_emb(spark))
+    assert out.count() == 10  # all kept
+
+
+def test_dedup_on_empty_docs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty).count() == 0
+    assert ngram_jaccard_pairs(empty, 0.8).count() == 0
+    assert minhash_lsh_pairs(empty, 0.8).count() == 0
+
+
+def test_jaccard_all_short_docs(spark):
+    # every doc shorter than the shingle size -> no pairs, no crash
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c"), (2, "")], "doc_id long, text string"
+    )
+    assert ngram_jaccard_pairs(df, 0.5, n=3).count() == 0
+
+
+def test_stream_sync_merge(spark, embeddings, tmp_path):
+    """Streaming face of the diff-aware merge applies worker.ts rules
+    per micro-batch."""
+    import time
+
+    from astro_vectordb_spark.streaming.upsert import stream_sync_merge
+
+    target = str(tmp_path / "t")
+    embeddings.limit(20).select("vec_id", "embedding").write.parquet(target)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            (F.col("value") % 5).alias("vec_id"),
+            F.array(F.lit(7.7), F.lit(8.8)).cast("array<float>").alias("embedding"),
+        )
+    )
+    q = stream_sync_merge(stream, target)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(1)
+        time.sleep(5)
+    finally:
+        q.stop()
+    cur = spark.read.parquet(target)
+    assert cur.count() == 20  # updates replace, no inserts of new ids
+    assert cur.filter(F.size("embedding") == 2).count() == 5

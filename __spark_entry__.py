@@ -385,6 +385,18 @@ def _q_events_json(spark, sf_dir):
     )
 
 
+def _q_embed_then_search(spark, sf_dir):
+    # pipeline composition: embed documents (stub encoder) -> exact
+    # top-K over the embedded corpus.  rows-only (encoder isn't SQL).
+    from astro_vectordb_spark.functions.embed import embed_text
+
+    doc_vecs = embed_text(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    qv = doc_vecs.filter(F.col("vec_id") == 0).first()["embedding"]
+    return topk_search(doc_vecs, qv, k=10, strength=0).select("vec_id", "score")
+
+
 def _q_segment_no_orders(spark, sf_dir):
     from astro_vectordb_spark.operators.relational import segment_without_orders
 
@@ -479,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "token_counts": _q_token_counts,
         "events_json": _q_events_json,
+        "embed_then_search": _q_embed_then_search,
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,

@@ -76,6 +76,39 @@ def test_relational_star_join_broadcasts_dims(spark):
     assert has_take_ordered(df)
 
 
+def test_aqe_splits_skewed_join(spark):
+    """A pathologically skewed join key must trigger AQE's skew-join
+    splitting (isSkew=true in the final adaptive plan) instead of one
+    straggler task."""
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    # left: 99% of rows share key 7; right: UNIQUE keys (so the join
+    # output stays linear — the skew is in the shuffle, not a blow-up)
+    left = spark.range(0, 2_000_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 2_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    try:
+        j = left.join(right.hint("shuffle_merge"), "k").select(
+            F.sum("v").alias("s")
+        )
+        # execute THIS plan instance so AQE finalizes it, then inspect
+        j.collect()
+        plan = executed_plan(j)
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
 def test_column_pruning_reaches_scan(spark):
     """A 2-column projection must not read all lineitem columns."""
     from astro_vectordb_spark.plans.explain import executed_plan

@@ -220,6 +220,17 @@ def _q_near_dup_simhash_sql(spark, sf_dir):
     return simhash_pairs_sql_safe(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_dedup_groups(spark, sf_dir):
+    # full near-dup dedup: exact jaccard pairs -> connected components
+    # -> keep min-id per component (+ singletons).  The iterative label
+    # propagation is oracle-checked via a recursive CTE.
+    from astro_vectordb_spark.operators.dedup import dedup_groups
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return dedup_groups(docs, pairs).select("doc_id")
+
+
 def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
@@ -467,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": _q_similarity_join,
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
+        "dedup_groups": _q_dedup_groups,
         "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
         "near_dup_simhash": _q_near_dup_simhash,
@@ -655,6 +667,38 @@ FROM inter
 JOIN sz sa ON sa.doc_id = a_id
 JOIN sz sb ON sb.doc_id = b_id
 WHERE round(i::DOUBLE / (sa.s + sb.s - i), 6) >= 0.8
+""",
+        "dedup_groups": f"""
+WITH RECURSIVE {_shingle_cte().lstrip()},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+  WHERE round(i::DOUBLE / (sa.s + sb.s - i), 6) >= 0.8
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id FROM comp WHERE id = component
+UNION ALL
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp)
 """,
         "near_dup_minhash_sql": f"""
 WITH {_shingle_cte()},

@@ -573,6 +573,82 @@ def embedding_near_dups(
     return similarity_join(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Connected components over the near-dup pair graph by iterative
+    min-label propagation: component(x) = min id reachable from x.
+
+    Returns (id, component).  Each iteration is one join + one groupBy
+    (both keyed shuffles) and the iterate is localCheckpointed so the
+    lineage stays flat; rounds needed = graph diameter (near-dup
+    clusters are shallow — a handful of rounds).  This is the correct
+    closure for transitive duplicate groups, vs the one-pass greedy
+    ``dedup_keep_representatives`` (which can split a chain a-b-c when
+    (a,c) wasn't emitted as a pair)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per connected near-dup
+    component; singletons (docs in no pair) keep themselves."""
+    comp = connected_components(pairs)
+    keep = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    in_graph = comp.select(F.col("id").alias(id_col))
+    singletons = df.select(id_col).join(in_graph, id_col, "left_anti")
+    return df.join(
+        keep.unionByName(singletons), on=id_col, how="left_semi"
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,

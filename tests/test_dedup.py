@@ -154,6 +154,30 @@ def test_hamming64_expression(spark):
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
 
 
+def test_connected_components_chain(spark):
+    """Chain a-b-c-d plus isolated pair e-f: one component each, min id
+    label; transitive closure that greedy keep can miss."""
+    from astro_vectordb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_groups_keeps_one_per_component(spark):
+    from astro_vectordb_spark.operators.dedup import dedup_groups
+
+    df = _docs(spark, TEXTS)  # 6 docs
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "a_id long, b_id long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_groups(df, pairs).collect())
+    # component {0,1,2} -> keep 0; {3,4} -> keep 3; singleton 5 stays
+    assert kept == [0, 3, 5]
+
+
 def test_embedding_near_dups_and_keep(spark, embeddings):
     dups = embedding_near_dups(embeddings.limit(100), threshold=0.5)
     rows = dups.collect()

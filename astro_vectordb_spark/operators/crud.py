@@ -116,6 +116,11 @@ def upsert_latest(
     union current (version 0) with updates (version 1), keep the highest
     version per key.  One shuffle on the key; map-side partial ranking
     via window.
+
+    ``updates`` is expected to carry at most one row per key; with
+    intra-batch duplicates the survivor among them is arbitrary (both
+    rank version 1) — pre-aggregate with a real version column if the
+    winner matters.
     """
     cur = current.withColumn(version_col, F.lit(0))
     upd = updates.withColumn(version_col, F.lit(1))

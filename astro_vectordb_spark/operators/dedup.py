@@ -365,10 +365,11 @@ def minhash_lsh_pairs(
         return cands
     # Verify ONLY the candidates: join each side's shingle set in and
     # compute exact Jaccard per pair with array intersection — work is
-    # O(candidates), not O(co-shingled pairs).
+    # O(candidates), not O(co-shingled pairs).  Cached: both verify
+    # sides read it.
     sets_ = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
-    )
+    ).cache()
     a_sets = sets_.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("_sha"))
     b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))

@@ -396,6 +396,28 @@ def _q_events_json(spark, sf_dir):
     )
 
 
+def _q_split_counts(spark, sf_dir):
+    # deterministic hash-bucket train/val/test split — reproducible and
+    # SQL-expressible, unlike random sampling
+    from astro_vectordb_spark.operators.sampling import deterministic_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        deterministic_split(docs, test_frac=0.1, val_frac=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+def _q_profile_lineitem(spark, sf_dir):
+    from astro_vectordb_spark.operators.profiling import profile_numeric
+
+    return profile_numeric(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _q_embed_then_search(spark, sf_dir):
     # pipeline composition: embed documents (stub encoder) -> exact
     # top-K over the embedded corpus.  rows-only (encoder isn't SQL).
@@ -503,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "token_counts": _q_token_counts,
         "events_json": _q_events_json,
+        "split_counts": _q_split_counts,
+        "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
@@ -980,6 +1004,53 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "split_counts": """
+WITH b AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN bucket < 100 THEN 'test'
+         WHEN bucket < 200 THEN 'val'
+         ELSE 'train' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n, min(doc_id) AS min_id
+FROM s GROUP BY split
+""",
+        "profile_lineitem": """
+SELECT c.column, c.n, c.n_null, c.min_v, c.max_v, c.mean_v, c.p50, c.p90
+FROM (
+  SELECT 'l_quantity' AS column, count(l_quantity) AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         round(min(l_quantity)::DOUBLE, 6) AS min_v,
+         round(max(l_quantity)::DOUBLE, 6) AS max_v,
+         round(avg(l_quantity), 6) AS mean_v,
+         round(quantile_cont(l_quantity, 0.5)::DOUBLE, 6) AS p50,
+         round(quantile_cont(l_quantity, 0.9)::DOUBLE, 6) AS p90
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice),
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         round(min(l_extendedprice)::DOUBLE, 6),
+         round(max(l_extendedprice)::DOUBLE, 6),
+         round(avg(l_extendedprice), 6),
+         round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6),
+         round(quantile_cont(l_extendedprice, 0.9)::DOUBLE, 6)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         round(min(l_discount)::DOUBLE, 6),
+         round(max(l_discount)::DOUBLE, 6),
+         round(avg(l_discount), 6),
+         round(quantile_cont(l_discount, 0.5)::DOUBLE, 6),
+         round(quantile_cont(l_discount, 0.9)::DOUBLE, 6)
+  FROM lineitem
+) c
 """,
         "segment_no_orders": """
 SELECT c_custkey, c_name

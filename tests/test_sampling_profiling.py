@@ -1,0 +1,63 @@
+"""Tests: deterministic splits/samples, table profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.profiling import profile_numeric
+from astro_vectordb_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_split,
+    hash_bucket,
+)
+
+
+def test_split_is_deterministic_and_total(spark, documents):
+    s1 = deterministic_split(documents, test_frac=0.2)
+    s2 = deterministic_split(documents, test_frac=0.2)
+    m1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert m1 == m2
+    assert set(m1.values()) <= {"train", "test"}
+    n_test = sum(1 for v in m1.values() if v == "test")
+    assert 0.1 < n_test / len(m1) < 0.3  # ~20%
+
+
+def test_split_stable_under_subsetting(spark, documents):
+    """A row's split must not depend on which other rows are present."""
+    full = {r["doc_id"]: r["split"]
+            for r in deterministic_split(documents, test_frac=0.2).collect()}
+    half = {r["doc_id"]: r["split"]
+            for r in deterministic_split(
+                documents.filter(F.col("doc_id") % 2 == 0), test_frac=0.2
+            ).collect()}
+    for k, v in half.items():
+        assert full[k] == v
+
+
+def test_deterministic_sample_fraction(spark, documents):
+    s = deterministic_sample(documents, frac=0.3)
+    n = s.count()
+    assert 0.2 < n / documents.count() < 0.4
+    # idempotent: sampling the sample with the same frac keeps all rows
+    assert deterministic_sample(s, frac=0.3).count() == n
+
+
+def test_hash_bucket_range(spark, documents):
+    out = documents.select(hash_bucket(F.col("doc_id")).alias("b"))
+    assert out.filter((F.col("b") < 0) | (F.col("b") >= 1000)).count() == 0
+
+
+def test_profile_numeric(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = {r["column"]: r for r in
+            profile_numeric(li, ["l_quantity", "l_discount"]).collect()}
+    q = prof["l_quantity"]
+    assert q["n"] == li.count()
+    assert q["n_null"] == 0
+    assert q["min_v"] <= q["p50"] <= q["p90"] <= q["max_v"]
+    import numpy as np
+
+    vals = np.array([r["l_quantity"] for r in li.select("l_quantity").collect()])
+    assert abs(q["p50"] - float(np.percentile(vals, 50))) < 1e-6
+    assert abs(q["mean_v"] - float(vals.mean())) < 1e-6

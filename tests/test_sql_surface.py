@@ -1,0 +1,31 @@
+"""SQL surface parity: spark.sql templates == DataFrame operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.topk import topk_search
+from astro_vectordb_spark.sql import register_tables, run_topk
+
+
+def test_sql_topk_matches_dataframe_api(spark, embeddings, sf_dir):
+    register_tables(spark, sf_dir)
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    via_sql = run_topk(spark, qv, k=10, threshold=0.2).collect()
+    via_df = (
+        topk_search(embeddings, qv, k=10, strength=20)
+        .select("vec_id", "score")
+        .collect()
+    )
+    assert [(r["vec_id"], r["score"]) for r in via_sql] == [
+        (r["vec_id"], r["score"]) for r in via_df
+    ]
+
+
+def test_register_tables_all_present(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    names = {r["viewName"] for r in spark.sql("SHOW VIEWS").collect()}
+    for t in ["embeddings", "documents", "lineitem", "events"]:
+        assert t in names
+    n = spark.sql("SELECT count(*) c FROM lineitem").first()["c"]
+    assert n > 0

@@ -467,6 +467,21 @@ def _q_ann_ivf_topk(spark, sf_dir):
     ).select("vec_id", "score")
 
 
+def _q_ann_hnsw_topk(spark, sf_dir):
+    # sharded HNSW (the reference's own index structure, distributed:
+    # per-partition NumPy graphs + global merge) — rows-only check;
+    # recall >= 0.9 vs exact asserted in tests/test_hnsw.py.
+    from astro_vectordb_spark.operators.hnsw import hnsw_batch_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hnsw_batch_topk(emb, queries, k=10, num_shards=4).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def _q_ann_ivf_exact(spark, sf_dir):
     # EXACT top-K with cell-bound pruning: provably identical to brute
     # force, so it shares the brute-force oracle.  Cells come from the
@@ -510,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
         "event_rates": _q_event_rates,

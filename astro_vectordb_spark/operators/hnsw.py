@@ -1,0 +1,213 @@
+"""Distributed HNSW: per-partition graphs + global top-K merge.
+
+The reference IS an HNSW implementation (hnsw.ts — insert
+``addPoint``/``addNodeToGraphOptimized`` hnsw.ts:82-173, search
+``searchKNNOptimized``/``searchLayer`` hnsw.ts:241-375, per
+Malkov & Yashunin, arXiv:1603.09320).  A single shared pointer graph
+cannot be distributed, so the Spark-native shape (SURVEY.md §1.3
+option d) is:
+
+  * shard the corpus by partition;
+  * inside ``mapInPandas``, build an in-memory NumPy HNSW over the
+    partition's rows and run the whole query batch against it;
+  * merge per-partition top-K globally (salted rank).
+
+Union-of-shards preserves recall: every row is in exactly one
+sub-index, so the only approximation is HNSW's own beam search within
+each shard — no corpus subset is ever skipped (unlike IVF-nprobe).
+Build is embarrassingly parallel; nothing driver-side but the (small)
+query set, exactly like the reference's user-supplied query vector.
+
+Implementation notes (behavior re-derived from the paper + the
+reference's observable semantics, not ported):
+- level draw: geometric via floor(-ln(U) * 1/ln(M)) — the *intended*
+  semantics of the reference's broken ``selectLevel`` (hnsw.ts:68-77
+  always returns the top level; SURVEY.md O13), implemented correctly.
+- search: greedy descent through upper layers (ef=1), ef-beam at layer
+  0 with a visited set and best-candidate early termination
+  (hnsw.ts:335-339's stop rule).
+- neighbor selection: simple top-M by similarity (the reference's
+  ``selectNeighbors`` variant, hnsw.ts:419-427), bidirectional links
+  with overflow shrink (hnsw.ts:436-489).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class NumpyHNSW:
+    """In-memory HNSW over float64 vectors (cosine via normalized dot,
+    or euclidean mapped to 1/(1+d) similarity)."""
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 200,
+        metric: str = "cosine",
+        seed: int = 42,
+    ) -> None:
+        self.dim = dim
+        self.m = m
+        self.ef_construction = ef_construction
+        self.metric = metric
+        self.mult = 1.0 / math.log(m)
+        self.rng = np.random.RandomState(seed)
+        self.vecs: list[np.ndarray] = []
+        self.ids: list = []
+        self.levels: list[int] = []
+        self.neighbors: list[list[list[int]]] = []  # [node][level] -> ids
+        self.entry = -1
+        self.max_level = -1
+
+    def _prep(self, vec) -> np.ndarray:
+        v = np.asarray(vec, dtype=np.float64)
+        if self.metric == "cosine":
+            n = np.linalg.norm(v)
+            if n > 0:
+                v = v / n
+        return v
+
+    def _sims(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
+        m = np.stack([self.vecs[i] for i in idxs])
+        if self.metric == "cosine":
+            return m @ q
+        return 1.0 / (1.0 + np.linalg.norm(m - q, axis=1))
+
+    def _search_layer(
+        self, q: np.ndarray, entry: int, ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        """ef-beam search on one layer; returns [(sim, idx)] best-first."""
+        s0 = float(self._sims(q, [entry])[0])
+        visited = {entry}
+        cand: list[tuple[float, int]] = [(-s0, entry)]  # max-heap via neg
+        best: list[tuple[float, int]] = [(s0, entry)]  # min-heap of kept
+        while cand:
+            neg, c = heapq.heappop(cand)
+            if -neg < best[0][0] and len(best) >= ef:
+                break  # best remaining candidate worse than worst kept
+            nbrs = [n for n in self.neighbors[c][level] if n not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            for s, n in zip(self._sims(q, nbrs), nbrs):
+                s = float(s)
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(best, (s, n))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-s, n))
+        return sorted(best, reverse=True)
+
+    def add(self, uid, vec) -> None:
+        v = self._prep(vec)
+        idx = len(self.vecs)
+        level = int(math.floor(-math.log(max(self.rng.uniform(), 1e-12)) * self.mult))
+        self.vecs.append(v)
+        self.ids.append(uid)
+        self.levels.append(level)
+        self.neighbors.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry = idx
+            self.max_level = level
+            return
+        ep = self.entry
+        # greedy descent through layers above the insertion level
+        for lvl in range(self.max_level, level, -1):
+            if lvl <= self.levels[ep]:
+                ep = self._search_layer(v, ep, 1, lvl)[0][1]
+        # wire into each layer from min(level, max_level) down to 0
+        for lvl in range(min(level, self.max_level), -1, -1):
+            found = self._search_layer(v, ep, self.ef_construction, lvl)
+            picks = [i for _, i in found[: self.m]]
+            self.neighbors[idx][lvl] = list(picks)
+            for p in picks:
+                plist = self.neighbors[p][lvl]
+                if idx not in plist:
+                    plist.append(idx)
+                    if len(plist) > self.m:
+                        sims = self._sims(self.vecs[p], plist)
+                        order = np.argsort(-sims)[: self.m]
+                        self.neighbors[p][lvl] = [plist[i] for i in order]
+            ep = found[0][1]
+        if level > self.max_level:
+            self.max_level = level
+            self.entry = idx
+
+    def search(self, vec, k: int, ef: int | None = None) -> list[tuple[float, object]]:
+        if self.entry < 0:
+            return []
+        q = self._prep(vec)
+        ef = ef or max(self.ef_construction, k)
+        ep = self.entry
+        for lvl in range(self.max_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lvl)[0][1]
+        found = self._search_layer(q, ep, max(ef, k), 0)
+        return [(s, self.ids[i]) for s, i in found[:k]]
+
+
+def hnsw_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Approximate per-query top-K via sharded HNSW graphs.
+
+    Each shard (partition) builds its own graph in one ``mapInPandas``
+    pass and answers the whole (broadcast) query batch; shard results
+    merge with the salted global rank.  Returns
+    (query_id, id, score, rank) like batch_topk.
+    """
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = [list(map(float, r[query_vec_col])) for r in qrows]
+
+    if num_shards is not None:
+        corpus = corpus.repartition(num_shards)
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def _shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(pdf[id_col].tolist())
+            vecs.extend(pdf[vec_col].tolist())
+        if not ids:
+            return
+        index = NumpyHNSW(
+            dim=len(vecs[0]), m=m, ef_construction=ef_construction, metric=metric
+        )
+        for uid, v in zip(ids, vecs):
+            index.add(uid, v)
+        out_q, out_i, out_s = [], [], []
+        for qid, qv in zip(qids, qmat):
+            for s, uid in index.search(qv, k, ef=ef_search):
+                out_q.append(qid)
+                out_i.append(uid)
+                out_s.append(round(s, 6))
+        yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "score": out_s})
+
+    shard_hits = corpus.select(id_col, vec_col).mapInPandas(_shard, out_schema)
+    return rank_topk_per_query(
+        shard_hits, k, id_col=id_col, query_id_col=query_id_col, num_salts=1
+    )

@@ -116,9 +116,23 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
                 a2, c2, s2, qvecs[q], 10, nprobe_seed=2
             )
             fracs.append(scanned / total_cells)
+        # sharded HNSW recall on the same query set
+        from astro_vectordb_spark.operators.hnsw import hnsw_batch_topk
+
+        queries = spark.createDataFrame(
+            [(q, [float(x) for x in qvecs[q]]) for q in qids],
+            "query_id long, query_vec array<float>",
+        )
+        hh = {}
+        for r in hnsw_batch_topk(emb, queries, k=10, num_shards=4).collect():
+            hh.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hnsw_rec = [
+            len(hh.get(q, set()) & set(exact[q])) / 10 for q in qids
+        ]
         return {
             "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),
             "ivf_approx_candidate_fraction": round(6 / 8, 3),
+            "hnsw_sharded_recall_at_10": round(sum(hnsw_rec) / len(hnsw_rec), 3),
             "exact_pruned_recall_at_10": 1.0,
             "exact_pruned_scan_fraction": round(sum(fracs) / len(fracs), 3),
         }

@@ -1,0 +1,70 @@
+"""Distributed HNSW tests: local-index correctness + sharded recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.hnsw import NumpyHNSW, hnsw_batch_topk
+from astro_vectordb_spark.operators.topk import batch_topk
+
+
+def test_numpy_hnsw_exactish_on_small_set():
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16)
+    idx = NumpyHNSW(dim=16, m=8, ef_construction=100)
+    for i, v in enumerate(vecs):
+        idx.add(i, v)
+    # brute-force cosine oracle
+    q = vecs[7]
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    exact = set(np.argsort(-sims)[:10])
+    got = {uid for _, uid in idx.search(q, 10, ef=100)}
+    recall = len(got & exact) / 10
+    assert recall >= 0.9, recall
+    # self-query: top hit is itself with sim ~1
+    top = idx.search(vecs[3], 1)[0]
+    assert top[1] == 3 and abs(top[0] - 1.0) < 1e-9
+
+
+def test_numpy_hnsw_levels_geometric():
+    """The level draw must be geometric (the reference's selectLevel is
+    broken and puts every node on the top level — SURVEY.md O13)."""
+    idx = NumpyHNSW(dim=4, m=16)
+    rng = np.random.RandomState(1)
+    for i in range(300):
+        idx.add(i, rng.randn(4))
+    level0 = sum(1 for lv in idx.levels if lv == 0)
+    assert level0 > 200  # ~ (1 - 1/ln(16)) of nodes at level 0
+    assert max(idx.levels) <= 6
+
+
+def test_hnsw_batch_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = batch_topk(embeddings, queries, k=10)
+    approx = hnsw_batch_topk(
+        embeddings, queries, k=10, ef_construction=100, ef_search=100, num_shards=4
+    )
+    e, a = {}, {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"sharded HNSW recall {avg} ({recalls})"
+
+
+def test_hnsw_shard_union_covers_all_rows(spark, embeddings):
+    """Every corpus row lives in exactly one shard: a query equal to a
+    corpus vector always finds it (score 1.0) regardless of shard."""
+    for probe in [0, 123, 456]:
+        qv = embeddings.filter(F.col("vec_id") == probe).first()["embedding"]
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in qv])], "query_id long, query_vec array<float>"
+        )
+        hits = hnsw_batch_topk(embeddings, queries, k=3, num_shards=4).collect()
+        assert hits[0]["vec_id"] == probe and abs(hits[0]["score"] - 1.0) < 1e-6

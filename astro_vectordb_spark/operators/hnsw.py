@@ -154,6 +154,136 @@ class NumpyHNSW:
         return [(s, self.ids[i]) for s, i in found[:k]]
 
 
+    @classmethod
+    def from_rows(cls, rows: pd.DataFrame, m: int, metric: str) -> "NumpyHNSW":
+        """Rebuild a graph from persisted rows (id, level, neighbors as
+        vec-id lists per level, embedding, is_entry) — direct adjacency
+        load, no re-insertion (the fromJSON analogue, hnsw.ts:794-810,
+        but the metric is supplied by the caller from index metadata
+        instead of silently reset)."""
+        idx = cls(dim=len(rows.iloc[0]["embedding"]), m=m, metric=metric)
+        id_to_local = {int(r): i for i, r in enumerate(rows["vec_id"])}
+        for _, r in rows.iterrows():
+            idx.vecs.append(idx._prep(r["embedding"]))
+            idx.ids.append(int(r["vec_id"]))
+            idx.levels.append(int(r["level"]))
+            idx.neighbors.append(
+                [[id_to_local[int(n)] for n in lvl] for lvl in r["neighbors"]]
+            )
+            if bool(r["is_entry"]):
+                idx.entry = len(idx.vecs) - 1
+                idx.max_level = int(r["level"])
+        return idx
+
+
+GRAPH_SCHEMA = (
+    "shard_id int, vec_id long, level int, "
+    "neighbors array<array<long>>, embedding array<float>, is_entry boolean"
+)
+
+
+def hnsw_build_shards(
+    corpus: DataFrame,
+    num_shards: int = 8,
+    m: int = 16,
+    ef_construction: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Build per-shard HNSW graphs and emit them as ROWS — the persisted
+    form of the index (the toJSON analogue, hnsw.ts:781-792, as a
+    table: SURVEY.md §1.3 'store as STRUCT<id, level, neighbors>').
+
+    One mapInPandas pass per shard; deterministic (level RNG seeded per
+    shard).  Write with ``save_hnsw_index`` partitioned by shard.
+    """
+    from pyspark import TaskContext
+
+    corpus = corpus.select(id_col, vec_col).repartition(num_shards)
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shard = TaskContext.get().partitionId()
+        ids: list = []
+        vecs: list = []
+        for pdf in batches:
+            ids.extend(pdf[id_col].tolist())
+            vecs.extend(pdf[vec_col].tolist())
+        if not ids:
+            return
+        index = NumpyHNSW(
+            dim=len(vecs[0]), m=m, ef_construction=ef_construction,
+            metric=metric, seed=seed + shard,
+        )
+        for uid, v in zip(ids, vecs):
+            index.add(int(uid), v)
+        yield pd.DataFrame(
+            {
+                "shard_id": shard,
+                "vec_id": index.ids,
+                "level": index.levels,
+                "neighbors": [
+                    [[index.ids[n] for n in lvl] for lvl in node_nbrs]
+                    for node_nbrs in index.neighbors
+                ],
+                # insertion order == ids/vecs order, so vecs aligns
+                # with index.ids
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "is_entry": [i == index.entry for i in range(len(index.ids))],
+            }
+        )
+
+    return corpus.mapInPandas(_build, GRAPH_SCHEMA)
+
+
+def hnsw_query_shards(
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 16,
+    ef_search: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Answer a query batch from PERSISTED graph rows: group rows by
+    shard inside each task, rebuild the sub-index (adjacency load, no
+    re-insertion), search, merge globally."""
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qset = [(r[query_id_col], [float(x) for x in r[query_vec_col]]) for r in qrows]
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+    graph = graph.repartition("shard_id")
+
+    def _query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        all_rows = pd.concat(parts, ignore_index=True)
+        if len(all_rows) == 0:
+            return
+        for _, rows in all_rows.groupby("shard_id"):
+            index = NumpyHNSW.from_rows(rows, m=m, metric=metric)
+            out_q, out_i, out_s = [], [], []
+            for qid, qv in qset:
+                for s, uid in index.search(qv, k, ef=ef_search):
+                    out_q.append(qid)
+                    out_i.append(uid)
+                    out_s.append(round(s, 6))
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "score": out_s}
+            )
+
+    hits = graph.mapInPandas(_query, out_schema)
+    return rank_topk_per_query(
+        hits, k, id_col=id_col, query_id_col=query_id_col, num_salts=1
+    )
+
+
 def hnsw_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

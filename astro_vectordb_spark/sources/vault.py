@@ -133,6 +133,28 @@ def load_ivf_index(
     return assigned, centroids, cell_stats, meta_row.asDict()
 
 
+def save_hnsw_index(
+    graph: DataFrame, path: str, m: int = 16, metric: str = "cosine"
+) -> None:
+    """Persist per-shard HNSW graph rows (operators.hnsw.GRAPH_SCHEMA)
+    partitioned by shard — the reference's toJSON snapshot
+    (hnsw.ts:781-792) as a queryable table, with metric metadata kept
+    (the reference loses it on reload, hnsw.ts:794-810)."""
+    spark = graph.sparkSession
+    graph.repartition("shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(os.path.join(path, "graph"))
+    spark.createDataFrame(
+        [(metric, int(m))], "metric string, m int"
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    graph = spark.read.parquet(os.path.join(path, "graph"))
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    return graph, meta
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

@@ -58,6 +58,39 @@ def test_hnsw_batch_topk_recall(spark, embeddings):
     assert avg >= 0.9, f"sharded HNSW recall {avg} ({recalls})"
 
 
+def test_hnsw_graph_persist_roundtrip(spark, embeddings, tmp_path):
+    """Build -> save graph rows -> load -> query: same quality as the
+    build-and-search path, metric preserved (unlike the reference)."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+
+    graph = hnsw_build_shards(embeddings, num_shards=4, ef_construction=100)
+    p = str(tmp_path / "hnsw")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+    g2, meta = load_hnsw_index(spark, p)
+    assert meta == {"metric": "cosine", "m": 16}
+    assert g2.count() == embeddings.count()
+    # graph rows are well-formed: one entry point per shard
+    entries = g2.filter(F.col("is_entry")).groupBy("shard_id").count().collect()
+    assert all(r["count"] == 1 for r in entries)
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(g2, queries, k=10, m=16, ef_search=100)
+    exact = batch_topk(embeddings, queries, k=10)
+    e, a = {}, {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in hits.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_hnsw_shard_union_covers_all_rows(spark, embeddings):
     """Every corpus row lives in exactly one shard: a query equal to a
     corpus vector always finds it (score 1.0) regardless of shard."""

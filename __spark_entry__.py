@@ -247,6 +247,51 @@ def _q_doc_fingerprints(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_events_sliding(spark, sf_dir):
+    # sliding window (2h window, 1h slide): each event lands in 2
+    # windows; oracle = union of the two aligned tumbling assignments
+    from astro_vectordb_spark.operators.events import windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_counts(events, "2 hours", slide="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_supplier_balance(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            sup["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
+            F.round(F.max("s_acctbal"), 6).alias("max_bal"),
+        )
+    )
+
+
+def _q_part_brand_stats(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.max("p_size").cast("long").alias("max_size"),
+            F.count_distinct("p_type").alias("n_types"),
+        )
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     from astro_vectordb_spark.operators.events import windowed_counts
 
@@ -528,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "supplier_balance": _q_supplier_balance,
+        "part_brand_stats": _q_part_brand_stats,
         "event_rates": _q_event_rates,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -903,6 +951,38 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        round(sum(value), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH assigned AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                  '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, value FROM events
+)
+SELECT win_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM assigned
+GROUP BY win_start, event_type
+""",
+        "supplier_balance": """
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 6) AS total_bal,
+       round(max(s.s_acctbal), 6) AS max_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "part_brand_stats": """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price,
+       max(p_size)::BIGINT AS max_size,
+       count(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY p_brand
 """,
         "event_rates": """
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)

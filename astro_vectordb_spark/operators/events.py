@@ -24,10 +24,16 @@ def windowed_counts(
     duration: str = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window event counts + value sums per key."""
+    """Tumbling (default) or sliding (``slide < duration``) window
+    event counts + value sums per key.  Sliding windows assign each row
+    to duration/slide windows — shuffle volume multiplies accordingly."""
+    w = (
+        F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+    )
     return (
-        events.groupBy(F.window(ts_col, duration).alias("w"), F.col(key_col))
+        events.groupBy(w.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),

@@ -54,6 +54,7 @@ def ivf_build_sampled(
     seed: int = DEFAULT_SEED,
     max_iter: int = 10,
     sample_rows: int = 100_000,
+    spill: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF build, FAISS-style: fit centroids on a bounded sample
     driver-side (NumPy Lloyd's, deterministic seed), assign the full
@@ -65,6 +66,12 @@ def ivf_build_sampled(
     floats); *assignment* — the actual 100 TB pass — is one narrow
     vectorized projection.  Avoids MLlib's per-iteration job overhead
     entirely (measured ~7s -> <1s on the local harness).
+
+    ``spill > 1`` assigns each vector to its ``spill`` nearest cells
+    (SPANN-style redundant assignment): storage multiplies by spill,
+    and boundary vectors become reachable from either neighboring cell
+    — the recall lever when the corpus clusters weakly.  Searchers must
+    de-duplicate by id (ivf_search does).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -100,8 +107,9 @@ def ivf_build_sampled(
     C = cents.copy()
 
     is_cosine = metric == "cosine"
+    n_spill = max(1, min(int(spill), len(C)))
 
-    @pandas_udf("int")
+    @pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
         if is_cosine:
@@ -113,9 +121,12 @@ def ivf_build_sampled(
             - 2 * (m @ C.T)
             + (C**2).sum(axis=1)[None, :]
         )
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        cells = np.argsort(d2, axis=1)[:, :n_spill].astype("int32")
+        return pd.Series(list(cells))
 
-    assigned = df.withColumn("cell_id", assign(F.col(vec_col)))
+    assigned = df.withColumn(
+        "cell_id", F.explode(assign(F.col(vec_col)))
+    )
     centroids = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell_id int, centroid array<double>",
@@ -216,7 +227,9 @@ def ivf_search(
     subsequent plan is identical to the exact path (codegen score ->
     TakeOrderedAndProject)."""
     cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
-    pruned = assigned.filter(F.col("cell_id").isin(cells))
+    # drop spill duplicates: with redundant assignment a vector can sit
+    # in several probed cells
+    pruned = assigned.filter(F.col("cell_id").isin(cells)).dropDuplicates([id_col])
     return topk_search(
         pruned, query_vector, k, strength=strength, metric=metric,
         id_col=id_col, vec_col=vec_col,
@@ -375,7 +388,7 @@ def ivf_search_exact(
     seed_cells = order[:nprobe_seed]
 
     seed_top = topk_search(
-        assigned.filter(F.col("cell_id").isin(seed_cells)),
+        assigned.filter(F.col("cell_id").isin(seed_cells)).dropDuplicates([id_col]),
         q, k, strength=strength, metric=metric, id_col=id_col, vec_col=vec_col,
     ).collect()
     # scores come back rounded to 6 decimals; relax tau by one ulp of
@@ -397,7 +410,7 @@ def ivf_search_exact(
 
     cells = seed_cells + survivors
     return topk_search(
-        assigned.filter(F.col("cell_id").isin(cells)),
+        assigned.filter(F.col("cell_id").isin(cells)).dropDuplicates([id_col]),
         q, k, strength=strength, metric=metric, id_col=id_col, vec_col=vec_col,
     )
 
@@ -429,7 +442,7 @@ def ivf_exact_pruned_cells(
     order = sorted(cents, key=lambda cid: -cos_to(cents[cid]))
     seed_cells = order[:nprobe_seed]
     seed_top = topk_search(
-        assigned.filter(F.col("cell_id").isin(seed_cells)),
+        assigned.filter(F.col("cell_id").isin(seed_cells)).dropDuplicates([id_col]),
         q, k, strength=0.0, metric=metric, id_col=id_col, vec_col=vec_col,
     ).collect()
     tau = (seed_top[-1]["score"] - 1e-6) if len(seed_top) >= k else -float("inf")

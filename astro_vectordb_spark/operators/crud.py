@@ -96,6 +96,32 @@ def tombstone_delete(
     )
 
 
+def tombstone_delete_df(
+    df: DataFrame,
+    ids_df: DataFrame,
+    id_col: str = "vec_id",
+    deleted_col: str = "deleted",
+    hard: bool = False,
+) -> DataFrame:
+    """tombstone_delete with the id set as a DataFrame — no driver-side
+    list when the doomed set is itself query-derived (fully
+    distributed; broadcast if small, shuffle join if not)."""
+    ids_df = ids_df.select(F.col(id_col)).distinct()
+    if hard:
+        return df.join(ids_df, on=id_col, how="left_anti")
+    base = (
+        df if deleted_col in df.columns else df.withColumn(deleted_col, F.lit(False))
+    )
+    marked = ids_df.withColumn("_tomb", F.lit(True))
+    return (
+        base.join(marked, on=id_col, how="left")
+        .withColumn(
+            deleted_col, F.coalesce(F.col("_tomb"), F.col(deleted_col), F.lit(False))
+        )
+        .drop("_tomb")
+    )
+
+
 def live(df: DataFrame, deleted_col: str = "deleted") -> DataFrame:
     """Filter out tombstoned rows (hnsw.ts:292 NOT-deleted predicate)."""
     if deleted_col not in df.columns:

@@ -123,6 +123,26 @@ def test_ivf_build_sampled_same_contract(spark, embeddings):
     assert _recall(approx, exact) >= 0.6
 
 
+def test_ivf_spill_assignment(spark, embeddings):
+    """spill=2: each vector in its 2 nearest cells; searches dedupe and
+    recall does not regress vs single assignment at equal nprobe."""
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled
+
+    a1, c1 = ivf_build_sampled(embeddings, k_cells=8, spill=1)
+    a2, c2 = ivf_build_sampled(embeddings, k_cells=8, spill=2)
+    n = embeddings.count()
+    assert a1.count() == n
+    assert a2.count() == 2 * n
+    assert a2.select("vec_id").distinct().count() == n
+
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in topk_search(embeddings, qv, 10, strength=0).collect()]
+    r1 = [r["vec_id"] for r in ivf_search(a1, c1, qv, 10, nprobe=4).collect()]
+    r2 = [r["vec_id"] for r in ivf_search(a2, c2, qv, 10, nprobe=4).collect()]
+    assert len(r2) == len(set(r2))  # deduped
+    assert _recall(r2, exact) >= _recall(r1, exact)
+
+
 def test_brp_lsh_topk_recall(spark, embeddings):
     from astro_vectordb_spark.operators.ann import brp_lsh_topk
 

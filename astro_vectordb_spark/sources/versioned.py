@@ -1,0 +1,63 @@
+"""Versioned parquet table: manifest-swap commits.
+
+A plain-parquet overwrite sink lets concurrent readers race a commit
+(they list files, the writer deletes them, the read fails mid-plan).
+The minimal fix — what table formats do under the hood — is versioned
+data directories plus an atomically-swapped pointer:
+
+    table/
+      _CURRENT          <- text file: name of the live version dir
+      v42/ ... parquet
+      v43/ ... parquet
+
+Writers never touch a live directory (write v{n+1}, fsync, then
+``os.replace`` the pointer — atomic on POSIX); readers resolve the
+pointer once and read an immutable directory.  Old versions are
+garbage-collected after the swap, keeping ``keep_versions`` behind.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURRENT = "_CURRENT"
+
+
+def current_version(path: str) -> str | None:
+    p = os.path.join(path, CURRENT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+def read_current(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live snapshot, or None if the table has no committed version."""
+    v = current_version(path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(path, v))
+
+
+def commit_version(
+    df: DataFrame, path: str, version: int, keep_versions: int = 2
+) -> str:
+    """Write ``df`` as v{version} and swap the pointer atomically."""
+    vdir = f"v{version}"
+    df.write.mode("overwrite").parquet(os.path.join(path, vdir))
+    tmp = os.path.join(path, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(vdir)
+    os.replace(tmp, os.path.join(path, CURRENT))
+    # GC: drop committed versions older than the newest keep_versions
+    versions = sorted(
+        (d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+    for old in versions[:-keep_versions] if keep_versions > 0 else []:
+        if old != vdir:
+            shutil.rmtree(os.path.join(path, old), ignore_errors=True)
+    return vdir

@@ -9,14 +9,17 @@ whole-index-rewrite-per-row write amplification (astrovault.ts:34-40).
 
 ``stream_sync_merge`` is the streaming face of the diff-aware merge
 (syncVectorsFromCloud, driver/worker.ts:3-44): each micro-batch of
-(id, vector) updates is merged into the parquet-backed vector table
-with insert / skip-unchanged / replace-changed / skip-empty routing.
+(id, vector) updates is merged into the versioned vector table with
+insert / skip-unchanged / replace-changed / skip-empty routing.
+
+Sink: versioned manifest-swap commits (sources.versioned) — each batch
+writes a fresh immutable version directory and atomically swaps the
+``_CURRENT`` pointer, so concurrent readers never race a commit and
+the merge plan never overwrites the files it is reading.
 
 Scale notes: per micro-batch the merge is one keyed shuffle of
 (current x batch); watermarking/dedup of the update stream happens
-upstream with ``withWatermark`` + ``dropDuplicates`` on the key.  The
-overwrite sink here is the local-harness stand-in for a transactional
-table format; the operator itself is sink-agnostic.
+upstream with ``withWatermark`` + ``dropDuplicates`` on the key.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from astro_vectordb_spark.operators.crud import sync_merge, upsert_latest
+from astro_vectordb_spark.sources.versioned import commit_version, read_current
 
 
 def foreach_batch_upsert(
@@ -39,16 +43,17 @@ def foreach_batch_upsert(
     """Attach a keep-latest (or custom) merge to a streaming DataFrame.
 
     Returns the started StreamingQuery.  Each micro-batch B does:
-      current = read(target);  merged = merge_fn(current, B);
-      write(merged) -> target  (read fully before overwrite).
+      current = read_current(target);  merged = merge_fn(current, B);
+      commit_version(merged) -> atomic pointer swap.
     """
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        merged = _merge_batch(spark, batch_df, target_path, merge_fn, id_col)
-        # _merge_batch materialized the plan (localCheckpoint), so
-        # overwriting the files it read from is safe
-        merged.write.mode("overwrite").parquet(target_path)
+        current = read_current(spark, target_path)
+        if current is None:
+            current = spark.createDataFrame([], batch_df.schema)
+        fn = merge_fn or (lambda cur, b: upsert_latest(cur, b, id_col=id_col))
+        commit_version(fn(current, batch_df), target_path, int(batch_id))
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -58,25 +63,6 @@ def foreach_batch_upsert(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
-
-
-def _merge_batch(
-    spark: SparkSession,
-    batch_df: DataFrame,
-    target_path: str,
-    merge_fn,
-    id_col: str,
-) -> DataFrame:
-    import os
-
-    if os.path.exists(target_path):
-        current = spark.read.parquet(target_path)
-    else:
-        current = spark.createDataFrame([], batch_df.schema)
-    fn = merge_fn or (lambda cur, b: upsert_latest(cur, b, id_col=id_col))
-    # materialize eagerly: the overwrite would otherwise clobber the
-    # files this plan still needs to read
-    return fn(current, batch_df).localCheckpoint(eager=True)
 
 
 def stream_sync_merge(

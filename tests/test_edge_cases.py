@@ -83,10 +83,11 @@ def test_stream_sync_merge(spark, embeddings, tmp_path):
     per micro-batch."""
     import time
 
+    from astro_vectordb_spark.sources.versioned import commit_version, read_current
     from astro_vectordb_spark.streaming.upsert import stream_sync_merge
 
     target = str(tmp_path / "t")
-    embeddings.limit(20).select("vec_id", "embedding").write.parquet(target)
+    commit_version(embeddings.limit(20).select("vec_id", "embedding"), target, 0)
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "20").load()
         .select(
@@ -102,6 +103,6 @@ def test_stream_sync_merge(spark, embeddings, tmp_path):
         time.sleep(5)
     finally:
         q.stop()
-    cur = spark.read.parquet(target)
+    cur = read_current(spark, target)
     assert cur.count() == 20  # updates replace, no inserts of new ids
     assert cur.filter(F.size("embedding") == 2).count() == 5

@@ -85,12 +85,14 @@ def test_compact_and_rebuild(spark, embeddings):
 
 
 def test_stream_upsert_keep_latest(spark, embeddings, tmp_path):
-    """rate-source stream of updates merged into a parquet target."""
+    """rate-source stream of updates merged into a versioned target;
+    reads during the stream never race a commit (manifest swap)."""
+    from astro_vectordb_spark.sources.versioned import commit_version, read_current
     from astro_vectordb_spark.streaming.upsert import foreach_batch_upsert
 
     target = str(tmp_path / "target")
     base = embeddings.select("vec_id", "embedding").limit(50)
-    base.write.parquet(target)
+    commit_version(base, target, 0)
 
     # stream: every rate tick updates vec_id = value % 10 with a
     # constant vector [tick, tick]-ish; keep-latest should retain ids
@@ -103,19 +105,21 @@ def test_stream_upsert_keep_latest(spark, embeddings, tmp_path):
     )
     q = foreach_batch_upsert(stream, target)
     try:
-        # let a few micro-batches commit (readers of a plain-parquet
-        # sink must not race the overwrite; a table format would allow
-        # concurrent reads)
-        deadline = time.time() + 30
-        while time.time() < deadline and q.lastProgress is None:
-            time.sleep(1)
-        time.sleep(5)
+        deadline = time.time() + 40
+        updated = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            # concurrent read mid-stream: always sees a complete version
+            cur = read_current(spark, target)
+            assert cur.count() == 50
+            updated = cur.filter(F.size("embedding") == 2).count()
+            if updated >= 10:
+                break
     finally:
         q.stop()
-    cur = spark.read.parquet(target)
+    cur = read_current(spark, target)
     assert cur.count() == 50  # ids 0-9 updated in place, no dupes
-    updated = cur.filter(F.size("embedding") == 2).count()
-    assert updated == 10
+    assert cur.filter(F.size("embedding") == 2).count() == 10
 
 
 def test_streaming_windowed_counts_with_watermark(spark):

@@ -134,6 +134,47 @@ def ivf_build_sampled(
     return assigned, centroids
 
 
+def ivf_append(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    new_rows: DataFrame,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spill: int = 1,
+) -> DataFrame:
+    """Incremental index update: assign NEW rows to the existing
+    centroids (same vectorized transform as the build — SURVEY.md O11:
+    'incremental hash computation: new row's hash columns computed by
+    the same transform') and union with the current assignment.  No
+    refit, no touch of existing rows; rebuild when drift warrants
+    (vault.rebuild_index)."""
+    cents = centroids.orderBy("cell_id").collect()
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    is_cosine = metric == "cosine"
+    n_spill = max(1, min(int(spill), len(C)))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        if is_cosine:
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            nm[nm == 0] = 1.0
+            m = m / nm
+        d2 = (
+            (m**2).sum(axis=1, keepdims=True)
+            - 2 * (m @ C.T)
+            + (C**2).sum(axis=1)[None, :]
+        )
+        cells = np.argsort(d2, axis=1)[:, :n_spill].astype("int32")
+        return pd.Series(list(cells))
+
+    appended = new_rows.withColumn("cell_id", F.explode(assign(F.col(vec_col))))
+    return assigned.unionByName(appended.select(*assigned.columns))
+
+
 def ivf_build(
     df: DataFrame,
     k_cells: int = DEFAULT_CELLS,

@@ -123,6 +123,29 @@ def test_ivf_build_sampled_same_contract(spark, embeddings):
     assert _recall(approx, exact) >= 0.6
 
 
+def test_ivf_append_incremental(spark, embeddings):
+    """New rows join the index under existing centroids; searches see
+    them; old assignments untouched."""
+    from astro_vectordb_spark.operators.ann import ivf_append, ivf_build_sampled
+
+    old = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    assigned, centroids = ivf_build_sampled(old, k_cells=8)
+    combined = ivf_append(
+        assigned.select("vec_id", "embedding", "cell_id"), centroids, new
+    )
+    assert combined.count() == embeddings.count()
+    # a query equal to an appended vector finds it (full-probe search)
+    probe = embeddings.filter(F.col("vec_id") == 450).first()["embedding"]
+    hits = ivf_search(combined, centroids, probe, 3, nprobe=8).collect()
+    assert hits[0]["vec_id"] == 450
+    # existing rows kept their assignment
+    before = {r["vec_id"]: r["cell_id"] for r in assigned.select("vec_id", "cell_id").collect()}
+    after = {r["vec_id"]: r["cell_id"]
+             for r in combined.filter(F.col("vec_id") < 400).collect()}
+    assert before == after
+
+
 def test_ivf_spill_assignment(spark, embeddings):
     """spill=2: each vector in its 2 nearest cells; searches dedupe and
     recall does not regress vs single assignment at equal nprobe."""

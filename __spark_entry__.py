@@ -35,7 +35,6 @@ from astro_vectordb_spark.operators.text_analysis import (
 from astro_vectordb_spark.operators.crud import (
     point_lookup,
     sync_merge,
-    tombstone_delete,
     upsert_latest,
 )
 from astro_vectordb_spark.operators.topk import (
@@ -100,9 +99,11 @@ def _q_point_lookup(spark, sf_dir):
 
 
 def _q_tombstone_delete(spark, sf_dir):
+    from astro_vectordb_spark.operators.crud import tombstone_delete_df
+
     emb = _emb(spark, sf_dir)
-    doomed = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 97 == 0).collect()]
-    marked = tombstone_delete(emb, doomed)
+    doomed = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
+    marked = tombstone_delete_df(emb, doomed)
     return topk_search(
         marked, _qvec(spark, sf_dir, 0), k=10, strength=0, deleted_col="deleted"
     ).select("vec_id", "score")
@@ -395,19 +396,38 @@ def _q_nation_revenue(spark, sf_dir):
     )
 
 
+def _array_digest(col: str):
+    """Scalar digest columns for an array output — keeps the driver's
+    canonicalizer scalar-only (module contract, lines 11-12): first
+    element rounded, length, and an md5 over the rounded elements."""
+    rounded = F.transform(F.col(col), lambda x: F.round(x.cast("double"), 6))
+    return [
+        F.round(F.element_at(F.col(col), 1).cast("double"), 6).alias("e0"),
+        F.size(col).alias("dim"),
+        F.md5(F.concat_ws(",", F.transform(rounded, lambda x: x.cast("string")))
+              ).alias("digest"),
+    ]
+
+
 def _q_embed_docs(spark, sf_dir):
     # pluggable embedding hook (stub encoder) — rows-only check; the
     # contract (dim, normalization, determinism) is tested in pytest.
+    # Output is scalar digests of the embedding, not the raw array.
     from astro_vectordb_spark.functions.embed import embed_text
 
-    return embed_text(_docs(spark, sf_dir)).select("doc_id", "embedding")
+    return embed_text(_docs(spark, sf_dir)).select(
+        "doc_id", *_array_digest("embedding")
+    )
 
 
 def _q_multimodal_decode(spark, sf_dir):
     # blob -> features mapInPandas plumbing (stub codec) — rows-only.
+    # Output is scalar digests of the features array, not the raw array.
     from astro_vectordb_spark.multimodal.binary import attach_blob, decode_features
 
-    return decode_features(attach_blob(_docs(spark, sf_dir)))
+    return decode_features(attach_blob(_docs(spark, sf_dir))).select(
+        "doc_id", *_array_digest("features")
+    )
 
 
 def _q_token_counts(spark, sf_dir):
@@ -1121,7 +1141,7 @@ FROM s GROUP BY split
 SELECT c.column, c.n, c.n_null, c.min_v, c.max_v, c.mean_v, c.p50, c.p90
 FROM (
   SELECT 'l_quantity' AS column, count(l_quantity) AS n,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
          round(min(l_quantity)::DOUBLE, 6) AS min_v,
          round(max(l_quantity)::DOUBLE, 6) AS max_v,
          round(avg(l_quantity), 6) AS mean_v,
@@ -1130,7 +1150,7 @@ FROM (
   FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice', count(l_extendedprice),
-         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
          round(min(l_extendedprice)::DOUBLE, 6),
          round(max(l_extendedprice)::DOUBLE, 6),
          round(avg(l_extendedprice), 6),
@@ -1139,7 +1159,7 @@ FROM (
   FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(l_discount),
-         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
          round(min(l_discount)::DOUBLE, 6),
          round(max(l_discount)::DOUBLE, 6),
          round(avg(l_discount), 6),
@@ -1185,7 +1205,7 @@ FROM documents
         "events_json": """
 SELECT event_type,
        count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
        round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
 FROM events
 GROUP BY event_type

@@ -521,14 +521,15 @@ def _q_status_pivot(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    # approximate IVF (sample-fit KMeans cells + nprobe pruning) —
+    # approximate IVF (sample-fit KMeans cells + spill-2 redundant
+    # assignment + nprobe pruning) at its measured Pareto point —
     # rows-only check; recall vs exact asserted in tests/test_ann.py.
     from astro_vectordb_spark.operators.ann import ivf_build_sampled, ivf_search
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = ivf_build_sampled(emb, k_cells=8)
+    assigned, centroids = ivf_build_sampled(emb, k_cells=12, spill=2)
     return ivf_search(
-        assigned, centroids, _qvec(spark, sf_dir, 0), k=10, nprobe=6
+        assigned, centroids, _qvec(spark, sf_dir, 0), k=10, nprobe=3
     ).select("vec_id", "score")
 
 
@@ -536,13 +537,17 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     # sharded HNSW (the reference's own index structure, distributed:
     # per-partition NumPy graphs + global merge) — rows-only check;
     # recall >= 0.9 vs exact asserted in tests/test_hnsw.py.
-    from astro_vectordb_spark.operators.hnsw import hnsw_batch_topk
+    from astro_vectordb_spark.operators.hnsw import (
+        auto_num_shards,
+        hnsw_batch_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return hnsw_batch_topk(emb, queries, k=10, num_shards=4).withColumn(
+    shards = auto_num_shards(emb.count())
+    return hnsw_batch_topk(emb, queries, k=10, num_shards=shards).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

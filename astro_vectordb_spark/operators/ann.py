@@ -142,13 +142,24 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spill: int = 1,
-) -> DataFrame:
+    cell_stats: DataFrame | None = None,
+):
     """Incremental index update: assign NEW rows to the existing
     centroids (same vectorized transform as the build — SURVEY.md O11:
     'incremental hash computation: new row's hash columns computed by
     the same transform') and union with the current assignment.  No
     refit, no touch of existing rows; rebuild when drift warrants
-    (vault.rebuild_index)."""
+    (vault.rebuild_index).
+
+    WARNING — exact-search interaction: appended rows can lie outside
+    the radius recorded in a stale ``ivf_cell_stats`` table, which
+    would let ``ivf_search_exact`` prune a cell that now holds a true
+    top-K member.  Pass the current ``cell_stats`` here and this
+    returns ``(assigned', cell_stats')`` with the radii widened by one
+    aggregation over ONLY the appended rows (min/max merge with the old
+    stats).  Without ``cell_stats`` the return is just ``assigned'``
+    and stale stats MUST NOT be fed to ``ivf_search_exact``.
+    """
     cents = centroids.orderBy("cell_id").collect()
     C = np.array([r["centroid"] for r in cents], dtype=np.float64)
     is_cosine = metric == "cosine"
@@ -172,7 +183,21 @@ def ivf_append(
         return pd.Series(list(cells))
 
     appended = new_rows.withColumn("cell_id", F.explode(assign(F.col(vec_col))))
-    return assigned.unionByName(appended.select(*assigned.columns))
+    out = assigned.unionByName(appended.select(*assigned.columns))
+    if cell_stats is None:
+        return out
+    new_stats = ivf_cell_stats(
+        appended.select(*assigned.columns), centroids, metric=metric,
+        vec_col=vec_col,
+    )
+    if metric == "cosine":
+        merge = F.min("min_sim").alias("min_sim")
+    else:
+        merge = F.max("max_dist").alias("max_dist")
+    merged = (
+        cell_stats.unionByName(new_stats).groupBy("cell_id").agg(merge)
+    )
+    return out, merged
 
 
 def ivf_build(
@@ -580,7 +605,13 @@ def ivf_batch_search(
         .filter(F.col("_r") <= nprobe)
         .select(query_id_col, query_vec_col, "cell_id")
     )
-    probed = assigned.join(F.broadcast(ranked), on="cell_id")
+    # drop spill duplicates per query: with redundant assignment a
+    # vector sits in several cells and can be probed more than once by
+    # the same query — dedupe before scoring so copies never occupy
+    # multiple top-K slots
+    probed = assigned.join(F.broadcast(ranked), on="cell_id").dropDuplicates(
+        [query_id_col, id_col]
+    )
     scored = probed.withColumn(
         "score", similarity(F.col(vec_col), F.col(query_vec_col), metric)
     )

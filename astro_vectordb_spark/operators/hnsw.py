@@ -67,6 +67,10 @@ class NumpyHNSW:
         self.neighbors: list[list[list[int]]] = []  # [node][level] -> ids
         self.entry = -1
         self.max_level = -1
+        # similarity-evaluation counter: measures the search's candidate
+        # set (the graph-index analogue of IVF's scanned fraction) for
+        # the BASELINE.md candidate-reduction obligation
+        self.n_sim_evals = 0
 
     def _prep(self, vec) -> np.ndarray:
         v = np.asarray(vec, dtype=np.float64)
@@ -77,6 +81,7 @@ class NumpyHNSW:
         return v
 
     def _sims(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
+        self.n_sim_evals += len(idxs)
         m = np.stack([self.vecs[i] for i in idxs])
         if self.metric == "cosine":
             return m @ q
@@ -174,6 +179,18 @@ class NumpyHNSW:
                 idx.entry = len(idx.vecs) - 1
                 idx.max_level = int(r["level"])
         return idx
+
+
+def auto_num_shards(n_rows: int, target_rows_per_shard: int = 250_000) -> int:
+    """Shard count sized to the corpus — the scale dial.
+
+    Each shard is one in-memory NumPy graph (~(M * 8 + dim * 8) bytes
+    per row), so ~250k rows/shard keeps a shard under ~200 MB at 64-d
+    and search cost per shard at O(ef * log shard_rows).  A 100 TB
+    corpus gets thousands of shards, each built in parallel; a 2k-row
+    test corpus gets ONE (a fixed shard count would multiply query cost
+    by num_shards for no recall gain — every shard is beam-searched)."""
+    return max(1, -(-n_rows // target_rows_per_shard))
 
 
 GRAPH_SCHEMA = (

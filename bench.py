@@ -72,20 +72,40 @@ def main() -> None:
 
 def _ann_metrics(spark, sf_dir: str) -> dict:
     """Recall + candidate-reduction evidence for the BASELINE.md ANN
-    obligation (recall is statistical, not hash-checkable)."""
+    obligation (recall@10 >= 0.9 at >= 5x candidate reduction; recall
+    is statistical, not hash-checkable).
+
+    The obligation-carrying path is the sharded HNSW graph index (the
+    reference's own structure): recall comes from the REAL distributed
+    ``hnsw_batch_topk`` plan, candidate fraction from the per-shard
+    similarity-evaluation counter (``NumpyHNSW.n_sim_evals``) measured
+    on a driver-side replica with identical parameters/sharding.
+
+    The IVF path reports its measured Pareto point too: on this
+    near-random 64-d corpus no cell partition reaches 0.9 recall below
+    ~0.45 candidates (measured grid, NOTES_r2.md) — coarse quantization
+    is dimensionality-limited; the graph index is the honest ANN
+    scale path, which is why the reference itself is an HNSW."""
     try:
+        import numpy as np
         from pyspark.sql import functions as F
 
         from astro_vectordb_spark.operators.ann import (
-            ivf_build,
+            ivf_build_sampled,
             ivf_cell_stats,
             ivf_exact_pruned_cells,
             ivf_search,
             rp_build,
         )
+        from astro_vectordb_spark.operators.hnsw import (
+            NumpyHNSW,
+            auto_num_shards,
+            hnsw_batch_topk,
+        )
         from astro_vectordb_spark.operators.topk import topk_search
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_corpus = emb.count()
         qids = [0, 5, 11, 17, 23]
         qvecs = {
             r["vec_id"]: r["embedding"]
@@ -95,16 +115,31 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
             q: [r["vec_id"] for r in topk_search(emb, qvecs[q], 10, strength=0).collect()]
             for q in qids
         }
-        # approximate IVF (KMeans cells)
-        assigned, centroids = ivf_build(emb, k_cells=8)
+        # approximate IVF at its measured Pareto point (k~N^(1/3) cells,
+        # spill=2 redundant assignment, nprobe=k/4) with the TRUE
+        # candidate fraction: distinct ids in probed cells / corpus
+        k_cells, nprobe, spill = 12, 3, 2
+        assigned, centroids = ivf_build_sampled(
+            emb, k_cells=k_cells, spill=spill
+        )
         assigned = assigned.cache()
-        rec = []
+        rec, ivf_fracs = [], []
+        from astro_vectordb_spark.operators.ann import choose_probe_cells
+
         for q in qids:
             got = [
                 r["vec_id"]
-                for r in ivf_search(assigned, centroids, qvecs[q], 10, nprobe=6).collect()
+                for r in ivf_search(
+                    assigned, centroids, qvecs[q], 10, nprobe=nprobe
+                ).collect()
             ]
             rec.append(len(set(got) & set(exact[q])) / 10)
+            cells = choose_probe_cells(centroids, qvecs[q], nprobe)
+            n_cand = (
+                assigned.filter(F.col("cell_id").isin(cells))
+                .select("vec_id").distinct().count()
+            )
+            ivf_fracs.append(n_cand / n_corpus)
         # exact bound-pruned (RP cells): recall 1.0 by construction;
         # report the measured scan fraction
         a2, c2 = rp_build(emb, n_planes=3, dim=64)
@@ -116,23 +151,47 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
                 a2, c2, s2, qvecs[q], 10, nprobe_seed=2
             )
             fracs.append(scanned / total_cells)
-        # sharded HNSW recall on the same query set
-        from astro_vectordb_spark.operators.hnsw import hnsw_batch_topk
-
+        # sharded HNSW: shard count sized to the corpus (the scale
+        # dial), recall from the real distributed plan
+        num_shards = auto_num_shards(n_corpus)
+        ef_search = 16
         queries = spark.createDataFrame(
             [(q, [float(x) for x in qvecs[q]]) for q in qids],
             "query_id long, query_vec array<float>",
         )
         hh = {}
-        for r in hnsw_batch_topk(emb, queries, k=10, num_shards=4).collect():
+        for r in hnsw_batch_topk(
+            emb, queries, k=10, num_shards=num_shards, ef_search=ef_search
+        ).collect():
             hh.setdefault(r["query_id"], set()).add(r["vec_id"])
         hnsw_rec = [
             len(hh.get(q, set()) & set(exact[q])) / 10 for q in qids
         ]
+        # candidate fraction: similarity evaluations per query / corpus,
+        # counted on a same-parameter single-node replica of the shard
+        # graphs (the counter lives executor-side in the real plan)
+        rows = emb.select("vec_id", "embedding").collect()
+        shards = []
+        for s in range(num_shards):
+            idx = NumpyHNSW(dim=len(rows[0]["embedding"]), m=16,
+                            ef_construction=100, seed=42)
+            for r in rows[s::num_shards]:
+                idx.add(int(r["vec_id"]), r["embedding"])
+            shards.append(idx)
+        for idx in shards:
+            idx.n_sim_evals = 0
+        for q in qids:
+            for idx in shards:
+                idx.search(qvecs[q], 10, ef=ef_search)
+        hnsw_frac = sum(i.n_sim_evals for i in shards) / (len(qids) * n_corpus)
         return {
-            "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),
-            "ivf_approx_candidate_fraction": round(6 / 8, 3),
             "hnsw_sharded_recall_at_10": round(sum(hnsw_rec) / len(hnsw_rec), 3),
+            "hnsw_candidate_fraction": round(hnsw_frac, 3),
+            "hnsw_num_shards": num_shards,
+            "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),
+            "ivf_approx_candidate_fraction": round(
+                sum(ivf_fracs) / len(ivf_fracs), 3
+            ),
             "exact_pruned_recall_at_10": 1.0,
             "exact_pruned_scan_fraction": round(sum(fracs) / len(fracs), 3),
         }

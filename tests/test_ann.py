@@ -193,3 +193,67 @@ def test_ivf_batch_recall_vs_exact_batch(spark, embeddings):
         a.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_ivf_batch_search_dedupes_spill_copies(spark, embeddings):
+    """spill=2 batch path: a vector probed via two cells by the same
+    query appears at most once in that query's top-K."""
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled
+
+    assigned, centroids = ivf_build_sampled(embeddings, k_cells=8, spill=2)
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_batch_search(assigned, centroids, queries, k=10, nprobe=4)
+    rows = out.collect()
+    seen = {}
+    for r in rows:
+        key = (r["query_id"], r["vec_id"])
+        assert key not in seen, f"duplicate {key} in batch top-K"
+        seen[key] = True
+    # self-match survives dedup and still ranks first
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, hits in by_q.items():
+        best = min(hits, key=lambda r: r["rank"])
+        assert best["vec_id"] == q
+
+
+def test_ivf_append_refreshes_cell_stats(spark, embeddings):
+    """ivf_append(cell_stats=...) widens radii so ivf_search_exact
+    stays exact after an append (the stale-stats pruning hazard)."""
+    from astro_vectordb_spark.operators.ann import (
+        ivf_append,
+        ivf_build_sampled,
+        ivf_cell_stats,
+        ivf_search_exact,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    assigned, centroids = ivf_build_sampled(old, k_cells=8)
+    assigned = assigned.select("vec_id", "embedding", "cell_id")
+    stats0 = ivf_cell_stats(assigned, centroids)
+    combined, stats1 = ivf_append(
+        assigned, centroids, new, cell_stats=stats0
+    )
+    # updated stats: radius never shrinks (min_sim never grows)
+    s0 = {r["cell_id"]: r["min_sim"] for r in stats0.collect()}
+    s1 = {r["cell_id"]: r["min_sim"] for r in stats1.collect()}
+    assert set(s1) >= set(s0)
+    for cid, v in s0.items():
+        assert s1[cid] <= v + 1e-12
+    # exact search with refreshed stats matches brute force
+    qv = embeddings.filter(F.col("vec_id") == 450).first()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in topk_search(embeddings, qv, 10, strength=0).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in ivf_search_exact(
+            combined, centroids, stats1, qv, 10, nprobe_seed=2
+        ).collect()
+    ]
+    assert got == exact

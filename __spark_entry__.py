@@ -182,6 +182,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _q_embedding_near_dup_blocked(spark, sf_dir):
+    # RP-LSH blocked embedding near-dup on the FULL embeddings table:
+    # multi-table hyperplane buckets -> id-only candidate join -> exact
+    # cosine verify.  No cross join, no corpus broadcast (the 100 TB
+    # shape).  Oracle = bit-exact SQL twin of the same pipeline (the
+    # plane literals come from the same _rp_plane function).
+    from astro_vectordb_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -583,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": _q_null_semantics,
         "batch_topk": _q_batch_topk,
         "similarity_join": _q_similarity_join,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "dedup_groups": _q_dedup_groups,
@@ -670,6 +682,30 @@ _STOP = {
     "es": "['el','la','de','que','y','en','un','los','se','por']",
     "fr": "['le','la','et','les','des','un','une','du','est','pour']",
 }
+
+
+def _rp_cells_sql(seed: int = 42, n_planes: int = 6, n_tables: int = 8,
+                  dim: int = 64) -> str:
+    """UNION ALL of per-table bucket assignments with the SAME float64
+    plane literals the Spark expression uses (single source:
+    dedup._rp_plane; Python repr round-trips doubles exactly)."""
+    from astro_vectordb_spark.operators.dedup import _rp_plane
+
+    branches = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            lit = "[" + ",".join(repr(x) for x in _rp_plane(seed, t, p, dim)) + "]"
+            dot = (
+                f"list_reduce(list_transform(generate_series(1, {dim}), "
+                f"i -> embedding[i]::DOUBLE * ({lit})[i]), (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS cell "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(branches)
 
 
 def _shingle_cte() -> str:
@@ -760,6 +796,20 @@ WHERE a.vec_id < 100 AND b.vec_id < 100
   AND {_cos('a.embedding', 'b.embedding')} > 0.3
 """,
         "ann_ivf_exact": _topk_oracle(0, 0.0, 10, cos),
+        "embedding_near_dup_blocked": f"""
+WITH cells AS ({_rp_cells_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cells a JOIN cells b
+    ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round({_cos('ea.embedding', 'eb.embedding')}, 6) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+""",
         "dedup_exact": f"""
 SELECT min(doc_id) AS doc_id
 FROM (SELECT doc_id, array_to_string({_LTOKS}, ' ') AS norm FROM documents)

@@ -21,12 +21,13 @@ Spark-first physical story:
 * Batch of queries: broadcast the (small) query set, score |Q|x|C|
   pairs map-side, then reduce to per-query top-K.  A naive window over
   ``query_id`` shuffles all |Q|x|C| scored rows and serializes each
-  query's ranking into one task (skew at large |C|).  ``batch_topk``
-  therefore does a salted two-stage top-K: stage 1 ranks within
-  (query_id, salt) — a window whose partitions are bounded by
-  |C|/num_salts — and keeps K; stage 2 ranks the surviving
-  |Q| x salts x K rows.  Stage-2 input is tiny by construction, so the
-  final shuffle is negligible at any corpus size.
+  query's ranking into one task (skew at large |C|); a salted window
+  fixes the skew but still shuffles every scored row.  ``batch_topk``
+  therefore prunes BEFORE the exchange: stage 1 keeps each input
+  partition's per-query top-K map-side (Arrow-batched prune, no
+  shuffle), stage 2 ranks the surviving |Q| x partitions x K rows.
+  Stage-2 input is tiny by construction, so the only shuffle in the
+  plan is negligible at any corpus size.
 
 Determinism: ties broken by ascending id everywhere, and scores are
 rounded to 6 decimals *for output* so an external float64 oracle hashes
@@ -119,22 +120,49 @@ def rank_topk_per_query(
     score_col: str = "score",
     num_salts: int = 8,
 ) -> DataFrame:
-    """Salted two-stage per-query top-K over an already-scored frame.
+    """Two-stage per-query top-K over an already-scored frame.
+
+    Stage 1 (``num_salts > 1``): NARROW partition-local top-K — each
+    input partition keeps at most K rows per query via an Arrow-batched
+    pandas prune, with NO shuffle.  Only |Q| x num_partitions x K
+    survivor rows reach the stage-2 exchange, vs the full |Q| x |C|
+    scored set that a per-query window (even a salted one — salting
+    fixes skew, not volume) would shuffle.  Stage 2 is the global
+    per-query rank over the survivors.
+
+    Stage 1 is exact: every global top-K row is by definition in its
+    own partition's per-query top-K; ties broken (score desc, id asc)
+    in both stages.  ``num_salts <= 1`` skips stage 1 (right when the
+    input is already tiny, e.g. per-shard HNSW hits).
 
     Returns (query_id, id_col, score, rank)."""
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     if num_salts > 1:
-        # Stage 1: local top-K within (query, salt); salt is derived from
-        # the corpus id, so it's stable and needs no extra state.
-        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
-        w1 = Window.partitionBy(query_id_col, "_salt").orderBy(*order)
-        scored = (
-            scored.withColumn("_salt", salt)
-            .withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= k)
-            .drop("_salt", "_r1")
+        import pandas as pd
+
+        narrow = scored.select(query_id_col, id_col, score_col)
+        out_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in narrow.schema.fields
         )
-    # Stage 2: final per-query ranking over <= num_salts * k survivors.
+
+        def _partition_topk(batches):
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                merged = pdf if best is None else pd.concat(
+                    [best, pdf], ignore_index=True
+                )
+                best = (
+                    merged.sort_values(
+                        [score_col, id_col], ascending=[False, True]
+                    )
+                    .groupby(query_id_col, sort=False)
+                    .head(k)
+                )
+            if best is not None and len(best):
+                yield best
+
+        scored = narrow.mapInPandas(_partition_topk, out_fields)
+    # Stage 2: final per-query ranking over the survivors.
     w2 = Window.partitionBy(query_id_col).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w2))
@@ -161,7 +189,8 @@ def batch_topk(
     score_col: str = "score",
     num_salts: int = 8,
 ) -> DataFrame:
-    """Per-query top-K for a set of queries (salted two-stage ranking).
+    """Per-query top-K for a set of queries (partition-local prereduce
+    + global rank).
 
     Returns columns: (query_id, id_col, score, rank).  Generalizes
     searchKNNOptimized to a query *set*, the shape Spark wants
@@ -186,15 +215,23 @@ def similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs with similarity > threshold.
 
     ``right=None`` means self-join with ``a.id < b.id`` (dedup-style
     pair enumeration).  This is the exact O(n^2) baseline; the scale
-    path blocks candidates first (see operators.ann / operators.dedup)
-    and reuses the same scoring expression.  The smaller side should be
-    broadcast; we broadcast ``right`` (or the self-copy) by default
-    since callers pass the query/probe side there.
+    path blocks candidates first (``operators.dedup.embedding_near_dups``
+    with its default RP-LSH blocking) and reuses the same scoring
+    expression.
+
+    The probe side (``right``, or the self-copy) is broadcast ONLY when
+    it holds at most ``max_broadcast_rows`` rows — one count() action,
+    always worth it before shipping a frame to every executor.  Above
+    the cap the hint is dropped (Catalyst/AQE picks the strategy) and a
+    RuntimeWarning points at the blocked path, because an exact
+    all-pairs join over two large sides is quadratic no matter the
+    physical plan.
     """
     self_join = right is None
     right = left if right is None else right
@@ -204,7 +241,20 @@ def similarity_join(
     b = right.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
     )
-    pairs = a.join(F.broadcast(b))
+    if b.count() <= max_broadcast_rows:
+        b = F.broadcast(b)
+    else:
+        import warnings
+
+        warnings.warn(
+            "similarity_join: probe side exceeds max_broadcast_rows "
+            f"({max_broadcast_rows}); exact all-pairs at this size is "
+            "quadratic — prefer embedding_near_dups (RP-LSH blocked) "
+            "for self-join dedup",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    pairs = a.join(b)
     if self_join:
         pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
     return (

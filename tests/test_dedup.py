@@ -179,7 +179,7 @@ def test_dedup_groups_keeps_one_per_component(spark):
 
 
 def test_embedding_near_dups_and_keep(spark, embeddings):
-    dups = embedding_near_dups(embeddings.limit(100), threshold=0.5)
+    dups = embedding_near_dups(embeddings.limit(100), threshold=0.5, method="exact")
     rows = dups.collect()
     assert all(r["a_id"] < r["b_id"] for r in rows)
     df = _docs(spark, TEXTS)
@@ -187,3 +187,47 @@ def test_embedding_near_dups_and_keep(spark, embeddings):
     kept = dedup_keep_representatives(df, pairs)
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert 1 not in kept_ids and 0 in kept_ids
+
+
+def test_rp_block_pairs_recall_on_planted_dups(spark, embeddings):
+    """Blocked RP-LSH pipeline finds >=90% of planted near-duplicate
+    pairs at cosine 0.9, without any cross join or corpus broadcast."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from astro_vectordb_spark.operators.dedup import rp_block_pairs
+
+    base = embeddings.limit(200).select("vec_id", "embedding").collect()
+    rng = np.random.RandomState(7)
+    rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in base]
+    planted = []
+    for r in base[:50]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        dup = v + rng.normal(0, 0.02 * np.linalg.norm(v) / 8, size=len(v))
+        new_id = int(r["vec_id"]) + 1_000_000
+        rows.append((new_id, [float(x) for x in dup]))
+        planted.append((int(r["vec_id"]), new_id))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in rp_block_pairs(df, threshold=0.9).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found / len(planted) >= 0.9, f"recall {found / len(planted)}"
+    # exact verification really filters: nothing below threshold
+    exact_sims = {}
+    vecs = {i: np.array(v) for i, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        s = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert s > 0.9 - 1e-9
+
+
+def test_rp_block_pairs_plan_has_no_cartesian(spark, embeddings):
+    from astro_vectordb_spark.operators.dedup import rp_block_pairs
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    plan = executed_plan(rp_block_pairs(embeddings, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -254,6 +254,85 @@ def hnsw_build_shards(
     return corpus.mapInPandas(_build, GRAPH_SCHEMA)
 
 
+def hnsw_insert_shards(
+    graph: DataFrame,
+    new_rows: DataFrame,
+    m: int = 16,
+    ef_construction: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Insert a batch of new vectors into EXISTING per-shard graphs —
+    the reference's live-index ``addPoint``/``updatePoint``
+    (hnsw.ts:82-173, 497-517) at index level, without a rebuild.
+
+    New rows are routed to shards by id hash (shards carry no semantic
+    locality — any deterministic routing is correct), each touched
+    shard's adjacency is loaded (``NumpyHNSW.from_rows``, no
+    re-insertion of existing nodes), the new vectors are inserted with
+    the normal wiring/shrink/entry-promotion path, and the shard's rows
+    are re-emitted.  Returns updated graph rows for ONLY the touched
+    shards — write them back with a dynamic partition overwrite
+    (``sources.vault.hnsw_append_to_index``) so untouched shards keep
+    their files.  Cost: O(batch x log shard_rows) insert work plus a
+    rewrite of touched shards, vs the reference's full-snapshot rewrite
+    per mutation (driver/driver.ts:147).
+    """
+    shard_ids = sorted(
+        r["shard_id"] for r in graph.select("shard_id").distinct().collect()
+    )
+    if not shard_ids:
+        raise ValueError("hnsw_insert_shards: empty graph — build first")
+    route = F.element_at(
+        F.array(*[F.lit(int(s)) for s in shard_ids]),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(len(shard_ids))) + 1).cast("int"),
+    )
+    routed = (
+        new_rows.select(F.col(id_col).cast("long"), vec_col)
+        .withColumn("shard_id", route.cast("int"))
+        .withColumn("level", F.lit(None).cast("int"))  # marks "new"
+        .withColumn("neighbors", F.lit(None).cast("array<array<long>>"))
+        .withColumn("is_entry", F.lit(None).cast("boolean"))
+    )
+    touched = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
+    existing = graph.filter(F.col("shard_id").isin(touched)).select(
+        "shard_id", "vec_id", "level", "neighbors", vec_col, "is_entry"
+    )
+    both = existing.unionByName(
+        routed.select("shard_id", "vec_id", "level", "neighbors", vec_col, "is_entry")
+    )
+
+    def _insert(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard_id"].iloc[0])
+        old = pdf[pdf["level"].notna()]
+        new = pdf[pdf["level"].isna()]
+        index = NumpyHNSW.from_rows(old, m=m, metric=metric)
+        index.ef_construction = ef_construction
+        index.rng = np.random.RandomState(seed + shard)
+        raw = {int(r["vec_id"]): r[vec_col] for _, r in pdf.iterrows()}
+        for _, r in new.sort_values("vec_id").iterrows():
+            index.add(int(r["vec_id"]), r[vec_col])
+        return pd.DataFrame(
+            {
+                "shard_id": shard,
+                "vec_id": index.ids,
+                "level": index.levels,
+                "neighbors": [
+                    [[index.ids[n] for n in lvl] for lvl in node_nbrs]
+                    for node_nbrs in index.neighbors
+                ],
+                vec_col: [
+                    [float(x) for x in raw[int(uid)]] for uid in index.ids
+                ],
+                "is_entry": [i == index.entry for i in range(len(index.ids))],
+            }
+        )
+
+    return both.groupBy("shard_id").applyInPandas(_insert, GRAPH_SCHEMA)
+
+
 def hnsw_query_shards(
     graph: DataFrame,
     queries: DataFrame,

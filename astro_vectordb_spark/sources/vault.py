@@ -155,6 +155,35 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return graph, meta
 
 
+def hnsw_append_to_index(
+    spark: SparkSession, path: str, new_rows: DataFrame, seed: int = 42
+) -> list[int]:
+    """Incremental insert into a PERSISTED sharded HNSW index — the
+    reference's live ``addPoint`` (hnsw.ts:82-173) at storage level:
+    only the shard partitions that received new vectors are rewritten
+    (dynamic partition overwrite); every other shard keeps its files.
+    Returns the touched shard ids."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_insert_shards
+
+    graph, meta = load_hnsw_index(spark, path)
+    updated = hnsw_insert_shards(
+        graph, new_rows, m=meta["m"], metric=meta["metric"], seed=seed
+    )
+    # materialize before overwriting the path being read
+    updated = updated.localCheckpoint(eager=True)
+    touched = sorted(
+        r["shard_id"] for r in updated.select("shard_id").distinct().collect()
+    )
+    (
+        updated.repartition("shard_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(path, "graph"))
+    )
+    return touched
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

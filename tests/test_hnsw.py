@@ -101,3 +101,74 @@ def test_hnsw_shard_union_covers_all_rows(spark, embeddings):
         )
         hits = hnsw_batch_topk(embeddings, queries, k=3, num_shards=4).collect()
         assert hits[0]["vec_id"] == probe and abs(hits[0]["score"] - 1.0) < 1e-6
+
+
+def test_hnsw_incremental_insert_persisted(spark, embeddings, tmp_path):
+    """Build -> persist -> append a batch -> query: appended vectors are
+    found with recall >= 0.9, WITHOUT a full rebuild (untouched shard
+    partitions keep their files; only touched shards rewritten)."""
+    import glob
+    import os
+
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    n_new = new.count()
+    assert n_new > 0
+
+    graph = hnsw_build_shards(old, num_shards=4, ef_construction=100)
+    p = str(tmp_path / "hnsw_inc")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    files_before = {
+        d: set(glob.glob(os.path.join(p, "graph", d, "*.parquet")))
+        for d in os.listdir(os.path.join(p, "graph"))
+        if d.startswith("shard_id=")
+    }
+
+    touched = hnsw_append_to_index(spark, p, new)
+    assert touched  # at least one shard got rows
+
+    # untouched shards kept their exact files
+    untouched = [
+        d for d in files_before
+        if int(d.split("=")[1]) not in touched
+    ]
+    for d in untouched:
+        now = set(glob.glob(os.path.join(p, "graph", d, "*.parquet")))
+        assert now == files_before[d], f"untouched shard {d} was rewritten"
+
+    g2, meta = load_hnsw_index(spark, p)
+    assert g2.count() == embeddings.count()
+    # still exactly one entry per shard
+    entries = g2.filter(F.col("is_entry")).groupBy("shard_id").count().collect()
+    assert all(r["count"] == 1 for r in entries)
+
+    # queries AT the appended vectors find them (self-hit, score 1.0)
+    probes = [r["vec_id"] for r in new.limit(5).collect()]
+    queries = embeddings.filter(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(g2, queries, k=10, m=16, ef_search=100)
+    by_q = {}
+    for r in hits.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in probes:
+        assert q in by_q.get(q, set()), f"appended vector {q} not found"
+
+    # recall vs exact over the merged corpus
+    exact = batch_topk(embeddings, queries, k=10)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

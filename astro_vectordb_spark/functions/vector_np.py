@@ -46,7 +46,14 @@ def make_score_udf(query_vector: Sequence[float], metric: str = "cosine"):
         @pandas_udf("double")
         def score(v: pd.Series) -> pd.Series:
             m = _to_matrix(v)
-            return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+            norms = np.linalg.norm(m, axis=1) * qn
+            # zero-norm guard: match the expression kernel's try_divide
+            # contract (NULL, row dropped by score>threshold) instead of
+            # NaN, which Spark sorts ABOVE every real score
+            out = np.divide(
+                m @ q, norms, out=np.full(len(norms), np.nan), where=norms != 0
+            )
+            return pd.Series(out).astype("Float64")
 
     elif metric == "euclidean":
 
@@ -69,9 +76,12 @@ def make_pair_score_udf(metric: str = "cosine"):
         def score(a: pd.Series, b: pd.Series) -> pd.Series:
             ma, mb = _to_matrix(a), _to_matrix(b)
             dots = np.einsum("ij,ij->i", ma, mb)
-            return pd.Series(
-                dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+            norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            # zero-norm guard: NULL (dropped), matching try_divide
+            out = np.divide(
+                dots, norms, out=np.full(len(norms), np.nan), where=norms != 0
             )
+            return pd.Series(out).astype("Float64")
 
     elif metric == "euclidean":
 

@@ -697,10 +697,18 @@ def connected_components(
     Returns (id, component).  Each iteration is one join + one groupBy
     (both keyed shuffles) and the iterate is localCheckpointed so the
     lineage stays flat; rounds needed = graph diameter (near-dup
-    clusters are shallow — a handful of rounds).  This is the correct
-    closure for transitive duplicate groups, vs the one-pass greedy
-    ``dedup_keep_representatives`` (which can split a chain a-b-c when
-    (a,c) wasn't emitted as a pair)."""
+    clusters are shallow — a handful of rounds).  Convergence is
+    detected from a changed-flag computed INSIDE the update select (no
+    extra old-vs-new join per round); if the loop exhausts ``max_iter``
+    with changes still flowing, a RuntimeWarning reports the
+    non-converged state instead of silently returning split components.
+    For adversarial long-chain graphs (diameter > max_iter) raise
+    ``max_iter`` or pre-contract with large-star/small-star; near-dup
+    clusters in practice have single-digit diameters.
+
+    This is the correct closure for transitive duplicate groups, vs the
+    one-pass greedy ``dedup_keep_representatives`` (which can split a
+    chain a-b-c when (a,c) wasn't emitted as a pair)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -714,6 +722,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -727,19 +736,29 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
+                # flag rows whose label improved this round — read back
+                # from the (already materialized) checkpoint, no
+                # old-vs-new join needed
+                F.coalesce(
+                    F.col("_nbr") < F.col("component"), F.lit(False)
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; returned labels may split components — raise max_iter "
+            "for long-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

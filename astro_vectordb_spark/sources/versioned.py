@@ -51,7 +51,16 @@ def commit_version(
     tmp = os.path.join(path, CURRENT + ".tmp")
     with open(tmp, "w") as f:
         f.write(vdir)
+        f.flush()
+        os.fsync(f.fileno())  # pointer content durable BEFORE the swap
     os.replace(tmp, os.path.join(path, CURRENT))
+    # make the rename itself durable (directory entry) so a crash can't
+    # resurrect the old pointer after we report success
+    dirfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
     # GC: drop committed versions older than the newest keep_versions
     versions = sorted(
         (d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()),

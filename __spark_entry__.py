@@ -488,9 +488,12 @@ def _q_split_counts(spark, sf_dir):
 def _q_profile_lineitem(spark, sf_dir):
     from astro_vectordb_spark.operators.profiling import profile_numeric
 
+    # exact percentiles here ONLY for bit-parity with the quantile_cont
+    # oracle; the operator default is the scale-safe approx sketch
     return profile_numeric(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
+        percentiles="exact",
     )
 
 

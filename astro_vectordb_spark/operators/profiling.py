@@ -2,8 +2,18 @@
 
 One pass per table (all columns' aggregates in a single map-side-
 combining aggregation — profiling 100 TB costs one scan, not one scan
-per column).  Exact interpolated percentiles via ``F.percentile`` so
-the DuckDB oracle (``quantile_cont``) reproduces values.
+per column).
+
+Percentile modes:
+- ``approx`` (default): ``approx_percentile`` (Greenwald-Khanna sketch)
+  with a configurable ``accuracy``; the aggregation buffer is bounded
+  by O(accuracy) PER COLUMN regardless of row count — the only shape
+  that survives 100 TB.  Rank error is at most 1/accuracy of the rows
+  (accuracy=10000 -> within 0.01% of the true rank).
+- ``exact``: ``F.percentile`` (interpolated), bit-reproducible by the
+  DuckDB oracle's ``quantile_cont`` — but it buffers EVERY value of
+  every profiled column in one aggregation buffer, so it is for
+  oracle-checked small-sf runs only.
 """
 
 from __future__ import annotations
@@ -14,9 +24,28 @@ from pyspark.sql import functions as F
 STAT_DECIMALS = 6
 
 
-def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_numeric(
+    df: DataFrame,
+    cols: list[str],
+    percentiles: str = "approx",
+    accuracy: int = 10_000,
+) -> DataFrame:
     """Long-format profile: one row per column with count / nulls /
-    min / max / mean / p50 / p90."""
+    min / max / mean / p50 / p90.
+
+    ``percentiles='approx'`` (default, scale-safe sketch; rank error
+    <= rows/accuracy) or ``'exact'`` (full-buffer interpolated — small
+    tables / oracle parity only)."""
+    if percentiles == "exact":
+        def pct(c, p):
+            return F.percentile(F.col(c), F.lit(p))
+    elif percentiles == "approx":
+        def pct(c, p):
+            return F.approx_percentile(
+                F.col(c).cast("double"), F.lit(p), F.lit(accuracy)
+            )
+    else:
+        raise ValueError(f"percentiles must be 'approx' or 'exact', got {percentiles!r}")
     aggs = []
     for c in cols:
         aggs.append(
@@ -27,8 +56,8 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.round(F.min(F.col(c)).cast("double"), STAT_DECIMALS).alias("min_v"),
                 F.round(F.max(F.col(c)).cast("double"), STAT_DECIMALS).alias("max_v"),
                 F.round(F.avg(F.col(c)), STAT_DECIMALS).alias("mean_v"),
-                F.round(F.percentile(F.col(c), F.lit(0.5)), STAT_DECIMALS).alias("p50"),
-                F.round(F.percentile(F.col(c), F.lit(0.9)), STAT_DECIMALS).alias("p90"),
+                F.round(pct(c, 0.5).cast("double"), STAT_DECIMALS).alias("p50"),
+                F.round(pct(c, 0.9).cast("double"), STAT_DECIMALS).alias("p90"),
             ).alias(f"_s_{c}")
         )
     row = df.agg(*aggs)

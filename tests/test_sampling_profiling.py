@@ -51,7 +51,8 @@ def test_hash_bucket_range(spark, documents):
 def test_profile_numeric(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     prof = {r["column"]: r for r in
-            profile_numeric(li, ["l_quantity", "l_discount"]).collect()}
+            profile_numeric(li, ["l_quantity", "l_discount"],
+                            percentiles="exact").collect()}
     q = prof["l_quantity"]
     assert q["n"] == li.count()
     assert q["n_null"] == 0
@@ -61,3 +62,26 @@ def test_profile_numeric(spark, sf_dir):
     vals = np.array([r["l_quantity"] for r in li.select("l_quantity").collect()])
     assert abs(q["p50"] - float(np.percentile(vals, 50))) < 1e-6
     assert abs(q["mean_v"] - float(vals.mean())) < 1e-6
+
+
+def test_profile_numeric_approx_within_tolerance(spark, sf_dir):
+    """Default (scale-safe) approx percentiles stay within the sketch's
+    rank-error bound of the exact values."""
+    import numpy as np
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    accuracy = 10_000
+    prof = {r["column"]: r for r in
+            profile_numeric(li, ["l_quantity", "l_extendedprice"],
+                            accuracy=accuracy).collect()}
+    vals = np.sort(
+        np.array([r["l_extendedprice"] for r in
+                  li.select("l_extendedprice").collect()])
+    )
+    rank_err = max(1, int(np.ceil(n / accuracy)))
+    for p, key in ((0.5, "p50"), (0.9, "p90")):
+        lo = vals[max(0, int(p * n) - rank_err - 1)]
+        hi = vals[min(n - 1, int(p * n) + rank_err + 1)]
+        got = prof["l_extendedprice"][key]
+        assert lo - 1e-6 <= got <= hi + 1e-6, (key, got, lo, hi)

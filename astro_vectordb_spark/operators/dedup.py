@@ -114,13 +114,29 @@ def _jaccard_allpairs(
         idx.join(freq, on="shingle")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select(id_col, "_sz", "shingle")
+        .select(id_col, "_sz", "_rn", "shingle")
     )
     a = prefix.select(
-        F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"), "shingle"
+        F.col(id_col).alias("a_id"), F.col("_sz").alias("_sa"),
+        F.col("_rn").alias("_pa"), "shingle",
     )
     b = prefix.select(
-        F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"), "shingle"
+        F.col(id_col).alias("b_id"), F.col("_sz").alias("_sb"),
+        F.col("_rn").alias("_pb"), "shingle",
+    )
+    # positional filter (PPJoin, Xiao et al. WWW'08): a match at 1-based
+    # positions (i, j) of the canonical rarity order bounds the total
+    # overlap of the pair's FIRST common shingle by
+    # 1 + min(|A| - i, |B| - j); J >= t needs overlap >=
+    # ceil(t/(1+t) * (|A|+|B|)).  Rows failing the bound are pruned —
+    # exact-preserving because a true pair's first-common-shingle row
+    # always satisfies it (1e-9 slack keeps float ceil from
+    # over-pruning integral boundaries).
+    overlap_need = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9)
+    )
+    overlap_bound = F.lit(1) + F.least(
+        F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
     )
     cands = (
         a.join(b, on="shingle")
@@ -128,6 +144,7 @@ def _jaccard_allpairs(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("_sa") >= t * F.col("_sb"))   # length filter
             & (F.col("_sb") >= t * F.col("_sa"))
+            & (overlap_bound >= overlap_need)      # positional filter
         )
         .select("a_id", "b_id")
         .distinct()

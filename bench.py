@@ -151,6 +151,29 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
                 a2, c2, s2, qvecs[q], 10, nprobe_seed=2
             )
             fracs.append(scanned / total_cells)
+        # exact bound pruning on a CLUSTERED synthetic corpus: the
+        # branch-and-bound path demonstrably engages when the data
+        # clusters (random corpora disengage the bound gracefully —
+        # that is the design, not a failure)
+        rng = np.random.RandomState(0)
+        centers = rng.normal(size=(16, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        cpts = [
+            (i, [float(x) for x in centers[i % 16] + 0.01 * rng.normal(size=64)])
+            for i in range(2000)
+        ]
+        cdf = spark.createDataFrame(
+            cpts, "vec_id long, embedding array<float>"
+        ).cache()
+        ca, cc = rp_build(cdf, n_planes=5, dim=64)
+        ca = ca.cache()
+        cs = ivf_cell_stats(ca, cc)
+        cfracs = []
+        for q in (0, 1, 2, 7, 11):
+            scanned, total_cells = ivf_exact_pruned_cells(
+                ca, cc, cs, cpts[q][1], 10, nprobe_seed=2
+            )
+            cfracs.append(scanned / total_cells)
         # sharded HNSW: shard count sized to the corpus (the scale
         # dial), recall from the real distributed plan
         num_shards = auto_num_shards(n_corpus)
@@ -194,6 +217,9 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
             ),
             "exact_pruned_recall_at_10": 1.0,
             "exact_pruned_scan_fraction": round(sum(fracs) / len(fracs), 3),
+            "exact_pruned_scan_fraction_clustered": round(
+                sum(cfracs) / len(cfracs), 3
+            ),
         }
     except Exception as e:  # noqa: BLE001
         return {"error": str(e)}

@@ -257,3 +257,48 @@ def test_ivf_append_refreshes_cell_stats(spark, embeddings):
         ).collect()
     ]
     assert got == exact
+
+
+def test_ivf_exact_pruned_engages_on_clustered_corpus(spark):
+    """On a clustered corpus the spherical bound actually prunes:
+    scan fraction < 0.5 (vs ~1.0 on random data), while results stay
+    exactly equal to brute force (the guarantee is unconditional)."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.ann import (
+        ivf_cell_stats,
+        ivf_exact_pruned_cells,
+        ivf_search_exact,
+        rp_build,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = [
+        (i, [float(x) for x in centers[i % 16] + 0.01 * rng.normal(size=64)])
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>").cache()
+    assigned, cents = rp_build(df, n_planes=5, dim=64)
+    assigned = assigned.cache()
+    stats = ivf_cell_stats(assigned, cents)
+
+    fracs = []
+    for q in (0, 7, 11):
+        scanned, total = ivf_exact_pruned_cells(
+            assigned, cents, stats, pts[q][1], 10, nprobe_seed=2
+        )
+        fracs.append(scanned / total)
+        exact = [
+            r["vec_id"]
+            for r in topk_search(df, pts[q][1], 10, strength=0).collect()
+        ]
+        got = [
+            r["vec_id"]
+            for r in ivf_search_exact(
+                assigned, cents, stats, pts[q][1], 10, nprobe_seed=2
+            ).collect()
+        ]
+        assert got == exact
+    assert sum(fracs) / len(fracs) < 0.5, fracs

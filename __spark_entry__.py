@@ -190,7 +190,7 @@ def _q_embedding_near_dup_blocked(spark, sf_dir):
     # plane literals come from the same _rp_plane function).
     from astro_vectordb_spark.operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4, dim=64)
 
 
 def _q_dedup_exact(spark, sf_dir):

@@ -632,30 +632,37 @@ def rp_block_pairs(
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
 
-    def cell_expr(t: int):
-        cell = F.lit(0)
-        for p in range(n_planes):
-            pl = _rp_plane(seed, t, p, dim)
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in pl]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cell = cell + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-        return cell.cast("int")
-
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), cell_expr(t).alias("cell"))
-            for t in range(n_tables)
-        ]
+    # Build the whole projection as ONE SQL string: composing
+    # n_tables*n_planes fold expressions from Python Column objects
+    # costs thousands of py4j round trips (~6 s of driver time measured
+    # at 48 planes); a single F.expr parses server-side in ms.  All
+    # dots are computed into a projected column first so the cell
+    # derivation references them without lambda-subtree re-evaluation.
+    # 'D' suffix: parse every coefficient as a DOUBLE literal (plain
+    # decimals would otherwise land as DECIMAL), bit-identical to the
+    # Python float the oracle twin embeds
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in _rp_plane(seed, t, p, dim)) + ")"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ) + ")"
+    dots_sql = (
+        f"transform({planes_sql}, pl -> aggregate(zip_with({vec_col}, pl, "
+        "(a, b) -> cast(a as double) * b), cast(0.0 as double), "
+        "(acc, x) -> acc + x))"
     )
-    cells = df.select(F.col(id_col), F.explode(tables).alias("tc")).select(
-        id_col, F.col("tc.tbl").alias("tbl"), F.col("tc.cell").alias("cell")
+    structs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(case when _dots[{t * n_planes + p}] > 0 then {2 ** p} else 0 end)"
+            for p in range(n_planes)
+        )
+        structs.append(f"struct({t} as tbl, cast({bits} as int) as cell)")
+    tables_sql = "array(" + ",".join(structs) + ")"
+    cells = (
+        df.select(F.col(id_col), F.expr(dots_sql).alias("_dots"))
+        .select(F.col(id_col), F.explode(F.expr(tables_sql)).alias("tc"))
+        .select(id_col, F.col("tc.tbl").alias("tbl"), F.col("tc.cell").alias("cell"))
     )
     a = cells.select(F.col(id_col).alias("a_id"), "tbl", "cell")
     b = cells.select(F.col(id_col).alias("b_id"), "tbl", "cell")
@@ -685,6 +692,7 @@ def embedding_near_dups(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score > threshold).
 
@@ -698,7 +706,7 @@ def embedding_near_dups(
         )
     return rp_block_pairs(
         df, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+        id_col=id_col, vec_col=vec_col, seed=seed, dim=dim,
     )
 
 

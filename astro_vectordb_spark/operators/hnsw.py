@@ -172,9 +172,16 @@ class NumpyHNSW:
             idx.vecs.append(idx._prep(r["embedding"]))
             idx.ids.append(int(r["vec_id"]))
             idx.levels.append(int(r["level"]))
-            idx.neighbors.append(
-                [[id_to_local[int(n)] for n in lvl] for lvl in r["neighbors"]]
-            )
+            try:
+                idx.neighbors.append(
+                    [[id_to_local[int(n)] for n in lvl] for lvl in r["neighbors"]]
+                )
+            except KeyError as e:
+                raise ValueError(
+                    "graph rows reference a vec_id not present in this "
+                    f"batch ({e}) — a shard was split across input "
+                    "partitions; reload with clustered=False"
+                ) from e
             if bool(r["is_entry"]):
                 idx.entry = len(idx.vecs) - 1
                 idx.max_level = int(r["level"])
@@ -343,17 +350,26 @@ def hnsw_query_shards(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    clustered: bool = False,
 ) -> DataFrame:
     """Answer a query batch from PERSISTED graph rows: group rows by
     shard inside each task, rebuild the sub-index (adjacency load, no
-    re-insertion), search, merge globally."""
+    re-insertion), search, merge globally.
+
+    ``clustered=True`` skips the shard re-shuffle.  Pass it when the
+    graph was read from the shard-partitioned parquet written by
+    ``save_hnsw_index`` AND no shard's file exceeds
+    ``spark.sql.files.maxPartitionBytes`` (a split shard would build a
+    partial graph with dangling neighbor ids).  Default False keeps the
+    unconditional repartition — correct for any input layout."""
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qset = [(r[query_id_col], [float(x) for x in r[query_vec_col]]) for r in qrows]
 
     out_schema = f"{query_id_col} long, {id_col} long, score double"
-    graph = graph.repartition("shard_id")
+    if not clustered:
+        graph = graph.repartition("shard_id")
 
     def _query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)

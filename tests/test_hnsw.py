@@ -172,3 +172,37 @@ def test_hnsw_incremental_insert_persisted(spark, embeddings, tmp_path):
         e.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(by_q.get(q, set()) & e[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_hnsw_query_shards_clustered_skips_shuffle(spark, embeddings, tmp_path):
+    """Reading the shard-partitioned parquet and querying with
+    clustered=True returns the same hits as the reshuffling path, with
+    no Exchange on the graph side of the plan."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+
+    graph = hnsw_build_shards(embeddings, num_shards=4, ef_construction=100)
+    p = str(tmp_path / "hnsw_cl")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+    g2, meta = load_hnsw_index(spark, p)
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    shuffled = hnsw_query_shards(g2, queries, k=10, m=16, ef_search=100)
+    fast = hnsw_query_shards(
+        g2, queries, k=10, m=16, ef_search=100, clustered=True
+    )
+    a = sorted((r["query_id"], r["vec_id"]) for r in shuffled.collect())
+    b = sorted((r["query_id"], r["vec_id"]) for r in fast.collect())
+    assert a == b
+
+    # the clustered plan must not reshuffle the graph before mapInPandas
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    text = executed_plan(fast)
+    before_map = text.split("MapInPandas")[0] if "MapInPandas" in text else text
+    assert "Exchange hashpartitioning(shard_id" not in before_map

@@ -410,20 +410,26 @@ def _q_nation_revenue(spark, sf_dir):
 def _array_digest(col: str):
     """Scalar digest columns for an array output — keeps the driver's
     canonicalizer scalar-only (module contract, lines 11-12): first
-    element rounded, length, and an md5 over the rounded elements."""
-    rounded = F.transform(F.col(col), lambda x: F.round(x.cast("double"), 6))
+    element, length, and the element sum (a strict left fold, so the
+    DuckDB twin reproduces it bit-for-bit; every element participates,
+    no string casts whose formatting could diverge between engines)."""
+    total = F.aggregate(
+        F.col(col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
     return [
         F.round(F.element_at(F.col(col), 1).cast("double"), 6).alias("e0"),
         F.size(col).alias("dim"),
-        F.md5(F.concat_ws(",", F.transform(rounded, lambda x: x.cast("string")))
-              ).alias("digest"),
+        F.round(total, 6).alias("el_sum"),
     ]
 
 
 def _q_embed_docs(spark, sf_dir):
-    # pluggable embedding hook (stub encoder) — rows-only check; the
-    # contract (dim, normalization, determinism) is tested in pytest.
-    # Output is scalar digests of the embedding, not the raw array.
+    # pluggable embedding hook — the stub encoder is deterministic hash
+    # math (md5 feature hashing), so the FULL pipeline is oracle-checked
+    # via scalar digests; the swap-in-a-real-model contract is tested
+    # in pytest.
     from astro_vectordb_spark.functions.embed import embed_text
 
     return embed_text(_docs(spark, sf_dir)).select(
@@ -432,8 +438,9 @@ def _q_embed_docs(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    # blob -> features mapInPandas plumbing (stub codec) — rows-only.
-    # Output is scalar digests of the features array, not the raw array.
+    # blob -> features mapInPandas plumbing; the stub codec is
+    # deterministic sha256 math, so the pipeline (attach -> Arrow
+    # batches -> decode) is oracle-checked via scalar digests.
     from astro_vectordb_spark.multimodal.binary import attach_blob, decode_features
 
     return decode_features(attach_blob(_docs(spark, sf_dir))).select(
@@ -499,7 +506,8 @@ def _q_profile_lineitem(spark, sf_dir):
 
 def _q_embed_then_search(spark, sf_dir):
     # pipeline composition: embed documents (stub encoder) -> exact
-    # top-K over the embedded corpus.  rows-only (encoder isn't SQL).
+    # top-K over the embedded corpus; the stub's hash math is
+    # SQL-expressible so the whole composition is oracle-checked.
     from astro_vectordb_spark.functions.embed import embed_text
 
     doc_vecs = embed_text(_docs(spark, sf_dir)).select(
@@ -709,6 +717,43 @@ def _rp_cells_sql(seed: int = 42, n_planes: int = 6, n_tables: int = 8,
             "FROM embeddings"
         )
     return " UNION ALL ".join(branches)
+
+
+def _embed_cte() -> str:
+    """CTE chain reproducing functions/embed.hash_embedder bit-for-bit:
+    md5 feature hashing (little-endian u64 of md5[0:8]: bucket =
+    byte0 % 64, sign bit = byte7 >> 7), exact-integer bucket sums,
+    float64 L2 normalize, float32 cast."""
+    return f"""toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 2))::INT % 64 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok), 15, 2))::INT >= 128
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM toks
+),
+buckets AS (SELECT doc_id, idx, sum(sign) AS v FROM hashed GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, g.i AS idx, coalesce(b.v, 0.0) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  LEFT JOIN buckets b ON b.doc_id = d.doc_id AND b.idx = g.i
+),
+vecs AS (SELECT doc_id, list(v ORDER BY idx) AS v FROM grid GROUP BY doc_id),
+normed AS (
+  SELECT doc_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x),
+                          (acc, x) -> acc + x)) AS n
+  FROM vecs
+),
+emb AS (
+  SELECT doc_id,
+         list_transform(v, x -> CASE WHEN n > 0 THEN (x / n)::FLOAT
+                                     ELSE 0.0::FLOAT END) AS e
+  FROM normed
+)"""
 
 
 def _shingle_cte() -> str:
@@ -1259,6 +1304,40 @@ SELECT doc_id,
   coalesce(list_sum(list_transform({_TOKS}, x -> ceil(len(x) / 4.0)::INT)), 0)::BIGINT
     AS n_subwords
 FROM documents
+""",
+        "embed_docs": f"""
+WITH {_embed_cte()}
+SELECT doc_id,
+       round(e[1]::DOUBLE, 6) AS e0,
+       64 AS dim,
+       round(list_reduce(list_transform(e, x -> x::DOUBLE),
+                         (acc, x) -> acc + x), 6) AS el_sum
+FROM emb
+""",
+        "embed_then_search": f"""
+WITH {_embed_cte()},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+scored AS (
+  SELECT emb.doc_id AS vec_id, {_cos('emb.e', 'qv')} AS s
+  FROM emb CROSS JOIN q
+)
+SELECT vec_id, round(s, 6) AS score
+FROM scored WHERE s > 0.0
+ORDER BY s DESC, vec_id LIMIT 10
+""",
+        "multimodal_decode": """
+WITH f AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> (('0x' || substr(sha256(text), 2 * i + 1, 2))::BIGINT)::DOUBLE
+                / cast(255.0 as double)) AS feats
+  FROM documents
+)
+SELECT doc_id,
+       round(feats[1], 6) AS e0,
+       16 AS dim,
+       round(list_reduce(feats, (acc, x) -> acc + x), 6) AS el_sum
+FROM f
 """,
         "events_json": """
 SELECT event_type,

@@ -231,3 +231,49 @@ def test_rp_block_pairs_plan_has_no_cartesian(spark, embeddings):
     plan = executed_plan(rp_block_pairs(embeddings, threshold=0.4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Star contraction labels == label-propagation labels on random
+    graphs (same min-id-per-component contract)."""
+    import random
+
+    from astro_vectordb_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(3)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        prop = {r["id"]: r["component"]
+                for r in connected_components(pairs, max_iter=60).collect()}
+        star = {r["id"]: r["component"]
+                for r in connected_components_star(pairs).collect()}
+        assert star == prop, f"trial {trial}"
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """A 200-node chain (diameter 199) resolves inside star
+    contraction's default round budget — label propagation would need
+    199 rounds."""
+    import warnings
+
+    from astro_vectordb_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a_id long, b_id long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comp = {r["id"]: r["component"]
+                for r in connected_components_star(pairs, max_iter=15).collect()}
+        assert not any("did not reach" in str(x.message) for x in w)
+    assert set(comp) == set(range(200))
+    assert set(comp.values()) == {0}

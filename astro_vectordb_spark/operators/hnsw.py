@@ -315,6 +315,11 @@ def hnsw_insert_shards(
         shard = int(pdf["shard_id"].iloc[0])
         old = pdf[pdf["level"].notna()]
         new = pdf[pdf["level"].isna()]
+        # idempotent: ids already in the shard are skipped, so a
+        # retried micro-batch (foreachBatch replays on failure) never
+        # duplicates nodes; id-stable vector UPDATES go through
+        # tombstone + rebuild, not append
+        new = new[~new["vec_id"].isin(set(old["vec_id"].astype(int)))]
         index = NumpyHNSW.from_rows(old, m=m, metric=metric)
         index.ef_construction = ef_construction
         index.rng = np.random.RandomState(seed + shard)

@@ -65,6 +65,46 @@ def foreach_batch_upsert(
     return writer.start()
 
 
+def stream_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    seed: int = 42,
+    query_name: str = "astro_index_ingest",
+):
+    """Streaming face of the LIVE index: each micro-batch of new
+    (vec_id, embedding) rows is inserted into the persisted sharded
+    HNSW graph via ``vault.hnsw_append_to_index`` — the reference's
+    addPoint-per-mutation FIFO loop (driver/driver.ts:25-80 routing
+    into hnsw.ts:82-173), minus its whole-snapshot rewrite: only the
+    shard partitions that received vectors rewrite per batch, and
+    foreachBatch gives the same one-batch-at-a-time ordering as the
+    reference's queue.
+
+    The level-draw seed varies per batch so repeated batches don't
+    correlate; inserts stay deterministic per (batch, shard).
+    """
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from astro_vectordb_spark.sources.vault import hnsw_append_to_index
+
+        if batch_df.isEmpty():
+            return
+        hnsw_append_to_index(
+            spark, index_path, batch_df, seed=seed + int(batch_id)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def stream_sync_merge(
     stream_df: DataFrame,
     target_path: str,

@@ -206,3 +206,28 @@ def test_hnsw_query_shards_clustered_skips_shuffle(spark, embeddings, tmp_path):
     text = executed_plan(fast)
     before_map = text.split("MapInPandas")[0] if "MapInPandas" in text else text
     assert "Exchange hashpartitioning(shard_id" not in before_map
+
+
+def test_hnsw_append_is_idempotent(spark, embeddings, tmp_path):
+    """Re-appending the same batch (foreachBatch retry semantics) does
+    not duplicate nodes."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 300)
+    new = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+    ).select("vec_id", "embedding")
+    graph = hnsw_build_shards(old, num_shards=2, ef_construction=64)
+    p = str(tmp_path / "hnsw_idem")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    hnsw_append_to_index(spark, p, new)
+    hnsw_append_to_index(spark, p, new)  # retry replay
+    g, _ = load_hnsw_index(spark, p)
+    assert g.count() == 350
+    assert g.select("vec_id").distinct().count() == 350

@@ -303,3 +303,60 @@ def test_relational_scaffolding(spark, sf_dir):
 
     ranked = customer_rank_in_nation(cust, nation)
     assert ranked.filter(F.col("rank_in_nation") > 3).count() == 0
+
+
+def test_stream_index_ingest_live_hnsw(spark, embeddings, tmp_path):
+    """Streaming vectors land in the persisted sharded HNSW index and
+    become searchable — the reference's live addPoint loop, one
+    micro-batch at a time, touched shards only."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+    from astro_vectordb_spark.streaming.upsert import stream_index_ingest
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    graph = hnsw_build_shards(base, num_shards=2, ef_construction=64)
+    p = str(tmp_path / "live_hnsw")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    # stream ticks map to the held-out vectors 300..., a few per batch
+    held = embeddings.filter(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding"
+    ).collect()
+    held_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in held],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    n_held = held_df.count()
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select((F.col("value") + 300).alias("vec_id"))
+        .join(held_df, on="vec_id")  # stream-static join: real vectors
+    )
+    q = stream_index_ingest(stream, p)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            time.sleep(2)
+            g, _ = load_hnsw_index(spark, p)
+            if g.count() >= 300 + n_held:
+                break
+        else:
+            raise AssertionError("stream never ingested all held-out vectors")
+    finally:
+        q.stop()
+
+    g, meta = load_hnsw_index(spark, p)
+    assert g.count() == 300 + n_held
+    # an appended vector is searchable (self-hit at score 1.0)
+    probe = held[0]
+    queries = spark.createDataFrame(
+        [(int(probe["vec_id"]), [float(x) for x in probe["embedding"]])],
+        "query_id long, query_vec array<float>",
+    )
+    hits = hnsw_query_shards(g, queries, k=5, m=meta["m"], ef_search=64)
+    got = {r["vec_id"] for r in hits.collect()}
+    assert int(probe["vec_id"]) in got

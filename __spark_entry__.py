@@ -695,7 +695,7 @@ _STOP = {
 }
 
 
-def _rp_cells_sql(seed: int = 42, n_planes: int = 6, n_tables: int = 8,
+def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
                   dim: int = 64) -> str:
     """UNION ALL of per-table bucket assignments with the SAME float64
     plane literals the Spark expression uses (single source:

@@ -569,9 +569,11 @@ def _q_ann_hnsw_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     shards = auto_num_shards(emb.count())
-    return hnsw_batch_topk(emb, queries, k=10, num_shards=shards).withColumn(
-        "rank", F.col("rank").cast("long")
-    )
+    # ef_construction=64 measured equal recall (0.98) to 100 on this
+    # corpus at ~22% less build time (NOTES_r2)
+    return hnsw_batch_topk(
+        emb, queries, k=10, num_shards=shards, ef_construction=64
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def _q_ann_ivf_exact(spark, sf_dir):

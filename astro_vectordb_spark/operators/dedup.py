@@ -10,8 +10,9 @@ over documents.  Five family members, all DataFrame -> DataFrame:
                          exact-Jaccard verification of candidates
 - simhash_pairs        — 64-bit SimHash with pigeonhole band blocking
                          on Hamming distance
-- embedding_near_dups  — cosine threshold on embeddings (delegates to
-                         operators.topk.similarity_join)
+- embedding_near_dups  — cosine threshold on embeddings: RP-LSH
+                         blocked by default (rp_block_pairs), exact
+                         similarity_join for small frames
 
 Scale notes (100 TB):
 * Everything is expression-level (no Python UDFs) and blocks candidate

@@ -277,3 +277,46 @@ def test_star_cc_long_chain_logarithmic_rounds(spark):
         assert not any("did not reach" in str(x.message) for x in w)
     assert set(comp) == set(range(200))
     assert set(comp.values()) == {0}
+
+
+def test_rp_block_pairs_subset_of_exact(spark, embeddings):
+    """Blocked pairs are always a SUBSET of the exact all-pairs result
+    at the same threshold (verification step guarantees no false
+    positives; blocking can only lose pairs, never invent them)."""
+    from astro_vectordb_spark.operators.dedup import (
+        embedding_near_dups,
+        rp_block_pairs,
+    )
+
+    small = embeddings.limit(150)
+    exact = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in embedding_near_dups(small, 0.4, method="exact").collect()
+    }
+    blocked = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in rp_block_pairs(small, 0.4).collect()
+    }
+    assert set(blocked).issubset(set(exact))
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_similarity_join_no_broadcast_above_cap(spark, embeddings):
+    """Above the broadcast cap the hint is dropped and a RuntimeWarning
+    points at the blocked path; results stay identical."""
+    import warnings
+
+    from astro_vectordb_spark.operators.topk import similarity_join
+
+    small = embeddings.limit(60)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        guarded = similarity_join(small, threshold=0.3, max_broadcast_rows=10)
+        assert any("embedding_near_dups" in str(x.message) for x in w)
+    # the physical strategy above the cap is AQE's choice; the contract
+    # is the dropped hint (warning above) + identical results
+    normal = similarity_join(small, threshold=0.3)
+    a = sorted((r["a_id"], r["b_id"]) for r in guarded.collect())
+    b = sorted((r["a_id"], r["b_id"]) for r in normal.collect())
+    assert a == b

@@ -107,6 +107,49 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     preds = knn_classify(emb, queries, k=10)
     print("[7] knn labels:", [(r["query_id"], r["pred_label"]) for r in preds.collect()])
 
+    # 8. Blocked embedding near-dup over the full table (the scale
+    #    path: RP-LSH buckets, no cross join, no corpus broadcast)
+    from astro_vectordb_spark.operators.dedup import (
+        connected_components_star,
+        embedding_near_dups,
+    )
+
+    near = embedding_near_dups(emb.select("vec_id", "embedding"),
+                               threshold=0.4, dim=64)
+    n_pairs = near.count()
+    if n_pairs:
+        comps = connected_components_star(near)
+        n_comp = comps.select("component").distinct().count()
+        print(f"[8] blocked near-dups: {n_pairs} pairs, {n_comp} groups")
+    else:
+        print("[8] blocked near-dups: none at this threshold")
+
+    # 9. Live sharded HNSW index: build, persist, append, query
+    from astro_vectordb_spark.operators.hnsw import (
+        auto_num_shards,
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        old = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+        new = emb.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+        shards = auto_num_shards(old.count())
+        graph = hnsw_build_shards(old, num_shards=max(shards, 2))
+        save_hnsw_index(graph, d, m=16, metric="cosine")
+        touched = hnsw_append_to_index(spark, d, new)
+        g, meta = load_hnsw_index(spark, d)
+        hits2 = hnsw_query_shards(g, queries, k=5, m=meta["m"])
+        print(
+            f"[9] live index: appended {new.count()} rows into shards "
+            f"{touched}; query hits {hits2.count()}"
+        )
+
     spark.stop()
     print("pipeline complete")
 

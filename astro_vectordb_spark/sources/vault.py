@@ -184,6 +184,76 @@ def hnsw_append_to_index(
     return touched
 
 
+def hnsw_rebalance(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_shard: int = 250_000,
+    skew_threshold: float = 2.0,
+    seed: int = 42,
+) -> dict[int, list[int]]:
+    """Split oversized HNSW shards — the maintenance op for
+    append-heavy growth (``hnsw_append_to_index`` routes by hash, so
+    shards grow uniformly, but the shard COUNT fixed at build time
+    eventually makes every shard oversized).
+
+    A shard exceeding ``skew_threshold * target_rows_per_shard`` is
+    split into ceil(n/target) new shards (its rows re-sharded, each
+    split's graph rebuilt from vectors); one split keeps the old shard
+    id so the dynamic partition overwrite replaces the old files, the
+    rest get fresh ids.  Shards within budget keep their files
+    untouched.  Returns {old_shard_id: [split shard ids]} (empty =
+    nothing to do).  Single-writer maintenance op, like compaction.
+    """
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+
+    graph, meta = load_hnsw_index(spark, path)
+    counts = {
+        r["shard_id"]: r["n"]
+        for r in graph.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    limit = skew_threshold * target_rows_per_shard
+    oversized = {s: n for s, n in counts.items() if n > limit}
+    if not oversized:
+        return {}
+    next_id = max(counts) + 1
+    result: dict[int, list[int]] = {}
+    updated_parts = []
+    for sid, n in sorted(oversized.items()):
+        parts = -(-n // target_rows_per_shard)
+        rows = graph.filter(F.col("shard_id") == sid).select(
+            "vec_id", "embedding"
+        )
+        split = hnsw_build_shards(
+            rows, num_shards=parts, m=meta["m"], metric=meta["metric"],
+            seed=seed + sid,
+        )
+        # remap split ids: 0 keeps the old shard id (overwrites its
+        # partition), the rest get fresh ids
+        new_ids = [sid] + [next_id + i for i in range(parts - 1)]
+        next_id += parts - 1
+        mapping = F.array(*[F.lit(int(x)) for x in new_ids])
+        split = split.withColumn(
+            "shard_id",
+            F.element_at(mapping, F.col("shard_id") + 1).cast("int"),
+        )
+        updated_parts.append(split)
+        result[sid] = new_ids
+    updated = updated_parts[0]
+    for p in updated_parts[1:]:
+        updated = updated.unionByName(p)
+    updated = updated.localCheckpoint(eager=True)
+    (
+        updated.repartition("shard_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(path, "graph"))
+    )
+    return result
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

@@ -231,3 +231,45 @@ def test_hnsw_append_is_idempotent(spark, embeddings, tmp_path):
     g, _ = load_hnsw_index(spark, p)
     assert g.count() == 350
     assert g.select("vec_id").distinct().count() == 350
+
+
+def test_hnsw_rebalance_splits_oversized_shards(spark, embeddings, tmp_path):
+    """An append-grown single shard splits into balanced shards; rows
+    preserved, graphs well-formed, queries still find vectors."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_rebalance,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    n = embeddings.count()
+    graph = hnsw_build_shards(embeddings, num_shards=1, ef_construction=64)
+    p = str(tmp_path / "hnsw_rb")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    # within budget: no-op
+    assert hnsw_rebalance(spark, p, target_rows_per_shard=n) == {}
+
+    plan = hnsw_rebalance(spark, p, target_rows_per_shard=n // 4)
+    assert 0 in plan and len(plan[0]) >= 4
+
+    g, meta = load_hnsw_index(spark, p)
+    assert g.count() == n
+    assert g.select("vec_id").distinct().count() == n
+    counts = [r["count"] for r in g.groupBy("shard_id").count().collect()]
+    assert len(counts) == len(plan[0])
+    assert max(counts) <= 2 * (n // 4)
+    entries = g.filter(F.col("is_entry")).groupBy("shard_id").count().collect()
+    assert all(r["count"] == 1 for r in entries)
+
+    probe = embeddings.filter(F.col("vec_id") == 7).first()
+    queries = spark.createDataFrame(
+        [(7, [float(x) for x in probe["embedding"]])],
+        "query_id long, query_vec array<float>",
+    )
+    hits = hnsw_query_shards(g, queries, k=3, m=meta["m"])
+    assert hits.collect()[0]["vec_id"] == 7

@@ -568,9 +568,10 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    shards = auto_num_shards(emb.count())
-    # ef_construction=64 measured equal recall (0.98) to 100 on this
-    # corpus at ~22% less build time (NOTES_r2)
+    # build-latency-bound query (build + search in one): floor the
+    # shard count at 4 so tiny corpora still build in parallel;
+    # ef_construction=64 measured equal recall (0.98) to 100 (NOTES_r2)
+    shards = auto_num_shards(emb.count(), min_parallelism=4)
     return hnsw_batch_topk(
         emb, queries, k=10, num_shards=shards, ef_construction=64
     ).withColumn("rank", F.col("rank").cast("long"))

@@ -188,7 +188,11 @@ class NumpyHNSW:
         return idx
 
 
-def auto_num_shards(n_rows: int, target_rows_per_shard: int = 250_000) -> int:
+def auto_num_shards(
+    n_rows: int,
+    target_rows_per_shard: int = 250_000,
+    min_parallelism: int = 1,
+) -> int:
     """Shard count sized to the corpus — the scale dial.
 
     Each shard is one in-memory NumPy graph (~(M * 8 + dim * 8) bytes
@@ -196,8 +200,14 @@ def auto_num_shards(n_rows: int, target_rows_per_shard: int = 250_000) -> int:
     and search cost per shard at O(ef * log shard_rows).  A 100 TB
     corpus gets thousands of shards, each built in parallel; a 2k-row
     test corpus gets ONE (a fixed shard count would multiply query cost
-    by num_shards for no recall gain — every shard is beam-searched)."""
-    return max(1, -(-n_rows // target_rows_per_shard))
+    by num_shards for no recall gain — every shard is beam-searched).
+
+    ``min_parallelism`` floors the count for BUILD-side parallelism:
+    shards build independently, so a corpus small enough for one shard
+    still benefits from splitting across idle cores when the caller is
+    build-latency-bound.  More shards cost query-side evaluations —
+    leave the floor at 1 when measuring per-query candidate cost."""
+    return max(1, min_parallelism, -(-n_rows // target_rows_per_shard))
 
 
 GRAPH_SCHEMA = (

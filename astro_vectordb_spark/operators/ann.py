@@ -106,8 +106,36 @@ def ivf_build_sampled(
         cents = new
     C = cents.copy()
 
+    assign = make_cell_assigner(C, metric=metric, spill=spill)
+    assigned = df.withColumn(
+        "cell_id", F.explode(assign(F.col(vec_col)))
+    )
+    centroids = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cell_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def make_cell_assigner(
+    C: "np.ndarray",
+    metric: str = "cosine",
+    spill: int = 1,
+    cell_ids: "np.ndarray | None" = None,
+):
+    """Arrow-batched pandas_udf assigning each vector to its ``spill``
+    nearest centroids of the matrix ``C`` (row i -> ``cell_ids[i]``,
+    identity when omitted).  Shared by build, append, and the
+    storage-level vault append so assignment semantics can never
+    drift."""
+    from pyspark.sql.functions import pandas_udf
+
     is_cosine = metric == "cosine"
     n_spill = max(1, min(int(spill), len(C)))
+    ids = (
+        np.arange(len(C), dtype="int64") if cell_ids is None
+        else np.asarray(cell_ids)
+    )
 
     @pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
@@ -121,17 +149,10 @@ def ivf_build_sampled(
             - 2 * (m @ C.T)
             + (C**2).sum(axis=1)[None, :]
         )
-        cells = np.argsort(d2, axis=1)[:, :n_spill].astype("int32")
-        return pd.Series(list(cells))
+        picks = np.argsort(d2, axis=1)[:, :n_spill]
+        return pd.Series(list(ids[picks].astype("int32")))
 
-    assigned = df.withColumn(
-        "cell_id", F.explode(assign(F.col(vec_col)))
-    )
-    centroids = df.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
-        "cell_id int, centroid array<double>",
-    )
-    return assigned, centroids
+    return assign
 
 
 def ivf_append(
@@ -162,25 +183,8 @@ def ivf_append(
     """
     cents = centroids.orderBy("cell_id").collect()
     C = np.array([r["centroid"] for r in cents], dtype=np.float64)
-    is_cosine = metric == "cosine"
-    n_spill = max(1, min(int(spill), len(C)))
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def assign(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        if is_cosine:
-            nm = np.linalg.norm(m, axis=1, keepdims=True)
-            nm[nm == 0] = 1.0
-            m = m / nm
-        d2 = (
-            (m**2).sum(axis=1, keepdims=True)
-            - 2 * (m @ C.T)
-            + (C**2).sum(axis=1)[None, :]
-        )
-        cells = np.argsort(d2, axis=1)[:, :n_spill].astype("int32")
-        return pd.Series(list(cells))
+    cell_ids = np.array([r["cell_id"] for r in cents])
+    assign = make_cell_assigner(C, metric=metric, spill=spill, cell_ids=cell_ids)
 
     appended = new_rows.withColumn("cell_id", F.explode(assign(F.col(vec_col))))
     out = assigned.unionByName(appended.select(*assigned.columns))

@@ -133,6 +133,63 @@ def load_ivf_index(
     return assigned, centroids, cell_stats, meta_row.asDict()
 
 
+def ivf_append_to_index(
+    spark: SparkSession, path: str, new_rows: DataFrame, spill: int = 1
+) -> None:
+    """Incremental insert into a PERSISTED IVF index: assign new rows
+    under the existing centroids (``ann.ivf_append`` semantics at
+    storage level), APPEND their files into the cell-partitioned
+    vectors table (touched cells gain files; nothing rewrites), and
+    refresh the cell radius stats so ``ivf_search_exact`` stays exact
+    (the stale-stats pruning hazard).  Centroids are untouched —
+    rebuild via ``rebuild_index`` when drift warrants."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.ann import (
+        ivf_cell_stats,
+        make_cell_assigner,
+    )
+
+    assigned_path = os.path.join(path, "vectors")
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    metric = meta["metric"]
+
+    cents = centroids.orderBy("cell_id").collect()
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cell_ids = np.array([r["cell_id"] for r in cents])
+    assign = make_cell_assigner(C, metric=metric, spill=spill, cell_ids=cell_ids)
+
+    appended = new_rows.withColumn("cell_id", F.explode(assign(F.col("embedding"))))
+    existing_cols = spark.read.parquet(assigned_path).columns
+    missing = set(existing_cols) - set(appended.columns)
+    if missing:
+        raise ValueError(
+            f"new_rows lacks columns {sorted(missing)} of the persisted "
+            "vector table — align schemas before appending"
+        )
+    appended = appended.select(*existing_cols)
+    (
+        appended.repartition("cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(assigned_path)
+    )
+    stats_path = os.path.join(path, "cell_stats")
+    if os.path.exists(stats_path):
+        old_stats = spark.read.parquet(stats_path)
+        new_stats = ivf_cell_stats(appended, centroids, metric=metric)
+        merge = (
+            F.min("min_sim").alias("min_sim")
+            if metric == "cosine"
+            else F.max("max_dist").alias("max_dist")
+        )
+        merged = (
+            old_stats.unionByName(new_stats).groupBy("cell_id").agg(merge)
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(stats_path)
+
+
 def save_hnsw_index(
     graph: DataFrame, path: str, m: int = 16, metric: str = "cosine"
 ) -> None:

@@ -360,3 +360,60 @@ def test_stream_index_ingest_live_hnsw(spark, embeddings, tmp_path):
     hits = hnsw_query_shards(g, queries, k=5, m=meta["m"], ef_search=64)
     got = {r["vec_id"] for r in hits.collect()}
     assert int(probe["vec_id"]) in got
+
+
+def test_ivf_append_to_index_storage_level(spark, embeddings, tmp_path):
+    """Persisted IVF append: touched cells gain files (nothing
+    rewrites), stats refresh keeps the exact search exact."""
+    import glob
+    import os
+
+    from astro_vectordb_spark.operators.ann import (
+        ivf_build_sampled,
+        ivf_cell_stats,
+        ivf_search_exact,
+    )
+    from astro_vectordb_spark.operators.topk import topk_search
+    from astro_vectordb_spark.sources.vault import (
+        ivf_append_to_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    new = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    assigned, centroids = ivf_build_sampled(old, k_cells=8)
+    assigned = assigned.select("vec_id", "embedding", "cell_id")
+    stats = ivf_cell_stats(assigned, centroids)
+    p = str(tmp_path / "ivf_inc")
+    save_ivf_index(assigned, centroids, p, cell_stats=stats)
+
+    files_before = {
+        d: set(glob.glob(os.path.join(p, "vectors", d, "*.parquet")))
+        for d in os.listdir(os.path.join(p, "vectors"))
+        if d.startswith("cell_id=")
+    }
+    ivf_append_to_index(spark, p, new)
+    # pre-existing files all still present (append adds, never rewrites)
+    for d, before in files_before.items():
+        now = set(glob.glob(os.path.join(p, "vectors", d, "*.parquet")))
+        assert before.issubset(now), f"cell {d} lost files"
+
+    a2, c2, s2, meta = load_ivf_index(spark, p)
+    assert a2.count() == embeddings.count()
+    assert meta["metric"] == "cosine"
+
+    # exact search over the reloaded index matches brute force for a
+    # query AT an appended vector (stats refresh prevents false pruning)
+    qv = embeddings.filter(F.col("vec_id") == 450).first()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in topk_search(
+            embeddings.select("vec_id", "embedding"), qv, 10, strength=0
+        ).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in ivf_search_exact(a2, c2, s2, qv, 10, nprobe_seed=2).collect()
+    ]
+    assert got == exact

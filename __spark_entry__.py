@@ -193,6 +193,21 @@ def _q_embedding_near_dup_blocked(spark, sf_dir):
     return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4, dim=64)
 
 
+def _q_embedding_dedup_groups(spark, sf_dir):
+    # END-TO-END embedding dedup at scale shapes: RP-LSH blocked pairs
+    # -> connected components -> keep min-id representative per group.
+    # Every stage oracle-checked (pairs via the bit-exact SQL twin,
+    # closure via a recursive CTE).
+    from astro_vectordb_spark.operators.dedup import (
+        dedup_groups,
+        embedding_near_dups,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dups(emb, threshold=0.4, dim=64)
+    return dedup_groups(emb, pairs, id_col="vec_id").select("vec_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -609,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_topk": _q_batch_topk,
         "similarity_join": _q_similarity_join,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_dedup_groups": _q_embedding_dedup_groups,
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "dedup_groups": _q_dedup_groups,
@@ -860,6 +876,36 @@ FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.a_id
 JOIN embeddings eb ON eb.vec_id = c.b_id
 WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+""",
+        "embedding_dedup_groups": f"""
+WITH RECURSIVE cells AS ({_rp_cells_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cells a JOIN cells b
+    ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+  WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS vec_id FROM comp WHERE id = component
+UNION ALL
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM comp)
 """,
         "dedup_exact": f"""
 SELECT min(doc_id) AS doc_id

@@ -427,16 +427,22 @@ def _array_digest(col: str):
     canonicalizer scalar-only (module contract, lines 11-12): first
     element, length, and the element sum (a strict left fold, so the
     DuckDB twin reproduces it bit-for-bit; every element participates,
-    no string casts whose formatting could diverge between engines)."""
+    no string casts whose formatting could diverge between engines).
+
+    ``+ 0.0`` after each round normalizes IEEE signed zero: Spark's
+    F.round goes through BigDecimal and yields +0.0 where DuckDB's
+    round preserves -0.0 (e.g. round(-1e-7, 6)); the values are
+    numerically equal but canonical hashes diverge.  Both this side and
+    the oracle twins apply the same normalization."""
     total = F.aggregate(
         F.col(col),
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double"),
     )
     return [
-        F.round(F.element_at(F.col(col), 1).cast("double"), 6).alias("e0"),
+        (F.round(F.element_at(F.col(col), 1).cast("double"), 6) + 0.0).alias("e0"),
         F.size(col).alias("dim"),
-        F.round(total, 6).alias("el_sum"),
+        (F.round(total, 6) + 0.0).alias("el_sum"),
     ]
 
 
@@ -1357,10 +1363,10 @@ FROM documents
         "embed_docs": f"""
 WITH {_embed_cte()}
 SELECT doc_id,
-       round(e[1]::DOUBLE, 6) AS e0,
+       round(e[1]::DOUBLE, 6) + 0.0 AS e0,
        64 AS dim,
        round(list_reduce(list_transform(e, x -> x::DOUBLE),
-                         (acc, x) -> acc + x), 6) AS el_sum
+                         (acc, x) -> acc + x), 6) + 0.0 AS el_sum
 FROM emb
 """,
         "embed_then_search": f"""
@@ -1383,9 +1389,9 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id,
-       round(feats[1], 6) AS e0,
+       round(feats[1], 6) + 0.0 AS e0,
        16 AS dim,
-       round(list_reduce(feats, (acc, x) -> acc + x), 6) AS el_sum
+       round(list_reduce(feats, (acc, x) -> acc + x), 6) + 0.0 AS el_sum
 FROM f
 """,
         "events_json": """

@@ -17,6 +17,7 @@ unchanged.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct as _struct
 from collections.abc import Callable
 
@@ -37,7 +38,16 @@ def hash_embedder(texts: pd.Series, dim: int = DEFAULT_DIM) -> pd.Series:
     out = []
     for t in texts:
         v = np.zeros(dim, dtype=np.float64)
-        for tok in str(t).lower().split():
+        if t is None or (isinstance(t, float) and np.isnan(t)):
+            # NULL text -> zero vector, matching the SQL twin where a
+            # NULL row yields no tokens (str(None) would tokenize the
+            # literal "none")
+            out.append(v.astype(np.float32))
+            continue
+        # \s+ regex split (empties dropped) rather than str.split() so
+        # the tokenizer is the same function the DuckDB oracle twin
+        # (string_split_regex(..., '\s+')) evaluates
+        for tok in (x for x in re.split(r"\s+", str(t).lower()) if x):
             h = hashlib.md5(tok.encode()).digest()
             (u,) = _struct.unpack("<Q", h[:8])
             idx = u % dim

@@ -80,7 +80,12 @@ def main() -> int:
                 ):
                     av = av.astype(np.float64)
                     bv = bv.astype(np.float64)
-                    if not np.array_equal(av, bv):
+                    # bitwise compare: sign-of-zero-sensitive (the
+                    # driver hashes string forms, where -0.0 != 0.0;
+                    # np.array_equal would silently pass that case)
+                    if not np.array_equal(
+                        av.view(np.int64), bv.view(np.int64)
+                    ):
                         status = "FAIL"
                         detail += (
                             f" col {c} max|Δ|="

@@ -29,6 +29,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -607,6 +609,9 @@ def rp_block_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    n_refine: int = 8,
+    chain_width: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane
     blocking + exact verification — the scale path for self-join dedup.
@@ -623,6 +628,23 @@ def rp_block_pairs(
     ~n_tables/2^n_planes of all pairs on spread-out data (measured
     0.04 at sf0.01 with 8 planes).
 
+    Bucket-skew guard (``max_bucket_size``, the 100 TB safety valve):
+    the within-bucket self-join is quadratic, so a degenerate corpus
+    (mass near-identical vectors, or zero vectors all signing to one
+    cell) would put O(N) ids into one ``(tbl, cell)`` and emit O(N^2)
+    candidates in a single straggler task.  Buckets over the cap are
+    re-blocked on ``n_refine`` extra shared hyperplane sign bits
+    (splits hash-degenerate-but-diverse buckets); buckets STILL over
+    the cap after refinement are, with overwhelming probability, true
+    near-identical clusters — for those we emit a linear id-ordered
+    chain (each id paired with its next ``chain_width`` neighbors)
+    instead of all pairs, which preserves connected-component
+    connectivity for dedup grouping at O(N * chain_width) cost.  All
+    guard-path candidates still pass the exact-cosine verification, so
+    the guard can only drop redundant intra-cluster pairs, never emit
+    false positives.  When no bucket exceeds the cap the output is
+    identical to the unguarded plan (``max_bucket_size=None``).
+
     Reference analogue: searchLayer's candidate pruning
     (hnsw.ts:306-375) re-expressed as LSH blocking for the all-pairs
     shape (SURVEY.md §2 dedup family).
@@ -634,46 +656,123 @@ def rp_block_pairs(
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
 
-    # Build the whole projection as ONE SQL string: composing
-    # n_tables*n_planes fold expressions from Python Column objects
-    # costs thousands of py4j round trips (~6 s of driver time measured
-    # at 48 planes); a single F.expr parses server-side in ms.  All
-    # dots are computed into a projected column first so the cell
-    # derivation references them without lambda-subtree re-evaluation.
-    # 'D' suffix: parse every coefficient as a DOUBLE literal (plain
-    # decimals would otherwise land as DECIMAL), bit-identical to the
-    # Python float the oracle twin embeds
-    planes_sql = "array(" + ",".join(
-        "array(" + ",".join(f"{x!r}D" for x in _rp_plane(seed, t, p, dim)) + ")"
-        for t in range(n_tables)
-        for p in range(n_planes)
-    ) + ")"
-    dots_sql = (
-        f"transform({planes_sql}, pl -> aggregate(zip_with({vec_col}, pl, "
-        "(a, b) -> cast(a as double) * b), cast(0.0 as double), "
-        "(acc, x) -> acc + x))"
+    guarded = max_bucket_size is not None
+    plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
+    if guarded:
+        # refinement planes live in table namespace -1 so they never
+        # collide with a blocking table's planes
+        plane_keys += [(-1, p) for p in range(n_refine)]
+
+    # Bucket assignment is an Arrow-batched pandas_udf, NOT a SQL
+    # expression: the transform/aggregate/zip_with fold never
+    # whole-stage-codegens (~3 s of interpreted lambda dispatch at
+    # sf0.1), and a fully unrolled Add chain (n_planes*n_tables*dim
+    # ~ 4.6k nodes) sends the Catalyst optimizer quadratic (measured
+    # 28 s on 150 rows).  The NumPy kernel accumulates the dot
+    # products ELEMENT-AT-A-TIME in float64 — ``acc += v[i] * c[i]``
+    # for i = 0..dim-1 — which is bit-identical to the DuckDB oracle
+    # twin's left-fold ``list_reduce(... (acc, x) -> acc + x)``, so
+    # every sign bit (and therefore the candidate set) matches the
+    # SQL twin exactly; a BLAS matmul would not guarantee that
+    # (pairwise summation reorders the adds).
+    planes_t = np.array(
+        [_rp_plane(seed, t, p, dim) for t, p in plane_keys], dtype=np.float64
+    ).T.copy()  # (dim, n_all_planes)
+    n_all = len(plane_keys)
+    pow2 = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
+    rpow2 = np.array([2 ** p for p in range(n_refine)], dtype=np.int64)
+    _nt, _np_, _nr, _dim, _g = n_tables, n_planes, n_refine, dim, guarded
+
+    @F.pandas_udf("array<int>")
+    def rp_cells(s: pd.Series) -> pd.Series:
+        n = len(s)
+        # ragged-safe fill: elements past a short vector stay NaN, so
+        # the accumulated dot is NaN and NaN > 0 is False — the same
+        # all-zero-bits cell the SQL twin's NULL propagation yields
+        V = np.full((n, _dim), np.nan, dtype=np.float64)
+        for r, v in enumerate(s):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)[:_dim]
+            V[r, : a.shape[0]] = a
+        acc = np.zeros((n, n_all), dtype=np.float64)
+        for i in range(_dim):
+            acc += V[:, i : i + 1] * planes_t[i][None, :]
+        bits = acc > 0  # (n, n_all); NaN compares False
+        out = np.empty((n, _nt + (1 if _g else 0)), dtype=np.int32)
+        for t in range(_nt):
+            out[:, t] = bits[:, t * _np_ : (t + 1) * _np_] @ pow2
+        if _g:
+            out[:, _nt] = bits[:, _nt * _np_ : _nt * _np_ + _nr] @ rpow2
+        return pd.Series(list(out))
+
+    proj = df.select(F.col(id_col), rp_cells(F.col(vec_col)).alias("_c"))
+    cells = proj.select(
+        F.col(id_col),
+        F.posexplode(F.slice("_c", 1, n_tables)).alias("tbl", "cell"),
+        *(
+            [F.element_at("_c", n_tables + 1).alias("rcell")]
+            if guarded
+            else []
+        ),
     )
-    structs = []
-    for t in range(n_tables):
-        bits = " + ".join(
-            f"(case when _dots[{t * n_planes + p}] > 0 then {2 ** p} else 0 end)"
-            for p in range(n_planes)
+
+    def _self_join(c: DataFrame, keys: list[str]) -> DataFrame:
+        a = c.select(F.col(id_col).alias("a_id"), *keys)
+        b = c.select(F.col(id_col).alias("b_id"), *keys)
+        return (
+            a.join(b, on=keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
         )
-        structs.append(f"struct({t} as tbl, cast({bits} as int) as cell)")
-    tables_sql = "array(" + ",".join(structs) + ")"
-    cells = (
-        df.select(F.col(id_col), F.expr(dots_sql).alias("_dots"))
-        .select(F.col(id_col), F.explode(F.expr(tables_sql)).alias("tc"))
-        .select(id_col, F.col("tc.tbl").alias("tbl"), F.col("tc.cell").alias("cell"))
-    )
-    a = cells.select(F.col(id_col).alias("a_id"), "tbl", "cell")
-    b = cells.select(F.col(id_col).alias("b_id"), "tbl", "cell")
-    cand = (
-        a.join(b, on=["tbl", "cell"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+
+    if not guarded:
+        cand = _self_join(cells, ["tbl", "cell"]).distinct()
+    else:
+        # Window counts instead of groupBy+join: one exchange of cells
+        # hash-partitioned on (tbl, cell) carries BOTH size columns —
+        # the finer (tbl, cell, rcell) window is satisfied by the same
+        # partitioning (subset-of-clustering rule), so the expensive
+        # projection runs once map-side and every branch below reuses
+        # the exchange instead of recomputing the hyperplane dots.
+        wb = Window.partitionBy("tbl", "cell")
+        wr = Window.partitionBy("tbl", "cell", "rcell")
+        sized = cells.withColumn(
+            "_bsz", F.count(F.lit(1)).over(wb)
+        ).withColumn("_rsz", F.count(F.lit(1)).over(wr))
+        cold = sized.filter(F.col("_bsz") <= max_bucket_size)
+        hot = sized.filter(F.col("_bsz") > max_bucket_size)
+        # hash-degenerate-but-diverse hot buckets split on the shared
+        # refinement bits; the second size column catches the truly
+        # near-identical clusters the refinement cannot split
+        subcold = hot.filter(F.col("_rsz") <= max_bucket_size)
+        subhot = hot.filter(F.col("_rsz") > max_bucket_size)
+        # linear chain inside still-hot buckets: id-ordered window,
+        # each id paired with its next chain_width neighbors — O(N*W)
+        # pairs, connectivity-preserving for true duplicate clusters
+        w = Window.partitionBy("tbl", "cell", "rcell").orderBy(id_col)
+        chain = subhot.select(
+            F.col(id_col).alias("a_id"),
+            *[
+                F.lead(id_col, j).over(w).alias(f"_n{j}")
+                for j in range(1, chain_width + 1)
+            ],
+        )
+        chain_pairs = (
+            chain.select(
+                "a_id",
+                F.explode(
+                    F.array(*[f"_n{j}" for j in range(1, chain_width + 1)])
+                ).alias("b_id"),
+            )
+            .filter(F.col("b_id").isNotNull())
+        )
+        cand = (
+            _self_join(cold, ["tbl", "cell"])
+            .unionByName(_self_join(subcold, ["tbl", "cell", "rcell"]))
+            .unionByName(chain_pairs)
+            .distinct()
+        )
     ea = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     eb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     return (
@@ -695,13 +794,17 @@ def embedding_near_dups(
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score > threshold).
 
     ``method='blocked'`` (default) runs the RP-LSH blocked pipeline —
     no cross join, no corpus broadcast, the only 100 TB-safe shape.
-    ``method='exact'`` is the O(n^2) similarity_join baseline for small
-    frames / recall oracles."""
+    NOTE the blocked default is APPROXIMATE: pair recall follows
+    ``1 - (1 - (1 - theta/pi)^n_planes)^n_tables`` (~0.94 at cosine
+    0.9 with the defaults) — callers needing the complete pair set on
+    small frames must pass ``method='exact'``, the O(n^2)
+    similarity_join baseline used by the recall oracles."""
     if method == "exact":
         return similarity_join(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
@@ -709,6 +812,7 @@ def embedding_near_dups(
     return rp_block_pairs(
         df, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col, seed=seed, dim=dim,
+        max_bucket_size=max_bucket_size,
     )
 
 

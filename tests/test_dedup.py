@@ -302,6 +302,64 @@ def test_rp_block_pairs_subset_of_exact(spark, embeddings):
         assert abs(v - exact[k]) < 1e-9
 
 
+def test_rp_block_pairs_skew_guard_bounds_degenerate_corpus(spark):
+    """10 TB nightmare shape in miniature: thousands of near-identical
+    vectors all hashing into ONE (tbl, cell) bucket.  Unguarded, the
+    within-bucket self-join emits O(N^2) candidates (~4.5M pairs at
+    N=3000); the guard's chain fallback keeps it linear while the
+    cluster stays fully connected for dedup grouping."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.dedup import rp_block_pairs
+
+    n = 3000
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 0.002, size=64)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = rp_block_pairs(
+        df, threshold=0.9, max_bucket_size=200, chain_width=4
+    ).collect()
+    # linear, not quadratic: far below the ~4.5M all-pairs volume
+    assert len(pairs) < 12 * n, f"{len(pairs)} pairs — guard did not bound"
+    # connectivity preserved: every id reachable from id 0 (union-find)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a_id"]), find(r["b_id"])
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(i) for i in range(n)}
+    assert len(roots) == 1, f"{len(roots)} components — cluster split"
+
+
+def test_rp_block_pairs_guard_noop_on_normal_data(spark, embeddings):
+    """When no bucket exceeds the cap, the guarded plan's output is
+    identical to the unguarded one (the guard only activates on skew)."""
+    from astro_vectordb_spark.operators.dedup import rp_block_pairs
+
+    small = embeddings.limit(200)
+    guarded = sorted(
+        (r["a_id"], r["b_id"], r["score"])
+        for r in rp_block_pairs(small, 0.4, max_bucket_size=1000).collect()
+    )
+    unguarded = sorted(
+        (r["a_id"], r["b_id"], r["score"])
+        for r in rp_block_pairs(small, 0.4, max_bucket_size=None).collect()
+    )
+    assert guarded == unguarded
+
+
 def test_similarity_join_no_broadcast_above_cap(spark, embeddings):
     """Above the broadcast cap the hint is dropped and a RuntimeWarning
     points at the blocked path; results stay identical."""

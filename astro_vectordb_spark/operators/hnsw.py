@@ -67,6 +67,10 @@ class NumpyHNSW:
         self.neighbors: list[list[list[int]]] = []  # [node][level] -> ids
         self.entry = -1
         self.max_level = -1
+        # tombstoned local indices (removed nodes stay positionally in
+        # vecs/ids/levels so neighbor lists keep meaning; they are
+        # unlinked, skipped on emit, and never returned by search)
+        self.removed: set[int] = set()
         # similarity-evaluation counter: measures the search's candidate
         # set (the graph-index analogue of IVF's scanned fraction) for
         # the BASELINE.md candidate-reduction obligation
@@ -146,6 +150,44 @@ class NumpyHNSW:
         if level > self.max_level:
             self.max_level = level
             self.entry = idx
+
+    def remove_many(self, uids) -> list:
+        """Tombstone-remove nodes by id — the in-graph half of the
+        reference's id-stable update (``updatePoint``, hnsw.ts:497-517:
+        unlink, then re-insert with the new vector).
+
+        One O(N x M) sweep drops every incoming edge to a removed node
+        (edges are not guaranteed symmetric after overflow shrink, so
+        the removed node's own adjacency is not enough to find them
+        all), then the entry point is re-elected if it was removed.
+        Removed nodes stay positionally in the arrays (tombstones) so
+        surviving neighbor lists keep meaning; callers skip
+        ``self.removed`` when emitting rows.  Returns the ids actually
+        removed."""
+        target = set(uids)
+        hit = {
+            i
+            for i, u in enumerate(self.ids)
+            if u in target and i not in self.removed
+        }
+        if not hit:
+            return []
+        self.removed |= hit
+        for i in range(len(self.neighbors)):
+            if i in self.removed:
+                continue
+            self.neighbors[i] = [
+                [n for n in lvl if n not in hit] for lvl in self.neighbors[i]
+            ]
+        if self.entry in self.removed:
+            alive = [i for i in range(len(self.ids)) if i not in self.removed]
+            if alive:
+                self.entry = max(alive, key=lambda i: self.levels[i])
+                self.max_level = self.levels[self.entry]
+            else:
+                self.entry = -1
+                self.max_level = -1
+        return [self.ids[i] for i in hit]
 
     def search(self, vec, k: int, ef: int | None = None) -> list[tuple[float, object]]:
         if self.entry < 0:
@@ -280,6 +322,7 @@ def hnsw_insert_shards(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    on_conflict: str = "skip",
 ) -> DataFrame:
     """Insert a batch of new vectors into EXISTING per-shard graphs —
     the reference's live-index ``addPoint``/``updatePoint``
@@ -296,59 +339,111 @@ def hnsw_insert_shards(
     their files.  Cost: O(batch x log shard_rows) insert work plus a
     rewrite of touched shards, vs the reference's full-snapshot rewrite
     per mutation (driver/driver.ts:147).
+
+    ``id_col``/``vec_col`` name the columns of ``new_rows``; they are
+    aliased to the graph schema (``vec_id``/``embedding``) before the
+    union, so any caller naming works.
+
+    ``on_conflict`` controls an arriving id that already exists in the
+    shard (always judged against the STORED vector — an existing node's
+    embedding is never silently replaced):
+
+    - ``"skip"`` (default): the row is ignored, stored vector kept —
+      idempotent micro-batch replay (foreachBatch retries) never
+      duplicates nodes or mutates the graph.
+    - ``"update"``: if the arriving vector differs, the node is
+      tombstone-unlinked (``NumpyHNSW.remove_many``) and re-inserted
+      with the new vector — the reference's id-stable ``updatePoint``
+      (hnsw.ts:497-517) without a rebuild.  An identical vector is
+      skipped, so replaying an update batch is still idempotent.
+    - ``"error"``: a differing vector raises ValueError (strict mode
+      for pipelines where a conflicting id means data corruption).
     """
+    if on_conflict not in ("skip", "update", "error"):
+        raise ValueError(
+            f"on_conflict must be 'skip', 'update' or 'error', got {on_conflict!r}"
+        )
     shard_ids = sorted(
         r["shard_id"] for r in graph.select("shard_id").distinct().collect()
     )
     if not shard_ids:
         raise ValueError("hnsw_insert_shards: empty graph — build first")
+    routed = new_rows.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<float>").alias("embedding"),
+    )
     route = F.element_at(
         F.array(*[F.lit(int(s)) for s in shard_ids]),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(len(shard_ids))) + 1).cast("int"),
+        (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(len(shard_ids))) + 1).cast("int"),
     )
     routed = (
-        new_rows.select(F.col(id_col).cast("long"), vec_col)
-        .withColumn("shard_id", route.cast("int"))
+        routed.withColumn("shard_id", route.cast("int"))
         .withColumn("level", F.lit(None).cast("int"))  # marks "new"
         .withColumn("neighbors", F.lit(None).cast("array<array<long>>"))
         .withColumn("is_entry", F.lit(None).cast("boolean"))
     )
+    cols = ["shard_id", "vec_id", "level", "neighbors", "embedding", "is_entry"]
     touched = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
-    existing = graph.filter(F.col("shard_id").isin(touched)).select(
-        "shard_id", "vec_id", "level", "neighbors", vec_col, "is_entry"
-    )
-    both = existing.unionByName(
-        routed.select("shard_id", "vec_id", "level", "neighbors", vec_col, "is_entry")
-    )
+    existing = graph.filter(F.col("shard_id").isin(touched)).select(*cols)
+    both = existing.unionByName(routed.select(*cols))
 
     def _insert(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard_id"].iloc[0])
         old = pdf[pdf["level"].notna()]
-        new = pdf[pdf["level"].isna()]
-        # idempotent: ids already in the shard are skipped, so a
-        # retried micro-batch (foreachBatch replays on failure) never
-        # duplicates nodes; id-stable vector UPDATES go through
-        # tombstone + rebuild, not append
-        new = new[~new["vec_id"].isin(set(old["vec_id"].astype(int)))]
+        new = pdf[pdf["level"].isna()].sort_values("vec_id")
+        # a batch carrying the same id twice would otherwise insert
+        # duplicate nodes — keep one row per id
+        new = new.drop_duplicates(subset=["vec_id"], keep="first")
+        old_ids = set(old["vec_id"].astype(int))
+        # stored vectors win: raw is built from the OLD rows plus only
+        # the rows actually inserted below, so a replayed batch carrying
+        # an existing id with a different vector can never swap the
+        # stored embedding out from under its graph wiring
+        raw = {int(r["vec_id"]): r["embedding"] for _, r in old.iterrows()}
         index = NumpyHNSW.from_rows(old, m=m, metric=metric)
         index.ef_construction = ef_construction
         index.rng = np.random.RandomState(seed + shard)
-        raw = {int(r["vec_id"]): r[vec_col] for _, r in pdf.iterrows()}
-        for _, r in new.sort_values("vec_id").iterrows():
-            index.add(int(r["vec_id"]), r[vec_col])
+        fresh = new[~new["vec_id"].isin(old_ids)]
+        dup = new[new["vec_id"].isin(old_ids)]
+        to_update: list[tuple[int, object]] = []
+        if len(dup) and on_conflict != "skip":
+            for _, r in dup.iterrows():
+                uid = int(r["vec_id"])
+                same = np.array_equal(
+                    np.asarray(raw[uid], dtype=np.float32),
+                    np.asarray(r["embedding"], dtype=np.float32),
+                )
+                if same:
+                    continue  # replayed no-op update
+                if on_conflict == "error":
+                    raise ValueError(
+                        f"hnsw_insert_shards: id {uid} already exists in "
+                        f"shard {shard} with a different vector "
+                        "(on_conflict='error')"
+                    )
+                to_update.append((uid, r["embedding"]))
+        if to_update:
+            index.remove_many([uid for uid, _ in to_update])
+        for _, r in fresh.iterrows():
+            raw[int(r["vec_id"])] = r["embedding"]
+            index.add(int(r["vec_id"]), r["embedding"])
+        for uid, vec in sorted(to_update, key=lambda t: t[0]):
+            raw[uid] = vec
+            index.add(uid, vec)
+        alive = [i for i in range(len(index.ids)) if i not in index.removed]
         return pd.DataFrame(
             {
                 "shard_id": shard,
-                "vec_id": index.ids,
-                "level": index.levels,
+                "vec_id": [index.ids[i] for i in alive],
+                "level": [index.levels[i] for i in alive],
                 "neighbors": [
-                    [[index.ids[n] for n in lvl] for lvl in node_nbrs]
-                    for node_nbrs in index.neighbors
+                    [[index.ids[n] for n in lvl] for lvl in index.neighbors[i]]
+                    for i in alive
                 ],
-                vec_col: [
-                    [float(x) for x in raw[int(uid)]] for uid in index.ids
+                "embedding": [
+                    [float(x) for x in raw[int(index.ids[i])]] for i in alive
                 ],
-                "is_entry": [i == index.entry for i in range(len(index.ids))],
+                "is_entry": [i == index.entry for i in alive],
             }
         )
 

@@ -258,6 +258,25 @@ GRAPH_SCHEMA = (
 )
 
 
+def _broadcast_queries(queries: DataFrame, query_id_col: str, query_vec_col: str):
+    """Ship the query batch to executors as ONE torrent broadcast of a
+    compact (ids ndarray, float64 matrix) pair, instead of
+    closure-capturing a Python list into every task (which reserializes
+    the whole set per task and holds it per-task in memory — the
+    driver-side bottleneck past ~1e5 queries).  Each executor holds one
+    shared copy; tasks read ``bc.value`` zero-copy.
+
+    The driver still materializes the batch once to build the broadcast
+    (mirroring the reference's user-supplied query vector,
+    hnsw.ts:241-250); for query sets too big for any single machine,
+    cogroup queries x shards instead."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    ids = np.array([r[query_id_col] for r in qrows])
+    mat = np.array([[float(x) for x in r[query_vec_col]] for r in qrows])
+    sc = queries.sparkSession.sparkContext
+    return sc.broadcast((ids, mat))
+
+
 def hnsw_build_shards(
     corpus: DataFrame,
     num_shards: int = 8,
@@ -474,8 +493,7 @@ def hnsw_query_shards(
     unconditional repartition — correct for any input layout."""
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    qset = [(r[query_id_col], [float(x) for x in r[query_vec_col]]) for r in qrows]
+    bc = _broadcast_queries(queries, query_id_col, query_vec_col)
 
     out_schema = f"{query_id_col} long, {id_col} long, score double"
     if not clustered:
@@ -488,10 +506,11 @@ def hnsw_query_shards(
         all_rows = pd.concat(parts, ignore_index=True)
         if len(all_rows) == 0:
             return
+        qids, qmat = bc.value
         for _, rows in all_rows.groupby("shard_id"):
             index = NumpyHNSW.from_rows(rows, m=m, metric=metric)
             out_q, out_i, out_s = [], [], []
-            for qid, qv in qset:
+            for qid, qv in zip(qids, qmat):
                 for s, uid in index.search(qv, k, ef=ef_search):
                     out_q.append(qid)
                     out_i.append(uid)
@@ -529,9 +548,7 @@ def hnsw_batch_topk(
     """
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    qids = [r[query_id_col] for r in qrows]
-    qmat = [list(map(float, r[query_vec_col])) for r in qrows]
+    bc = _broadcast_queries(queries, query_id_col, query_vec_col)
 
     if num_shards is not None:
         corpus = corpus.repartition(num_shards)
@@ -551,6 +568,7 @@ def hnsw_batch_topk(
         )
         for uid, v in zip(ids, vecs):
             index.add(uid, v)
+        qids, qmat = bc.value
         out_q, out_i, out_s = [], [], []
         for qid, qv in zip(qids, qmat):
             for s, uid in index.search(qv, k, ef=ef_search):

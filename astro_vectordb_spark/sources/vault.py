@@ -213,18 +213,27 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 
 
 def hnsw_append_to_index(
-    spark: SparkSession, path: str, new_rows: DataFrame, seed: int = 42
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    seed: int = 42,
+    on_conflict: str = "skip",
 ) -> list[int]:
     """Incremental insert into a PERSISTED sharded HNSW index — the
     reference's live ``addPoint`` (hnsw.ts:82-173) at storage level:
     only the shard partitions that received new vectors are rewritten
     (dynamic partition overwrite); every other shard keeps its files.
+    ``on_conflict="update"`` makes an arriving id that already exists
+    replace its vector in place (the reference's id-stable
+    ``updatePoint``, hnsw.ts:497-517, without a rebuild); see
+    ``hnsw_insert_shards`` for the full conflict contract.
     Returns the touched shard ids."""
     from astro_vectordb_spark.operators.hnsw import hnsw_insert_shards
 
     graph, meta = load_hnsw_index(spark, path)
     updated = hnsw_insert_shards(
-        graph, new_rows, m=meta["m"], metric=meta["metric"], seed=seed
+        graph, new_rows, m=meta["m"], metric=meta["metric"], seed=seed,
+        on_conflict=on_conflict,
     )
     # materialize before overwriting the path being read
     updated = updated.localCheckpoint(eager=True)

@@ -273,3 +273,155 @@ def test_hnsw_rebalance_splits_oversized_shards(spark, embeddings, tmp_path):
     )
     hits = hnsw_query_shards(g, queries, k=3, m=meta["m"])
     assert hits.collect()[0]["vec_id"] == 7
+
+
+def _single_shard_graph(spark, embeddings, n=200, ef=64):
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+
+    base = embeddings.filter(F.col("vec_id") < n).select("vec_id", "embedding")
+    return hnsw_build_shards(base, num_shards=1, ef_construction=ef)
+
+
+def test_hnsw_insert_conflict_skip_keeps_stored_vector(spark, embeddings):
+    """A replayed batch carrying an existing id with a DIFFERENT vector
+    must not swap the stored embedding (the duplicate-id last-wins bug:
+    graph wiring would go inconsistent with the vector)."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_insert_shards
+
+    graph = _single_shard_graph(spark, embeddings).localCheckpoint(eager=True)
+    stored = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in graph.select("vec_id", "embedding").collect()
+    }
+    dim = len(stored[0])
+    conflict = spark.createDataFrame(
+        [(7, [9.0] * dim), (1000, [1.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    out = hnsw_insert_shards(graph, conflict, metric="cosine")
+    rows = {int(r["vec_id"]): list(r["embedding"]) for r in out.collect()}
+    assert rows[7] == stored[7], "stored embedding was swapped on replay"
+    assert 1000 in rows  # the genuinely-new row was inserted
+    assert len(rows) == len(stored) + 1
+
+
+def test_hnsw_insert_conflict_update_replaces_vector(spark, embeddings):
+    """on_conflict='update' = the reference's id-stable updatePoint
+    (hnsw.ts:497-517): the node is unlinked and re-inserted with the new
+    vector, no rebuild; a query AT the new vector finds the id."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_insert_shards,
+        hnsw_query_shards,
+    )
+
+    graph = _single_shard_graph(spark, embeddings).localCheckpoint(eager=True)
+    dim = len(graph.first()["embedding"])
+    rng = np.random.RandomState(99)
+    newvec = [float(x) for x in rng.randn(dim)]
+    upd = spark.createDataFrame(
+        [(7, newvec)], "vec_id long, embedding array<float>"
+    )
+    out = hnsw_insert_shards(graph, upd, metric="cosine", on_conflict="update")
+    out = out.localCheckpoint(eager=True)
+    rows = {int(r["vec_id"]): list(r["embedding"]) for r in out.collect()}
+    assert len(rows) == graph.count()  # no duplicate node
+    assert np.allclose(rows[7], np.asarray(newvec, dtype=np.float32))
+    # query at the NEW vector: id 7 is the top hit
+    q = spark.createDataFrame(
+        [(0, newvec)], "query_id long, query_vec array<float>"
+    )
+    hits = hnsw_query_shards(out, q, k=3, ef_search=64).collect()
+    assert hits[0]["vec_id"] == 7 and hits[0]["score"] > 0.999
+
+
+def test_hnsw_insert_conflict_update_idempotent(spark, embeddings):
+    """Replaying the same update batch (identical vector) is a no-op:
+    same node count, same embedding."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_insert_shards
+
+    graph = _single_shard_graph(spark, embeddings).localCheckpoint(eager=True)
+    dim = len(graph.first()["embedding"])
+    newvec = [2.0] * dim
+    upd = spark.createDataFrame(
+        [(3, newvec)], "vec_id long, embedding array<float>"
+    )
+    once = hnsw_insert_shards(
+        graph, upd, metric="cosine", on_conflict="update"
+    ).localCheckpoint(eager=True)
+    twice = hnsw_insert_shards(
+        once, upd, metric="cosine", on_conflict="update"
+    ).localCheckpoint(eager=True)
+    assert twice.count() == graph.count()
+    r = {int(x["vec_id"]): list(x["embedding"]) for x in twice.collect()}
+    assert np.allclose(r[3], np.asarray(newvec, dtype=np.float32))
+
+
+def test_hnsw_insert_conflict_error_raises(spark, embeddings):
+    import pytest
+
+    from astro_vectordb_spark.operators.hnsw import hnsw_insert_shards
+
+    graph = _single_shard_graph(spark, embeddings).localCheckpoint(eager=True)
+    dim = len(graph.first()["embedding"])
+    conflict = spark.createDataFrame(
+        [(7, [9.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    out = hnsw_insert_shards(graph, conflict, metric="cosine", on_conflict="error")
+    with pytest.raises(Exception, match="already exists"):
+        out.count()
+
+
+def test_hnsw_insert_renamed_columns(spark, embeddings):
+    """id_col/vec_col naming of new_rows must be aliased to the graph
+    schema before the union (the non-default-column breakage)."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_insert_shards,
+        hnsw_query_shards,
+    )
+
+    graph = _single_shard_graph(spark, embeddings).localCheckpoint(eager=True)
+    new = (
+        embeddings.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("vec"),
+        )
+    )
+    out = hnsw_insert_shards(
+        graph, new, metric="cosine", id_col="doc_id", vec_col="vec"
+    ).localCheckpoint(eager=True)
+    assert out.count() == graph.count() + 20
+    probe = embeddings.filter(F.col("vec_id") == 205).first()
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in probe["embedding"]])],
+        "query_id long, query_vec array<float>",
+    )
+    hits = hnsw_query_shards(out, q, k=3, ef_search=64).collect()
+    assert hits[0]["vec_id"] == 205
+
+
+def test_hnsw_large_query_batch_broadcast(spark, embeddings):
+    """50k-query batch: the query set ships as ONE broadcast (not a
+    per-task closure), and every query gets its top-1 back."""
+    n_q = 50_000
+    dim = len(embeddings.first()["embedding"])
+    queries = spark.range(n_q).select(
+        F.col("id").alias("query_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id") * (i + 1)), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                ).cast("float")
+                for i in range(dim)
+            ]
+        ).alias("query_vec"),
+    )
+    corpus = embeddings.filter(F.col("vec_id") < 100).select(
+        "vec_id", "embedding"
+    )
+    hits = hnsw_batch_topk(
+        corpus, queries, k=1, ef_construction=32, ef_search=8, num_shards=1
+    )
+    assert hits.count() == n_q

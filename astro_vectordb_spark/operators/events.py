@@ -61,7 +61,11 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col("event_id").asc()
     )
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # unix_timestamp, not cast("long"): works on both TIMESTAMP and
+    # TIMESTAMP_NTZ (NTZ forbids the long cast), same epoch seconds
+    gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
+        F.unix_timestamp(F.col(ts_col))
+    ).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -86,8 +90,10 @@ def session_stats(
         s.groupBy(user_col, "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
-            .alias("span_sec"),
+            (
+                F.max(F.unix_timestamp(F.col(ts_col)))
+                - F.min(F.unix_timestamp(F.col(ts_col)))
+            ).alias("span_sec"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )

@@ -34,6 +34,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -46,9 +47,11 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as long nanos (legacy conf, settable at
-    runtime) and convert to a microsecond timestamp column.
+    ``events.ts`` has shipped under two physical types across testdata
+    generations: TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    unless read as long nanos (legacy conf) and converted, and plain
+    TIMESTAMP(MICROS), which reads natively.  Branch on the dtype Spark
+    actually read so both generations work.
     """
     from pyspark.sql import functions as F
 
@@ -56,7 +59,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos-as-long generation
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(path)

@@ -209,24 +209,29 @@ class NumpyHNSW:
         but the metric is supplied by the caller from index metadata
         instead of silently reset)."""
         idx = cls(dim=len(rows.iloc[0]["embedding"]), m=m, metric=metric)
-        id_to_local = {int(r): i for i, r in enumerate(rows["vec_id"])}
-        for _, r in rows.iterrows():
-            idx.vecs.append(idx._prep(r["embedding"]))
-            idx.ids.append(int(r["vec_id"]))
-            idx.levels.append(int(r["level"]))
-            try:
-                idx.neighbors.append(
-                    [[id_to_local[int(n)] for n in lvl] for lvl in r["neighbors"]]
-                )
-            except KeyError as e:
-                raise ValueError(
-                    "graph rows reference a vec_id not present in this "
-                    f"batch ({e}) — a shard was split across input "
-                    "partitions; reload with clustered=False"
-                ) from e
-            if bool(r["is_entry"]):
-                idx.entry = len(idx.vecs) - 1
-                idx.max_level = int(r["level"])
+        ids = [int(v) for v in rows["vec_id"].tolist()]
+        id_to_local = {v: i for i, v in enumerate(ids)}
+        # column-at-a-time lists, not iterrows: adjacency load is the
+        # serve path's constant factor (a 250k-row shard loads per query
+        # task), and iterrows is ~100x slower than list iteration
+        idx.ids = ids
+        idx.vecs = [idx._prep(v) for v in rows["embedding"].tolist()]
+        idx.levels = [int(lv) for lv in rows["level"].tolist()]
+        try:
+            idx.neighbors = [
+                [[id_to_local[int(n)] for n in lvl] for lvl in node_nbrs]
+                for node_nbrs in rows["neighbors"].tolist()
+            ]
+        except KeyError as e:
+            raise ValueError(
+                "graph rows reference a vec_id not present in this "
+                f"batch ({e}) — a shard was split across input "
+                "partitions; reload with clustered=False"
+            ) from e
+        for i, flag in enumerate(rows["is_entry"].tolist()):
+            if bool(flag):
+                idx.entry = i
+                idx.max_level = idx.levels[i]
         return idx
 
 
@@ -418,7 +423,9 @@ def hnsw_insert_shards(
         # the rows actually inserted below, so a replayed batch carrying
         # an existing id with a different vector can never swap the
         # stored embedding out from under its graph wiring
-        raw = {int(r["vec_id"]): r["embedding"] for _, r in old.iterrows()}
+        raw = dict(
+            zip((int(v) for v in old["vec_id"].tolist()), old["embedding"].tolist())
+        )
         index = NumpyHNSW.from_rows(old, m=m, metric=metric)
         index.ef_construction = ef_construction
         index.rng = np.random.RandomState(seed + shard)
@@ -426,11 +433,11 @@ def hnsw_insert_shards(
         dup = new[new["vec_id"].isin(old_ids)]
         to_update: list[tuple[int, object]] = []
         if len(dup) and on_conflict != "skip":
-            for _, r in dup.iterrows():
-                uid = int(r["vec_id"])
+            for uid, vec in zip(dup["vec_id"].tolist(), dup["embedding"].tolist()):
+                uid = int(uid)
                 same = np.array_equal(
                     np.asarray(raw[uid], dtype=np.float32),
-                    np.asarray(r["embedding"], dtype=np.float32),
+                    np.asarray(vec, dtype=np.float32),
                 )
                 if same:
                     continue  # replayed no-op update
@@ -440,12 +447,12 @@ def hnsw_insert_shards(
                         f"shard {shard} with a different vector "
                         "(on_conflict='error')"
                     )
-                to_update.append((uid, r["embedding"]))
+                to_update.append((uid, vec))
         if to_update:
             index.remove_many([uid for uid, _ in to_update])
-        for _, r in fresh.iterrows():
-            raw[int(r["vec_id"])] = r["embedding"]
-            index.add(int(r["vec_id"]), r["embedding"])
+        for uid, vec in zip(fresh["vec_id"].tolist(), fresh["embedding"].tolist()):
+            raw[int(uid)] = vec
+            index.add(int(uid), vec)
         for uid, vec in sorted(to_update, key=lambda t: t[0]):
             raw[uid] = vec
             index.add(uid, vec)

@@ -7,21 +7,138 @@ per column).
 Percentile modes:
 - ``approx`` (default): ``approx_percentile`` (Greenwald-Khanna sketch)
   with a configurable ``accuracy``; the aggregation buffer is bounded
-  by O(accuracy) PER COLUMN regardless of row count — the only shape
-  that survives 100 TB.  Rank error is at most 1/accuracy of the rows
-  (accuracy=10000 -> within 0.01% of the true rank).
-- ``exact``: ``F.percentile`` (interpolated), bit-reproducible by the
-  DuckDB oracle's ``quantile_cont`` — but it buffers EVERY value of
-  every profiled column in one aggregation buffer, so it is for
-  oracle-checked small-sf runs only.
+  by O(accuracy) PER COLUMN regardless of row count.  Rank error is at
+  most 1/accuracy of the rows (accuracy=10000 -> within 0.01% of the
+  true rank).
+- ``rank``: EXACT interpolated percentiles with no per-group value
+  buffering — value histogram (one map-side-combining shuffle) ->
+  range-partitioned prefix sums with broadcast partition offsets ->
+  rank straddle lookup + linear interpolation.  Memory per task is
+  bounded by distinct values per partition, so exactness survives
+  100 TB; bit-matches the DuckDB oracle's ``quantile_cont`` (same
+  ``(n-1)*p`` rank arithmetic, same ``lo + (hi-lo)*frac`` double
+  interpolation).
+- ``exact``: ``F.percentile`` (interpolated) — buffers EVERY value of
+  every profiled column in ONE aggregation buffer.  Kept as the
+  semantic twin for tests; ``rank`` replaces it everywhere that runs
+  at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STAT_DECIMALS = 6
+
+
+def exact_percentiles_rank(
+    df: DataFrame, cols: list[str], ps: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles (``quantile_cont`` semantics) for
+    several columns in one distributed plan, returned long-format as
+    (column, p, value).
+
+    Shape (all stages bounded-memory at any scale):
+      1. unpivot columns to (column, v) pairs, drop nulls;
+      2. histogram: groupBy(column, v) count — map-side combine makes
+         shuffle volume O(distinct values), not O(rows);
+      3. global per-column running rank WITHOUT a single-partition
+         window: range-repartition by (column, v), per-partition
+         subtotals to the driver (one tiny row per partition x column),
+         prefix offsets broadcast back, in-partition cumulative sum;
+      4. the two ranks straddling ``t = (n-1)*p`` are joined
+         (broadcast — |cols| x |ps| rows) and interpolated.
+    """
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .where(F.col("v").isNotNull())
+    )
+    hist = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    # pin the partition ids: the same physical partitioning must feed
+    # both the subtotal collect and the cumulative pass — persist() so
+    # the cumulative pass reuses the exact cached partitions the
+    # subtotal collect materialized (cheaper than an eager checkpoint:
+    # no extra write job)
+    hist = (
+        hist.repartitionByRange("column", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = (
+        hist.groupBy("pid", "column").agg(F.sum("cnt").alias("sub")).collect()
+    )
+    totals: dict[str, int] = {}
+    offsets: list[tuple[int, str, int]] = []
+    for r in sorted(subtotals, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], r["column"], totals.get(r["column"], 0)))
+        totals[r["column"]] = totals.get(r["column"], 0) + r["sub"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "pid int, column string, off long")
+    w = (
+        Window.partitionBy("pid", "column")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.withColumn("cum_local", F.sum("cnt").over(w)).join(
+        F.broadcast(off_df), ["pid", "column"]
+    )
+    ranked = ranked.withColumn("cum", F.col("cum_local") + F.col("off"))
+
+    # rank targets: quantile_cont's t = (n-1)*p, 1-based straddle ranks
+    targets = []
+    for c in cols:
+        n = totals.get(c, 0)
+        if n == 0:
+            continue
+        for p in ps:
+            t = (n - 1) * p
+            lo = int(t)
+            frac = t - lo
+            targets.append((c, float(p), lo + 1, lo + 2 if frac > 0 else lo + 1, frac))
+    t_df = spark.createDataFrame(
+        targets, "column string, p double, lo_rank long, hi_rank long, frac double"
+    )
+    cand = ranked.join(F.broadcast(t_df), "column").where(
+        (
+            (F.col("cum") >= F.col("lo_rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("lo_rank"))
+        )
+        | (
+            (F.col("cum") >= F.col("hi_rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("hi_rank"))
+        )
+    )
+    covers = lambda rank: (F.col("cum") >= rank) & (  # noqa: E731
+        F.col("cum") - F.col("cnt") < rank
+    )
+    return (
+        cand.groupBy("column", "p", "frac")
+        .agg(
+            F.max(F.when(covers(F.col("lo_rank")), F.col("v"))).alias("v_lo"),
+            F.max(F.when(covers(F.col("hi_rank")), F.col("v"))).alias("v_hi"),
+        )
+        .select(
+            "column",
+            "p",
+            (
+                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
+            ).alias("value"),
+        )
+    )
 
 
 def profile_numeric(
@@ -34,8 +151,29 @@ def profile_numeric(
     min / max / mean / p50 / p90.
 
     ``percentiles='approx'`` (default, scale-safe sketch; rank error
-    <= rows/accuracy) or ``'exact'`` (full-buffer interpolated — small
-    tables / oracle parity only)."""
+    <= rows/accuracy), ``'rank'`` (EXACT via distributed rank
+    arithmetic — scale-safe AND quantile_cont-bit-parity), or
+    ``'exact'`` (full-buffer interpolated — small tables only)."""
+    if percentiles == "rank":
+        base = profile_numeric(df, cols, percentiles="approx", accuracy=accuracy)
+        pcts = exact_percentiles_rank(df, cols, [0.5, 0.9])
+        pivoted = (
+            pcts.groupBy("column")
+            .pivot("p", [0.5, 0.9])
+            .agg(F.first("value"))
+            .select(
+                "column",
+                F.round(F.col("`0.5`"), STAT_DECIMALS).alias("p50"),
+                F.round(F.col("`0.9`"), STAT_DECIMALS).alias("p90"),
+            )
+        )
+        return (
+            base.drop("p50", "p90")
+            .join(F.broadcast(pivoted), "column")
+            .select(
+                "column", "n", "n_null", "min_v", "max_v", "mean_v", "p50", "p90"
+            )
+        )
     if percentiles == "exact":
         def pct(c, p):
             return F.percentile(F.col(c), F.lit(p))
@@ -45,7 +183,9 @@ def profile_numeric(
                 F.col(c).cast("double"), F.lit(p), F.lit(accuracy)
             )
     else:
-        raise ValueError(f"percentiles must be 'approx' or 'exact', got {percentiles!r}")
+        raise ValueError(
+            f"percentiles must be 'approx', 'rank' or 'exact', got {percentiles!r}"
+        )
     aggs = []
     for c in cols:
         aggs.append(

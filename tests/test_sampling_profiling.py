@@ -85,3 +85,40 @@ def test_profile_numeric_approx_within_tolerance(spark, sf_dir):
         hi = vals[min(n - 1, int(p * n) + rank_err + 1)]
         got = prof["l_extendedprice"][key]
         assert lo - 1e-6 <= got <= hi + 1e-6, (key, got, lo, hi)
+
+
+def test_rank_percentiles_match_exact(spark, sf_dir):
+    """The distributed rank-based percentile path must agree with the
+    full-buffer F.percentile path to the last rounded digit — that
+    equivalence is what lets the scale-safe plan share the
+    quantile_cont oracle."""
+    from astro_vectordb_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    by_rank = {
+        r["column"]: (r["p50"], r["p90"])
+        for r in profile_numeric(li, cols, percentiles="rank").collect()
+    }
+    by_exact = {
+        r["column"]: (r["p50"], r["p90"])
+        for r in profile_numeric(li, cols, percentiles="exact").collect()
+    }
+    assert by_rank == by_exact
+
+
+def test_rank_percentiles_with_nulls_and_single_value(spark):
+    """Nulls are excluded from rank math (quantile semantics); a
+    single-value column interpolates to itself."""
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, None), (3.0, 5.0), (None, 5.0), (10.0, None)],
+        "a double, b double",
+    )
+    out = {
+        r["column"]: r
+        for r in profile_numeric(df, ["a", "b"], percentiles="rank").collect()
+    }
+    # a: values [1,2,3,10]; p50 -> t=1.5 -> 2 + 0.5*(3-2) = 2.5
+    assert out["a"]["p50"] == 2.5
+    assert out["a"]["n_null"] == 1
+    assert out["b"]["p50"] == 5.0 and out["b"]["p90"] == 5.0

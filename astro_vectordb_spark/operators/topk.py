@@ -215,7 +215,7 @@ def similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
-    max_broadcast_rows: int = 1_000_000,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with similarity > threshold.
 
@@ -225,13 +225,16 @@ def similarity_join(
     with its default RP-LSH blocking) and reuses the same scoring
     expression.
 
-    The probe side (``right``, or the self-copy) is broadcast ONLY when
-    it holds at most ``max_broadcast_rows`` rows — one count() action,
-    always worth it before shipping a frame to every executor.  Above
-    the cap the hint is dropped (Catalyst/AQE picks the strategy) and a
-    RuntimeWarning points at the blocked path, because an exact
-    all-pairs join over two large sides is quadratic no matter the
-    physical plan.
+    ``max_broadcast_rows=None`` (default) keeps the call FULLY LAZY:
+    the probe side gets a broadcast hint unconditionally (the caller
+    asserts it fits executor memory — the reference's user-supplied
+    probe shape), and nothing executes until an action runs.  Passing
+    an int cap opts into a size guard: a bounded ``limit(cap+1)``
+    count probe (short-circuits after cap+1 rows, never the full plan)
+    decides whether to hint; above the cap the hint is dropped
+    (Catalyst/AQE picks the strategy) and a RuntimeWarning points at
+    the blocked path, because an exact all-pairs join over two large
+    sides is quadratic no matter the physical plan.
     """
     self_join = right is None
     right = left if right is None else right
@@ -241,7 +244,10 @@ def similarity_join(
     b = right.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
     )
-    if b.count() <= max_broadcast_rows:
+    if (
+        max_broadcast_rows is None
+        or b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+    ):
         b = F.broadcast(b)
     else:
         import warnings

@@ -378,3 +378,16 @@ def test_similarity_join_no_broadcast_above_cap(spark, embeddings):
     a = sorted((r["a_id"], r["b_id"]) for r in guarded.collect())
     b = sorted((r["a_id"], r["b_id"]) for r in normal.collect())
     assert a == b
+
+
+def test_similarity_join_is_lazy_by_default(spark, embeddings):
+    """Default call must not run ANY job (the guard used to eager-count
+    the probe side on every call, executing the plan twice)."""
+    from astro_vectordb_spark.operators.topk import similarity_join
+
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup())
+    df = similarity_join(embeddings.limit(50), threshold=0.3)
+    assert len(st.getJobIdsForGroup()) == before, "call ran a job"
+    assert df.count() > 0
+    assert len(st.getJobIdsForGroup()) > before

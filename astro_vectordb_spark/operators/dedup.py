@@ -540,7 +540,23 @@ def simhash_pairs_sql_safe(
 
     Same shape as simhash_pairs: explode distinct tokens once, 31
     partial-SUM bit votes, chunk-bucket join, popcount verify.
-    4 chunks cover hamming <= 3 with recall exactly 1.0."""
+    4 chunks cover hamming <= 3 with recall exactly 1.0.
+
+    DISCRIMINATION GAP vs the native (xxhash64, 64-bit) variant — this
+    is intentional and load-bearing, do not "align" the two: at the
+    same nominal ``max_hamming=3``, the SQL-safe signature emits ~9x
+    more pairs than the native one (e.g. 10,700 vs 1,176 on the
+    sf0.001 documents corpus).  Two compounding causes: (a) a 31-bit
+    signature leaves a far coarser space — matching within hamming 3
+    of 31 bits is a much weaker statement than 3 of 64; (b) the
+    char-polynomial token hash has correlated low-order bits (last
+    characters dominate), so unrelated tokens vote the same way on
+    more bits than a well-mixed hash would.  The native variant is the
+    production path; the SQL-safe twin exists so the PLAN SHAPE
+    (explode -> bit votes -> pigeonhole chunk join -> verify) is
+    hash-oracled end-to-end.  ``tests/test_dedup.py::
+    test_simhash_family_discrimination_gap`` pins the ratio band so a
+    silent hash-family regression in either variant fails loudly."""
     from astro_vectordb_spark.functions.text import tokens
 
     ex = df.select(

@@ -391,3 +391,25 @@ def test_similarity_join_is_lazy_by_default(spark, embeddings):
     assert len(st.getJobIdsForGroup()) == before, "call ran a job"
     assert df.count() > 0
     assert len(st.getJobIdsForGroup()) > before
+
+
+def test_simhash_family_discrimination_gap(spark, documents):
+    """The native 64-bit xxhash simhash is ~an order of magnitude more
+    discriminating than the 31-bit SQL-safe twin at the same nominal
+    max_hamming (see simhash_pairs_sql_safe docstring).  Pin the ratio
+    band: a silent hash-family change in either variant (wider/narrower
+    signature, different token hash) shifts it drastically."""
+    from astro_vectordb_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_sql_safe,
+    )
+
+    n_native = simhash_pairs(documents, max_hamming=3).count()
+    n_sql = simhash_pairs_sql_safe(documents, max_hamming=3).count()
+    assert n_native > 0 and n_sql > 0
+    ratio = n_sql / n_native
+    assert 3 < ratio < 30, (
+        f"simhash family discrimination gap moved: native={n_native} "
+        f"sql_safe={n_sql} ratio={ratio:.1f} (expected ~9x; did a hash "
+        "family silently change?)"
+    )

@@ -528,6 +528,51 @@ def _q_profile_lineitem(spark, sf_dir):
     )
 
 
+def _q_read_your_writes(spark, sf_dir):
+    """The reference's read path against queued writes
+    (driver/driver.ts:290-312): a search issued after mutations must
+    observe every batch already applied through the FIFO queue.
+    Composes the real lifecycle end-to-end: versioned base commit ->
+    two write batches applied one-at-a-time through the SAME code path
+    the streaming sink runs per micro-batch (apply_upsert_batch:
+    read_current -> keep-latest merge -> atomic manifest-swap commit)
+    -> read_current -> exact top-K at a batch-2-updated vector.  The
+    query vector is the UPDATED embedding of id 12, so the top hit
+    (score 1.0) exists only if the read observed the write."""
+    import os
+    import tempfile
+
+    from astro_vectordb_spark.sources.versioned import (
+        commit_version,
+        read_current,
+    )
+    from astro_vectordb_spark.streaming.upsert import apply_upsert_batch
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    table = os.path.join(tempfile.mkdtemp(prefix="astro_ryw_"), "table")
+    commit_version(emb.filter(F.col("vec_id") >= 10), table, 0)
+    # batch 1: brand-new ids (inserts)
+    apply_upsert_batch(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        ),
+        table,
+        1,
+    )
+    # batch 2: in-place vector updates (negated embeddings)
+    apply_upsert_batch(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        ),
+        table,
+        2,
+    )
+    qv = [-float(x) for x in _qvec(spark, sf_dir, 12)]
+    return topk_search(read_current(spark, table), qv, k=10, strength=20).select(
+        "vec_id", "score"
+    )
+
+
 def _q_embed_then_search(spark, sf_dir):
     # pipeline composition: embed documents (stub encoder) -> exact
     # top-K over the embedded corpus; the stub's hash math is
@@ -699,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": _q_split_counts,
         "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
+        "read_your_writes": _q_read_your_writes,
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
@@ -1402,6 +1448,27 @@ SELECT doc_id,
        round(list_reduce(list_transform(e, x -> x::DOUBLE),
                          (acc, x) -> acc + x), 6) + 0.0 AS el_sum
 FROM emb
+""",
+        "read_your_writes": f"""
+WITH merged AS (
+  SELECT vec_id,
+         CASE WHEN vec_id BETWEEN 10 AND 19
+              THEN list_transform(embedding, x -> (-x)::FLOAT)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id >= 10
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 10
+),
+q AS (SELECT list_transform(embedding, x -> (-x)::FLOAT) AS qv
+      FROM embeddings WHERE vec_id = 12),
+scored AS (
+  SELECT e.vec_id, {_cos("e.embedding", "qv")} AS s
+  FROM merged e CROSS JOIN q
+)
+SELECT vec_id, round(s, 6) AS score
+FROM scored WHERE s > 0.2
+ORDER BY s DESC, vec_id LIMIT 10
 """,
         "embed_then_search": f"""
 WITH {_embed_cte()},

@@ -32,6 +32,27 @@ from astro_vectordb_spark.operators.crud import sync_merge, upsert_latest
 from astro_vectordb_spark.sources.versioned import commit_version, read_current
 
 
+def apply_upsert_batch(
+    batch_df: DataFrame,
+    target_path: str,
+    batch_id: int,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Apply ONE write batch to the versioned table — the body of the
+    reference's FIFO mutation loop (driver/driver.ts:25-80): read the
+    live snapshot, merge the batch, commit a new version atomically.
+    ``foreach_batch_upsert`` runs exactly this per micro-batch; callers
+    composing batch-mode pipelines (read-your-writes checks, backfills)
+    apply writes through the same code path."""
+    spark = batch_df.sparkSession
+    current = read_current(spark, target_path)
+    if current is None:
+        current = spark.createDataFrame([], batch_df.schema)
+    fn = merge_fn or (lambda cur, b: upsert_latest(cur, b, id_col=id_col))
+    commit_version(fn(current, batch_df), target_path, int(batch_id))
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame,
     target_path: str,
@@ -46,14 +67,11 @@ def foreach_batch_upsert(
       current = read_current(target);  merged = merge_fn(current, B);
       commit_version(merged) -> atomic pointer swap.
     """
-    spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        current = read_current(spark, target_path)
-        if current is None:
-            current = spark.createDataFrame([], batch_df.schema)
-        fn = merge_fn or (lambda cur, b: upsert_latest(cur, b, id_col=id_col))
-        commit_version(fn(current, batch_df), target_path, int(batch_id))
+        apply_upsert_batch(
+            batch_df, target_path, batch_id, merge_fn=merge_fn, id_col=id_col
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -190,7 +190,9 @@ def _q_embedding_near_dup_blocked(spark, sf_dir):
     # plane literals come from the same _rp_plane function).
     from astro_vectordb_spark.operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4, dim=64)
+    return embedding_near_dups(
+        _emb(spark, sf_dir), threshold=0.4, dim=64, method="blocked"
+    )
 
 
 def _q_embedding_dedup_groups(spark, sf_dir):
@@ -204,7 +206,7 @@ def _q_embedding_dedup_groups(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    pairs = embedding_near_dups(emb, threshold=0.4, dim=64)
+    pairs = embedding_near_dups(emb, threshold=0.4, dim=64, method="blocked")
     return dedup_groups(emb, pairs, id_col="vec_id").select("vec_id")
 
 

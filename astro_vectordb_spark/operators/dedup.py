@@ -800,12 +800,15 @@ def rp_block_pairs(
     )
 
 
+_WARNED_BLOCKED_DEFAULT = False
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "blocked",
+    method: str | None = None,
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
@@ -814,13 +817,33 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score > threshold).
 
-    ``method='blocked'`` (default) runs the RP-LSH blocked pipeline —
-    no cross join, no corpus broadcast, the only 100 TB-safe shape.
+    ``method='blocked'`` (the default) runs the RP-LSH blocked pipeline
+    — no cross join, no corpus broadcast, the only 100 TB-safe shape.
     NOTE the blocked default is APPROXIMATE: pair recall follows
     ``1 - (1 - (1 - theta/pi)^n_planes)^n_tables`` (~0.94 at cosine
     0.9 with the defaults) — callers needing the complete pair set on
     small frames must pass ``method='exact'``, the O(n^2)
-    similarity_join baseline used by the recall oracles."""
+    similarity_join baseline used by the recall oracles.  Relying on
+    the default (``method=None``) emits a one-time RuntimeWarning
+    stating the recall contract, since the default changed from exact
+    to blocked; pass either method explicitly to silence it."""
+    if method is None:
+        global _WARNED_BLOCKED_DEFAULT
+        if not _WARNED_BLOCKED_DEFAULT:
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dups defaults to the APPROXIMATE "
+                "RP-LSH blocked path (~0.94 pair recall at cosine 0.9 "
+                "with the default 8 planes / 8 tables; exact recall "
+                "formula in the docstring). Pass method='blocked' to "
+                "accept, or method='exact' for the complete O(n^2) "
+                "pair set on small frames. This notice prints once.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _WARNED_BLOCKED_DEFAULT = True
+        method = "blocked"
     if method == "exact":
         return similarity_join(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col

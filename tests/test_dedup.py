@@ -413,3 +413,24 @@ def test_simhash_family_discrimination_gap(spark, documents):
         f"sql_safe={n_sql} ratio={ratio:.1f} (expected ~9x; did a hash "
         "family silently change?)"
     )
+
+
+def test_embedding_near_dups_default_warns_once(spark, embeddings):
+    """Relying on the approximate blocked default emits a one-time
+    RuntimeWarning; explicit method= is silent."""
+    import warnings
+
+    from astro_vectordb_spark.operators import dedup
+
+    small = embeddings.limit(20)
+    dedup._WARNED_BLOCKED_DEFAULT = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dups(small, threshold=0.5, dim=64)
+        dedup.embedding_near_dups(small, threshold=0.5, dim=64)
+        notices = [x for x in w if "APPROXIMATE" in str(x.message)]
+    assert len(notices) == 1
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dups(small, threshold=0.5, dim=64, method="blocked")
+        assert not [x for x in w if "APPROXIMATE" in str(x.message)]

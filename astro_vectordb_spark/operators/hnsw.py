@@ -532,6 +532,74 @@ def hnsw_query_shards(
     )
 
 
+def hnsw_query_shards_cogrouped(
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 16,
+    ef_search: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve a query batch from persisted graph rows WITHOUT any
+    driver-side materialization of the queries — the very-large-|Q|
+    path (``hnsw_query_shards`` broadcasts the query set, which needs
+    it collected on the driver first; past ~1e6 queries that single
+    machine is the bottleneck).
+
+    Shape: queries are replicated once per shard (a |Q| x num_shards
+    row shuffle — data-parallel, no single-machine copy), then
+    cogrouped with the graph on shard_id: each task gets one shard's
+    adjacency plus that shard's full query slice, builds the in-memory
+    graph once, answers its slice.  Global merge is the usual salted
+    rank.  Replication cost beats broadcast exactly when the query set
+    outgrows executor memory; below that, prefer
+    ``hnsw_query_shards``."""
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    # tiny control-plane read (one int per shard), same as
+    # hnsw_insert_shards — also breaks the graph/shard_ids self-join
+    # lineage that would make the cogroup's shard_id ambiguous
+    shard_ids = sorted(
+        r["shard_id"] for r in graph.select("shard_id").distinct().collect()
+    )
+    q_rep = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(
+            graph.sparkSession.createDataFrame(
+                [(int(s),) for s in shard_ids], "shard_id int"
+            )
+        )
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def _serve(gpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(gpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "score": []}
+            ).astype({query_id_col: "int64", id_col: "int64", "score": "float64"})
+        index = NumpyHNSW.from_rows(gpdf, m=m, metric=metric)
+        out_q, out_i, out_s = [], [], []
+        for qid, qv in zip(
+            qpdf[query_id_col].tolist(), qpdf[query_vec_col].tolist()
+        ):
+            for s, uid in index.search(qv, k, ef=ef_search):
+                out_q.append(qid)
+                out_i.append(uid)
+                out_s.append(round(s, 6))
+        return pd.DataFrame({query_id_col: out_q, id_col: out_i, "score": out_s})
+
+    hits = (
+        graph.groupBy("shard_id")
+        .cogroup(q_rep.groupBy("shard_id"))
+        .applyInPandas(lambda left, right: _serve(left, right), out_schema)
+    )
+    return rank_topk_per_query(
+        hits, k, id_col=id_col, query_id_col=query_id_col, num_salts=1
+    )
+
+
 def hnsw_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -425,3 +425,25 @@ def test_hnsw_large_query_batch_broadcast(spark, embeddings):
         corpus, queries, k=1, ef_construction=32, ef_search=8, num_shards=1
     )
     assert hits.count() == n_q
+
+
+def test_hnsw_cogrouped_matches_broadcast_path(spark, embeddings):
+    """The no-driver-materialization cogroup serve path returns the
+    same hits as the broadcast path on the same persisted graph."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+        hnsw_query_shards_cogrouped,
+    )
+
+    graph = hnsw_build_shards(
+        embeddings, num_shards=4, ef_construction=100
+    ).localCheckpoint(eager=True)
+    queries = embeddings.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = hnsw_query_shards(graph, queries, k=10, ef_search=100)
+    b = hnsw_query_shards_cogrouped(graph, queries, k=10, ef_search=100)
+    ra = sorted((r["query_id"], r["vec_id"]) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"]) for r in b.collect())
+    assert ra == rb

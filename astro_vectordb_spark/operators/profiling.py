@@ -33,7 +33,7 @@ STAT_DECIMALS = 6
 
 
 def exact_percentiles_rank(
-    df: DataFrame, cols: list[str], ps: list[float]
+    df: DataFrame, cols: list[str], ps: list[float], num_bins: int | None = None
 ) -> DataFrame:
     """Exact interpolated percentiles (``quantile_cont`` semantics) for
     several columns in one distributed plan, returned long-format as
@@ -44,12 +44,25 @@ def exact_percentiles_rank(
       2. histogram: groupBy(column, v) count — map-side combine makes
          shuffle volume O(distinct values), not O(rows);
       3. global per-column running rank WITHOUT a single-partition
-         window: range-repartition by (column, v), per-partition
-         subtotals to the driver (one tiny row per partition x column),
-         prefix offsets broadcast back, in-partition cumulative sum;
+         window OR a range-exchange sampling pass: each value maps to a
+         deterministic equi-width bin (a pure monotone function of v
+         given the column's min/max — no spark_partition_id pinning,
+         no repartitionByRange double-compute), bin subtotals come to
+         the driver (|cols| x num_bins tiny rows), prefix offsets go
+         back as a broadcast, and the cumulative sum runs per
+         (column, bin) window;
       4. the two ranks straddling ``t = (n-1)*p`` are joined
          (broadcast — |cols| x |ps| rows) and interpolated.
+
+    ``num_bins`` bounds per-window rows at ~distinct/num_bins per
+    column (default: spark.sql.shuffle.partitions).  Equi-width bins
+    can skew if a column's distinct values concentrate in a narrow
+    slice of its range — raise num_bins for such columns; correctness
+    never depends on balance, only parallelism does.
     """
+    spark = df.sparkSession
+    if num_bins is None:
+        num_bins = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
         df.select(
             F.explode(
@@ -67,34 +80,52 @@ def exact_percentiles_rank(
         .select("s.*")
         .where(F.col("v").isNotNull())
     )
-    hist = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    # pin the partition ids: the same physical partitioning must feed
-    # both the subtotal collect and the cumulative pass — persist() so
-    # the cumulative pass reuses the exact cached partitions the
-    # subtotal collect materialized (cheaper than an eager checkpoint:
-    # no extra write job)
+    # histogram, referenced by three consumers (stats collect, bin
+    # subtotal collect, final cumulative pass) — persist so it computes
+    # once; the first collect materializes it
     hist = (
-        hist.repartitionByRange("column", "v")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+        pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
-    subtotals = (
-        hist.groupBy("pid", "column").agg(F.sum("cnt").alias("sub")).collect()
+    stats = {
+        r["column"]: (r["lo"], r["hi"], r["n"])
+        for r in hist.groupBy("column")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n"),
+        )
+        .collect()
+    }
+    totals = {c: int(s[2]) for c, s in stats.items()}
+    # deterministic monotone bin: floor((v - lo) / (hi - lo) * B),
+    # clamped to [0, B-1]; degenerate (lo == hi) columns collapse to 0
+    bin_expr = F.lit(0)
+    for c, (lo, hi, _) in stats.items():
+        width = (hi - lo) or 1.0
+        bin_expr = F.when(
+            F.col("column") == c,
+            F.least(
+                F.lit(num_bins - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * num_bins),
+            ).cast("int"),
+        ).otherwise(bin_expr)
+    hist = hist.withColumn("bin", bin_expr)
+    sub_rows = (
+        hist.groupBy("column", "bin").agg(F.sum("cnt").alias("sub")).collect()
     )
-    totals: dict[str, int] = {}
-    offsets: list[tuple[int, str, int]] = []
-    for r in sorted(subtotals, key=lambda r: r["pid"]):
-        offsets.append((r["pid"], r["column"], totals.get(r["column"], 0)))
-        totals[r["column"]] = totals.get(r["column"], 0) + r["sub"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "pid int, column string, off long")
+    run: dict[str, int] = {}
+    offsets: list[tuple[str, int, int]] = []
+    for r in sorted(sub_rows, key=lambda r: (r["column"], r["bin"])):
+        offsets.append((r["column"], r["bin"], run.get(r["column"], 0)))
+        run[r["column"]] = run.get(r["column"], 0) + r["sub"]
+    off_df = spark.createDataFrame(offsets, "column string, bin int, off long")
     w = (
-        Window.partitionBy("pid", "column")
+        Window.partitionBy("column", "bin")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = hist.withColumn("cum_local", F.sum("cnt").over(w)).join(
-        F.broadcast(off_df), ["pid", "column"]
+        F.broadcast(off_df), ["column", "bin"]
     )
     ranked = ranked.withColumn("cum", F.col("cum_local") + F.col("off"))
 
@@ -141,6 +172,27 @@ def exact_percentiles_rank(
     )
 
 
+def _profile_base(df: DataFrame, cols: list[str]) -> DataFrame:
+    """count / nulls / min / max / mean for several columns in ONE
+    map-side-combining aggregation — no percentile columns."""
+    aggs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.count(F.col(c)).alias("n"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            F.round(F.min(F.col(c)).cast("double"), STAT_DECIMALS).alias("min_v"),
+            F.round(F.max(F.col(c)).cast("double"), STAT_DECIMALS).alias("max_v"),
+            F.round(F.avg(F.col(c)), STAT_DECIMALS).alias("mean_v"),
+        ).alias(f"_s_{c}")
+        for c in cols
+    ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(F.array(*[F.col(f"_s_{c}") for c in cols])).alias("s")
+    )
+    return stacked.select("s.*")
+
+
 def profile_numeric(
     df: DataFrame,
     cols: list[str],
@@ -155,7 +207,9 @@ def profile_numeric(
     arithmetic — scale-safe AND quantile_cont-bit-parity), or
     ``'exact'`` (full-buffer interpolated — small tables only)."""
     if percentiles == "rank":
-        base = profile_numeric(df, cols, percentiles="approx", accuracy=accuracy)
+        # base aggregates WITHOUT any percentile column — the sketch
+        # would be computed only to be dropped below
+        base = _profile_base(df, cols)
         pcts = exact_percentiles_rank(df, cols, [0.5, 0.9])
         pivoted = (
             pcts.groupBy("column")
@@ -167,12 +221,8 @@ def profile_numeric(
                 F.round(F.col("`0.9`"), STAT_DECIMALS).alias("p90"),
             )
         )
-        return (
-            base.drop("p50", "p90")
-            .join(F.broadcast(pivoted), "column")
-            .select(
-                "column", "n", "n_null", "min_v", "max_v", "mean_v", "p50", "p90"
-            )
+        return base.join(F.broadcast(pivoted), "column").select(
+            "column", "n", "n_null", "min_v", "max_v", "mean_v", "p50", "p90"
         )
     if percentiles == "exact":
         def pct(c, p):

@@ -50,6 +50,20 @@ def main() -> None:
     entrymod.hnsw_index_path(spark, sf_dir)
     entrymod.ivf_index_path(spark, sf_dir)
 
+    # JIT warm-up: run every query once at the smallest SF so each
+    # plan's generated classes compile OUTSIDE the timed section.
+    # First-in-session execution of a large generated class (64-hash
+    # minhash signatures, multi-agg profiles) costs 3-4x steady state;
+    # without this, one arbitrary query per run eats a multi-second
+    # JIT spike and totals swing run-to-run.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_sf):
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001
+                pass
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -197,6 +211,21 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
         hnsw_rec = [
             len(hh.get(q, set()) & set(exact[q])) / 10 for q in qids
         ]
+        # recall of the SERVED path (what ann_hnsw_topk actually runs:
+        # persisted session index -> clustered load -> beam search)
+        from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+        from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+        g, meta = load_hnsw_index(spark, entrymod.hnsw_index_path(spark, sf_dir))
+        sv = {}
+        for r in hnsw_query_shards(
+            g, queries, k=10, m=meta["m"], metric=meta["metric"],
+            ef_search=100, clustered=True,
+        ).collect():
+            sv.setdefault(r["query_id"], set()).add(r["vec_id"])
+        served_rec = [
+            len(sv.get(q, set()) & set(exact[q])) / 10 for q in qids
+        ]
         # candidate fraction: similarity evaluations per query / corpus,
         # counted on a same-parameter single-node replica of the shard
         # graphs (the counter lives executor-side in the real plan)
@@ -216,6 +245,9 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
         hnsw_frac = sum(i.n_sim_evals for i in shards) / (len(qids) * n_corpus)
         return {
             "hnsw_sharded_recall_at_10": round(sum(hnsw_rec) / len(hnsw_rec), 3),
+            "hnsw_served_recall_at_10": round(
+                sum(served_rec) / len(served_rec), 3
+            ),
             "hnsw_candidate_fraction": round(hnsw_frac, 3),
             "hnsw_num_shards": num_shards,
             "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),

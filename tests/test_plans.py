@@ -119,3 +119,21 @@ def test_column_pruning_reaches_scan(spark):
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_returnflag" in rs and "l_quantity" in rs
     assert "l_extendedprice" not in rs, f"column pruning failed: {rs}"
+
+
+def test_rank_percentiles_prune_scan_and_avoid_full_buffer(spark):
+    """The rank-percentile plan must read ONLY the profiled columns and
+    contain no full-buffer percentile aggregate (the unscalable shape
+    it replaced)."""
+    from astro_vectordb_spark.operators.profiling import profile_numeric
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    li = spark.read.parquet(f"{PLAN_SF}/lineitem.parquet")
+    df = profile_numeric(
+        li, ["l_quantity", "l_discount"], percentiles="rank"
+    )
+    plan = executed_plan(df)
+    for rs_part in plan.split("ReadSchema: ")[1:]:
+        rs = rs_part.split("\n")[0]
+        assert "l_extendedprice" not in rs, f"pruning failed: {rs}"
+    assert "percentile(" not in plan.lower(), "full-buffer percentile present"

@@ -23,6 +23,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # make the package importable in Python WORKER processes no matter
+    # the caller's cwd: workers re-exec python and resolve imports from
+    # PYTHONPATH, not the driver's sys.path — without this, any
+    # pandas_udf/mapInPandas stage fails with ModuleNotFoundError when
+    # the driver was launched outside the repo root.  Must happen
+    # before the JVM (and its worker env) is created.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

@@ -102,3 +102,31 @@ def test_upsert_idempotent(spark, rows):
     a = sorted((r["vec_id"], tuple(r["embedding"])) for r in once.collect())
     b = sorted((r["vec_id"], tuple(r["embedding"])) for r in twice.collect())
     assert a == b
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rank_percentiles_match_numpy(spark, values):
+    """exact_percentiles_rank == numpy linear-interpolation quantiles
+    (the quantile_cont contract) on arbitrary value sets, including
+    duplicates, negatives, and single-value columns."""
+    from astro_vectordb_spark.operators.profiling import exact_percentiles_rank
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    got = {
+        round(r["p"], 2): r["value"]
+        for r in exact_percentiles_rank(df, ["x"], [0.25, 0.5, 0.9]).collect()
+    }
+    for p in (0.25, 0.5, 0.9):
+        want = float(np.percentile(np.array(values, dtype=np.float64), p * 100))
+        assert math.isclose(got[round(p, 2)], want, rel_tol=1e-12, abs_tol=1e-12), (
+            p, got[round(p, 2)], want, values,
+        )

@@ -198,6 +198,7 @@ def profile_numeric(
     cols: list[str],
     percentiles: str = "approx",
     accuracy: int = 10_000,
+    num_bins: int | None = None,
 ) -> DataFrame:
     """Long-format profile: one row per column with count / nulls /
     min / max / mean / p50 / p90.
@@ -210,7 +211,7 @@ def profile_numeric(
         # base aggregates WITHOUT any percentile column — the sketch
         # would be computed only to be dropped below
         base = _profile_base(df, cols)
-        pcts = exact_percentiles_rank(df, cols, [0.5, 0.9])
+        pcts = exact_percentiles_rank(df, cols, [0.5, 0.9], num_bins=num_bins)
         pivoted = (
             pcts.groupBy("column")
             .pivot("p", [0.5, 0.9])

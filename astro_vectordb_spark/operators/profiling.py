@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 STAT_DECIMALS = 6
 
+# Diagnostic: per-column (bin -> distinct-value count) from the most
+# recent exact_percentiles_rank call.  The window-partition memory
+# bound is distinct values per bin, so this is the number to inspect
+# when tuning num_bins; refreshed on every call, costs nothing extra
+# (piggybacks on the bin-subtotal job).
+LAST_BIN_OCCUPANCY: dict[str, dict[int, int]] = {}
+
 
 def exact_percentiles_rank(
     df: DataFrame, cols: list[str], ps: list[float], num_bins: int | None = None
@@ -55,10 +62,21 @@ def exact_percentiles_rank(
          (broadcast — |cols| x |ps| rows) and interpolated.
 
     ``num_bins`` bounds per-window rows at ~distinct/num_bins per
-    column (default: spark.sql.shuffle.partitions).  Equi-width bins
-    can skew if a column's distinct values concentrate in a narrow
-    slice of its range — raise num_bins for such columns; correctness
-    never depends on balance, only parallelism does.
+    column (default: spark.sql.shuffle.partitions).  Bin edges are
+    EQUI-DEPTH in distinct-value space (an ``approx_percentile``
+    sketch over the histogram's distinct values picks the cut points),
+    so heavy-tailed value distributions still spread distinct values
+    ~evenly across bins — window-partition memory stays ~distinct/
+    num_bins even when the VALUES concentrate in a narrow slice of the
+    range.  Correctness never depends on balance, only parallelism
+    does: the bin is a deterministic monotone function of ``v`` given
+    the collected edges, so the per-(column, bin) cumulative sums
+    compose into exact global ranks regardless of where the edges
+    land.
+
+    The returned DataFrame is a materialized local relation
+    (|cols| x |ps| rows — bounded control-plane size); the internal
+    histogram cache is released before returning.
     """
     spark = df.sparkSession
     if num_bins is None:
@@ -82,93 +100,127 @@ def exact_percentiles_rank(
     )
     # histogram, referenced by three consumers (stats collect, bin
     # subtotal collect, final cumulative pass) — persist so it computes
-    # once; the first collect materializes it
+    # once; the first collect materializes it.  Released in the
+    # finally below: the final result is bounded (|cols| x |ps| rows),
+    # so it is collected eagerly and returned as a local relation
+    # rather than leaking the cache into the caller's plan lifetime.
     hist = (
         pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
-    stats = {
-        r["column"]: (r["lo"], r["hi"], r["n"])
-        for r in hist.groupBy("column")
-        .agg(
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-            F.sum("cnt").alias("n"),
+    try:
+        # interior cut points from an approx_percentile sketch over the
+        # DISTINCT values (each hist row weighs 1): equi-depth bins in
+        # distinct-value space, which is exactly what bounds the
+        # per-(column, bin) window partition.  Edge accuracy only
+        # affects balance, never results.
+        if num_bins > 1:
+            edge_agg = F.approx_percentile(
+                "v",
+                F.array(*[F.lit(i / num_bins) for i in range(1, num_bins)]),
+                F.lit(1000),
+            )
+        else:
+            edge_agg = F.array().cast("array<double>")
+        stats = {
+            r["column"]: (int(r["n"]), list(r["edges"] or []))
+            for r in hist.groupBy("column")
+            .agg(
+                F.sum("cnt").alias("n"),
+                edge_agg.alias("edges"),
+            )
+            .collect()
+        }
+        totals = {c: s[0] for c, s in stats.items()}
+        # deterministic monotone bin: # of edges strictly below v.
+        # Duplicate edges (few distinct values) just leave bins empty.
+        empty_edges = F.array().cast("array<double>")
+        edges_expr = empty_edges
+        for c, (_, edges) in stats.items():
+            arr = (
+                F.array(*[F.lit(float(e)) for e in edges])
+                if edges
+                else empty_edges
+            )
+            edges_expr = F.when(F.col("column") == c, arr).otherwise(edges_expr)
+        binned = hist.withColumn(
+            "bin",
+            F.size(F.filter(edges_expr, lambda e: F.col("v") > e)).cast("int"),
         )
-        .collect()
-    }
-    totals = {c: int(s[2]) for c, s in stats.items()}
-    # deterministic monotone bin: floor((v - lo) / (hi - lo) * B),
-    # clamped to [0, B-1]; degenerate (lo == hi) columns collapse to 0
-    bin_expr = F.lit(0)
-    for c, (lo, hi, _) in stats.items():
-        width = (hi - lo) or 1.0
-        bin_expr = F.when(
-            F.col("column") == c,
-            F.least(
-                F.lit(num_bins - 1),
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * num_bins),
-            ).cast("int"),
-        ).otherwise(bin_expr)
-    hist = hist.withColumn("bin", bin_expr)
-    sub_rows = (
-        hist.groupBy("column", "bin").agg(F.sum("cnt").alias("sub")).collect()
-    )
-    run: dict[str, int] = {}
-    offsets: list[tuple[str, int, int]] = []
-    for r in sorted(sub_rows, key=lambda r: (r["column"], r["bin"])):
-        offsets.append((r["column"], r["bin"], run.get(r["column"], 0)))
-        run[r["column"]] = run.get(r["column"], 0) + r["sub"]
-    off_df = spark.createDataFrame(offsets, "column string, bin int, off long")
-    w = (
-        Window.partitionBy("column", "bin")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = hist.withColumn("cum_local", F.sum("cnt").over(w)).join(
-        F.broadcast(off_df), ["column", "bin"]
-    )
-    ranked = ranked.withColumn("cum", F.col("cum_local") + F.col("off"))
+        sub_rows = (
+            binned.groupBy("column", "bin")
+            .agg(
+                F.sum("cnt").alias("sub"),
+                F.count(F.lit(1)).alias("nd"),
+            )
+            .collect()
+        )
+        LAST_BIN_OCCUPANCY.clear()
+        for r in sub_rows:
+            LAST_BIN_OCCUPANCY.setdefault(r["column"], {})[r["bin"]] = int(r["nd"])
+        run: dict[str, int] = {}
+        offsets: list[tuple[str, int, int]] = []
+        for r in sorted(sub_rows, key=lambda r: (r["column"], r["bin"])):
+            offsets.append((r["column"], r["bin"], run.get(r["column"], 0)))
+            run[r["column"]] = run.get(r["column"], 0) + r["sub"]
+        off_df = spark.createDataFrame(offsets, "column string, bin int, off long")
+        w = (
+            Window.partitionBy("column", "bin")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = binned.withColumn("cum_local", F.sum("cnt").over(w)).join(
+            F.broadcast(off_df), ["column", "bin"]
+        )
+        ranked = ranked.withColumn("cum", F.col("cum_local") + F.col("off"))
 
-    # rank targets: quantile_cont's t = (n-1)*p, 1-based straddle ranks
-    targets = []
-    for c in cols:
-        n = totals.get(c, 0)
-        if n == 0:
-            continue
-        for p in ps:
-            t = (n - 1) * p
-            lo = int(t)
-            frac = t - lo
-            targets.append((c, float(p), lo + 1, lo + 2 if frac > 0 else lo + 1, frac))
-    t_df = spark.createDataFrame(
-        targets, "column string, p double, lo_rank long, hi_rank long, frac double"
-    )
-    cand = ranked.join(F.broadcast(t_df), "column").where(
-        (
-            (F.col("cum") >= F.col("lo_rank"))
-            & (F.col("cum") - F.col("cnt") < F.col("lo_rank"))
+        # rank targets: quantile_cont's t = (n-1)*p, 1-based straddle ranks
+        targets = []
+        for c in cols:
+            n = totals.get(c, 0)
+            if n == 0:
+                continue
+            for p in ps:
+                t = (n - 1) * p
+                lo = int(t)
+                frac = t - lo
+                targets.append(
+                    (c, float(p), lo + 1, lo + 2 if frac > 0 else lo + 1, frac)
+                )
+        t_df = spark.createDataFrame(
+            targets, "column string, p double, lo_rank long, hi_rank long, frac double"
         )
-        | (
-            (F.col("cum") >= F.col("hi_rank"))
-            & (F.col("cum") - F.col("cnt") < F.col("hi_rank"))
-        )
-    )
-    covers = lambda rank: (F.col("cum") >= rank) & (  # noqa: E731
-        F.col("cum") - F.col("cnt") < rank
-    )
-    return (
-        cand.groupBy("column", "p", "frac")
-        .agg(
-            F.max(F.when(covers(F.col("lo_rank")), F.col("v"))).alias("v_lo"),
-            F.max(F.when(covers(F.col("hi_rank")), F.col("v"))).alias("v_hi"),
-        )
-        .select(
-            "column",
-            "p",
+        cand = ranked.join(F.broadcast(t_df), "column").where(
             (
-                F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
-            ).alias("value"),
+                (F.col("cum") >= F.col("lo_rank"))
+                & (F.col("cum") - F.col("cnt") < F.col("lo_rank"))
+            )
+            | (
+                (F.col("cum") >= F.col("hi_rank"))
+                & (F.col("cum") - F.col("cnt") < F.col("hi_rank"))
+            )
         )
+        covers = lambda rank: (F.col("cum") >= rank) & (  # noqa: E731
+            F.col("cum") - F.col("cnt") < rank
+        )
+        result_rows = (
+            cand.groupBy("column", "p", "frac")
+            .agg(
+                F.max(F.when(covers(F.col("lo_rank")), F.col("v"))).alias("v_lo"),
+                F.max(F.when(covers(F.col("hi_rank")), F.col("v"))).alias("v_hi"),
+            )
+            .select(
+                "column",
+                "p",
+                (
+                    F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
+                ).alias("value"),
+            )
+            .collect()
+        )
+    finally:
+        hist.unpersist()
+    return spark.createDataFrame(
+        result_rows, "column string, p double, value double"
     )
 
 
@@ -222,7 +274,11 @@ def profile_numeric(
                 F.round(F.col("`0.9`"), STAT_DECIMALS).alias("p90"),
             )
         )
-        return base.join(F.broadcast(pivoted), "column").select(
+        # LEFT join: an all-null column produces no histogram rows and
+        # hence no percentile rows — it must still surface its base
+        # stats (n=0, n_null=rows) with null p50/p90, matching the
+        # 'approx'/'exact' modes' output for the same input.
+        return base.join(F.broadcast(pivoted), "column", "left").select(
             "column", "n", "n_null", "min_v", "max_v", "mean_v", "p50", "p90"
         )
     if percentiles == "exact":

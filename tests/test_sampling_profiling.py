@@ -122,3 +122,71 @@ def test_rank_percentiles_with_nulls_and_single_value(spark):
     assert out["a"]["p50"] == 2.5
     assert out["a"]["n_null"] == 1
     assert out["b"]["p50"] == 5.0 and out["b"]["p90"] == 5.0
+
+
+def test_rank_mode_keeps_all_null_column(spark):
+    """An all-null column has no histogram rows, but rank mode must
+    still return its base-stats row (null p50/p90) — same output shape
+    as 'approx'/'exact' modes on the same input."""
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "a double, b double"
+    )
+    for mode in ("rank", "approx", "exact"):
+        out = {
+            r["column"]: r
+            for r in profile_numeric(df, ["a", "b"], percentiles=mode).collect()
+        }
+        assert set(out) == {"a", "b"}, mode
+        assert out["b"]["n"] == 0 and out["b"]["n_null"] == 3, mode
+        assert out["b"]["p50"] is None and out["b"]["p90"] is None, mode
+        assert out["a"]["p50"] is not None, mode
+
+
+def test_rank_mode_releases_histogram_cache(spark):
+    """The internal histogram persist() must be released before
+    profile_numeric returns — repeated profiling must not accumulate
+    session-lifetime cached RDDs."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 997).cast("double").alias("x"),
+        (F.col("id") % 31).cast("double").alias("y"),
+    )
+    before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    for _ in range(3):
+        profile_numeric(df, ["x", "y"], percentiles="rank").collect()
+    after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert after == before, (before, after)
+
+
+def test_rank_mode_equidepth_bins_on_lognormal(spark):
+    """Heavy-tailed (lognormal) columns: sketch-derived equi-depth bin
+    edges must spread DISTINCT values roughly evenly across bins (the
+    window-partition memory bound), where equi-width edges would pile
+    nearly everything into bin 0 — and results stay exact."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators import profiling
+    from astro_vectordb_spark.operators.profiling import exact_percentiles_rank
+
+    rng = np.random.default_rng(42)
+    vals = np.exp(rng.normal(0.0, 4.0, size=20_000))  # ~20k distinct doubles
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    num_bins = 16
+    got = {
+        round(r["p"], 2): r["value"]
+        for r in exact_percentiles_rank(
+            df, ["x"], [0.5, 0.9], num_bins=num_bins
+        ).collect()
+    }
+    for p in (0.5, 0.9):
+        want = float(np.percentile(vals, p * 100))
+        assert abs(got[round(p, 2)] - want) <= 1e-9 * max(1.0, abs(want)), (
+            p, got[round(p, 2)], want,
+        )
+    occ = profiling.LAST_BIN_OCCUPANCY["x"]
+    n_distinct = sum(occ.values())
+    mean = n_distinct / num_bins
+    # equi-depth: every bin within 3x the mean (equi-width on sigma=4
+    # lognormal puts >99% of distinct values into one bin, ~16x mean)
+    assert max(occ.values()) <= 3 * mean, occ
+    # and the parallelism actually exists: most bins are populated
+    assert len(occ) >= num_bins - 2, occ

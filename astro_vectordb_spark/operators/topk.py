@@ -215,7 +215,7 @@ def similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
-    max_broadcast_rows: int | None = None,
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """All pairs with similarity > threshold.
 
@@ -225,16 +225,17 @@ def similarity_join(
     with its default RP-LSH blocking) and reuses the same scoring
     expression.
 
-    ``max_broadcast_rows=None`` (default) keeps the call FULLY LAZY:
-    the probe side gets a broadcast hint unconditionally (the caller
-    asserts it fits executor memory — the reference's user-supplied
-    probe shape), and nothing executes until an action runs.  Passing
-    an int cap opts into a size guard: a bounded ``limit(cap+1)``
-    count probe (short-circuits after cap+1 rows, never the full plan)
-    decides whether to hint; above the cap the hint is dropped
+    The default ``max_broadcast_rows`` guards the broadcast with a
+    bounded ``limit(cap+1)`` count probe (short-circuits after cap+1
+    rows, never executes the full plan): at or below the cap the probe
+    side gets a broadcast hint; above it the hint is dropped
     (Catalyst/AQE picks the strategy) and a RuntimeWarning points at
     the blocked path, because an exact all-pairs join over two large
-    sides is quadratic no matter the physical plan.
+    sides is quadratic no matter the physical plan — degrading beats
+    broadcasting an arbitrarily large probe side into executor OOM.
+    Pass ``max_broadcast_rows=None`` to opt into the FULLY LAZY
+    unconditional hint (no probe job runs; the caller asserts the
+    probe side fits executor memory).
     """
     self_join = right is None
     right = left if right is None else right

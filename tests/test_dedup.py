@@ -380,17 +380,29 @@ def test_similarity_join_no_broadcast_above_cap(spark, embeddings):
     assert a == b
 
 
-def test_similarity_join_is_lazy_by_default(spark, embeddings):
-    """Default call must not run ANY job (the guard used to eager-count
-    the probe side on every call, executing the plan twice)."""
+def test_similarity_join_lazy_opt_in_and_guarded_default(spark, embeddings):
+    """max_broadcast_rows=None opts into the fully-lazy unconditional
+    hint (no job until an action); the DEFAULT keeps a finite cap so
+    callers can't broadcast an unbounded probe side — its guard is a
+    single bounded limit(cap+1) count probe, not a full-plan count."""
     from astro_vectordb_spark.operators.topk import similarity_join
 
     st = spark.sparkContext.statusTracker()
     before = len(st.getJobIdsForGroup())
-    df = similarity_join(embeddings.limit(50), threshold=0.3)
-    assert len(st.getJobIdsForGroup()) == before, "call ran a job"
+    df = similarity_join(
+        embeddings.limit(50), threshold=0.3, max_broadcast_rows=None
+    )
+    assert len(st.getJobIdsForGroup()) == before, "lazy call ran a job"
     assert df.count() > 0
     assert len(st.getJobIdsForGroup()) > before
+    # default: the bounded probe runs at call time (a couple of AQE
+    # jobs at most — never a full-plan count, which on this cached
+    # 50-row frame would be indistinguishable by count, so pin the
+    # bound loosely and rely on limit(cap+1) in the implementation)
+    mid = len(st.getJobIdsForGroup())
+    similarity_join(embeddings.limit(50), threshold=0.3)
+    n_probe_jobs = len(st.getJobIdsForGroup()) - mid
+    assert 1 <= n_probe_jobs <= 3, n_probe_jobs
 
 
 def test_simhash_family_discrimination_gap(spark, documents):

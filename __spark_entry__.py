@@ -692,8 +692,11 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     # per-partition NumPy graphs + global merge) served from the
     # PERSISTED index — the loadIndex -> search lifecycle
     # (astrovault.ts:45-69 -> hnsw.ts:241-299): load the
-    # shard-partitioned graph table and beam-search it directly
-    # (clustered=True skips the shard re-shuffle), no rebuild.
+    # shard-partitioned graph table and beam-search it directly.
+    # clustered comes from the loaded meta: True (skip the shard
+    # re-shuffle) only while no graph file exceeds the session's
+    # maxPartitionBytes; a split shard degrades to the re-shuffled
+    # path instead of failing at task level.
     # Rows-only check; recall >= 0.9 asserted in tests/test_hnsw.py.
     from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
     from astro_vectordb_spark.sources.vault import load_hnsw_index
@@ -705,7 +708,7 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     )
     return hnsw_query_shards(
         graph, queries, k=10, m=meta["m"], metric=meta["metric"],
-        ef_search=100, clustered=True,
+        ef_search=100, clustered=meta["clustered_safe"],
     ).withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import heapq
 import math
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -347,6 +347,7 @@ def hnsw_insert_shards(
     vec_col: str = "embedding",
     seed: int = 42,
     on_conflict: str = "skip",
+    shard_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """Insert a batch of new vectors into EXISTING per-shard graphs —
     the reference's live-index ``addPoint``/``updatePoint``
@@ -382,14 +383,24 @@ def hnsw_insert_shards(
       skipped, so replaying an update batch is still idempotent.
     - ``"error"``: a differing vector raises ValueError (strict mode
       for pipelines where a conflicting id means data corruption).
+
+    ``shard_ids`` is the graph's shard-id list; pass it when known
+    (``load_hnsw_index`` returns it from index ``_meta``) and the call
+    issues NO control-plane Spark job — the routed batch joins the
+    graph lazily.  ``None`` falls back to a one-off distinct-collect
+    of the graph's shard column (correct for any in-memory graph, but
+    one extra job per micro-batch).
     """
     if on_conflict not in ("skip", "update", "error"):
         raise ValueError(
             f"on_conflict must be 'skip', 'update' or 'error', got {on_conflict!r}"
         )
-    shard_ids = sorted(
-        r["shard_id"] for r in graph.select("shard_id").distinct().collect()
-    )
+    if shard_ids is None:
+        shard_ids = sorted(
+            r["shard_id"] for r in graph.select("shard_id").distinct().collect()
+        )
+    else:
+        shard_ids = sorted(int(s) for s in shard_ids)
     if not shard_ids:
         raise ValueError("hnsw_insert_shards: empty graph — build first")
     routed = new_rows.select(
@@ -407,8 +418,13 @@ def hnsw_insert_shards(
         .withColumn("is_entry", F.lit(None).cast("boolean"))
     )
     cols = ["shard_id", "vec_id", "level", "neighbors", "embedding", "is_entry"]
-    touched = [r["shard_id"] for r in routed.select("shard_id").distinct().collect()]
-    existing = graph.filter(F.col("shard_id").isin(touched)).select(*cols)
+    # keep only touched shards' existing rows via a LAZY semi-join
+    # against the (tiny, AQE-broadcast) routed shard set — no
+    # distinct().collect() job; untouched shard partitions are pruned
+    # at scan time when the graph is the shard-partitioned table
+    existing = graph.select(*cols).join(
+        F.broadcast(routed.select("shard_id").distinct()), "shard_id", "semi"
+    )
     both = existing.unionByName(routed.select(*cols))
 
     def _insert(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -542,12 +558,15 @@ def hnsw_query_shards_cogrouped(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    shard_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """Serve a query batch from persisted graph rows WITHOUT any
     driver-side materialization of the queries — the very-large-|Q|
     path (``hnsw_query_shards`` broadcasts the query set, which needs
     it collected on the driver first; past ~1e6 queries that single
-    machine is the bottleneck).
+    machine is the bottleneck).  Pass ``shard_ids`` (from index
+    ``_meta`` via ``load_hnsw_index``) to skip the control-plane
+    distinct-collect.
 
     Shape: queries are replicated once per shard (a |Q| x num_shards
     row shuffle — data-parallel, no single-machine copy), then
@@ -559,12 +578,14 @@ def hnsw_query_shards_cogrouped(
     ``hnsw_query_shards``."""
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
-    # tiny control-plane read (one int per shard), same as
-    # hnsw_insert_shards — also breaks the graph/shard_ids self-join
-    # lineage that would make the cogroup's shard_id ambiguous
-    shard_ids = sorted(
-        r["shard_id"] for r in graph.select("shard_id").distinct().collect()
-    )
+    # tiny control-plane read (one int per shard) when not supplied —
+    # building the replication frame from a plain Python list also
+    # breaks the graph/shard_ids self-join lineage that would make the
+    # cogroup's shard_id ambiguous
+    if shard_ids is None:
+        shard_ids = sorted(
+            r["shard_id"] for r in graph.select("shard_id").distinct().collect()
+        )
     q_rep = queries.select(query_id_col, query_vec_col).crossJoin(
         F.broadcast(
             graph.sparkSession.createDataFrame(

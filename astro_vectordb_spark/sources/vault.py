@@ -190,25 +190,80 @@ def ivf_append_to_index(
         merged.write.mode("overwrite").parquet(stats_path)
 
 
+def _scan_graph_files(graph_path: str) -> tuple[list[int], int]:
+    """(shard ids, max parquet file bytes) from the partitioned graph
+    directory — a filesystem listing, zero Spark jobs."""
+    shard_ids: list[int] = []
+    max_bytes = 0
+    for name in os.listdir(graph_path):
+        if not name.startswith("shard_id="):
+            continue
+        shard_ids.append(int(name.split("=", 1)[1]))
+        sub = os.path.join(graph_path, name)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                max_bytes = max(max_bytes, os.path.getsize(os.path.join(sub, f)))
+    return sorted(shard_ids), max_bytes
+
+
+def max_partition_bytes(spark: SparkSession) -> int:
+    """The session's ``spark.sql.files.maxPartitionBytes`` as an int
+    (the conf value may carry a ``b``/``k``/``m``/``g`` suffix)."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    low = raw.strip().lower()
+    for suffix, factor in mult.items():
+        if low.endswith(suffix):
+            return int(low[: -len(suffix)]) * factor
+    return int(low)
+
+
 def save_hnsw_index(
     graph: DataFrame, path: str, m: int = 16, metric: str = "cosine"
 ) -> None:
     """Persist per-shard HNSW graph rows (operators.hnsw.GRAPH_SCHEMA)
     partitioned by shard — the reference's toJSON snapshot
     (hnsw.ts:781-792) as a queryable table, with metric metadata kept
-    (the reference loses it on reload, hnsw.ts:794-810)."""
+    (the reference loses it on reload, hnsw.ts:794-810).
+
+    ``_meta`` also records the shard-id list (so incremental inserts
+    route without a control-plane Spark job) and the largest graph
+    file's size (so serving can decide whether ``clustered=True`` is
+    safe against the session's ``maxPartitionBytes``)."""
     spark = graph.sparkSession
+    graph_path = os.path.join(path, "graph")
     graph.repartition("shard_id").write.mode("overwrite").partitionBy(
         "shard_id"
-    ).parquet(os.path.join(path, "graph"))
+    ).parquet(graph_path)
+    shard_ids, max_bytes = _scan_graph_files(graph_path)
     spark.createDataFrame(
-        [(metric, int(m))], "metric string, m int"
+        [(metric, int(m), shard_ids, int(max_bytes))],
+        "metric string, m int, shard_ids array<int>, max_shard_file_bytes long",
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
 def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    graph = spark.read.parquet(os.path.join(path, "graph"))
+    """Load (graph, meta).  ``meta['clustered_safe']`` says whether
+    ``hnsw_query_shards(clustered=True)`` is valid for THIS session: a
+    graph file larger than ``spark.sql.files.maxPartitionBytes`` would
+    be split across scan partitions, and a partial shard builds a
+    graph with dangling neighbor ids.  Callers should pass
+    ``clustered=meta['clustered_safe']`` instead of hard-coding True —
+    serving then degrades to the (correct, one extra shuffle)
+    re-shuffled path instead of failing.  Indexes saved by older
+    versions lack the size metadata; their graph directory is scanned
+    on load (same filesystem listing, no Spark job)."""
+    graph_path = os.path.join(path, "graph")
+    graph = spark.read.parquet(graph_path)
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    if meta.get("max_shard_file_bytes") is None:
+        shard_ids, max_bytes = _scan_graph_files(graph_path)
+        meta["shard_ids"] = shard_ids
+        meta["max_shard_file_bytes"] = max_bytes
+    meta["shard_ids"] = sorted(int(s) for s in meta["shard_ids"])
+    meta["clustered_safe"] = (
+        0 < meta["max_shard_file_bytes"] < max_partition_bytes(spark)
+    )
     return graph, meta
 
 
@@ -233,7 +288,7 @@ def hnsw_append_to_index(
     graph, meta = load_hnsw_index(spark, path)
     updated = hnsw_insert_shards(
         graph, new_rows, m=meta["m"], metric=meta["metric"], seed=seed,
-        on_conflict=on_conflict,
+        on_conflict=on_conflict, shard_ids=meta["shard_ids"],
     )
     # materialize before overwriting the path being read
     updated = updated.localCheckpoint(eager=True)

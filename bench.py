@@ -220,7 +220,7 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
         sv = {}
         for r in hnsw_query_shards(
             g, queries, k=10, m=meta["m"], metric=meta["metric"],
-            ef_search=100, clustered=True,
+            ef_search=100, clustered=meta["clustered_safe"],
         ).collect():
             sv.setdefault(r["query_id"], set()).add(r["vec_id"])
         served_rec = [

@@ -71,7 +71,8 @@ def test_hnsw_graph_persist_roundtrip(spark, embeddings, tmp_path):
     p = str(tmp_path / "hnsw")
     save_hnsw_index(graph, p, m=16, metric="cosine")
     g2, meta = load_hnsw_index(spark, p)
-    assert meta == {"metric": "cosine", "m": 16}
+    assert meta["metric"] == "cosine" and meta["m"] == 16
+    assert sorted(meta["shard_ids"]) == [0, 1, 2, 3]
     assert g2.count() == embeddings.count()
     # graph rows are well-formed: one entry point per shard
     entries = g2.filter(F.col("is_entry")).groupBy("shard_id").count().collect()
@@ -447,3 +448,111 @@ def test_hnsw_cogrouped_matches_broadcast_path(spark, embeddings):
     ra = sorted((r["query_id"], r["vec_id"]) for r in a.collect())
     rb = sorted((r["query_id"], r["vec_id"]) for r in b.collect())
     assert ra == rb
+
+
+def test_load_hnsw_index_meta_and_split_shard_safety(spark, embeddings, tmp_path):
+    """load_hnsw_index records shard ids + max graph file size and
+    derives clustered_safe from the SESSION's maxPartitionBytes; when a
+    shard file would be split across scan partitions, serving with
+    clustered=meta['clustered_safe'] degrades to the re-shuffled path
+    and still returns correct hits — no caller intervention, no
+    task-level ValueError."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+
+    graph = hnsw_build_shards(embeddings, num_shards=3, ef_construction=64)
+    p = str(tmp_path / "hnsw_split_safety")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    g, meta = load_hnsw_index(spark, p)
+    assert sorted(meta["shard_ids"]) == [0, 1, 2]
+    assert meta["max_shard_file_bytes"] > 0
+    assert meta["clustered_safe"] is True  # default 128 MB >> test files
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in hnsw_query_shards(
+            g, queries, k=10, m=16, ef_search=100, clustered=True
+        ).collect()
+    )
+
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf_key)
+    try:
+        # force every graph file to split -> clustered=True would build
+        # partial shards with dangling neighbor ids
+        spark.conf.set(conf_key, "2048")
+        g2, meta2 = load_hnsw_index(spark, p)
+        assert meta2["clustered_safe"] is False
+        got = sorted(
+            (r["query_id"], r["vec_id"])
+            for r in hnsw_query_shards(
+                g2, queries, k=10, m=16, ef_search=100,
+                clustered=meta2["clustered_safe"],
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+def test_load_hnsw_index_legacy_meta(spark, embeddings, tmp_path):
+    """An index saved by an older version (2-column _meta) still loads:
+    shard ids and max file size come from a filesystem listing."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+
+    graph = hnsw_build_shards(
+        embeddings.filter(F.col("vec_id") < 100), num_shards=2, ef_construction=64
+    )
+    p = str(tmp_path / "hnsw_legacy")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+    # rewrite _meta in the legacy 2-column shape
+    spark.createDataFrame([("cosine", 16)], "metric string, m int").write.mode(
+        "overwrite"
+    ).parquet(f"{p}/_meta")
+
+    _, meta = load_hnsw_index(spark, p)
+    assert sorted(meta["shard_ids"]) == [0, 1]
+    assert meta["max_shard_file_bytes"] > 0
+    assert isinstance(meta["clustered_safe"], bool)
+
+
+def test_hnsw_insert_with_known_shards_runs_no_control_jobs(
+    spark, embeddings, tmp_path
+):
+    """With shard_ids supplied (the _meta path), hnsw_insert_shards
+    issues NO Spark job before an action — the routed batch reaches the
+    applyInPandas stage through a lazy semi-join, not a
+    distinct().collect() per micro-batch."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_insert_shards,
+    )
+    from astro_vectordb_spark.sources.vault import load_hnsw_index, save_hnsw_index
+
+    old = embeddings.filter(F.col("vec_id") < 200)
+    graph = hnsw_build_shards(old, num_shards=2, ef_construction=64)
+    p = str(tmp_path / "hnsw_ctrl_jobs")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+    g, meta = load_hnsw_index(spark, p)
+    new = embeddings.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
+    ).select("vec_id", "embedding")
+
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup())
+    updated = hnsw_insert_shards(
+        g, new, m=meta["m"], metric=meta["metric"], shard_ids=meta["shard_ids"]
+    )
+    assert len(st.getJobIdsForGroup()) == before, "insert ran a control job"
+    got_ids = {r["vec_id"] for r in updated.collect()}
+    assert len(st.getJobIdsForGroup()) > before
+    assert {r["vec_id"] for r in new.collect()} <= got_ids
+    assert {r["vec_id"] for r in old.select("vec_id").collect()} <= got_ids

@@ -253,6 +253,45 @@ def test_multimodal_decode_plumbing(spark, documents):
     assert frames.count() >= 20
 
 
+def test_multimodal_decode_media_type_routing(spark, documents):
+    """Passing media_type_col keeps the same schema and — without
+    Pillow, or for non-image media — the same deterministic fallback
+    features as the plain call.  (With Pillow installed, image/* rows
+    route through the real 4x4-thumbnail kernel instead.)"""
+    from astro_vectordb_spark.multimodal.binary import (
+        HAS_PIL,
+        attach_blob,
+        decode_features,
+    )
+
+    blobs = attach_blob(documents.limit(10))  # media_type application/text
+    plain = {
+        r["doc_id"]: r["features"] for r in decode_features(blobs).collect()
+    }
+    routed = {
+        r["doc_id"]: r["features"]
+        for r in decode_features(blobs, media_type_col="media_type").collect()
+    }
+    # application/text never matches image/*, so routing is a no-op
+    # regardless of codec availability
+    assert routed == plain
+    if HAS_PIL:  # pragma: no cover - container has no Pillow
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+        img_df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), "image/png")],
+            "doc_id long, blob binary, media_type string",
+        )
+        feats = decode_features(img_df, media_type_col="media_type").first()[
+            "features"
+        ]
+        assert feats == [128 / 255.0] * 16
+
+
 def test_windowed_counts_and_sessions(spark, sf_dir):
     from astro_vectordb_spark.operators.events import (
         event_type_rates,

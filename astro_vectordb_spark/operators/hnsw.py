@@ -304,7 +304,16 @@ def hnsw_build_shards(
     corpus = corpus.select(id_col, vec_col).repartition(num_shards)
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shard = TaskContext.get().partitionId()
+        # partitionId is the id within the STAGE: when several build
+        # plans execute as one unioned stage (hnsw_rebalance splitting
+        # multiple shards), each branch's ids are offset by the
+        # preceding branches' partition counts.  The branch owns
+        # exactly num_shards CONSECUTIVE stage partitions (repartition
+        # above), and any num_shards consecutive integers mod
+        # num_shards form a complete residue system — so the modulo
+        # recovers a bijection onto 0..num_shards-1 per branch.  For a
+        # standalone build (ids 0..num_shards-1) it is the identity.
+        shard = TaskContext.get().partitionId() % num_shards
         ids: list = []
         vecs: list = []
         for pdf in batches:

@@ -235,7 +235,16 @@ def save_hnsw_index(
     graph.repartition("shard_id").write.mode("overwrite").partitionBy(
         "shard_id"
     ).parquet(graph_path)
-    shard_ids, max_bytes = _scan_graph_files(graph_path)
+    _write_hnsw_meta(spark, path, metric=metric, m=m)
+
+
+def _write_hnsw_meta(spark: SparkSession, path: str, metric: str, m: int) -> None:
+    """(Re)write ``_meta`` from the graph files on disk.  Every
+    operation that changes the graph's partition layout (save, append,
+    rebalance) must call this, or the persisted shard list / max file
+    size go stale — a stale shard list makes the cogrouped serve path
+    silently skip shards added later."""
+    shard_ids, max_bytes = _scan_graph_files(os.path.join(path, "graph"))
     spark.createDataFrame(
         [(metric, int(m), shard_ids, int(max_bytes))],
         "metric string, m int, shard_ids array<int>, max_shard_file_bytes long",
@@ -302,6 +311,9 @@ def hnsw_append_to_index(
         .partitionBy("shard_id")
         .parquet(os.path.join(path, "graph"))
     )
+    # refresh max-file-size metadata (an append can push a shard past
+    # the clustered-serve safety bound; shard list is unchanged here)
+    _write_hnsw_meta(spark, path, metric=meta["metric"], m=meta["m"])
     return touched
 
 
@@ -372,6 +384,9 @@ def hnsw_rebalance(
         .partitionBy("shard_id")
         .parquet(os.path.join(path, "graph"))
     )
+    # splits created NEW shard partitions — the persisted shard list
+    # must reflect them or later appends/cogrouped serves miss them
+    _write_hnsw_meta(spark, path, metric=meta["metric"], m=meta["m"])
     return result
 
 

@@ -1,0 +1,260 @@
+"""Multi-shard HNSW lifecycle probe: build -> save -> serve -> insert
+-> rebalance, end-to-end, at a deliberately multi-shard scale.
+
+The driver bench (sf0.1, 2k vectors) exercises ONE shard, so the
+multi-shard merge, the persisted-serve path across shards, selective
+partition rewrites, and shard-split rebalance were covered only by
+unit tests.  This probe measures them on a 200k-vector corpus (8
+shards of 25k; the reference's own envelope is <100k vectors in one
+browser tab — astro-vectordb README.md:90-97) and asserts:
+
+  A1  the persisted index really has >= 8 shards;
+  A2  served recall@10 >= 0.95 against exact brute force, multi-shard
+      (ef_search=512: the uniform-random corpus is ANN's worst case —
+      measured within-shard recall 0.87 @ ef=100, 0.98 @ ef=400);
+  A3  a small insert batch rewrites ONLY its routed shard partitions
+      (byte-identical untouched files, checked on disk);
+  A4  inserted vectors are immediately findable at rank 1;
+  A5  serve wall-time is sublinear in shard count (16 shards after
+      rebalance <= 1.6x the 8-shard serve on the same corpus);
+  A6  rebalance split every oversized shard and recall holds.
+
+Emits ONE JSON line (and writes it to --out if given) with the
+measurements and a green/red flag per assertion.  Not part of the
+driver bench; evidence for ARCHITECTURE.md's scale claims.
+
+Usage: python scripts/scale_probe_hnsw.py [--out SCALE_PROBE_HNSW.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.session import get_spark
+
+N_ROWS = 200_000
+DIM = 64
+ROWS_PER_SHARD = 25_000
+N_QUERIES = 16
+K = 10
+
+
+def synth_corpus(spark, path: str):
+    """Deterministic pseudo-random corpus: 64 centered-uniform coords
+    per row from xxhash64(id, coord) — JVM-side, no Python, and stable
+    across runs (unlike F.rand, whose draw depends on partitioning)."""
+    coords = [
+        (
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1_000_000)) / 1_000_000.0)
+            - F.lit(0.5)
+        ).cast("float")
+        for i in range(DIM)
+    ]
+    df = spark.range(N_ROWS).select(
+        F.col("id").alias("vec_id"), F.array(*coords).alias("embedding")
+    )
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def graph_file_state(index_path: str) -> dict[str, tuple[int, float]]:
+    """{relative parquet path: (size, mtime)} under graph/ — the
+    evidence for 'untouched shards keep their files'."""
+    state = {}
+    root = os.path.join(index_path, "graph")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                st = os.stat(p)
+                state[rel] = (st.st_size, st.st_mtime)
+    return state
+
+
+def serve(spark, index_path, queries, ef_search=512):
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+    from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+    graph, meta = load_hnsw_index(spark, index_path)
+    return (
+        hnsw_query_shards(
+            graph, queries, k=K, m=meta["m"], metric=meta["metric"],
+            ef_search=ef_search, clustered=meta["clustered_safe"],
+        ),
+        meta,
+    )
+
+
+def recall_at_k(served_rows, exact: dict[int, set]) -> float:
+    got: dict[int, set] = {}
+    for r in served_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recs = [len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()]
+    return sum(recs) / len(recs)
+
+
+def log(msg: str) -> None:
+    print(f"[probe +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
+def main() -> None:
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark("scale-probe-hnsw")
+    spark.sparkContext.setLogLevel("ERROR")
+    res: dict = {"n_rows": N_ROWS, "dim": DIM, "k": K, "n_queries": N_QUERIES}
+    checks: dict[str, bool] = {}
+
+    from astro_vectordb_spark.operators.hnsw import (
+        auto_num_shards,
+        hnsw_build_shards,
+    )
+    from astro_vectordb_spark.operators.topk import batch_topk
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        hnsw_rebalance,
+        save_hnsw_index,
+    )
+
+    log("synthesizing corpus")
+    corpus = synth_corpus(spark, "/tmp/scale/hnsw_corpus")
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # exact ground truth: one brute-force scan of the full corpus
+    log("computing exact ground truth")
+    exact: dict[int, set] = {}
+    for r in batch_topk(corpus, queries, k=K).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    # ---- build + save --------------------------------------------------
+    log("building shards")
+    shards = auto_num_shards(N_ROWS, target_rows_per_shard=ROWS_PER_SHARD)
+    res["num_shards_built"] = shards
+    t0 = time.time()
+    graph = hnsw_build_shards(
+        corpus, num_shards=shards, m=16, ef_construction=64, metric="cosine"
+    )
+    index_path = "/tmp/scale/hnsw_index"
+    save_hnsw_index(graph, index_path, m=16, metric="cosine")
+    res["build_save_sec"] = round(time.time() - t0, 2)
+    checks["A1_min_8_shards"] = shards >= 8
+
+    # ---- serve (persisted, multi-shard) --------------------------------
+    log("build+save done; serving (warm)")
+    served, meta = serve(spark, index_path, queries)
+    res["clustered_safe"] = meta["clustered_safe"]
+    res["max_shard_file_bytes"] = meta["max_shard_file_bytes"]
+    rows = served.collect()  # warm (JIT + index load)
+    t0 = time.time()
+    rows = serve(spark, index_path, queries)[0].collect()
+    res["serve_8shard_sec"] = round(time.time() - t0, 2)
+    res["recall_at_10_served"] = round(recall_at_k(rows, exact), 4)
+    checks["A2_recall_ge_095"] = res["recall_at_10_served"] >= 0.95
+
+    # ---- selective insert ----------------------------------------------
+    log("serve timed; selective insert")
+    before = graph_file_state(index_path)
+    new_ids = [N_ROWS + i for i in range(3)]
+    new_rows = (
+        spark.createDataFrame([(i,) for i in new_ids], "vec_id long")
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    (
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), F.lit(i)),
+                                F.lit(1_000_000),
+                            )
+                            / 1_000_000.0
+                        )
+                        - F.lit(0.5)
+                    ).cast("float")
+                    for i in range(DIM)
+                ]
+            ).alias("embedding"),
+        )
+    )
+    t0 = time.time()
+    touched = hnsw_append_to_index(spark, index_path, new_rows)
+    res["insert_3rows_sec"] = round(time.time() - t0, 2)
+    res["touched_shards"] = touched
+    after = graph_file_state(index_path)
+    untouched_ok = True
+    for rel, (size, mtime) in before.items():
+        shard = int(rel.split("=", 1)[1].split(os.sep, 1)[0])
+        if shard in touched:
+            continue
+        if after.get(rel) != (size, mtime):
+            untouched_ok = False
+    checks["A3_untouched_partitions_unchanged"] = (
+        untouched_ok and len(touched) <= len(new_ids)
+    )
+
+    # inserted vectors immediately findable at rank 1 (read-your-writes
+    # at index level)
+    log("insert done; read-your-writes serve")
+    new_queries = new_rows.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    served_new = serve(spark, index_path, new_queries)[0].collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in served_new if r["rank"] == 1}
+    checks["A4_inserted_found_rank1"] = all(
+        top1.get(q) == q for q in new_ids
+    )
+
+    # ---- rebalance (split every oversized shard) -----------------------
+    t0 = time.time()
+    log("rebalancing")
+    splits = hnsw_rebalance(
+        spark, index_path,
+        target_rows_per_shard=ROWS_PER_SHARD // 2,
+        skew_threshold=1.5,
+    )
+    res["rebalance_sec"] = round(time.time() - t0, 2)
+    res["rebalance_splits"] = {str(k): v for k, v in splits.items()}
+    log("rebalance done; serving 16 shards")
+    served16, meta16 = serve(spark, index_path, queries)
+    res["num_shards_after_rebalance"] = len(meta16["shard_ids"])
+    rows16 = served16.collect()  # warm
+    t0 = time.time()
+    rows16 = serve(spark, index_path, queries)[0].collect()
+    res["serve_16shard_sec"] = round(time.time() - t0, 2)
+    res["recall_at_10_after_rebalance"] = round(recall_at_k(rows16, exact), 4)
+    checks["A5_serve_sublinear_in_shards"] = (
+        res["serve_16shard_sec"]
+        <= 1.6 * max(res["serve_8shard_sec"], 0.2)
+    )
+    checks["A6_rebalance_split_and_recall"] = (
+        len(splits) > 0
+        and res["num_shards_after_rebalance"] > res["num_shards_built"]
+        and res["recall_at_10_after_rebalance"] >= 0.95
+    )
+
+    res["checks"] = checks
+    res["all_green"] = all(checks.values())
+    line = json.dumps(res)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+    sys.exit(0 if res["all_green"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -302,3 +302,87 @@ def test_ivf_exact_pruned_engages_on_clustered_corpus(spark):
         ]
         assert got == exact
     assert sum(fracs) / len(fracs) < 0.5, fracs
+
+
+def test_ivf_baseline_target_retirement_pareto_pin(spark, embeddings):
+    """BASELINE.md's ANN row (recall@10 >= 0.9 AND >= 5x candidate
+    reduction) is carried by the sharded HNSW path (0.98 @ 8x, see
+    bench ann_metrics); the IVF-approx path is formally RETIRED from
+    that obligation on near-random corpora — coarse quantization is
+    dimensionality-limited when the data has no cluster structure
+    (measured grid, NOTES_r2.md).  This test pins both halves so the
+    claim stays measured, not asserted:
+
+    1. the bench corpus's Pareto point cannot silently regress
+       (recall and candidate fraction stay inside the measured band);
+    2. on a corpus WITH cluster structure, the same IVF operator DOES
+       meet the full >= 5x @ >= 0.9 target — the limitation is the
+       corpus, not the implementation.
+    """
+    import numpy as np
+
+    from astro_vectordb_spark.operators.ann import (
+        choose_probe_cells,
+        ivf_build,
+        ivf_build_sampled,
+        ivf_search,
+    )
+
+    # --- 1. Pareto pin at bench parameters on the near-random corpus
+    n_corpus = embeddings.count()
+    assigned, centroids = ivf_build_sampled(embeddings, k_cells=12, spill=2)
+    assigned = assigned.cache()
+    qids = [0, 5, 11, 17, 23]
+    recalls, fracs = [], []
+    for qid in qids:
+        qv = embeddings.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = [
+            r["vec_id"]
+            for r in topk_search(embeddings, qv, 10, strength=0).collect()
+        ]
+        got = [
+            r["vec_id"]
+            for r in ivf_search(assigned, centroids, qv, 10, nprobe=3).collect()
+        ]
+        recalls.append(_recall(got, exact))
+        cells = choose_probe_cells(centroids, qv, 3)
+        n_cand = (
+            assigned.filter(F.col("cell_id").isin(cells))
+            .select("vec_id").distinct().count()
+        )
+        fracs.append(n_cand / n_corpus)
+    avg_rec, avg_frac = sum(recalls) / len(recalls), sum(fracs) / len(fracs)
+    # measured band at THIS fixture scale (sf0.001: 500 rows, ~40/cell,
+    # avg recall 0.72 — small cells punish coarse quantization harder
+    # than sf0.1's 0.90): silent recall loss or fraction blow-up fails
+    # loudly; improving either is fine
+    assert avg_rec >= 0.6, (avg_rec, recalls)
+    assert avg_frac <= 0.6, (avg_frac, fracs)
+
+    # --- 2. full BASELINE target met on a clustered corpus
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = [
+        (i, [float(x) for x in centers[i % 16] + 0.02 * rng.normal(size=64)])
+        for i in range(2000)
+    ]
+    cdf = spark.createDataFrame(pts, "vec_id long, embedding array<float>").cache()
+    ca, cc = ivf_build(cdf, k_cells=16, seed=3)
+    ca = ca.cache()
+    crec, cfrac = [], []
+    for q in (0, 3, 7, 11, 13):
+        qv = pts[q][1]
+        exact = [
+            r["vec_id"] for r in topk_search(cdf, qv, 10, strength=0).collect()
+        ]
+        got = [
+            r["vec_id"] for r in ivf_search(ca, cc, qv, 10, nprobe=2).collect()
+        ]
+        crec.append(_recall(got, exact))
+        cells = choose_probe_cells(cc, qv, 2)
+        cfrac.append(
+            ca.filter(F.col("cell_id").isin(cells)).count() / 2000
+        )
+    assert sum(crec) / len(crec) >= 0.9, crec
+    assert sum(cfrac) / len(cfrac) <= 0.2, cfrac  # >= 5x reduction

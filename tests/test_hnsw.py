@@ -556,3 +556,64 @@ def test_hnsw_insert_with_known_shards_runs_no_control_jobs(
     assert len(st.getJobIdsForGroup()) > before
     assert {r["vec_id"] for r in new.collect()} <= got_ids
     assert {r["vec_id"] for r in old.select("vec_id").collect()} <= got_ids
+
+
+def test_hnsw_rebalance_multiple_oversized_shards(spark, embeddings, tmp_path):
+    """Splitting SEVERAL oversized shards in one rebalance: the split
+    builds execute as one unioned stage, where TaskContext.partitionId
+    is globally offset per branch — shard ids must still land in each
+    branch's 0..parts-1 space (regression: the multi-shard scale probe
+    hit element_at index-out-of-bounds here; the single-shard test
+    above never exercised the union offset)."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_rebalance,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    n = embeddings.count()  # 500 at sf0.001
+    graph = hnsw_build_shards(embeddings, num_shards=3, ef_construction=64)
+    p = str(tmp_path / "hnsw_rb_multi")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    # every shard (~167 rows) is oversized at target 60 -> all three
+    # split, into ~3 parts each, in ONE rebalance call
+    plan = hnsw_rebalance(
+        spark, p, target_rows_per_shard=60, skew_threshold=1.0
+    )
+    assert set(plan) == {0, 1, 2}, plan
+    assert all(len(v) >= 2 for v in plan.values()), plan
+
+    g, meta = load_hnsw_index(spark, p)
+    assert g.count() == n
+    assert g.select("vec_id").distinct().count() == n
+    # all emitted shard ids belong to the remap plan (no stray
+    # stage-offset ids), one entry point per shard
+    valid = {s for splits in plan.values() for s in splits}
+    got = {r["shard_id"] for r in g.select("shard_id").distinct().collect()}
+    assert got == valid, (got, valid)
+    # _meta refreshed: the persisted shard list reflects the splits (a
+    # stale list would make the cogrouped serve path skip new shards)
+    assert set(meta["shard_ids"]) == valid, (meta["shard_ids"], valid)
+    entries = g.filter(F.col("is_entry")).groupBy("shard_id").count().collect()
+    assert all(r["count"] == 1 for r in entries)
+
+    probe = embeddings.filter(F.col("vec_id") == 7).first()
+    queries = spark.createDataFrame(
+        [(7, [float(x) for x in probe["embedding"]])],
+        "query_id long, query_vec array<float>",
+    )
+    hits = hnsw_query_shards(g, queries, k=3, m=meta["m"])
+    assert hits.collect()[0]["vec_id"] == 7
+    # cogrouped serve (driven by meta's shard list) also reaches the
+    # post-split shards
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards_cogrouped
+
+    co = hnsw_query_shards_cogrouped(
+        g, queries, k=3, m=meta["m"], shard_ids=meta["shard_ids"]
+    )
+    assert co.collect()[0]["vec_id"] == 7

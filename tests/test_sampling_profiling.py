@@ -154,7 +154,10 @@ def test_rank_mode_releases_histogram_cache(spark):
     for _ in range(3):
         profile_numeric(df, ["x", "y"], percentiles="rank").collect()
     after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
-    assert after == before, (before, after)
+    # <=, not ==: Spark's ContextCleaner may asynchronously unpersist
+    # unreferenced cached RDDs from EARLIER tests between the two
+    # snapshots, dropping the count; a leak here would ADD 3.
+    assert after <= before, (before, after)
 
 
 def test_rank_mode_equidepth_bins_on_lognormal(spark):

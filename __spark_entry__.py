@@ -709,6 +709,7 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     return hnsw_query_shards(
         graph, queries, k=10, m=meta["m"], metric=meta["metric"],
         ef_search=100, clustered=meta["clustered_safe"],
+        index_cache_token=meta["cache_token"],
     ).withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -262,6 +262,33 @@ GRAPH_SCHEMA = (
     "neighbors array<array<long>>, embedding array<float>, is_entry boolean"
 )
 
+# Worker-global cache of rebuilt shard indexes, keyed by
+# (cache_token, shard_id, n_rows).  Python workers are reused across
+# tasks (spark.python.worker.reuse, default true), so repeated serves
+# of the SAME persisted index skip the adjacency rebuild — the
+# dominant per-task constant at 250k-row shards.  The token comes from
+# index metadata derived from the graph FILES (load_hnsw_index:
+# path + max mtime + file count), so any append/rebalance/rewrite
+# changes the token and stale entries are never served; they age out
+# of the small LRU.  Opt-in: no token, no caching.
+_SHARD_INDEX_CACHE: dict[tuple, "NumpyHNSW"] = {}
+_SHARD_INDEX_CACHE_CAP = 8
+
+
+def _cached_from_rows(
+    rows: pd.DataFrame, m: int, metric: str, token: str | None, shard_id: int
+) -> "NumpyHNSW":
+    if token is None:
+        return NumpyHNSW.from_rows(rows, m=m, metric=metric)
+    key = (token, int(shard_id), len(rows))
+    idx = _SHARD_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = NumpyHNSW.from_rows(rows, m=m, metric=metric)
+        while len(_SHARD_INDEX_CACHE) >= _SHARD_INDEX_CACHE_CAP:
+            _SHARD_INDEX_CACHE.pop(next(iter(_SHARD_INDEX_CACHE)))
+        _SHARD_INDEX_CACHE[key] = idx
+    return idx
+
 
 def _broadcast_queries(queries: DataFrame, query_id_col: str, query_vec_col: str):
     """Ship the query batch to executors as ONE torrent broadcast of a
@@ -512,6 +539,7 @@ def hnsw_query_shards(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     clustered: bool = False,
+    index_cache_token: str | None = None,
 ) -> DataFrame:
     """Answer a query batch from PERSISTED graph rows: group rows by
     shard inside each task, rebuild the sub-index (adjacency load, no
@@ -522,7 +550,12 @@ def hnsw_query_shards(
     ``save_hnsw_index`` AND no shard's file exceeds
     ``spark.sql.files.maxPartitionBytes`` (a split shard would build a
     partial graph with dangling neighbor ids).  Default False keeps the
-    unconditional repartition — correct for any input layout."""
+    unconditional repartition — correct for any input layout.
+
+    ``index_cache_token`` (opt-in) enables the worker-level rebuilt-
+    index cache for repeated serving: pass ``meta["cache_token"]``
+    from ``load_hnsw_index`` — it changes whenever any graph file
+    changes, so a mutated index can never serve stale graphs."""
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
     bc = _broadcast_queries(queries, query_id_col, query_vec_col)
@@ -539,8 +572,11 @@ def hnsw_query_shards(
         if len(all_rows) == 0:
             return
         qids, qmat = bc.value
-        for _, rows in all_rows.groupby("shard_id"):
-            index = NumpyHNSW.from_rows(rows, m=m, metric=metric)
+        for sid, rows in all_rows.groupby("shard_id"):
+            index = _cached_from_rows(
+                rows, m=m, metric=metric,
+                token=index_cache_token, shard_id=int(sid),
+            )
             out_q, out_i, out_s = [], [], []
             for qid, qv in zip(qids, qmat):
                 for s, uid in index.search(qv, k, ef=ef_search):

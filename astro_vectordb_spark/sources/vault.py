@@ -190,11 +190,15 @@ def ivf_append_to_index(
         merged.write.mode("overwrite").parquet(stats_path)
 
 
-def _scan_graph_files(graph_path: str) -> tuple[list[int], int]:
-    """(shard ids, max parquet file bytes) from the partitioned graph
-    directory — a filesystem listing, zero Spark jobs."""
+def _scan_graph_files(graph_path: str) -> tuple[list[int], int, int, int]:
+    """(shard ids, max parquet file bytes, file count, max mtime ns)
+    from the partitioned graph directory — a filesystem listing, zero
+    Spark jobs.  File count + max mtime identify the graph VERSION
+    (any append/rebalance/rewrite changes at least one of them)."""
     shard_ids: list[int] = []
     max_bytes = 0
+    n_files = 0
+    max_mtime_ns = 0
     for name in os.listdir(graph_path):
         if not name.startswith("shard_id="):
             continue
@@ -202,8 +206,11 @@ def _scan_graph_files(graph_path: str) -> tuple[list[int], int]:
         sub = os.path.join(graph_path, name)
         for f in os.listdir(sub):
             if f.endswith(".parquet"):
-                max_bytes = max(max_bytes, os.path.getsize(os.path.join(sub, f)))
-    return sorted(shard_ids), max_bytes
+                st = os.stat(os.path.join(sub, f))
+                max_bytes = max(max_bytes, st.st_size)
+                max_mtime_ns = max(max_mtime_ns, st.st_mtime_ns)
+                n_files += 1
+    return sorted(shard_ids), max_bytes, n_files, max_mtime_ns
 
 
 def max_partition_bytes(spark: SparkSession) -> int:
@@ -244,7 +251,7 @@ def _write_hnsw_meta(spark: SparkSession, path: str, metric: str, m: int) -> Non
     rebalance) must call this, or the persisted shard list / max file
     size go stale — a stale shard list makes the cogrouped serve path
     silently skip shards added later."""
-    shard_ids, max_bytes = _scan_graph_files(os.path.join(path, "graph"))
+    shard_ids, max_bytes, _, _ = _scan_graph_files(os.path.join(path, "graph"))
     spark.createDataFrame(
         [(metric, int(m), shard_ids, int(max_bytes))],
         "metric string, m int, shard_ids array<int>, max_shard_file_bytes long",
@@ -261,18 +268,26 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     serving then degrades to the (correct, one extra shuffle)
     re-shuffled path instead of failing.  Indexes saved by older
     versions lack the size metadata; their graph directory is scanned
-    on load (same filesystem listing, no Spark job)."""
+    on load (same filesystem listing, no Spark job).
+
+    ``meta['cache_token']`` identifies this graph VERSION (path + file
+    count + newest file mtime) — pass it as
+    ``hnsw_query_shards(index_cache_token=...)`` to enable the
+    worker-level rebuilt-index cache for repeated serving; any
+    append/rebalance/rewrite produces a different token, so mutated
+    indexes never serve stale graphs."""
     graph_path = os.path.join(path, "graph")
     graph = spark.read.parquet(graph_path)
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    shard_ids, max_bytes, n_files, max_mtime_ns = _scan_graph_files(graph_path)
     if meta.get("max_shard_file_bytes") is None:
-        shard_ids, max_bytes = _scan_graph_files(graph_path)
         meta["shard_ids"] = shard_ids
         meta["max_shard_file_bytes"] = max_bytes
     meta["shard_ids"] = sorted(int(s) for s in meta["shard_ids"])
     meta["clustered_safe"] = (
         0 < meta["max_shard_file_bytes"] < max_partition_bytes(spark)
     )
+    meta["cache_token"] = f"{os.path.abspath(path)}:{n_files}:{max_mtime_ns}"
     return graph, meta
 
 

@@ -17,7 +17,10 @@ browser tab — astro-vectordb README.md:90-97) and asserts:
   A4  inserted vectors are immediately findable at rank 1;
   A5  serve wall-time is sublinear in shard count (16 shards after
       rebalance <= 1.6x the 8-shard serve on the same corpus);
-  A6  rebalance split every oversized shard and recall holds.
+  A6  rebalance split every oversized shard and recall holds;
+  A7  the opt-in worker-level index cache serves identical results
+      (timing recorded: rebuild-free steady state vs per-serve
+      adjacency rebuild).
 
 Emits ONE JSON line (and writes it to --out if given) with the
 measurements and a green/red flag per assertion.  Not part of the
@@ -79,7 +82,7 @@ def graph_file_state(index_path: str) -> dict[str, tuple[int, float]]:
     return state
 
 
-def serve(spark, index_path, queries, ef_search=512):
+def serve(spark, index_path, queries, ef_search=512, use_cache=False):
     from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
     from astro_vectordb_spark.sources.vault import load_hnsw_index
 
@@ -88,6 +91,7 @@ def serve(spark, index_path, queries, ef_search=512):
         hnsw_query_shards(
             graph, queries, k=K, m=meta["m"], metric=meta["metric"],
             ef_search=ef_search, clustered=meta["clustered_safe"],
+            index_cache_token=meta["cache_token"] if use_cache else None,
         ),
         meta,
     )
@@ -163,6 +167,15 @@ def main() -> None:
     res["serve_8shard_sec"] = round(time.time() - t0, 2)
     res["recall_at_10_served"] = round(recall_at_k(rows, exact), 4)
     checks["A2_recall_ge_095"] = res["recall_at_10_served"] >= 0.95
+    # worker-level index cache (opt-in): first call populates, second
+    # measures the rebuild-free steady state; results must not change
+    rows_c = serve(spark, index_path, queries, use_cache=True)[0].collect()
+    t0 = time.time()
+    rows_c = serve(spark, index_path, queries, use_cache=True)[0].collect()
+    res["serve_8shard_cached_sec"] = round(time.time() - t0, 2)
+    checks["A7_cached_serve_same_results"] = sorted(
+        (r["query_id"], r["vec_id"]) for r in rows_c
+    ) == sorted((r["query_id"], r["vec_id"]) for r in rows)
 
     # ---- selective insert ----------------------------------------------
     log("serve timed; selective insert")

@@ -617,3 +617,62 @@ def test_hnsw_rebalance_multiple_oversized_shards(spark, embeddings, tmp_path):
         g, queries, k=3, m=meta["m"], shard_ids=meta["shard_ids"]
     )
     assert co.collect()[0]["vec_id"] == 7
+
+
+def test_hnsw_serve_index_cache_token(spark, embeddings, tmp_path):
+    """Opt-in worker-level index cache: token-keyed serving returns the
+    same hits as uncached serving, and a mutation (append) changes the
+    token so the NEXT serve sees the new vector — stale graphs can
+    never be served across index versions."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 300)
+    graph = hnsw_build_shards(old, num_shards=2, ef_construction=64)
+    p = str(tmp_path / "hnsw_cache_tok")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+
+    g, meta = load_hnsw_index(spark, p)
+    tok1 = meta["cache_token"]
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plain = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in hnsw_query_shards(g, queries, k=10, m=16).collect()
+    )
+    cached = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in hnsw_query_shards(
+            g, queries, k=10, m=16, index_cache_token=tok1
+        ).collect()
+    )
+    # second cached serve hits the worker cache; results identical
+    cached2 = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in hnsw_query_shards(
+            g, queries, k=10, m=16, index_cache_token=tok1
+        ).collect()
+    )
+    assert plain == cached == cached2
+
+    # mutate the index: the token MUST change and the new vector MUST
+    # be served (a stale cache would miss it)
+    new = embeddings.filter(F.col("vec_id") == 301).select("vec_id", "embedding")
+    hnsw_append_to_index(spark, p, new)
+    g2, meta2 = load_hnsw_index(spark, p)
+    assert meta2["cache_token"] != tok1
+    probe_q = new.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(
+        g2, probe_q, k=3, m=16, index_cache_token=meta2["cache_token"]
+    ).collect()
+    assert hits[0]["vec_id"] == 301

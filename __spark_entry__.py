@@ -515,6 +515,21 @@ def _q_split_counts(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # per-stratum deterministic sampling — the training-data
+    # rebalancing primitive (keep all of rare languages, downsample the
+    # dominant one); one codegen'd predicate on the scan, no shuffle
+    from astro_vectordb_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.2, "zh": 1.0, "fr": 0.5}, default_frac=0.05
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id")
+    )
+
+
 def _q_profile_lineitem(spark, sf_dir):
     from astro_vectordb_spark.operators.profiling import profile_numeric
 
@@ -778,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "events_json": _q_events_json,
         "split_counts": _q_split_counts,
+        "stratified_sample": _q_stratified_sample,
         "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
@@ -1410,6 +1426,21 @@ s AS (
 )
 SELECT split, count(*) AS n, min(doc_id) AS min_id
 FROM s GROUP BY split
+""",
+        "stratified_sample": """
+WITH b AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang FROM b
+  WHERE bucket < CASE lang
+    WHEN 'en' THEN 200 WHEN 'zh' THEN 1000 WHEN 'fr' THEN 500
+    ELSE 50 END
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id
+FROM kept GROUP BY lang
 """,
         "profile_lineitem": """
 SELECT c.column, c.n, c.n_null, c.min_v, c.max_v, c.mean_v, c.p50, c.p90

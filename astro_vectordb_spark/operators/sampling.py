@@ -54,3 +54,32 @@ def deterministic_sample(
 ) -> DataFrame:
     """Stable ~frac sample: keep rows whose bucket < frac*buckets."""
     return df.filter(hash_bucket(F.col(id_col), buckets) < int(frac * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fracs: dict[object, float],
+    default_frac: float = 0.0,
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sample — the training-data rebalancing
+    primitive (e.g. keep 100% of a rare language, 5% of a dominant
+    one).  A row is kept iff ``bucket(id) < fracs[stratum] * buckets``;
+    strata absent from ``fracs`` use ``default_frac`` (0 = drop).
+
+    Same properties as ``deterministic_sample``, per stratum: stable
+    under re-runs/backfills/subsetting (a row's fate depends only on
+    its own key and stratum), idempotent (re-sampling a sample with the
+    same fracs keeps everything), and a single codegen'd predicate on
+    the scan — no shuffle, no per-stratum passes, SQL-expressible for
+    the oracle.  ``fracs`` sizes the expression (one CASE arm per
+    stratum), so it is driver-bounded metadata like every other knob —
+    not data."""
+    cut = F.lit(int(default_frac * buckets))
+    for value, frac in fracs.items():
+        cut = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * buckets))
+        ).otherwise(cut)
+    return df.filter(hash_bucket(F.col(id_col), buckets) < cut)

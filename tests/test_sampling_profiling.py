@@ -193,3 +193,35 @@ def test_rank_mode_equidepth_bins_on_lognormal(spark):
     assert max(occ.values()) <= 3 * mean, occ
     # and the parallelism actually exists: most bins are populated
     assert len(occ) >= num_bins - 2, occ
+
+
+def test_stratified_sample(spark, documents):
+    """Per-stratum fracs hold (+-), unlisted strata use default_frac,
+    rows are a subset of their stratum, and the sample is idempotent
+    and stable under subsetting."""
+    from astro_vectordb_spark.operators.sampling import stratified_sample
+
+    fracs = {"en": 0.2, "zh": 1.0}
+    s = stratified_sample(documents, "lang", fracs, default_frac=0.0)
+    rows = s.select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    totals = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # zh kept fully, en roughly 20%, everything else dropped
+    assert by_lang.get("zh", set()) and len(by_lang["zh"]) == totals["zh"]
+    en_rate = len(by_lang.get("en", set())) / totals["en"]
+    assert 0.08 < en_rate < 0.35, en_rate
+    assert set(by_lang) <= {"en", "zh"}
+    # idempotent: sampling the sample keeps every row
+    assert stratified_sample(s, "lang", fracs).count() == len(rows)
+    # stable under subsetting: a row's fate is its own
+    half = stratified_sample(
+        documents.filter(F.col("doc_id") % 2 == 0), "lang", fracs
+    )
+    kept_all = {r["doc_id"] for r in rows}
+    kept_half = {r["doc_id"] for r in half.select("doc_id").collect()}
+    assert kept_half == {d for d in kept_all if d % 2 == 0}

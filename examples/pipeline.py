@@ -144,11 +144,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         save_hnsw_index(graph, d, m=16, metric="cosine")
         touched = hnsw_append_to_index(spark, d, new)
         g, meta = load_hnsw_index(spark, d)
-        hits2 = hnsw_query_shards(g, queries, k=5, m=meta["m"])
+        # serve with the safety + cache metadata: clustered only while
+        # no shard file splits; token-keyed worker cache for repeats
+        hits2 = hnsw_query_shards(
+            g, queries, k=5, m=meta["m"],
+            clustered=meta["clustered_safe"],
+            index_cache_token=meta["cache_token"],
+        )
         print(
             f"[9] live index: appended {new.count()} rows into shards "
             f"{touched}; query hits {hits2.count()}"
         )
+
+    # 10. Rebalance training data: keep all rare-language docs,
+    #     downsample the dominant language — one deterministic scan
+    #     predicate, stable under re-runs and backfills
+    from astro_vectordb_spark.operators.sampling import stratified_sample
+
+    rebal = stratified_sample(
+        docs, "lang", {"en": 0.2, "zh": 1.0}, default_frac=0.5
+    )
+    mix = {r["lang"]: r["n"] for r in rebal.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(f"[10] stratified mix: {mix}")
 
     spark.stop()
     print("pipeline complete")

@@ -515,6 +515,25 @@ def _q_split_counts(spark, sf_dir):
     )
 
 
+def _q_topk_quantized(spark, sf_dir):
+    # int8 scalar quantization, two-stage serve: stage 1 scans ONLY the
+    # compact (qvec, qscale) columns (4x less IO than the float
+    # column), stage 2 exact-reranks the broadcast candidate ids
+    # against full precision.  Quantization math (max-abs/127 scale,
+    # floor(x/s + 0.5) codes) chosen for bit-parity with the DuckDB
+    # oracle, which replays both stages.
+    from astro_vectordb_spark.operators.quantize import (
+        quantize_embeddings,
+        topk_search_quantized,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return topk_search_quantized(
+        quantize_embeddings(emb), emb, _qvec(spark, sf_dir, 0),
+        k=10, refine_factor=4, strength=20,
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling — the training-data
     # rebalancing primitive (keep all of rare languages, downsample the
@@ -794,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "split_counts": _q_split_counts,
         "stratified_sample": _q_stratified_sample,
+        "topk_quantized": _q_topk_quantized,
         "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
@@ -1426,6 +1446,38 @@ s AS (
 )
 SELECT split, count(*) AS n, min(doc_id) AS min_id
 FROM s GROUP BY split
+""",
+        "topk_quantized": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qt AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30)
+      / 127.0 AS s
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, v -> floor(v::DOUBLE / s + 0.5) * s) AS xhat
+  FROM qt
+),
+stage1 AS (
+  SELECT d.vec_id,
+    (list_reduce(list_transform(generate_series(1, len(d.xhat)), i -> d.xhat[i] * qv[i]::DOUBLE), (acc, x) -> acc + x)
+     / (sqrt(list_reduce(list_transform(generate_series(1, len(d.xhat)), i -> d.xhat[i] * d.xhat[i]), (acc, x) -> acc + x))
+        * sqrt(list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)))) AS qs
+  FROM deq d CROSS JOIN q
+  ORDER BY qs DESC, d.vec_id LIMIT 40
+),
+exact AS (
+  SELECT e.vec_id,
+    (list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)
+     / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (acc, x) -> acc + x))
+        * sqrt(list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)))) AS sc
+  FROM embeddings e JOIN stage1 USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, round(sc, 6) AS score
+FROM exact WHERE sc > 0.2
+ORDER BY sc DESC, vec_id LIMIT 10
 """,
         "stratified_sample": """
 WITH b AS (

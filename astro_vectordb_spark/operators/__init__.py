@@ -40,6 +40,16 @@ from astro_vectordb_spark.operators.text_analysis import (
     text_stats,
 )
 from astro_vectordb_spark.operators.classify import knn_classify
+from astro_vectordb_spark.operators.quantize import (
+    quantize_embeddings,
+    topk_search_quantized,
+)
+from astro_vectordb_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_split,
+    hash_bucket,
+    stratified_sample,
+)
 from astro_vectordb_spark.operators.events import (
     event_type_rates,
     session_stats,
@@ -58,6 +68,9 @@ __all__ = [
     "brp_lsh_topk",
     "customer_rank_in_nation",
     "dedup_keep_representatives",
+    "deterministic_sample",
+    "deterministic_split",
+    "hash_bucket",
     "doc_fingerprints",
     "embedding_near_dups",
     "event_type_rates",
@@ -78,6 +91,7 @@ __all__ = [
     "point_lookup",
     "pricing_summary",
     "quality_scores",
+    "quantize_embeddings",
     "rank_topk_per_query",
     "revenue_topn",
     "rp_build",
@@ -87,10 +101,12 @@ __all__ = [
     "simhash_pairs",
     "simhash_pairs_sql_safe",
     "similarity_join",
+    "stratified_sample",
     "sync_merge",
     "text_stats",
     "tombstone_delete",
     "topk_search",
+    "topk_search_quantized",
     "upsert_latest",
     "validate_embeddings",
     "windowed_counts",

@@ -130,3 +130,33 @@ def test_rank_percentiles_match_numpy(spark, values):
         assert math.isclose(got[round(p, 2)], want, rel_tol=1e-12, abs_tol=1e-12), (
             p, got[round(p, 2)], want, values,
         )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(vec, min_size=1, max_size=20))
+def test_quantize_roundtrip_bound(spark, vectors):
+    """Int8 quantization: codes stay in [-127, 127] and per-coordinate
+    reconstruction error is bounded by half the step (s/2) for
+    arbitrary finite vectors, including all-zero and constant ones."""
+    from astro_vectordb_spark.operators.quantize import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = (
+        quantize_embeddings(df)
+        .select("vec_id", "qvec", "qscale", dequantize_expr().alias("xhat"))
+        .join(df, "vec_id")
+        .collect()
+    )
+    assert len(rows) == len(vectors)
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        for x, xh in zip(r["embedding"], r["xhat"]):
+            assert abs(float(x) - xh) <= r["qscale"] / 2 + 1e-9, (
+                float(x), xh, r["qscale"],
+            )

@@ -99,3 +99,19 @@ def test_topk_quantized_stage1_reads_only_compact_columns(
     assert compact_scans and all("embedding" not in s for s in compact_scans)
     # exactly one scan (stage 2) touches the float column
     assert len(emb_scans) == 1, schemas
+
+
+def test_topk_quantized_euclidean_metric(spark, embeddings):
+    """Metric dispatch works through both stages (euclidean similarity
+    1/(1+d)): two-stage matches exact brute force."""
+    qv = embeddings.filter(F.col("vec_id") == 3).first()["embedding"]
+    got = topk_search_quantized(
+        quantize_embeddings(embeddings), embeddings, qv, k=5,
+        strength=0, metric="euclidean",
+    ).collect()
+    want = topk_search(
+        embeddings, qv, k=5, strength=0, metric="euclidean"
+    ).select("vec_id", "score").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]

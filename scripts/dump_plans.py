@@ -13,6 +13,7 @@ from astro_vectordb_spark.session import get_spark
 SHOW = [
     "topk_exact",
     "batch_topk",
+    "topk_quantized",
     "sync_merge",
     "near_dup_jaccard",
     "near_dup_minhash",

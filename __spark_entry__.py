@@ -534,6 +534,24 @@ def _q_topk_quantized(spark, sf_dir):
     )
 
 
+def _q_batch_topk_quantized(spark, sf_dir):
+    # batch face of the quantized two-stage serve: stage 1 prunes
+    # per-query candidates on the compact columns map-side, stage 2
+    # exact-reranks the survivors against full precision
+    from astro_vectordb_spark.operators.quantize import (
+        batch_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk_quantized(
+        quantize_embeddings(emb), emb, queries, k=5, refine_factor=4
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     # per-stratum deterministic sampling — the training-data
     # rebalancing primitive (keep all of rare languages, downsample the
@@ -814,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": _q_split_counts,
         "stratified_sample": _q_stratified_sample,
         "topk_quantized": _q_topk_quantized,
+        "batch_topk_quantized": _q_batch_topk_quantized,
         "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
@@ -1478,6 +1497,52 @@ exact AS (
 SELECT vec_id, round(sc, 6) AS score
 FROM exact WHERE sc > 0.2
 ORDER BY sc DESC, vec_id LIMIT 10
+""",
+        "batch_topk_quantized": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+qt AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30)
+      / 127.0 AS s
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, v -> floor(v::DOUBLE / s + 0.5) * s) AS xhat
+  FROM qt
+),
+stage1 AS (
+  SELECT q.query_id, d.vec_id,
+    (list_reduce(list_transform(generate_series(1, len(d.xhat)), i -> d.xhat[i] * qv[i]::DOUBLE), (acc, x) -> acc + x)
+     / (sqrt(list_reduce(list_transform(generate_series(1, len(d.xhat)), i -> d.xhat[i] * d.xhat[i]), (acc, x) -> acc + x))
+        * sqrt(list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)))) AS qs
+  FROM deq d CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY qs DESC, vec_id) AS r
+    FROM stage1
+  ) WHERE r <= 20
+),
+exact AS (
+  SELECT c.query_id, e.vec_id,
+    (list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)
+     / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (acc, x) -> acc + x))
+        * sqrt(list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (acc, x) -> acc + x)))) AS sc
+  FROM cand c
+  JOIN embeddings e USING (vec_id)
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sc,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS rank
+  FROM exact WHERE sc > 0.0
+)
+SELECT query_id, vec_id, round(sc, 6) AS score, rank
+FROM ranked WHERE rank <= 5
 """,
         "stratified_sample": """
 WITH b AS (

@@ -82,6 +82,53 @@ def dequantize_expr(
     )
 
 
+def batch_topk_quantized(
+    quantized: DataFrame,
+    original: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine_factor: int = 4,
+    strength: float = 0.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "score",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Per-query two-stage top-K over a quantized corpus — the batch
+    face of ``topk_search_quantized``, reusing ``batch_topk``'s
+    partition-local prereduce for stage 1: the broadcast query set
+    scores against dequantized vectors map-side, each partition keeps
+    its per-query top ``k*refine`` (Arrow prune, no |Q| x |C| shuffle),
+    and only the surviving (query_id, id) candidates join back to the
+    full-precision table for the exact re-rank.  Ranking uses the
+    unrounded score in both stages (ties by id), so the DuckDB oracle
+    replays it deterministically."""
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    qscored = quantized.join(F.broadcast(queries)).withColumn(
+        "qscore", similarity(dequantize_expr(), F.col(query_vec_col), metric)
+    )
+    cand = rank_topk_per_query(
+        qscored, k * refine_factor, id_col=id_col,
+        query_id_col=query_id_col, score_col="qscore", num_salts=num_salts,
+    ).select(query_id_col, id_col)
+    exact = (
+        original.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .withColumn(
+            score_col, similarity(F.col(vec_col), F.col(query_vec_col), metric)
+        )
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+    )
+    return rank_topk_per_query(
+        exact, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=1,
+    )
+
+
 def topk_search_quantized(
     quantized: DataFrame,
     original: DataFrame,

@@ -115,3 +115,25 @@ def test_topk_quantized_euclidean_metric(spark, embeddings):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_batch_topk_quantized_matches_batch_topk(spark, embeddings):
+    """Batch two-stage matches full-precision batch_topk per query at
+    refine_factor=4 (ids, scores, ranks)."""
+    from astro_vectordb_spark.operators.quantize import batch_topk_quantized
+    from astro_vectordb_spark.operators.topk import batch_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in batch_topk_quantized(
+            quantize_embeddings(embeddings), embeddings, queries, k=5
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in batch_topk(embeddings, queries, k=5).collect()
+    )
+    assert got == want

@@ -271,8 +271,15 @@ GRAPH_SCHEMA = (
 # path + max mtime + file count), so any append/rebalance/rewrite
 # changes the token and stale entries are never served; they age out
 # of the small LRU.  Opt-in: no token, no caching.
+#
+# Memory budget: EVERY Python worker holds its own cache, and one
+# 250k-row / 64-d shard index is ~100-200 MB (float32 vectors +
+# adjacency lists), so per-executor footprint is
+# cores x cap x shard_size.  The conservative default (4) assumes
+# serving workloads route each worker to a handful of shards; raise
+# it only with the arithmetic done for your executor memory.
 _SHARD_INDEX_CACHE: dict[tuple, "NumpyHNSW"] = {}
-_SHARD_INDEX_CACHE_CAP = 8
+_SHARD_INDEX_CACHE_CAP = 4
 
 
 def _cached_from_rows(

@@ -72,6 +72,23 @@ def main() -> None:
         lambda: noop(batch_topk(emb1m, queries, 10, num_salts=1))
     )
 
+    # quantized two-stage top-K at 1M: stage 1 scans the persisted
+    # compact (qvec, qscale) table (~4x less IO than the float column),
+    # stage 2 exact-reranks 40 broadcast ids against full precision
+    from astro_vectordb_spark.operators.quantize import (
+        quantize_embeddings,
+        topk_search_quantized,
+    )
+
+    quantize_embeddings(emb1m).write.mode("overwrite").parquet(
+        "/tmp/scale/emb1m_q"
+    )
+    q1m = spark.read.parquet("/tmp/scale/emb1m_q")
+    noop(topk_search_quantized(q1m, emb1m, qv, 10, strength=0))  # warm
+    out["topk_quantized_2stage_1m_sec"] = timed(
+        lambda: noop(topk_search_quantized(q1m, emb1m, qv, 10, strength=0))
+    )
+
     from astro_vectordb_spark.operators.crud import sync_merge
 
     delta = emb1m.filter(F.col("vec_id") % 10 == 0).withColumn(

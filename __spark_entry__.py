@@ -801,16 +801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "dedup_groups": _q_dedup_groups,
-        "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
-        "near_dup_simhash": _q_near_dup_simhash,
         "near_dup_simhash_sql": _q_near_dup_simhash_sql,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -839,6 +835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
+        # -- no_oracle entries LAST: the driver's correctness window
+        # checks the first 50 entries, so every hash-checkable query
+        # must come before the 4 rows-only ones (native-xxhash dedup
+        # variants and the recall-tested approximate ANN paths)
+        "near_dup_minhash": _q_near_dup_minhash,
+        "near_dup_simhash": _q_near_dup_simhash,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_hnsw_topk": _q_ann_hnsw_topk,
     }
 
 

@@ -287,13 +287,20 @@ def _cached_from_rows(
 ) -> "NumpyHNSW":
     if token is None:
         return NumpyHNSW.from_rows(rows, m=m, metric=metric)
-    key = (token, int(shard_id), len(rows))
+    # (m, metric) belong in the key: the same persisted graph (same
+    # token) can legitimately be served with different parameters, and
+    # an index built with the other call's metric scores wrong.
+    key = (token, int(shard_id), len(rows), int(m), metric)
     idx = _SHARD_INDEX_CACHE.get(key)
     if idx is None:
         idx = NumpyHNSW.from_rows(rows, m=m, metric=metric)
         while len(_SHARD_INDEX_CACHE) >= _SHARD_INDEX_CACHE_CAP:
             _SHARD_INDEX_CACHE.pop(next(iter(_SHARD_INDEX_CACHE)))
-        _SHARD_INDEX_CACHE[key] = idx
+    else:
+        # LRU, not FIFO: refresh recency on hit so a working set just
+        # above the cap doesn't evict the hottest shard every serve.
+        del _SHARD_INDEX_CACHE[key]
+    _SHARD_INDEX_CACHE[key] = idx
     return idx
 
 

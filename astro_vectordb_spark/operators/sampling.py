@@ -36,8 +36,11 @@ def deterministic_split(
 ) -> DataFrame:
     """Append 'train' / 'val' / 'test' assignment by hash bucket."""
     b = hash_bucket(F.col(id_col), buckets)
-    test_cut = int(test_frac * buckets)
-    val_cut = test_cut + int(val_frac * buckets)
+    # round, not truncate: frac=0.35 at 1000 buckets must cut at 350,
+    # not 349 (float product 349.99... would silently under-sample and
+    # diverge from any oracle that computes the cutoff exactly)
+    test_cut = int(round(test_frac * buckets))
+    val_cut = test_cut + int(round(val_frac * buckets))
     split = (
         F.when(b < test_cut, F.lit("test"))
         .when(b < val_cut, F.lit("val"))
@@ -53,7 +56,9 @@ def deterministic_sample(
     buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """Stable ~frac sample: keep rows whose bucket < frac*buckets."""
-    return df.filter(hash_bucket(F.col(id_col), buckets) < int(frac * buckets))
+    return df.filter(
+        hash_bucket(F.col(id_col), buckets) < int(round(frac * buckets))
+    )
 
 
 def stratified_sample(
@@ -77,9 +82,10 @@ def stratified_sample(
     the oracle.  ``fracs`` sizes the expression (one CASE arm per
     stratum), so it is driver-bounded metadata like every other knob —
     not data."""
-    cut = F.lit(int(default_frac * buckets))
+    cut = F.lit(int(round(default_frac * buckets)))
     for value, frac in fracs.items():
         cut = F.when(
-            F.col(strata_col) == F.lit(value), F.lit(int(frac * buckets))
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(round(frac * buckets))),
         ).otherwise(cut)
     return df.filter(hash_bucket(F.col(id_col), buckets) < cut)

@@ -217,7 +217,12 @@ def max_partition_bytes(spark: SparkSession) -> int:
     """The session's ``spark.sql.files.maxPartitionBytes`` as an int
     (the conf value may carry a ``b``/``k``/``m``/``g`` suffix)."""
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    # Spark accepts both one-letter ("128m") and two-letter ("128mb")
+    # byte strings — match the longer suffixes first.
+    mult = {
+        "tb": 1 << 40, "gb": 1 << 30, "mb": 1 << 20, "kb": 1 << 10,
+        "t": 1 << 40, "g": 1 << 30, "m": 1 << 20, "k": 1 << 10, "b": 1,
+    }
     low = raw.strip().lower()
     for suffix, factor in mult.items():
         if low.endswith(suffix):

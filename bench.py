@@ -83,6 +83,8 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    ann = _ann_metrics(spark, sf_dir)
+    # Full artifact first (cold per-query detail included) ...
     print(
         json.dumps(
             {
@@ -93,8 +95,29 @@ def main() -> None:
                 "cold_total_sec": cold_total,
                 "cold_queries": cold,
                 "sf": sf,
-                "ann_metrics": _ann_metrics(spark, sf_dir),
+                "ann_metrics": ann,
             }
+        )
+    )
+    # ... then a compact summary as the LAST stdout line: the driver
+    # archives a bounded TAIL of stdout, which truncates long lines
+    # from the front — r5 lost its steady-state headline that way.
+    # Keeping this line short (2-decimal timings, no cold detail)
+    # guarantees the warm/cold totals and ann_metrics survive any
+    # tail capture; it parses as the same schema.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "cold_total_sec": cold_total,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "ann_metrics": ann,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -676,3 +676,45 @@ def test_hnsw_serve_index_cache_token(spark, embeddings, tmp_path):
         g2, probe_q, k=3, m=16, index_cache_token=meta2["cache_token"]
     ).collect()
     assert hits[0]["vec_id"] == 301
+
+
+def test_shard_index_cache_key_includes_params_and_is_lru():
+    """ADVICE r5: (1) the worker cache key must include (m, metric) —
+    the same persisted graph may be served with different params and
+    must not return an index built with the other call's metric;
+    (2) eviction is LRU (hits refresh recency), not FIFO."""
+    import pandas as pd
+
+    from astro_vectordb_spark.operators import hnsw as H
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "level": [0, 0],
+            "neighbors": [[[1]], [[0]]],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            "is_entry": [True, False],
+        }
+    )
+    saved = dict(H._SHARD_INDEX_CACHE)
+    H._SHARD_INDEX_CACHE.clear()
+    try:
+        a = H._cached_from_rows(rows, m=16, metric="cosine", token="t", shard_id=0)
+        b = H._cached_from_rows(rows, m=16, metric="euclidean", token="t", shard_id=0)
+        assert a is not b and a.metric == "cosine" and b.metric == "euclidean"
+        c = H._cached_from_rows(rows, m=8, metric="cosine", token="t", shard_id=0)
+        assert c is not a
+        # LRU: touch `a`, then insert a 4th entry to hit the cap of 4;
+        # the evicted one must be `b` (least recently used), not `a`
+        assert H._cached_from_rows(
+            rows, m=16, metric="cosine", token="t", shard_id=0
+        ) is a
+        H._cached_from_rows(rows, m=16, metric="dot", token="t", shard_id=0)
+        H._cached_from_rows(rows, m=16, metric="euclidean_similarity",
+                            token="t", shard_id=0)
+        assert H._cached_from_rows(
+            rows, m=16, metric="cosine", token="t", shard_id=0
+        ) is a
+    finally:
+        H._SHARD_INDEX_CACHE.clear()
+        H._SHARD_INDEX_CACHE.update(saved)

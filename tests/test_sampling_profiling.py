@@ -225,3 +225,21 @@ def test_stratified_sample(spark, documents):
     kept_all = {r["doc_id"] for r in rows}
     kept_half = {r["doc_id"] for r in half.select("doc_id").collect()}
     assert kept_half == {d for d in kept_all if d % 2 == 0}
+
+
+def test_sample_cutoff_rounds_not_truncates(spark, documents):
+    # frac=0.35 at 1000 buckets: float product is 349.999...; the
+    # cutoff must be 350 (rounded), not 349 (truncated) — ADVICE r5
+    from astro_vectordb_spark.operators.sampling import (
+        deterministic_sample,
+        hash_bucket,
+    )
+
+    kept = deterministic_sample(documents, frac=0.35)
+    expect = documents.filter(hash_bucket(F.col("doc_id")) < 350)
+    assert kept.count() == expect.count()
+    boundary = documents.filter(hash_bucket(F.col("doc_id")) == 349)
+    if boundary.count() > 0:  # bucket 349 rows must be kept at 0.35
+        ids = {r["doc_id"] for r in boundary.select("doc_id").collect()}
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert ids <= kept_ids

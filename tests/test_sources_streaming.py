@@ -456,3 +456,22 @@ def test_ivf_append_to_index_storage_level(spark, embeddings, tmp_path):
         for r in ivf_search_exact(a2, c2, s2, qv, 10, nprobe_seed=2).collect()
     ]
     assert got == exact
+
+
+def test_max_partition_bytes_two_letter_suffixes(spark):
+    # Spark accepts '128mb'-style two-letter byte strings; the parser
+    # must not choke on them (ADVICE r5)
+    from astro_vectordb_spark.sources.vault import max_partition_bytes
+
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("128mb", 128 << 20), ("1gb", 1 << 30), ("64k", 64 << 10),
+            ("134217728", 134217728), ("134217728b", 134217728),
+            ("2kb", 2 << 10),
+        ]:
+            spark.conf.set(key, raw)
+            assert max_partition_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, orig)

@@ -249,6 +249,53 @@ def _q_near_dup_simhash_sql(spark, sf_dir):
     return simhash_pairs_sql_safe(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_near_dup_native_exactdup(spark, sf_dir):
+    # Hash-checkable surface for the two NATIVE (xxhash64) near-dup
+    # families, which are otherwise rows-only (the oracle cannot replay
+    # xxhash).  Restricted to pairs with IDENTICAL distinct-token sets,
+    # both native pipelines are deterministic REGARDLESS of hash
+    # family: equal sets give equal MinHash signatures (collide in
+    # every band, exact-Jaccard-verified at 1.0 — word_shingles(n=1) is
+    # the distinct token set) and equal SimHash signatures (hamming 0,
+    # shares every pigeonhole chunk).  So the result — produced by the
+    # REAL native plans (signature -> banding/chunking -> candidate
+    # join -> verify) — must equal the SQL-computable equal-token-set
+    # pair list; a recall or verification regression in either native
+    # path drops/extends rows and hash-mismatches.  (jaccard==1.0 after
+    # round-6 cannot false-positive below ~2M distinct tokens/doc.)
+    from astro_vectordb_spark.functions.text import tokens
+    from astro_vectordb_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    mh = (
+        minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=8, n=1)
+        .filter(F.col("jaccard") == 1.0)
+        .select(F.lit("minhash").alias("family"), "a_id", "b_id")
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(tokens(F.lower(F.col("text"))))
+            ).alias("_tk"),
+        )
+        .filter(F.size("_tk") > 0)
+        .select("doc_id", F.array_join("_tk", "\x01").alias("_key"))
+    )
+    eq = (
+        toks.select(F.col("doc_id").alias("a_id"), "_key")
+        .join(toks.select(F.col("doc_id").alias("b_id"), "_key"), "_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    shq = (
+        simhash_pairs(docs, max_hamming=3)
+        .join(eq, ["a_id", "b_id"], "semi")
+        .select(F.lit("simhash").alias("family"), "a_id", "b_id")
+    )
+    return mh.unionByName(shq)
+
+
 def _q_dedup_groups(spark, sf_dir):
     # full near-dup dedup: exact jaccard pairs -> connected components
     # -> keep min-id per component (+ singletons).  The iterative label
@@ -835,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
+        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
         # -- no_oracle entries LAST: the driver's correctness window
         # checks the first 50 entries, so every hash-checkable query
         # must come before the 4 rows-only ones (native-xxhash dedup
@@ -1212,6 +1260,22 @@ cand AS (
 )
 SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+        "near_dup_native_exactdup": f"""
+WITH tk AS (
+  SELECT doc_id, list_sort(list_distinct({_LTOKS})) AS tkl FROM documents
+),
+k AS (
+  SELECT doc_id, array_to_string(tkl, chr(1)) AS key
+  FROM tk WHERE len(tkl) > 0
+),
+eq AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT 'minhash' AS family, a_id, b_id FROM eq
+UNION ALL
+SELECT 'simhash' AS family, a_id, b_id FROM eq
 """,
         "text_stats": f"""
 WITH t AS (

@@ -29,3 +29,26 @@ def test_register_tables_all_present(spark, sf_dir):
         assert t in names
     n = spark.sql("SELECT count(*) c FROM lineitem").first()["c"]
     assert n > 0
+
+
+def test_driver_contract_ordering_and_coverage():
+    """The driver checks the FIRST 50 queries() entries against
+    oracle_sql(); every hash-checkable query must therefore precede
+    the rows-only ones.  Pin: (a) all oracled entries come first,
+    (b) there are at most 50 of them, (c) every oracle key exists in
+    queries() and vice versa for the oracled prefix."""
+    import __spark_entry__ as m
+
+    qs = list(m.queries())
+    oracles = set(m.oracle_sql())
+    n_oracled = len(oracles)
+    assert n_oracled <= 50, (
+        f"{n_oracled} oracled queries exceed the driver's 50-entry "
+        "correctness window — consolidate before adding more"
+    )
+    assert set(qs[:n_oracled]) == oracles, (
+        "oracled queries must occupy the first positions of queries() "
+        f"(driver checks first 50): misplaced = "
+        f"{oracles.symmetric_difference(qs[:n_oracled])}"
+    )
+    assert all(name not in oracles for name in qs[n_oracled:])

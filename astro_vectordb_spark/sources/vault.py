@@ -56,7 +56,7 @@ def open_or_create(
 ) -> DataFrame:
     """Load the vector table, or create an empty one if absent
     (getAstroDB/createAstroDB, driver/driver.ts:28-48)."""
-    if os.path.exists(path):
+    if _fs_exists(spark, path):
         return spark.read.parquet(path)
     empty = spark.createDataFrame([], schema)
     empty.write.mode("overwrite").parquet(path)
@@ -127,7 +127,7 @@ def load_ivf_index(
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     stats_path = os.path.join(path, "cell_stats")
     cell_stats = (
-        spark.read.parquet(stats_path) if os.path.exists(stats_path) else None
+        spark.read.parquet(stats_path) if _fs_exists(spark, stats_path) else None
     )
     meta_row = spark.read.parquet(os.path.join(path, "_meta")).first()
     return assigned, centroids, cell_stats, meta_row.asDict()
@@ -176,7 +176,7 @@ def ivf_append_to_index(
         .parquet(assigned_path)
     )
     stats_path = os.path.join(path, "cell_stats")
-    if os.path.exists(stats_path):
+    if _fs_exists(spark, stats_path):
         old_stats = spark.read.parquet(stats_path)
         new_stats = ivf_cell_stats(appended, centroids, metric=metric)
         merge = (
@@ -190,27 +190,62 @@ def ivf_append_to_index(
         merged.write.mode("overwrite").parquet(stats_path)
 
 
-def _scan_graph_files(graph_path: str) -> tuple[list[int], int, int, int]:
-    """(shard ids, max parquet file bytes, file count, max mtime ns)
-    from the partitioned graph directory — a filesystem listing, zero
-    Spark jobs.  File count + max mtime identify the graph VERSION
-    (any append/rebalance/rewrite changes at least one of them)."""
-    shard_ids: list[int] = []
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    resolves the scheme (``file://``, ``hdfs://``, ``s3a://``, ...)
+    from the session's Hadoop conf, so every vault listing works on
+    any Hadoop-compatible store, not just the local filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _qualified_uri(spark: SparkSession, path: str) -> str:
+    """Scheme-qualified absolute URI for ``path`` (the object-store-safe
+    replacement for ``os.path.abspath`` in cache tokens)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return str(fs.makeQualified(hpath).toString())
+
+
+def _scan_graph_files(
+    spark: SparkSession, graph_path: str
+) -> tuple[list[int], int, int, int, int]:
+    """(shard ids, max parquet file bytes, file count, max mtime ms,
+    total bytes) from the partitioned graph directory — one recursive
+    Hadoop listing (a single LIST round on object stores), zero Spark
+    jobs.  File count + newest mtime + total size identify the graph
+    VERSION: any append/rebalance/rewrite changes at least one (total
+    size compensates for Hadoop's millisecond mtime resolution, where
+    two rewrites in the same tick with equal file counts could
+    otherwise collide)."""
+    fs, hpath = _hadoop_fs(spark, graph_path)
+    shard_ids: set[int] = set()
     max_bytes = 0
     n_files = 0
-    max_mtime_ns = 0
-    for name in os.listdir(graph_path):
-        if not name.startswith("shard_id="):
+    max_mtime_ms = 0
+    total_bytes = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        parent = p.getParent().getName()
+        if not (
+            parent.startswith("shard_id=") and p.getName().endswith(".parquet")
+        ):
             continue
-        shard_ids.append(int(name.split("=", 1)[1]))
-        sub = os.path.join(graph_path, name)
-        for f in os.listdir(sub):
-            if f.endswith(".parquet"):
-                st = os.stat(os.path.join(sub, f))
-                max_bytes = max(max_bytes, st.st_size)
-                max_mtime_ns = max(max_mtime_ns, st.st_mtime_ns)
-                n_files += 1
-    return sorted(shard_ids), max_bytes, n_files, max_mtime_ns
+        shard_ids.add(int(parent.split("=", 1)[1]))
+        size = int(f.getLen())
+        max_bytes = max(max_bytes, size)
+        total_bytes += size
+        max_mtime_ms = max(max_mtime_ms, int(f.getModificationTime()))
+        n_files += 1
+    return sorted(shard_ids), max_bytes, n_files, max_mtime_ms, total_bytes
 
 
 def max_partition_bytes(spark: SparkSession) -> int:
@@ -256,7 +291,9 @@ def _write_hnsw_meta(spark: SparkSession, path: str, metric: str, m: int) -> Non
     rebalance) must call this, or the persisted shard list / max file
     size go stale — a stale shard list makes the cogrouped serve path
     silently skip shards added later."""
-    shard_ids, max_bytes, _, _ = _scan_graph_files(os.path.join(path, "graph"))
+    shard_ids, max_bytes, _, _, _ = _scan_graph_files(
+        spark, os.path.join(path, "graph")
+    )
     spark.createDataFrame(
         [(metric, int(m), shard_ids, int(max_bytes))],
         "metric string, m int, shard_ids array<int>, max_shard_file_bytes long",
@@ -284,7 +321,9 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     graph_path = os.path.join(path, "graph")
     graph = spark.read.parquet(graph_path)
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
-    shard_ids, max_bytes, n_files, max_mtime_ns = _scan_graph_files(graph_path)
+    shard_ids, max_bytes, n_files, max_mtime_ms, total_bytes = _scan_graph_files(
+        spark, graph_path
+    )
     if meta.get("max_shard_file_bytes") is None:
         meta["shard_ids"] = shard_ids
         meta["max_shard_file_bytes"] = max_bytes
@@ -292,7 +331,9 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     meta["clustered_safe"] = (
         0 < meta["max_shard_file_bytes"] < max_partition_bytes(spark)
     )
-    meta["cache_token"] = f"{os.path.abspath(path)}:{n_files}:{max_mtime_ns}"
+    meta["cache_token"] = (
+        f"{_qualified_uri(spark, path)}:{n_files}:{max_mtime_ms}:{total_bytes}"
+    )
     return graph, meta
 
 

@@ -475,3 +475,36 @@ def test_max_partition_bytes_two_letter_suffixes(spark):
             assert max_partition_bytes(spark) == want, raw
     finally:
         spark.conf.set(key, orig)
+
+
+def test_hnsw_meta_on_scheme_qualified_uri(spark, embeddings, tmp_path):
+    """The _meta/graph listings go through the Hadoop FileSystem API,
+    so a scheme-qualified URI (file://... here; hdfs://, s3a:// in a
+    real deployment) must round-trip save -> load -> append with a
+    working shard list, clustered_safe bound, and cache token.  An
+    os.listdir-based lister fails this with FileNotFoundError."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    small = embeddings.filter(F.col("vec_id") < 200)
+    graph = hnsw_build_shards(small, num_shards=2, ef_construction=32)
+    uri = "file://" + str(tmp_path / "hnsw_uri")
+    save_hnsw_index(graph, uri, m=16, metric="cosine")
+
+    g, meta = load_hnsw_index(spark, uri)
+    assert sorted(meta["shard_ids"]) == [0, 1]
+    assert meta["max_shard_file_bytes"] > 0
+    assert meta["cache_token"].startswith("file:")
+    tok1 = meta["cache_token"]
+    n_before = g.count()
+
+    new = embeddings.filter(F.col("vec_id") == 201).select("vec_id", "embedding")
+    touched = hnsw_append_to_index(spark, uri, new)
+    assert len(touched) == 1
+    g2, meta2 = load_hnsw_index(spark, uri)
+    assert meta2["cache_token"] != tok1
+    assert g2.count() == n_before + 1

@@ -43,9 +43,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _quantize_np(vec) -> tuple[np.ndarray, float]:
+    """Per-vector symmetric int8 codes — the SAME math as
+    ``operators.quantize`` (scale = max|x|/127 with the 1e-30 guard,
+    code = floor(x/s + 0.5)), so graph rows and the quantized table
+    carry bit-identical codes and re-quantizing a dequantized vector
+    is a no-op (max|code| is 127 by construction, so the recovered
+    scale is exactly the original)."""
+    x = np.asarray(vec, dtype=np.float64)
+    s = max(float(np.max(np.abs(x))) if x.size else 0.0, 1e-30) / 127.0
+    return np.floor(x / s + 0.5).astype(np.int8), s
+
+
 class NumpyHNSW:
     """In-memory HNSW over float64 vectors (cosine via normalized dot,
-    or euclidean mapped to 1/(1+d) similarity)."""
+    or euclidean mapped to 1/(1+d) similarity).
+
+    ``quantized=True`` (set by ``from_rows`` when the graph rows carry
+    ``qvec``/``qscale``, or at build emit time) stores int8 codes plus
+    a per-row scale instead of float64 vectors — 8x smaller resident
+    memory per shard, which is the serve-cache and shard-size bound.
+    Scoring needs no dequantization: for cosine the scale cancels
+    (cos = codes.q / |codes|, norms precomputed), for euclidean
+    d^2 = s^2|codes|^2 - 2 s (codes.q) + |q|^2 from the same single
+    int8 matmul.  Scores differ from the float path by the pinned
+    quantization error bound (tests/test_quantize.py)."""
 
     def __init__(
         self,
@@ -64,6 +86,12 @@ class NumpyHNSW:
         self.vecs: list[np.ndarray] = []
         self.ids: list = []
         self.levels: list[int] = []
+        # quantized-mode storage: vecs holds int8 code arrays; per-row
+        # scale, code-vector norm (cosine) and s^2|codes|^2 (euclidean)
+        self.quantized = False
+        self.qscales: list[float] = []
+        self.qnorms: list[float] = []
+        self.qc2: list[float] = []
         self.neighbors: list[list[list[int]]] = []  # [node][level] -> ids
         self.entry = -1
         self.max_level = -1
@@ -87,9 +115,37 @@ class NumpyHNSW:
     def _sims(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
         self.n_sim_evals += len(idxs)
         m = np.stack([self.vecs[i] for i in idxs])
+        if not self.quantized:
+            if self.metric == "cosine":
+                return m @ q
+            return 1.0 / (1.0 + np.linalg.norm(m - q, axis=1))
+        dots = m.astype(np.float64) @ q
         if self.metric == "cosine":
-            return m @ q
-        return 1.0 / (1.0 + np.linalg.norm(m - q, axis=1))
+            norms = np.array([self.qnorms[i] for i in idxs])
+            return dots / np.maximum(norms, 1e-30)
+        s = np.array([self.qscales[i] for i in idxs])
+        c2 = np.array([self.qc2[i] for i in idxs])
+        d2 = np.maximum(c2 - 2.0 * s * dots + float(q @ q), 0.0)
+        return 1.0 / (1.0 + np.sqrt(d2))
+
+    def _as_query(self, i: int) -> np.ndarray:
+        """Node i's vector in query form (dequantized + prepped when
+        quantized) — used when a stored node becomes the probe (the
+        overflow-shrink re-rank in ``add``)."""
+        if not self.quantized:
+            return self.vecs[i]
+        return self._prep(self.vecs[i].astype(np.float64) * self.qscales[i])
+
+    def _store_vec(self, vec, prepped: np.ndarray) -> None:
+        if not self.quantized:
+            self.vecs.append(prepped)
+            return
+        codes, s = _quantize_np(vec)
+        n2 = float(codes.astype(np.float64) @ codes.astype(np.float64))
+        self.vecs.append(codes)
+        self.qscales.append(s)
+        self.qnorms.append(math.sqrt(n2))
+        self.qc2.append(s * s * n2)
 
     def _search_layer(
         self, q: np.ndarray, entry: int, ef: int, level: int
@@ -120,7 +176,7 @@ class NumpyHNSW:
         v = self._prep(vec)
         idx = len(self.vecs)
         level = int(math.floor(-math.log(max(self.rng.uniform(), 1e-12)) * self.mult))
-        self.vecs.append(v)
+        self._store_vec(vec, v)
         self.ids.append(uid)
         self.levels.append(level)
         self.neighbors.append([[] for _ in range(level + 1)])
@@ -143,7 +199,7 @@ class NumpyHNSW:
                 if idx not in plist:
                     plist.append(idx)
                     if len(plist) > self.m:
-                        sims = self._sims(self.vecs[p], plist)
+                        sims = self._sims(self._as_query(p), plist)
                         order = np.argsort(-sims)[: self.m]
                         self.neighbors[p][lvl] = [plist[i] for i in order]
             ep = found[0][1]
@@ -208,14 +264,27 @@ class NumpyHNSW:
         load, no re-insertion (the fromJSON analogue, hnsw.ts:794-810,
         but the metric is supplied by the caller from index metadata
         instead of silently reset)."""
-        idx = cls(dim=len(rows.iloc[0]["embedding"]), m=m, metric=metric)
+        quantized = "qvec" in rows.columns
+        vec_col = "qvec" if quantized else "embedding"
+        idx = cls(dim=len(rows.iloc[0][vec_col]), m=m, metric=metric)
+        idx.quantized = quantized
         ids = [int(v) for v in rows["vec_id"].tolist()]
         id_to_local = {v: i for i, v in enumerate(ids)}
         # column-at-a-time lists, not iterrows: adjacency load is the
         # serve path's constant factor (a 250k-row shard loads per query
         # task), and iterrows is ~100x slower than list iteration
         idx.ids = ids
-        idx.vecs = [idx._prep(v) for v in rows["embedding"].tolist()]
+        if quantized:
+            idx.vecs = [
+                np.asarray(v, dtype=np.int8) for v in rows["qvec"].tolist()
+            ]
+            idx.qscales = [float(s) for s in rows["qscale"].tolist()]
+            mat = np.stack(idx.vecs).astype(np.float64)
+            n2 = (mat * mat).sum(axis=1)
+            idx.qnorms = np.sqrt(n2).tolist()
+            idx.qc2 = (n2 * np.asarray(idx.qscales) ** 2).tolist()
+        else:
+            idx.vecs = [idx._prep(v) for v in rows["embedding"].tolist()]
         idx.levels = [int(lv) for lv in rows["level"].tolist()]
         try:
             idx.neighbors = [
@@ -262,6 +331,17 @@ GRAPH_SCHEMA = (
     "neighbors array<array<long>>, embedding array<float>, is_entry boolean"
 )
 
+# Quantized graph rows: int8 codes + per-row scale instead of the
+# float32 embedding — ~4x smaller shard files (IO, storage) and 8x
+# smaller rebuilt in-memory indexes (the serve-cache memory bound).
+# Detection is by column presence: every loader/serve path checks for
+# ``qvec`` and no separate metadata flag can go stale.
+GRAPH_SCHEMA_Q = (
+    "shard_id int, vec_id long, level int, "
+    "neighbors array<array<long>>, qvec array<tinyint>, qscale float, "
+    "is_entry boolean"
+)
+
 # Worker-global cache of rebuilt shard indexes, keyed by
 # (cache_token, shard_id, n_rows).  Python workers are reused across
 # tasks (spark.python.worker.reuse, default true), so repeated serves
@@ -273,11 +353,14 @@ GRAPH_SCHEMA = (
 # of the small LRU.  Opt-in: no token, no caching.
 #
 # Memory budget: EVERY Python worker holds its own cache, and one
-# 250k-row / 64-d shard index is ~100-200 MB (float32 vectors +
+# 250k-row / 64-d shard index is ~100-200 MB (float64 vectors +
 # adjacency lists), so per-executor footprint is
 # cores x cap x shard_size.  The conservative default (4) assumes
 # serving workloads route each worker to a handful of shards; raise
 # it only with the arithmetic done for your executor memory.
+# Quantized graphs (GRAPH_SCHEMA_Q) cut the vector term 8x (int8
+# codes vs float64), so the same cap holds ~8x more corpus — or the
+# cap can grow accordingly.
 _SHARD_INDEX_CACHE: dict[tuple, "NumpyHNSW"] = {}
 _SHARD_INDEX_CACHE_CAP = 4
 
@@ -332,6 +415,7 @@ def hnsw_build_shards(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantize: bool = False,
 ) -> DataFrame:
     """Build per-shard HNSW graphs and emit them as ROWS — the persisted
     form of the index (the toJSON analogue, hnsw.ts:781-792, as a
@@ -339,6 +423,13 @@ def hnsw_build_shards(
 
     One mapInPandas pass per shard; deterministic (level RNG seeded per
     shard).  Write with ``save_hnsw_index`` partitioned by shard.
+
+    ``quantize=True`` stores int8 codes + per-row scale in place of the
+    float embedding (GRAPH_SCHEMA_Q): ~4x smaller shard files and 8x
+    smaller rebuilt serve indexes.  The graph is still CONSTRUCTED at
+    full precision (wiring quality is unaffected); only storage — and
+    therefore serve-time scoring — is quantized, with the error bound
+    pinned in tests/test_quantize.py.
     """
     from pyspark import TaskContext
 
@@ -368,23 +459,30 @@ def hnsw_build_shards(
         )
         for uid, v in zip(ids, vecs):
             index.add(int(uid), v)
-        yield pd.DataFrame(
-            {
-                "shard_id": shard,
-                "vec_id": index.ids,
-                "level": index.levels,
-                "neighbors": [
-                    [[index.ids[n] for n in lvl] for lvl in node_nbrs]
-                    for node_nbrs in index.neighbors
-                ],
-                # insertion order == ids/vecs order, so vecs aligns
-                # with index.ids
-                "embedding": [[float(x) for x in v] for v in vecs],
-                "is_entry": [i == index.entry for i in range(len(index.ids))],
-            }
-        )
+        base = {
+            "shard_id": shard,
+            "vec_id": index.ids,
+            "level": index.levels,
+            "neighbors": [
+                [[index.ids[n] for n in lvl] for lvl in node_nbrs]
+                for node_nbrs in index.neighbors
+            ],
+        }
+        # insertion order == ids/vecs order, so vecs aligns with
+        # index.ids; columns emitted in schema order (Arrow conversion
+        # is positional)
+        if quantize:
+            qs = [_quantize_np(v) for v in vecs]
+            base["qvec"] = [c for c, _ in qs]
+            base["qscale"] = [s for _, s in qs]
+        else:
+            base["embedding"] = [[float(x) for x in v] for v in vecs]
+        base["is_entry"] = [i == index.entry for i in range(len(index.ids))]
+        yield pd.DataFrame(base)
 
-    return corpus.mapInPandas(_build, GRAPH_SCHEMA)
+    return corpus.mapInPandas(
+        _build, GRAPH_SCHEMA_Q if quantize else GRAPH_SCHEMA
+    )
 
 
 def hnsw_insert_shards(
@@ -453,6 +551,7 @@ def hnsw_insert_shards(
         shard_ids = sorted(int(s) for s in shard_ids)
     if not shard_ids:
         raise ValueError("hnsw_insert_shards: empty graph — build first")
+    quantized = "qvec" in graph.columns
     routed = new_rows.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<float>").alias("embedding"),
@@ -467,7 +566,20 @@ def hnsw_insert_shards(
         .withColumn("neighbors", F.lit(None).cast("array<array<long>>"))
         .withColumn("is_entry", F.lit(None).cast("boolean"))
     )
-    cols = ["shard_id", "vec_id", "level", "neighbors", "embedding", "is_entry"]
+    if quantized:
+        # union carries BOTH representations: stored rows keep their
+        # codes (never re-derived — emission is lossless), arriving
+        # rows carry the float vector they will be inserted with
+        graph = graph.withColumn("embedding", F.lit(None).cast("array<float>"))
+        routed = routed.withColumn(
+            "qvec", F.lit(None).cast("array<tinyint>")
+        ).withColumn("qscale", F.lit(None).cast("float"))
+        cols = [
+            "shard_id", "vec_id", "level", "neighbors",
+            "qvec", "qscale", "embedding", "is_entry",
+        ]
+    else:
+        cols = ["shard_id", "vec_id", "level", "neighbors", "embedding", "is_entry"]
     # keep only touched shards' existing rows via a LAZY semi-join
     # against the (tiny, AQE-broadcast) routed shard set — no
     # distinct().collect() job; untouched shard partitions are pruned
@@ -488,23 +600,43 @@ def hnsw_insert_shards(
         # stored vectors win: raw is built from the OLD rows plus only
         # the rows actually inserted below, so a replayed batch carrying
         # an existing id with a different vector can never swap the
-        # stored embedding out from under its graph wiring
-        raw = dict(
-            zip((int(v) for v in old["vec_id"].tolist()), old["embedding"].tolist())
-        )
+        # stored embedding out from under its graph wiring.  Quantized
+        # graphs keep stored CODES instead (emission reads them back
+        # from index state — lossless; an arriving vector is judged by
+        # code equality, the identity the storage actually preserves).
+        if quantized:
+            raw = None
+        else:
+            raw = dict(
+                zip(
+                    (int(v) for v in old["vec_id"].tolist()),
+                    old["embedding"].tolist(),
+                )
+            )
         index = NumpyHNSW.from_rows(old, m=m, metric=metric)
         index.ef_construction = ef_construction
         index.rng = np.random.RandomState(seed + shard)
+        local_of = {uid: i for i, uid in enumerate(index.ids)}
         fresh = new[~new["vec_id"].isin(old_ids)]
         dup = new[new["vec_id"].isin(old_ids)]
         to_update: list[tuple[int, object]] = []
         if len(dup) and on_conflict != "skip":
             for uid, vec in zip(dup["vec_id"].tolist(), dup["embedding"].tolist()):
                 uid = int(uid)
-                same = np.array_equal(
-                    np.asarray(raw[uid], dtype=np.float32),
-                    np.asarray(vec, dtype=np.float32),
-                )
+                if quantized:
+                    codes, s = _quantize_np(
+                        np.asarray(vec, dtype=np.float32).astype(np.float64)
+                    )
+                    li = local_of[uid]
+                    same = (
+                        np.array_equal(codes, index.vecs[li])
+                        and abs(s - index.qscales[li]) <= 1e-12 * max(s, 1e-30)
+                    )
+                else:
+                    same = np.array_equal(
+                        np.asarray(raw[uid], dtype=np.float32),
+                        np.asarray(vec, dtype=np.float32),
+                    )
                 if same:
                     continue  # replayed no-op update
                 if on_conflict == "error":
@@ -517,29 +649,36 @@ def hnsw_insert_shards(
         if to_update:
             index.remove_many([uid for uid, _ in to_update])
         for uid, vec in zip(fresh["vec_id"].tolist(), fresh["embedding"].tolist()):
-            raw[int(uid)] = vec
+            if raw is not None:
+                raw[int(uid)] = vec
             index.add(int(uid), vec)
         for uid, vec in sorted(to_update, key=lambda t: t[0]):
-            raw[uid] = vec
+            if raw is not None:
+                raw[uid] = vec
             index.add(uid, vec)
         alive = [i for i in range(len(index.ids)) if i not in index.removed]
-        return pd.DataFrame(
-            {
-                "shard_id": shard,
-                "vec_id": [index.ids[i] for i in alive],
-                "level": [index.levels[i] for i in alive],
-                "neighbors": [
-                    [[index.ids[n] for n in lvl] for lvl in index.neighbors[i]]
-                    for i in alive
-                ],
-                "embedding": [
-                    [float(x) for x in raw[int(index.ids[i])]] for i in alive
-                ],
-                "is_entry": [i == index.entry for i in alive],
-            }
-        )
+        out = {
+            "shard_id": shard,
+            "vec_id": [index.ids[i] for i in alive],
+            "level": [index.levels[i] for i in alive],
+            "neighbors": [
+                [[index.ids[n] for n in lvl] for lvl in index.neighbors[i]]
+                for i in alive
+            ],
+        }
+        if quantized:
+            out["qvec"] = [index.vecs[i] for i in alive]
+            out["qscale"] = [index.qscales[i] for i in alive]
+        else:
+            out["embedding"] = [
+                [float(x) for x in raw[int(index.ids[i])]] for i in alive
+            ]
+        out["is_entry"] = [i == index.entry for i in alive]
+        return pd.DataFrame(out)
 
-    return both.groupBy("shard_id").applyInPandas(_insert, GRAPH_SCHEMA)
+    return both.groupBy("shard_id").applyInPandas(
+        _insert, GRAPH_SCHEMA_Q if quantized else GRAPH_SCHEMA
+    )
 
 
 def hnsw_query_shards(

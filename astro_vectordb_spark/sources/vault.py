@@ -414,14 +414,27 @@ def hnsw_rebalance(
     next_id = max(counts) + 1
     result: dict[int, list[int]] = {}
     updated_parts = []
+    quantized = "qvec" in graph.columns
     for sid, n in sorted(oversized.items()):
         parts = -(-n // target_rows_per_shard)
-        rows = graph.filter(F.col("shard_id") == sid).select(
-            "vec_id", "embedding"
-        )
+        if quantized:
+            # dequantize for the rebuild; re-quantizing on emit is
+            # bit-stable (max|code| = 127 by construction recovers the
+            # exact original scale), so codes survive the round trip
+            rows = graph.filter(F.col("shard_id") == sid).select(
+                "vec_id",
+                F.transform(
+                    F.col("qvec"),
+                    lambda q: (q.cast("double") * F.col("qscale")).cast("float"),
+                ).alias("embedding"),
+            )
+        else:
+            rows = graph.filter(F.col("shard_id") == sid).select(
+                "vec_id", "embedding"
+            )
         split = hnsw_build_shards(
             rows, num_shards=parts, m=meta["m"], metric=meta["metric"],
-            seed=seed + sid,
+            seed=seed + sid, quantize=quantized,
         )
         # remap split ids: 0 keeps the old shard id (overwrites its
         # partition), the rest get fresh ids

@@ -718,3 +718,117 @@ def test_shard_index_cache_key_includes_params_and_is_lru():
     finally:
         H._SHARD_INDEX_CACHE.clear()
         H._SHARD_INDEX_CACHE.update(saved)
+
+
+def _hits(df):
+    return sorted((r["query_id"], r["vec_id"]) for r in df.collect())
+
+
+def test_hnsw_quantized_build_serve_parity(spark, embeddings, tmp_path):
+    """Quantized shards (GRAPH_SCHEMA_Q): 4x-smaller files, serve path
+    auto-detects the codes, and recall vs the float index stays within
+    the quantization error bound (identical top-10 on this corpus for
+    nearly all queries)."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        _scan_graph_files,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") < 400)
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    gf = hnsw_build_shards(corpus, num_shards=2, ef_construction=64)
+    gq = hnsw_build_shards(
+        corpus, num_shards=2, ef_construction=64, quantize=True
+    )
+    assert "qvec" in gq.columns and "embedding" not in gq.columns
+
+    pf, pq = str(tmp_path / "hf"), str(tmp_path / "hq")
+    save_hnsw_index(gf, pf, m=16, metric="cosine")
+    save_hnsw_index(gq, pq, m=16, metric="cosine")
+    _, fbytes_f, _, _, tot_f = _scan_graph_files(spark, pf + "/graph")
+    _, fbytes_q, _, _, tot_q = _scan_graph_files(spark, pq + "/graph")
+    # int8 codes + scale vs float32: graph files shrink well below 0.6x
+    assert tot_q < 0.6 * tot_f, (tot_q, tot_f)
+
+    lf, mf = load_hnsw_index(spark, pf)
+    lq, mq = load_hnsw_index(spark, pq)
+    hf = {}
+    for q, v in _hits(hnsw_query_shards(lf, queries, k=10, m=16, ef_search=64)):
+        hf.setdefault(q, set()).add(v)
+    hq = {}
+    for q, v in _hits(hnsw_query_shards(lq, queries, k=10, m=16, ef_search=64)):
+        hq.setdefault(q, set()).add(v)
+    # quantized serve recall vs float serve: >= 0.9 overlap on average
+    overlaps = [len(hf[q] & hq.get(q, set())) / 10 for q in hf]
+    assert sum(overlaps) / len(overlaps) >= 0.9, overlaps
+    # self-hit must survive quantization (code of the same vector)
+    for q in hq:
+        assert q in hq[q], (q, hq[q])
+
+
+def test_hnsw_quantized_append_and_rebalance(spark, embeddings, tmp_path):
+    """Incremental insert into a QUANTIZED persisted index: stored
+    codes are never re-derived, new vectors are quantized on insert,
+    and rebalance splits re-emit bit-identical codes (dequantize ->
+    rebuild -> re-quantize is stable)."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        hnsw_rebalance,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    old = embeddings.filter(F.col("vec_id") < 300)
+    gq = hnsw_build_shards(old, num_shards=2, ef_construction=32, quantize=True)
+    p = str(tmp_path / "hq_app")
+    save_hnsw_index(gq, p, m=16, metric="cosine")
+
+    codes_before = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in load_hnsw_index(spark, p)[0].collect()
+    }
+
+    new = embeddings.filter(F.col("vec_id") == 301).select("vec_id", "embedding")
+    touched = hnsw_append_to_index(spark, p, new)
+    assert len(touched) == 1
+    g2, meta2 = load_hnsw_index(spark, p)
+    rows2 = {r["vec_id"]: (list(r["qvec"]), r["qscale"]) for r in g2.collect()}
+    assert 301 in rows2
+    # untouched rows keep their exact codes
+    for vid, cs in codes_before.items():
+        assert rows2[vid] == cs, vid
+
+    # the appended vector is served
+    probe = embeddings.filter(F.col("vec_id") == 301).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(
+        g2, probe, k=3, m=16, clustered=meta2["clustered_safe"]
+    ).collect()
+    assert hits[0]["vec_id"] == 301
+
+    # force a split: tiny target -> every shard oversized
+    result = hnsw_rebalance(
+        spark, p, target_rows_per_shard=60, skew_threshold=1.5, seed=7
+    )
+    assert result, "expected at least one split"
+    g3, meta3 = load_hnsw_index(spark, p)
+    rows3 = {r["vec_id"]: (list(r["qvec"]), r["qscale"]) for r in g3.collect()}
+    assert set(rows3) == set(rows2)
+    for vid, (cv, cs) in rows2.items():
+        assert rows3[vid][0] == cv, f"codes changed for {vid} after rebalance"
+    # post-split serve still reaches everything
+    hits3 = hnsw_query_shards(g3, probe, k=3, m=16).collect()
+    assert hits3[0]["vec_id"] == 301

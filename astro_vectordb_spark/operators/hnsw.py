@@ -501,8 +501,11 @@ def hnsw_insert_shards(
     the reference's live-index ``addPoint``/``updatePoint``
     (hnsw.ts:82-173, 497-517) at index level, without a rebuild.
 
-    New rows are routed to shards by id hash (shards carry no semantic
-    locality — any deterministic routing is correct), each touched
+    New rows route to the shard that already holds their id when one
+    does (home-shard lookup — see the routing comment below; anything
+    else duplicates updated ids across shards), by id hash otherwise
+    (shards carry no semantic locality — any deterministic routing of
+    NEW ids is correct).  Each touched
     shard's adjacency is loaded (``NumpyHNSW.from_rows``, no
     re-insertion of existing nodes), the new vectors are inserted with
     the normal wiring/shrink/entry-promotion path, and the shard's rows
@@ -556,12 +559,33 @@ def hnsw_insert_shards(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<float>").alias("embedding"),
     )
-    route = F.element_at(
+    # HOME-SHARD routing: an id that already lives in the graph MUST
+    # route to the shard that holds it — hash routing alone silently
+    # duplicates the node in another shard whenever the id's home
+    # doesn't match its hash (true for every build-time id, since the
+    # build distributes round-robin, and for every row moved by a
+    # rebalance split), breaking both skip-idempotency and update
+    # semantics.  The home lookup is one column-pruned scan of the
+    # graph's (vec_id, shard_id) joined against the broadcast id set
+    # of the (small) batch — no driver collect, no graph shuffle.
+    # Only genuinely new ids fall through to the hash route.
+    hash_route = F.element_at(
         F.array(*[F.lit(int(s)) for s in shard_ids]),
         (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(len(shard_ids))) + 1).cast("int"),
     )
+    id_home = (
+        graph.select("vec_id", "shard_id")
+        .join(F.broadcast(routed.select("vec_id").distinct()), "vec_id", "semi")
+        .groupBy("vec_id")
+        .agg(F.min("shard_id").alias("_home_shard"))
+    )
     routed = (
-        routed.withColumn("shard_id", route.cast("int"))
+        routed.join(F.broadcast(id_home), "vec_id", "left")
+        .withColumn(
+            "shard_id",
+            F.coalesce(F.col("_home_shard"), hash_route).cast("int"),
+        )
+        .drop("_home_shard")
         .withColumn("level", F.lit(None).cast("int"))  # marks "new"
         .withColumn("neighbors", F.lit(None).cast("array<array<long>>"))
         .withColumn("is_entry", F.lit(None).cast("boolean"))

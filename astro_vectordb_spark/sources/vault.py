@@ -384,6 +384,7 @@ def hnsw_rebalance(
     target_rows_per_shard: int = 250_000,
     skew_threshold: float = 2.0,
     seed: int = 42,
+    min_degree_frac: float | None = None,
 ) -> dict[int, list[int]]:
     """Split oversized HNSW shards — the maintenance op for
     append-heavy growth (``hnsw_append_to_index`` routes by hash, so
@@ -396,27 +397,52 @@ def hnsw_rebalance(
     id so the dynamic partition overwrite replaces the old files, the
     rest get fresh ids.  Shards within budget keep their files
     untouched.  Returns {old_shard_id: [split shard ids]} (empty =
-    nothing to do).  Single-writer maintenance op, like compaction.
-    """
+    nothing to do; a compacted-in-place shard maps to [itself]).
+    Single-writer maintenance op, like compaction.
+
+    ``min_degree_frac`` additionally rebuilds DEGRADED shards in
+    place: ``on_conflict='update'`` batches erode a graph over time
+    (an update is remove + re-add; the removed node's pruned incoming
+    edges are never re-wired, so surviving nodes lose links batch
+    after batch and recall decays).  A shard whose mean level-0
+    out-degree falls below ``min_degree_frac * m`` is rebuilt from its
+    vectors at full construction quality — same rows, same shard id,
+    fresh wiring.  The degree statistic comes from the same one-pass
+    aggregation as the row counts (no extra job); shards with
+    ``n <= m`` rows are exempt (their degree is bounded by n-1, not
+    m).  The reference never implemented its graph-cleaning TODO
+    (README.md:78-81); this is that maintenance op, per shard and
+    incremental."""
     from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
 
     graph, meta = load_hnsw_index(spark, path)
-    counts = {
-        r["shard_id"]: r["n"]
+    stats = {
+        r["shard_id"]: (r["n"], r["deg"])
         for r in graph.groupBy("shard_id").agg(
-            F.count(F.lit(1)).alias("n")
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(F.element_at("neighbors", 1))).alias("deg"),
         ).collect()
     }
+    counts = {s: n for s, (n, _) in stats.items()}
     limit = skew_threshold * target_rows_per_shard
     oversized = {s: n for s, n in counts.items() if n > limit}
-    if not oversized:
+    degraded = set()
+    if min_degree_frac is not None:
+        floor_deg = float(min_degree_frac) * meta["m"]
+        degraded = {
+            s
+            for s, (n, deg) in stats.items()
+            if s not in oversized and n > meta["m"] and deg < floor_deg
+        }
+    if not oversized and not degraded:
         return {}
     next_id = max(counts) + 1
     result: dict[int, list[int]] = {}
     updated_parts = []
     quantized = "qvec" in graph.columns
-    for sid, n in sorted(oversized.items()):
-        parts = -(-n // target_rows_per_shard)
+    for sid in sorted(set(oversized) | degraded):
+        n = counts[sid]
+        parts = -(-n // target_rows_per_shard) if sid in oversized else 1
         if quantized:
             # dequantize for the rebuild; re-quantizing on emit is
             # bit-stable (max|code| = 127 by construction recovers the

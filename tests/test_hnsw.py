@@ -832,3 +832,130 @@ def test_hnsw_quantized_append_and_rebalance(spark, embeddings, tmp_path):
     # post-split serve still reaches everything
     hits3 = hnsw_query_shards(g3, probe, k=3, m=16).collect()
     assert hits3[0]["vec_id"] == 301
+
+
+def test_hnsw_rebalance_compacts_degraded_shards(spark, embeddings, tmp_path):
+    """Many on_conflict='update' batches erode graph wiring (remove +
+    re-add never re-wires the pruned incoming edges).  min_degree_frac
+    rebuilds such shards IN PLACE: same rows, same shard ids, fresh
+    wiring — shard size stays flat and everything stays servable."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        hnsw_rebalance,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    g = hnsw_build_shards(base, num_shards=2, ef_construction=64)
+    p = str(tmp_path / "hnsw_compact")
+    save_hnsw_index(g, p, m=16, metric="cosine")
+
+    def mean_degree():
+        gg, _ = load_hnsw_index(spark, p)
+        return {
+            r["shard_id"]: (r["n"], r["deg"])
+            for r in gg.groupBy("shard_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.size(F.element_at("neighbors", 1))).alias("deg"),
+            ).collect()
+        }
+
+    before = mean_degree()
+    assert all(abs(d - 16.0) < 1e-9 for _, d in before.values()), before
+    # churn a SUBSET repeatedly: each update is remove + re-add, and
+    # the pruned incoming edges of OTHER nodes are never re-wired, so
+    # wiring erodes (full-corpus churn self-heals — every node gets
+    # fresh links — which is why the trigger watches degree, not
+    # update counts)
+    sub = base.filter(F.col("vec_id") < 30)
+    for rnd in range(5):
+        upd = sub.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.05 * (rnd + 1))
+            ).cast("array<float>").alias("embedding"),
+        )
+        hnsw_append_to_index(spark, p, upd, on_conflict="update")
+    churned = mean_degree()
+    # row counts flat through updates (home-shard routing: no
+    # duplicate nodes, no tombstone rows persist)
+    assert {s: n for s, (n, _) in churned.items()} == {
+        s: n for s, (n, _) in before.items()
+    }
+    assert any(d < 15.5 for _, d in churned.values()), churned
+
+    # compact: threshold 0.95 -> floor 15.2, degraded shards rebuild
+    # in place
+    result = hnsw_rebalance(
+        spark, p, target_rows_per_shard=10_000, min_degree_frac=0.95, seed=3
+    )
+    assert result and all(v == [s] for s, v in result.items()), result
+    after = mean_degree()
+    assert set(after) <= set(churned)
+    for s in after:
+        assert after[s][0] == churned[s][0]  # same rows
+    # rebuilt shards are back at full wiring
+    for s in result:
+        assert abs(after[s][1] - 16.0) < 1e-9, after
+
+    # everything still servable after compaction (latest vectors win)
+    g3, meta3 = load_hnsw_index(spark, p)
+    probe = base.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02))
+        .cast("array<float>")
+        .alias("query_vec"),
+    )
+    hits = hnsw_query_shards(g3, probe, k=3, m=meta3["m"]).collect()
+    assert hits[0]["vec_id"] == 5
+
+    # threshold respected: a second compaction pass with a low
+    # threshold is a no-op (fresh wiring is healthy)
+    assert hnsw_rebalance(
+        spark, p, target_rows_per_shard=10_000, min_degree_frac=0.2, seed=4
+    ) == {}
+
+
+def test_hnsw_insert_routes_to_home_shard(spark, embeddings, tmp_path):
+    """Regression (r6): an arriving id that already lives in the graph
+    must route to ITS shard, not its hash shard — build distributes
+    round-robin and rebalance moves rows, so hash routing duplicates
+    the node in another shard (two rows for one id; stale vector
+    servable).  Covers both 'skip' (replay of build-time ids is a true
+    no-op) and 'update' (vector replaced in place, count flat)."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        load_hnsw_index,
+        save_hnsw_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 200)
+    g = hnsw_build_shards(base, num_shards=4, ef_construction=32)
+    p = str(tmp_path / "hnsw_home")
+    save_hnsw_index(g, p, m=16, metric="cosine")
+
+    # skip-mode replay of ALL build-time ids: nothing changes
+    hnsw_append_to_index(spark, p, base.select("vec_id", "embedding"))
+    g1, _ = load_hnsw_index(spark, p)
+    assert g1.count() == 200
+    dups = (
+        g1.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+
+    # update-mode on a subset: count flat, exactly one row per id,
+    # and the stored vector is the NEW one
+    upd = base.filter(F.col("vec_id") < 40).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.25))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    hnsw_append_to_index(spark, p, upd, on_conflict="update")
+    g2, _ = load_hnsw_index(spark, p)
+    assert g2.count() == 200
+    assert g2.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0

@@ -546,14 +546,24 @@ def test_hnsw_insert_with_known_shards_runs_no_control_jobs(
         (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)
     ).select("vec_id", "embedding")
 
-    st = spark.sparkContext.statusTracker()
-    before = len(st.getJobIdsForGroup())
-    updated = hnsw_insert_shards(
-        g, new, m=meta["m"], metric=meta["metric"], shard_ids=meta["shard_ids"]
-    )
-    assert len(st.getJobIdsForGroup()) == before, "insert ran a control job"
-    got_ids = {r["vec_id"] for r in updated.collect()}
-    assert len(st.getJobIdsForGroup()) > before
+    # a dedicated job group isolates the count from lagging listener
+    # events of EARLIER tests (the default-group count races with the
+    # async event bus after a long suite — observed order-dependent
+    # flake in full-suite runs)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("insert-probe", "control-plane job count probe")
+    try:
+        updated = hnsw_insert_shards(
+            g, new, m=meta["m"], metric=meta["metric"], shard_ids=meta["shard_ids"]
+        )
+        assert len(st.getJobIdsForGroup("insert-probe")) == 0, (
+            "insert ran a control job"
+        )
+        got_ids = {r["vec_id"] for r in updated.collect()}
+        assert len(st.getJobIdsForGroup("insert-probe")) > 0
+    finally:
+        sc.setJobGroup("", "")
     assert {r["vec_id"] for r in new.collect()} <= got_ids
     assert {r["vec_id"] for r in old.select("vec_id").collect()} <= got_ids
 
@@ -959,3 +969,121 @@ def test_hnsw_insert_routes_to_home_shard(spark, embeddings, tmp_path):
     g2, _ = load_hnsw_index(spark, p)
     assert g2.count() == 200
     assert g2.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_hnsw_filtered_search_allowed_only_and_recall(spark, embeddings):
+    """Filtered approximate search: results restricted to allowed ids,
+    recall vs the exact FILTERED top-k >= 0.9 (the over-fetch policy
+    widens the beam by 1/selectivity)."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards, hnsw_query_shards
+    from astro_vectordb_spark.operators.topk import topk_search
+
+    graph = hnsw_build_shards(embeddings, num_shards=2, ef_construction=64)
+    allowed = [
+        r["vec_id"]
+        for r in embeddings.filter(F.col("label") == 2).select("vec_id").collect()
+    ]
+    qids = [0, 5, 11]
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in embeddings.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, [float(x) for x in qrows[q]]) for q in qids],
+        "query_id long, query_vec array<float>",
+    )
+    got = {}
+    for r in hnsw_query_shards(
+        graph, queries, k=10, ef_search=64, allowed_ids=allowed
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    aset = set(allowed)
+    recalls = []
+    for q in qids:
+        assert got[q] <= aset, "returned a disallowed id"
+        exact = {
+            r["vec_id"]
+            for r in topk_search(
+                embeddings.filter(F.col("label") == 2), qrows[q], 10, strength=0
+            ).collect()
+        }
+        recalls.append(len(got[q] & exact) / max(len(exact), 1))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_hnsw_filtered_search_highly_selective_filter(spark, embeddings):
+    """A filter keeping only a handful of ids degrades to an (almost)
+    exhaustive beam instead of returning empty — every allowed id that
+    scores above zero must be found."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards, hnsw_query_shards
+
+    graph = hnsw_build_shards(embeddings, num_shards=2, ef_construction=64)
+    allowed = [3, 77, 201, 404]
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qv])], "query_id long, query_vec array<float>"
+    )
+    got = {
+        r["vec_id"]
+        for r in hnsw_query_shards(
+            graph, queries, k=10, ef_search=16, allowed_ids=allowed
+        ).collect()
+    }
+    assert got == set(allowed)
+
+
+def test_hnsw_filtered_search_empty_allowed_yields_nothing(spark, embeddings):
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards, hnsw_query_shards
+
+    graph = hnsw_build_shards(
+        embeddings.filter(F.col("vec_id") < 100), num_shards=2, ef_construction=32
+    )
+    qv = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qv])], "query_id long, query_vec array<float>"
+    )
+    rows = hnsw_query_shards(
+        graph, queries, k=5, allowed_ids=[99999, 88888]
+    ).collect()
+    assert rows == []
+
+
+def test_numpy_hnsw_heuristic_connects_clustered_corpus():
+    """Neighbor-selection heuristic (Malkov Alg. 4) keeps cross-cluster
+    bridges: on a tight mixture-of-Gaussians corpus every query's
+    cluster must be reachable (the reference's plain top-M truncation
+    islands whole clusters — measured recall 0.0 on bench fixture)."""
+    rng = np.random.RandomState(1)
+    centers = rng.normal(size=(16, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, 16, size=2000)
+    pts = (centers[assign] + 0.08 * rng.normal(size=(2000, 32))).astype(
+        np.float32
+    )
+    normed = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    idx = NumpyHNSW(dim=32, m=8, ef_construction=64, seed=42)
+    for i in range(2000):
+        idx.add(i, pts[i])
+    recalls = []
+    for q in (0, 50, 500, 900, 1500):
+        sims = normed @ normed[q]
+        exact = set(np.argsort(-sims)[:10])
+        got = {u for _, u in idx.search(pts[q], 10, ef=32)}
+        recalls.append(len(got & exact) / 10)
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
+def test_numpy_hnsw_heuristic_false_restores_truncation():
+    """heuristic=False is reference-parity top-M truncation: neighbor
+    lists still capped at m, search still works on benign data."""
+    rng = np.random.RandomState(3)
+    idx = NumpyHNSW(dim=16, m=8, ef_construction=64, seed=42, heuristic=False)
+    pts = rng.normal(size=(300, 16))
+    for i in range(300):
+        idx.add(i, pts[i])
+    assert all(
+        len(lvl) <= 8 for nb in idx.neighbors for lvl in nb
+    )
+    top = idx.search(pts[5], 1)[0]
+    assert top[1] == 5

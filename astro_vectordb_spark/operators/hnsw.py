@@ -76,11 +76,15 @@ class NumpyHNSW:
         ef_construction: int = 200,
         metric: str = "cosine",
         seed: int = 42,
+        heuristic: bool = True,
     ) -> None:
         self.dim = dim
         self.m = m
         self.ef_construction = ef_construction
         self.metric = metric
+        # Malkov Algorithm-4 neighbor selection (see _select_neighbors);
+        # False restores the reference's plain top-M truncation
+        self.heuristic = heuristic
         self.mult = 1.0 / math.log(m)
         self.rng = np.random.RandomState(seed)
         self.vecs: list[np.ndarray] = []
@@ -172,6 +176,65 @@ class NumpyHNSW:
                     heapq.heappush(cand, (-s, n))
         return sorted(best, reverse=True)
 
+    def _pairwise_build_sims(self, idxs: list[int]) -> np.ndarray:
+        """All-pairs similarity among stored nodes (build-time only, so
+        vectors are full precision) — one matmul, feeds the neighbor-
+        selection heuristic."""
+        m = np.stack([self.vecs[i] for i in idxs])
+        if self.metric == "cosine":
+            return m @ m.T  # vectors stored normalized
+        d2 = np.maximum(
+            np.sum(m * m, axis=1)[:, None]
+            + np.sum(m * m, axis=1)[None, :]
+            - 2.0 * (m @ m.T),
+            0.0,
+        )
+        return 1.0 / (1.0 + np.sqrt(d2))
+
+    def _select_neighbors(
+        self, cand: list[tuple[float, int]], m: int
+    ) -> list[int]:
+        """Pick up to m neighbors from similarity-desc candidates.
+
+        Default is Malkov & Yashunin Algorithm 4 (the diversity
+        heuristic): admit a candidate only if it is closer to the
+        query than to every already-admitted neighbor, then backfill
+        with the best pruned candidates (keepPrunedConnections).  The
+        reference truncates to the plain top-M (hnsw.ts selectNeighbors
+        — SURVEY.md O19), which on clustered corpora keeps only
+        intra-cluster edges and DISCONNECTS the graph: measured
+        recall@10 = 0.0 for queries in islanded clusters (bench
+        clustered fixture, 32-center mixture).  Like the broken
+        selectLevel (O13), this is a deliberate correction;
+        ``heuristic=False`` restores reference-parity truncation."""
+        if len(cand) <= m:
+            return [i for _, i in cand]
+        if not self.heuristic:
+            return [i for _, i in cand[:m]]
+        idxs = [i for _, i in cand]
+        sims = self._pairwise_build_sims(idxs)
+        s_vec = np.array([s for s, _ in cand])
+        # vectorized greedy: admitting q kills every candidate closer
+        # to q than to the query in ONE mask update (m vector ops
+        # total instead of |cand| x m scalar compares)
+        alive = np.ones(len(cand), dtype=bool)
+        sel_pos: list[int] = []
+        for p in range(len(cand)):
+            if len(sel_pos) == m:
+                break
+            if not alive[p]:
+                continue
+            sel_pos.append(p)
+            alive &= sims[:, p] <= s_vec
+        if len(sel_pos) < m:  # keepPrunedConnections backfill
+            chosen = set(sel_pos)
+            for p in range(len(cand)):
+                if len(sel_pos) == m:
+                    break
+                if p not in chosen:
+                    sel_pos.append(p)
+        return [idxs[p] for p in sel_pos]
+
     def add(self, uid, vec) -> None:
         v = self._prep(vec)
         idx = len(self.vecs)
@@ -192,16 +255,22 @@ class NumpyHNSW:
         # wire into each layer from min(level, max_level) down to 0
         for lvl in range(min(level, self.max_level), -1, -1):
             found = self._search_layer(v, ep, self.ef_construction, lvl)
-            picks = [i for _, i in found[: self.m]]
+            picks = self._select_neighbors(found, self.m)
             self.neighbors[idx][lvl] = list(picks)
             for p in picks:
                 plist = self.neighbors[p][lvl]
                 if idx not in plist:
                     plist.append(idx)
                     if len(plist) > self.m:
+                        # overflow shrink goes through the same
+                        # selection policy — plain top-M here is
+                        # exactly where cluster-bridge edges die
                         sims = self._sims(self._as_query(p), plist)
-                        order = np.argsort(-sims)[: self.m]
-                        self.neighbors[p][lvl] = [plist[i] for i in order]
+                        order = np.argsort(-sims)
+                        cand = [(float(sims[i]), plist[i]) for i in order]
+                        self.neighbors[p][lvl] = self._select_neighbors(
+                            cand, self.m
+                        )
             ep = found[0][1]
         if level > self.max_level:
             self.max_level = level
@@ -245,7 +314,24 @@ class NumpyHNSW:
                 self.max_level = -1
         return [self.ids[i] for i in hit]
 
-    def search(self, vec, k: int, ef: int | None = None) -> list[tuple[float, object]]:
+    def search(
+        self,
+        vec,
+        k: int,
+        ef: int | None = None,
+        allowed=None,
+    ) -> list[tuple[float, object]]:
+        """Beam search for the top-k most similar ids.
+
+        ``allowed`` (optional set-like of user ids) restricts the
+        RESULT set, not the traversal: the beam walks the full graph
+        (disallowed nodes still route — restricting traversal
+        disconnects the graph under selective filters, the classic
+        filtered-ANN failure mode) and the filter applies at result
+        collection.  Callers must over-fetch ``ef`` in proportion to
+        1/selectivity so enough allowed nodes survive the beam; see
+        ``hnsw_query_shards(allowed_ids=...)`` for the policy.
+        """
         if self.entry < 0:
             return []
         q = self._prep(vec)
@@ -254,6 +340,8 @@ class NumpyHNSW:
         for lvl in range(self.max_level, 0, -1):
             ep = self._search_layer(q, ep, 1, lvl)[0][1]
         found = self._search_layer(q, ep, max(ef, k), 0)
+        if allowed is not None:
+            found = [(s, i) for s, i in found if self.ids[i] in allowed]
         return [(s, self.ids[i]) for s, i in found[:k]]
 
 
@@ -366,7 +454,13 @@ _SHARD_INDEX_CACHE_CAP = 4
 
 
 def _cached_from_rows(
-    rows: pd.DataFrame, m: int, metric: str, token: str | None, shard_id: int
+    rows: pd.DataFrame,
+    m: int,
+    metric: str,
+    token: str | None,
+    shard_id: int,
+    accums=None,
+    cap: int | None = None,
 ) -> "NumpyHNSW":
     if token is None:
         return NumpyHNSW.from_rows(rows, m=m, metric=metric)
@@ -374,12 +468,19 @@ def _cached_from_rows(
     # token) can legitimately be served with different parameters, and
     # an index built with the other call's metric scores wrong.
     key = (token, int(shard_id), len(rows), int(m), metric)
+    # cap rides the task closure (a driver-side module-global change
+    # would never reach already-spawned reused workers)
+    cap = _SHARD_INDEX_CACHE_CAP if cap is None else int(cap)
     idx = _SHARD_INDEX_CACHE.get(key)
     if idx is None:
+        if accums is not None:
+            accums[1].add(1)
         idx = NumpyHNSW.from_rows(rows, m=m, metric=metric)
-        while len(_SHARD_INDEX_CACHE) >= _SHARD_INDEX_CACHE_CAP:
+        while len(_SHARD_INDEX_CACHE) >= cap:
             _SHARD_INDEX_CACHE.pop(next(iter(_SHARD_INDEX_CACHE)))
     else:
+        if accums is not None:
+            accums[0].add(1)
         # LRU, not FIFO: refresh recency on hit so a working set just
         # above the cap doesn't evict the hottest shard every serve.
         del _SHARD_INDEX_CACHE[key]
@@ -717,10 +818,36 @@ def hnsw_query_shards(
     query_vec_col: str = "query_vec",
     clustered: bool = False,
     index_cache_token: str | None = None,
+    allowed_ids=None,
+    ef_oversample: float = 4.0,
+    cache_accums=None,
+    cache_cap: int | None = None,
 ) -> DataFrame:
     """Answer a query batch from PERSISTED graph rows: group rows by
     shard inside each task, rebuild the sub-index (adjacency load, no
     re-insertion), search, merge globally.
+
+    ``allowed_ids`` (optional) turns this into filtered ANN: a bounded
+    collection of permitted ids (e.g. ids matching a metadata
+    predicate) ships to executors as one torrent broadcast frozenset;
+    each shard's beam filters at RESULT collection while traversal
+    stays unrestricted (restricting traversal disconnects the graph
+    under selective filters).  The beam is widened so its EXPECTED
+    allowed survivors cover ``k * ef_oversample``:
+    ``ef = clamp(ceil(k * ef_oversample / shard_selectivity),
+    ef_search, shard_size)`` with the selectivity counted exactly per
+    shard (one O(n_shard) hash pass); a shard holding zero allowed ids
+    is skipped.  For filters too large to broadcast, pre-filter the
+    corpus and use the exact ``topk_search`` path instead.
+
+    ``cache_accums`` (optional ``(hit_acc, miss_acc)`` pair of Spark
+    accumulators) counts worker-level index-cache hits/misses for
+    observability — used by the scale probe to measure steady-state
+    hit rate; zero cost when None.  ``cache_cap`` overrides the
+    per-worker cache capacity for THIS call (rides the task closure —
+    editing the module global never reaches already-spawned reused
+    workers); size it with the per-executor memory math documented at
+    the cache definition.
 
     ``clustered=True`` skips the shard re-shuffle.  Pass it when the
     graph was read from the shard-partitioned parquet written by
@@ -736,6 +863,12 @@ def hnsw_query_shards(
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
     bc = _broadcast_queries(queries, query_id_col, query_vec_col)
+    sc = queries.sparkSession.sparkContext
+    bc_allowed = (
+        sc.broadcast(frozenset(int(x) for x in allowed_ids))
+        if allowed_ids is not None
+        else None
+    )
 
     out_schema = f"{query_id_col} long, {id_col} long, score double"
     if not clustered:
@@ -749,14 +882,34 @@ def hnsw_query_shards(
         if len(all_rows) == 0:
             return
         qids, qmat = bc.value
+        allowed = bc_allowed.value if bc_allowed is not None else None
         for sid, rows in all_rows.groupby("shard_id"):
             index = _cached_from_rows(
                 rows, m=m, metric=metric,
                 token=index_cache_token, shard_id=int(sid),
+                accums=cache_accums, cap=cache_cap,
             )
+            ef = ef_search
+            if allowed is not None:
+                # exact shard-local selectivity: one O(n_shard) hash
+                # count — negligible next to the adjacency rebuild.
+                # Beam sized so the EXPECTED allowed survivors cover
+                # k * ef_oversample, capped at the shard size (a very
+                # selective filter degrades to an exhaustive beam, not
+                # an empty result); a shard with zero allowed ids is
+                # skipped outright.
+                n_shard = max(len(rows), 1)
+                n_allow = sum(1 for uid in rows[id_col] if int(uid) in allowed)
+                if n_allow == 0:
+                    continue
+                sel = n_allow / n_shard
+                ef = int(min(
+                    max(ef_search, math.ceil(k * ef_oversample / sel)),
+                    n_shard,
+                ))
             out_q, out_i, out_s = [], [], []
             for qid, qv in zip(qids, qmat):
-                for s, uid in index.search(qv, k, ef=ef_search):
+                for s, uid in index.search(qv, k, ef=ef, allowed=allowed):
                     out_q.append(qid)
                     out_i.append(uid)
                     out_s.append(round(s, 6))

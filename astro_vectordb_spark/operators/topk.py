@@ -112,6 +112,40 @@ def topk_search(
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    predicate: Column,
+    query_vector: Sequence[float] | Column,
+    k: int,
+    strength: float = 50.0,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    kernel: str = "expr",
+) -> DataFrame:
+    """Exact metadata-filtered top-K — the vector-DB "pre-filter"
+    search (restrict to rows matching a metadata predicate, THEN rank
+    by similarity).  The reference's public search has only the
+    strength threshold (driver/driver.ts:290-307); a metadata filter
+    is the first thing any real corpus query needs.
+
+    Spark-first story: this is ``topk_search`` over ``corpus.filter``
+    — Catalyst pushes the predicate into the parquet scan
+    (PushedFilters, pinned by tests/test_plans.py), so the filtered
+    search reads ONLY matching row groups and scores only survivors.
+    Pre-filter + exact ranking is therefore free at any selectivity;
+    contrast the approximate path (``hnsw_query_shards(allowed_ids=)``)
+    which must over-fetch its beam.  The plan stays
+    scan -> filter -> score -> TakeOrderedAndProject: no shuffle.
+    """
+    return topk_search(
+        corpus.filter(predicate), query_vector, k,
+        strength=strength, metric=metric, id_col=id_col,
+        vec_col=vec_col, score_col=score_col, kernel=kernel,
+    )
+
+
 def rank_topk_per_query(
     scored: DataFrame,
     k: int,

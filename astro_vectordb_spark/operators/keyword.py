@@ -1,0 +1,124 @@
+"""Keyword (lexical) search — BM25 ranking over the documents table.
+
+The reference is a pure vector store; every production retrieval stack
+in front of an LLM pairs it with lexical search and fuses the two
+(hybrid search).  This module supplies the lexical half; fusion lives
+in ``operators.rerank.rrf_fuse``.
+
+Spark-first physical story — **zero shuffles on the corpus**:
+
+The query's term list is a small literal, so per-document term
+frequencies are computed as ONE projection: ``tfs[i] = size(filter(
+tokens, t -> t == term_i))`` — no explode, no (doc, term) groupBy, no
+tf x doclen join (the shapes a row-store engine is forced into).  The
+corpus-level statistics BM25 needs (N, avgdl, per-term document
+frequencies) reduce to a single 1-row aggregate over that same
+projection, which re-enters the plan as a broadcast cross join.  The
+final ranking is ``ORDER BY score DESC LIMIT k`` =
+``TakeOrderedAndProject``: per-task heaps, driver merges
+K x numPartitions rows.  Plan: scan -> project -> (1-row agg) ->
+broadcast -> score -> TakeOrderedAndProject.  Linear in corpus size,
+embarrassingly parallel, no skew surface.
+
+Scoring is Lucene's BM25 variant: ``idf = ln(1 + (N - df + 0.5) /
+(df + 0.5))`` (never negative), ``tf_norm = tf * (k1 + 1) / (tf + k1 *
+(1 - b + b * dl / avgdl))``.  Tokenization is the repo-wide contract
+(functions/text.py: whitespace split of trimmed lowercased text, empty
+tokens dropped), so the DuckDB oracle reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.text import tokens
+
+SCORE_DECIMALS = 6
+
+
+def bm25_score_all(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """Append an (unrounded) BM25 score vs ``query_terms`` to every
+    document.  See module docstring for the plan shape."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [str(t).lower() for t in query_terms]
+
+    def _eq(term: str):
+        # NB: a plain `lambda x, t=t:` has two parameters, which
+        # F.filter treats as the (element, index) form — the closure
+        # keeps the signature unary
+        return lambda x: x == F.lit(term)
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        id_col,
+        F.size(toks).alias("_dl"),
+        F.array(
+            *[F.size(F.filter(toks, _eq(t))) for t in terms]
+        ).alias("_tfs"),
+    )
+
+    # 1-row corpus statistics; re-enters as a broadcast cross join so
+    # the whole query stays a single scan lineage with no driver action
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col("_tfs")[i] > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    per_term = []
+    for i in range(len(terms)):
+        tf = F.col("_tfs")[i].cast("double")
+        df_t = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+        )
+        per_term.append(idf * tf * F.lit(k1 + 1.0) / denom)
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    return scored.select(id_col, score.alias(score_col))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-K documents by BM25 (score > 0 — a doc matching no query
+    term is not a hit).  Ties broken by ascending id; scores rounded
+    to 6 decimals for output (oracle-hashable), ranked unrounded."""
+    scored = bm25_score_all(
+        docs, query_terms, k1=k1, b=b,
+        id_col=id_col, text_col=text_col, score_col=score_col,
+    )
+    out = (
+        scored.filter(F.col(score_col) > 0)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))

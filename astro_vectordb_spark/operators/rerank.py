@@ -1,0 +1,159 @@
+"""Result-list post-processing: reciprocal-rank fusion (hybrid
+search) and maximal-marginal-relevance diversification.
+
+Both operate on BOUNDED inputs by construction — ranked lists / top-C
+candidate sets produced by an upstream search — so their plans are
+deliberately tiny: the corpus-scale work already happened in the
+search that produced them.
+
+``rrf_fuse`` — Cormack et al.'s reciprocal rank fusion, the standard
+way to combine a lexical (BM25) ranking with a vector ranking without
+score calibration: ``score(d) = sum over lists of 1 / (k_rrf +
+rank_d)``.  Union + groupBy over lists whose size is bounded by C per
+list — the shuffle moves at most |lists| x C rows.
+
+``mmr_rerank`` — Carbonell & Goldstein's MMR: greedily pick the
+candidate maximizing ``lam * relevance - (1 - lam) * max
+similarity-to-already-picked``.  Inherently sequential in k, so it
+runs as one Arrow-batched ``applyInPandas`` group per query — each
+group is a top-C candidate set (O(C^2) similarity work in-memory),
+and queries parallelize across tasks.  The driver never sees the
+candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCORE_DECIMALS = 6
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[DataFrame],
+    k: int,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    score_col: str = "score",
+) -> DataFrame:
+    """Fuse ranked lists (each: ``id_col``, 1-based ``rank_col``) into
+    a top-k by reciprocal-rank score.  Ids missing from a list simply
+    contribute nothing (the usual RRF convention).  Scores are exact
+    rationals summed in list order, rounded to 6 decimals for output;
+    ties broken by ascending id."""
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    contribs = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for df in ranked_lists
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = unioned.groupBy(id_col).agg(F.sum("_c").alias(score_col))
+    out = fused.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Left-fold float64 dot product — same accumulation order as the
+    SQL-expression kernel (functions/vector.dot_product) and the
+    DuckDB oracle's list_reduce, so MMR scores hash-match."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_id_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "score",
+    kernel: str = "numpy",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of a top-C candidate set.
+
+    Greedy: pick argmax of ``lam * rel - (1 - lam) * max_{s in
+    selected} cos(cand, s)`` (the max over the empty set is 0, so the
+    first pick scores ``lam * rel``); ties broken by ascending id.
+    Emits (id, rank, mmr) per query — ``query_id_col=None`` treats the
+    whole input as one candidate set.
+
+    ``kernel='numpy'`` computes pairwise cosines with BLAS;
+    ``kernel='fold'`` uses left-fold float64 accumulation that matches
+    the SQL oracle bit-for-bit (use for oracle-checked runs; identical
+    up to last-ulp summation order otherwise).
+
+    Scale: candidates are top-C per query by construction, so each
+    group is one bounded Arrow batch; the O(C^2 * dim) similarity work
+    happens in-memory executor-side and queries fan out across tasks.
+    """
+    gcol = query_id_col
+    work = candidates
+    if gcol is None:
+        gcol = "_q"
+        work = candidates.withColumn(gcol, F.lit(0))
+
+    out_schema = f"{gcol} long, {id_col} long, rank int, mmr double"
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=[gcol, id_col, "rank", "mmr"])
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        if kernel == "fold":
+            self_dot = np.array(
+                [_fold_dot(v, v) for v in vecs], dtype=np.float64
+            )
+            sims = np.empty((n, n), dtype=np.float64)
+            for i in range(n):
+                for j in range(n):
+                    sims[i, j] = _fold_dot(vecs[i], vecs[j]) / (
+                        np.sqrt(self_dot[i]) * np.sqrt(self_dot[j])
+                    )
+        else:
+            norms = np.linalg.norm(vecs, axis=1)
+            norms = np.maximum(norms, 1e-30)
+            sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = set(range(n))
+        for _ in range(min(k, n)):
+            best_i, best_m = -1, -np.inf
+            # iteration in ascending-id order makes strict > the
+            # tie-break (first = smallest id wins)
+            for i in sorted(remaining):
+                pen = max(float(sims[i, j]) for j in selected) if selected else 0.0
+                m = lam * float(rel[i]) - (1.0 - lam) * pen
+                if m > best_m:
+                    best_i, best_m = i, m
+            selected.append(best_i)
+            scores.append(best_m)
+            remaining.discard(best_i)
+        return pd.DataFrame(
+            {
+                gcol: pdf[gcol].iloc[0],
+                id_col: [int(ids[i]) for i in selected],
+                "rank": list(range(1, len(selected) + 1)),
+                "mmr": [round(s, SCORE_DECIMALS) for s in scores],
+            }
+        )
+
+    out = work.groupBy(gcol).applyInPandas(_mmr, out_schema)
+    if query_id_col is None:
+        out = out.drop(gcol)
+    return out

@@ -1,0 +1,185 @@
+"""BM25 lexical search, RRF fusion, MMR diversification, filtered
+exact search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.keyword import bm25_score_all, bm25_topk
+from astro_vectordb_spark.operators.rerank import mmr_rerank, rrf_fuse
+from astro_vectordb_spark.operators.topk import filtered_topk, score_against, topk_search
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark merge join"),            # both terms once, short
+        (1, "spark spark spark filler filler filler filler filler"),
+        (2, "merge merge spark"),           # rare term twice
+        (3, "filler words only here"),      # no query terms
+        (4, "merge"),                       # single rare term, shortest
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_local(docs, terms, k1=1.2, b=0.75):
+    """Straight-line float64 reimplementation for cross-checking."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+        out[d] = s
+    return out
+
+
+def test_bm25_matches_local_reference(tiny_docs, spark):
+    rows = [(r["doc_id"], r["text"]) for r in tiny_docs.collect()]
+    expect = _bm25_local(rows, ["merge", "spark"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_all(tiny_docs, ["merge", "spark"]).collect()
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], abs=1e-12)
+
+
+def test_bm25_topk_excludes_nonmatching_and_orders(tiny_docs):
+    res = bm25_topk(tiny_docs, ["merge", "spark"], k=10).collect()
+    ids = [r["doc_id"] for r in res]
+    assert 3 not in ids  # no query terms -> not a hit
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'rare' in 1/20 docs, 'common' in 19/20: one occurrence of the
+    # rare term must beat one occurrence of the common term at equal
+    # doc length
+    rows = [(0, "rare pad pad pad")] + [
+        (i, "common pad pad pad") for i in range(1, 20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_all(docs, ["rare", "common"]).collect()
+    }
+    assert got[0] > got[1]
+
+
+def test_bm25_empty_terms_raises(tiny_docs):
+    with pytest.raises(ValueError):
+        bm25_topk(tiny_docs, [], k=5)
+
+
+def test_rrf_fuse_known_values(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r["score"] for r in rrf_fuse([a, b], k=10).collect()}
+    assert got[11] == round(1 / 62 + 1 / 61, 6)  # in both lists
+    assert got[10] == round(1 / 61, 6)
+    assert got[13] == round(1 / 62, 6)  # missing from list a: no penalty
+    assert got[12] == round(1 / 63, 6)
+    # doc in both lists outranks any single-list doc at these depths
+    top = max(got, key=got.get)
+    assert top == 11
+
+
+def test_rrf_empty_lists_raises():
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+
+
+def _mk_cand(spark, vecs, rels):
+    rows = [
+        (i, [float(x) for x in v], float(r))
+        for i, (v, r) in enumerate(zip(vecs, rels))
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, score double")
+
+
+def test_mmr_lambda_one_is_relevance_ranking(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(10, 8))
+    rels = [0.9, 0.8, 0.95, 0.1, 0.5, 0.85, 0.2, 0.3, 0.7, 0.6]
+    cand = _mk_cand(spark, vecs, rels)
+    got = sorted(
+        [(r["rank"], r["vec_id"]) for r in mmr_rerank(cand, k=4, lam=1.0).collect()]
+    )
+    by_rel = sorted(range(10), key=lambda i: (-rels[i], i))[:4]
+    assert [v for _, v in got] == by_rel
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    # candidates 0 and 1 are near-identical with the two highest
+    # relevances; a diverse third vector with lower relevance must be
+    # picked second at moderate lambda
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    vecs = [base, base + 1e-3, np.array([0.0, 1.0, 0.0, 0.0])]
+    cand = _mk_cand(spark, vecs, [0.99, 0.98, 0.5])
+    picks = [
+        r["vec_id"]
+        for r in sorted(
+            mmr_rerank(cand, k=2, lam=0.5).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    assert picks == [0, 2]  # the near-dup (1) is skipped
+
+
+def test_mmr_kernels_agree(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(25, 16))
+    rels = list(rng.uniform(0.2, 1.0, size=25))
+    cand = _mk_cand(spark, vecs, rels)
+    a = sorted(
+        [(r["rank"], r["vec_id"]) for r in mmr_rerank(cand, k=6, kernel="numpy").collect()]
+    )
+    b = sorted(
+        [(r["rank"], r["vec_id"]) for r in mmr_rerank(cand, k=6, kernel="fold").collect()]
+    )
+    assert a == b
+
+
+def test_mmr_per_query_groups(spark, embeddings):
+    # two query groups re-ranked independently in one call
+    emb = embeddings.limit(40)
+    rows = emb.collect()
+    qv0 = rows[0]["embedding"]
+    qv1 = rows[1]["embedding"]
+    c0 = score_against(emb, qv0).withColumn("query_id", F.lit(0))
+    c1 = score_against(emb, qv1).withColumn("query_id", F.lit(1))
+    cand = c0.unionByName(c1)
+    got = mmr_rerank(cand, k=3, query_id_col="query_id").collect()
+    for q in (0, 1):
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == q)
+        assert ranks == [1, 2, 3]
+    # each group's top pick is its own argmax relevance
+    top0 = [r["vec_id"] for r in got if r["query_id"] == 0 and r["rank"] == 1][0]
+    assert top0 == 0  # self-match
+
+
+def test_filtered_topk_matches_manual_filter(spark, embeddings):
+    qv = embeddings.filter(F.col("vec_id") == 5).first()["embedding"]
+    a = filtered_topk(
+        embeddings, F.col("label") == 2, qv, k=10, strength=0
+    ).collect()
+    b = topk_search(
+        embeddings.filter(F.col("label") == 2), qv, k=10, strength=0
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in embeddings.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] == 2 for r in a)

@@ -20,7 +20,16 @@ browser tab — astro-vectordb README.md:90-97) and asserts:
   A6  rebalance split every oversized shard and recall holds;
   A7  the opt-in worker-level index cache serves identical results
       (timing recorded: rebuild-free steady state vs per-serve
-      adjacency rebuild).
+      adjacency rebuild);
+  B1  cached serves return identical results at any cache cap;
+  B2  hit rate with cap=n_shards >= hit rate with cap=4 after 4
+      rounds (per-round hit/miss counts + latency recorded — in
+      local[32] there is no task-to-worker affinity, so the hit rate
+      is a fleet-level property that climbs as workers fill);
+  B3  the cogrouped (very-large-|Q|) serve path returns the same
+      results on the same corpus (latency recorded);
+  B4  int8-quantized graph serves recall@10 >= 0.9;
+  B5  quantized graph storage is >= 3x smaller on disk.
 
 Emits ONE JSON line (and writes it to --out if given) with the
 measurements and a green/red flag per assertion.  Not part of the
@@ -82,7 +91,8 @@ def graph_file_state(index_path: str) -> dict[str, tuple[int, float]]:
     return state
 
 
-def serve(spark, index_path, queries, ef_search=512, use_cache=False):
+def serve(spark, index_path, queries, ef_search=512, use_cache=False,
+          cache_accums=None, cache_cap=None):
     from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
     from astro_vectordb_spark.sources.vault import load_hnsw_index
 
@@ -92,9 +102,19 @@ def serve(spark, index_path, queries, ef_search=512, use_cache=False):
             graph, queries, k=K, m=meta["m"], metric=meta["metric"],
             ef_search=ef_search, clustered=meta["clustered_safe"],
             index_cache_token=meta["cache_token"] if use_cache else None,
+            cache_accums=cache_accums, cache_cap=cache_cap,
         ),
         meta,
     )
+
+
+def graph_bytes(index_path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(os.path.join(index_path, "graph")):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.stat(os.path.join(dirpath, f)).st_size
+    return total
 
 
 def recall_at_k(served_rows, exact: dict[int, set]) -> float:
@@ -257,6 +277,87 @@ def main() -> None:
         and res["num_shards_after_rebalance"] > res["num_shards_built"]
         and res["recall_at_10_after_rebalance"] >= 0.95
     )
+
+    # ---- serve-cache sweep (post-rebalance shard count) ----------------
+    # Per-worker cache behavior over repeated serves: hit rate and
+    # steady-state latency at cap=4 (the conservative default) vs
+    # cap=n_shards.  local[32] has no task-to-worker affinity, so the
+    # hit rate is a fleet property: it climbs as workers accumulate
+    # shards, and a cap below the shard count bounds how far it climbs.
+    n_shards_now = len(meta16["shard_ids"])
+    sc = spark.sparkContext
+    cache_sweep = {}
+    for cap in (4, n_shards_now):
+        log(f"cache sweep cap={cap}")
+        rounds = []
+        for rnd in range(4):
+            acc_h, acc_m = sc.accumulator(0), sc.accumulator(0)
+            t0 = time.time()
+            rows_r = serve(
+                spark, index_path, queries, use_cache=True,
+                cache_accums=(acc_h, acc_m), cache_cap=cap,
+            )[0].collect()
+            dt = round(time.time() - t0, 2)
+            h, ms = int(acc_h.value), int(acc_m.value)
+            rounds.append(
+                {"sec": dt, "hits": h, "misses": ms,
+                 "hit_rate": round(h / max(h + ms, 1), 3)}
+            )
+        cache_sweep[f"cap_{cap}"] = rounds  # noqa: loop var in key
+        # results must match the uncached serve regardless of cap
+        checks[f"B1_cap{cap}_same_results"] = sorted(
+            (r["query_id"], r["vec_id"]) for r in rows_r
+        ) == sorted((r["query_id"], r["vec_id"]) for r in rows16)
+    res["cache_sweep"] = cache_sweep
+    last_small = cache_sweep[f"cap_4"][-1]["hit_rate"]
+    last_big = cache_sweep[f"cap_{n_shards_now}"][-1]["hit_rate"]
+    checks["B2_big_cap_hit_rate_not_worse"] = last_big >= last_small
+
+    # ---- cogrouped serve (very-large-|Q| path) on the same corpus ------
+    log("cogrouped serve")
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards_cogrouped
+    from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+    g16, m16 = load_hnsw_index(spark, index_path)
+    rows_cg = hnsw_query_shards_cogrouped(
+        g16, queries, k=K, m=m16["m"], metric=m16["metric"],
+        ef_search=512, shard_ids=m16["shard_ids"],
+    ).collect()  # warm
+    t0 = time.time()
+    rows_cg = hnsw_query_shards_cogrouped(
+        g16, queries, k=K, m=m16["m"], metric=m16["metric"],
+        ef_search=512, shard_ids=m16["shard_ids"],
+    ).collect()
+    res["serve_cogrouped_sec"] = round(time.time() - t0, 2)
+    checks["B3_cogrouped_same_results"] = sorted(
+        (r["query_id"], r["vec_id"]) for r in rows_cg
+    ) == sorted((r["query_id"], r["vec_id"]) for r in rows16)
+
+    # ---- quantized index: size, recall, serve latency ------------------
+    log("quantized build")
+    t0 = time.time()
+    qgraph = hnsw_build_shards(
+        corpus, num_shards=shards, m=16, ef_construction=64,
+        metric="cosine", quantize=True,
+    )
+    q_path = "/tmp/scale/hnsw_index_q"
+    save_hnsw_index(qgraph, q_path, m=16, metric="cosine")
+    res["quantized_build_save_sec"] = round(time.time() - t0, 2)
+    fb, qb = graph_bytes(index_path), graph_bytes(q_path)
+    res["graph_bytes_float"] = fb
+    res["graph_bytes_quantized"] = qb
+    res["quantized_size_ratio"] = round(fb / max(qb, 1), 2)
+    # NB: float path was rebalanced (different shard count) — the ratio
+    # still reflects per-row storage since row counts match
+    log("quantized serve")
+    served_q, meta_q = serve(spark, q_path, queries, use_cache=True)
+    rows_q = served_q.collect()  # warm
+    t0 = time.time()
+    rows_q = serve(spark, q_path, queries, use_cache=True)[0].collect()
+    res["serve_quantized_sec"] = round(time.time() - t0, 2)
+    res["recall_at_10_quantized"] = round(recall_at_k(rows_q, exact), 4)
+    checks["B4_quantized_recall_ge_09"] = res["recall_at_10_quantized"] >= 0.9
+    checks["B5_quantized_at_least_3x_smaller"] = res["quantized_size_ratio"] >= 3.0
 
     res["checks"] = checks
     res["all_green"] = all(checks.values())

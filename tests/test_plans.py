@@ -137,3 +137,31 @@ def test_rank_percentiles_prune_scan_and_avoid_full_buffer(spark):
         rs = rs_part.split("\n")[0]
         assert "l_extendedprice" not in rs, f"pruning failed: {rs}"
     assert "percentile(" not in plan.lower(), "full-buffer percentile present"
+
+
+def test_filtered_topk_pushes_predicate_and_stays_single_stage(spark):
+    """Metadata pre-filter must reach the parquet scan (PushedFilters)
+    and the plan must stay shuffle-free (TakeOrderedAndProject)."""
+    from astro_vectordb_spark.operators.topk import filtered_topk
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
+    df = filtered_topk(emb, F.col("label") == 2, _qv(emb, 5), k=10, strength=0)
+    assert has_pushed_filter(df, "label")
+    assert has_take_ordered(df)
+    assert "Exchange" not in executed_plan(df)
+
+
+def test_bm25_single_corpus_scan_lineage_no_corpus_shuffle(spark):
+    """BM25's only exchanges are the 1-row stats aggregate and its
+    broadcast — the corpus itself is never shuffled (no explode, no
+    (doc, term) groupBy, no tf x doclen join)."""
+    from astro_vectordb_spark.operators.keyword import bm25_topk
+    from astro_vectordb_spark.plans.explain import executed_plan
+
+    docs = spark.read.parquet(f"{PLAN_SF}/documents.parquet")
+    plan = executed_plan(bm25_topk(docs, ["merge", "hash"], k=10))
+    assert has_take_ordered(bm25_topk(docs, ["merge", "hash"], k=10))
+    # the stats agg is a SinglePartition exchange; a HashPartitioning
+    # exchange would mean the corpus is being shuffled
+    assert "hashpartitioning" not in plan.lower(), plan

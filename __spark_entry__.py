@@ -939,6 +939,37 @@ def _q_ann_hnsw_filtered(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    # sliding-window token chunking — the training-pipeline primitive
+    # feeding chunk-level embedding/dedup; pure codegen (sequence +
+    # slice + posexplode), no UDF, no shuffle.
+    from astro_vectordb_spark.operators.multivector import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=10, stride=5)
+
+
+def _q_chunk_maxsim(spark, sf_dir):
+    # late-interaction retrieval over the chunked corpus: chunk ->
+    # embed chunks (stub hash encoder) -> MaxSim (sum over query
+    # vectors of per-doc max chunk similarity). Query vectors = doc
+    # 0's first two chunk embeddings.
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.operators.multivector import (
+        chunk_documents,
+        maxsim_topk,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=10, stride=5)
+    cvecs = embed_text(chunks, text_col="chunk_text")
+    qrows = (
+        cvecs.filter((F.col("doc_id") == 0) & (F.col("chunk_id") < 2))
+        .orderBy("chunk_id")
+        .collect()
+    )
+    qvs = [r["embedding"] for r in qrows]
+    return maxsim_topk(cvecs, qvs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_exact": _q_topk_exact,
@@ -1000,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf": _q_hybrid_rrf,
         "mmr_rerank": _q_mmr_rerank,
+        "doc_chunks": _q_doc_chunks,
+        "chunk_maxsim": _q_chunk_maxsim,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths)
         "near_dup_minhash": _q_near_dup_minhash,
@@ -1197,6 +1230,67 @@ pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {pcos} AS s
 SELECT vec_id, rank, round(m, 6) AS mmr
 FROM ({" UNION ALL ".join(union)})
 """
+
+
+def _chunks_cte(chunk: int = 10, stride: int = 5) -> str:
+    """CTE ending in ``chunks(doc_id, chunk_id, ctk)`` — same sliding
+    token windows as operators/multivector.chunk_documents (lowercased
+    whitespace tokens; last window partial; empty docs dropped)."""
+    return f"""ctoks AS (SELECT doc_id, {_LTOKS} AS tk FROM documents),
+cstarts AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, greatest(len(tk) - {chunk}, 0), {stride}))
+           AS s
+  FROM ctoks
+),
+chunks AS (
+  SELECT doc_id, (s / {stride})::INT AS chunk_id,
+         list_slice(tk, s + 1, s + {chunk}) AS ctk
+  FROM cstarts
+  WHERE len(list_slice(tk, s + 1, s + {chunk})) > 0
+)"""
+
+
+def _chunk_embed_cte() -> str:
+    """Hash-embed every chunk — functions/embed.hash_embedder keyed by
+    (doc_id, chunk_id), same md5 bucket/sign math as ``_embed_cte``."""
+    return """chtok AS (
+  SELECT doc_id, chunk_id, unnest(ctk) AS tok FROM chunks
+),
+chashed AS (
+  SELECT doc_id, chunk_id,
+         ('0x' || substr(md5(tok), 1, 2))::INT % 64 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok), 15, 2))::INT >= 128
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM chtok
+),
+cbuckets AS (
+  SELECT doc_id, chunk_id, idx, sum(sign) AS v
+  FROM chashed GROUP BY 1, 2, 3
+),
+cgrid AS (
+  SELECT c.doc_id, c.chunk_id, g.i AS idx, coalesce(b.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id, chunk_id FROM chunks) c
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  LEFT JOIN cbuckets b
+    ON b.doc_id = c.doc_id AND b.chunk_id = c.chunk_id AND b.idx = g.i
+),
+cvecs AS (
+  SELECT doc_id, chunk_id, list(v ORDER BY idx) AS v
+  FROM cgrid GROUP BY doc_id, chunk_id
+),
+cnormed AS (
+  SELECT doc_id, chunk_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x),
+                          (acc, x) -> acc + x)) AS n
+  FROM cvecs
+),
+cemb AS (
+  SELECT doc_id, chunk_id,
+         list_transform(v, x -> CASE WHEN n > 0 THEN (x / n)::FLOAT
+                                     ELSE 0.0::FLOAT END) AS e
+  FROM cnormed
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1967,4 +2061,28 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
 """,
         "mmr_rerank": _mmr_oracle(0, 30, 5, 0.7),
+        "doc_chunks": f"""
+WITH {_chunks_cte(10, 5)}
+SELECT doc_id, chunk_id,
+       len(ctk)::INT AS n_tokens,
+       array_to_string(ctk, ' ') AS chunk_text
+FROM chunks
+""",
+        "chunk_maxsim": f"""
+WITH {_chunks_cte(10, 5)},
+{_chunk_embed_cte()},
+q0 AS (SELECT e AS v FROM cemb WHERE doc_id = 0 AND chunk_id = 0),
+q1 AS (SELECT e AS v FROM cemb WHERE doc_id = 0 AND chunk_id = 1),
+sims AS (
+  SELECT c.doc_id,
+         {_cos("c.e", "q0.v")} AS s0,
+         {_cos("c.e", "q1.v")} AS s1
+  FROM cemb c CROSS JOIN q0 CROSS JOIN q1
+),
+agg AS (
+  SELECT doc_id, max(s0) AS m0, max(s1) AS m1 FROM sims GROUP BY doc_id
+)
+SELECT doc_id, round(m0 + m1, 6) AS score
+FROM agg ORDER BY m0 + m1 DESC, doc_id LIMIT 10
+""",
     }

@@ -87,7 +87,13 @@ class NumpyHNSW:
         self.heuristic = heuristic
         self.mult = 1.0 / math.log(m)
         self.rng = np.random.RandomState(seed)
-        self.vecs: list[np.ndarray] = []
+        # vector storage is ONE capacity-doubling 2-D matrix (float64
+        # prepped rows, or int8 codes in quantized mode): similarity
+        # kernels fancy-index rows directly — profiling showed the
+        # previous list-of-arrays np.stack per beam step was ~1/3 of
+        # build AND serve time
+        self._mat: np.ndarray | None = None
+        self._n = 0
         self.ids: list = []
         self.levels: list[int] = []
         # quantized-mode storage: vecs holds int8 code arrays; per-row
@@ -118,7 +124,7 @@ class NumpyHNSW:
 
     def _sims(self, q: np.ndarray, idxs: list[int]) -> np.ndarray:
         self.n_sim_evals += len(idxs)
-        m = np.stack([self.vecs[i] for i in idxs])
+        m = self._mat[idxs]
         if not self.quantized:
             if self.metric == "cosine":
                 return m @ q
@@ -137,16 +143,29 @@ class NumpyHNSW:
         quantized) — used when a stored node becomes the probe (the
         overflow-shrink re-rank in ``add``)."""
         if not self.quantized:
-            return self.vecs[i]
-        return self._prep(self.vecs[i].astype(np.float64) * self.qscales[i])
+            return self._mat[i]
+        return self._prep(self._mat[i].astype(np.float64) * self.qscales[i])
+
+    def _append_row(self, row: np.ndarray) -> None:
+        if self._mat is None:
+            cap = max(16, len(row))
+            self._mat = np.empty((cap, len(row)), dtype=row.dtype)
+        elif self._n == len(self._mat):
+            grown = np.empty(
+                (2 * len(self._mat), self._mat.shape[1]), dtype=self._mat.dtype
+            )
+            grown[: self._n] = self._mat
+            self._mat = grown
+        self._mat[self._n] = row
+        self._n += 1
 
     def _store_vec(self, vec, prepped: np.ndarray) -> None:
         if not self.quantized:
-            self.vecs.append(prepped)
+            self._append_row(prepped)
             return
         codes, s = _quantize_np(vec)
         n2 = float(codes.astype(np.float64) @ codes.astype(np.float64))
-        self.vecs.append(codes)
+        self._append_row(codes)
         self.qscales.append(s)
         self.qnorms.append(math.sqrt(n2))
         self.qc2.append(s * s * n2)
@@ -180,7 +199,7 @@ class NumpyHNSW:
         """All-pairs similarity among stored nodes (build-time only, so
         vectors are full precision) — one matmul, feeds the neighbor-
         selection heuristic."""
-        m = np.stack([self.vecs[i] for i in idxs])
+        m = self._mat[idxs]
         if self.metric == "cosine":
             return m @ m.T  # vectors stored normalized
         d2 = np.maximum(
@@ -237,7 +256,7 @@ class NumpyHNSW:
 
     def add(self, uid, vec) -> None:
         v = self._prep(vec)
-        idx = len(self.vecs)
+        idx = self._n
         level = int(math.floor(-math.log(max(self.rng.uniform(), 1e-12)) * self.mult))
         self._store_vec(vec, v)
         self.ids.append(uid)
@@ -363,16 +382,24 @@ class NumpyHNSW:
         # task), and iterrows is ~100x slower than list iteration
         idx.ids = ids
         if quantized:
-            idx.vecs = [
-                np.asarray(v, dtype=np.int8) for v in rows["qvec"].tolist()
-            ]
+            mat = np.asarray(rows["qvec"].tolist(), dtype=np.int8)
+            idx._mat = mat
+            idx._n = len(mat)
             idx.qscales = [float(s) for s in rows["qscale"].tolist()]
-            mat = np.stack(idx.vecs).astype(np.float64)
-            n2 = (mat * mat).sum(axis=1)
+            m64 = mat.astype(np.float64)
+            n2 = (m64 * m64).sum(axis=1)
             idx.qnorms = np.sqrt(n2).tolist()
             idx.qc2 = (n2 * np.asarray(idx.qscales) ** 2).tolist()
         else:
-            idx.vecs = [idx._prep(v) for v in rows["embedding"].tolist()]
+            # bulk load straight into the matrix; vectorized normalize
+            # is the same per-row float64 division as _prep
+            mat = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
+            if metric == "cosine":
+                norms = np.linalg.norm(mat, axis=1)
+                nz = norms > 0
+                mat[nz] = mat[nz] / norms[nz, None]
+            idx._mat = mat
+            idx._n = len(mat)
         idx.levels = [int(lv) for lv in rows["level"].tolist()]
         try:
             idx.neighbors = [
@@ -754,7 +781,7 @@ def hnsw_insert_shards(
                     )
                     li = local_of[uid]
                     same = (
-                        np.array_equal(codes, index.vecs[li])
+                        np.array_equal(codes, index._mat[li])
                         and abs(s - index.qscales[li]) <= 1e-12 * max(s, 1e-30)
                     )
                 else:
@@ -792,7 +819,7 @@ def hnsw_insert_shards(
             ],
         }
         if quantized:
-            out["qvec"] = [index.vecs[i] for i in alive]
+            out["qvec"] = [index._mat[i] for i in alive]
             out["qscale"] = [index.qscales[i] for i in alive]
         else:
             out["embedding"] = [

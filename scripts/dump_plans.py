@@ -14,6 +14,9 @@ SHOW = [
     "topk_exact",
     "batch_topk",
     "topk_quantized",
+    "filtered_topk",
+    "bm25_topk",
+    "chunk_maxsim",
     "sync_merge",
     "near_dup_jaccard",
     "near_dup_minhash",

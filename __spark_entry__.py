@@ -252,23 +252,28 @@ def _q_near_dup_simhash_sql(spark, sf_dir):
 def _q_near_dup_native_exactdup(spark, sf_dir):
     # Hash-checkable surface for the two NATIVE (xxhash64) near-dup
     # families, which are otherwise rows-only (the oracle cannot replay
-    # xxhash).  Restricted to pairs with IDENTICAL distinct-token sets,
-    # both native pipelines are deterministic REGARDLESS of hash
-    # family: equal sets give equal MinHash signatures (collide in
-    # every band, exact-Jaccard-verified at 1.0 — word_shingles(n=1) is
-    # the distinct token set) and equal SimHash signatures (hamming 0,
-    # shares every pigeonhole chunk).  So the result — produced by the
-    # REAL native plans (signature -> banding/chunking -> candidate
-    # join -> verify) — must equal the SQL-computable equal-token-set
-    # pair list; a recall or verification regression in either native
-    # path drops/extends rows and hash-mismatches.  (jaccard==1.0 after
-    # round-6 cannot false-positive below ~2M distinct tokens/doc.)
-    from astro_vectordb_spark.functions.text import tokens
+    # xxhash).  Each family is restricted to pairs with IDENTICAL
+    # feature sets, where its pipeline is deterministic REGARDLESS of
+    # hash family:
+    # - minhash: equal distinct 3-gram shingle sets give equal MinHash
+    #   signatures (collide in every band, exact-Jaccard-verified at
+    #   1.0), so the native jaccard==1.0 pair list must equal the
+    #   SQL-computable equal-shingle-set pair list.  (n=1 here was a
+    #   100x bench cliff: the word-soup corpus shares a tiny vocab, so
+    #   unigram token SETS collide for 35k pairs and the banded
+    #   candidate join explodes; 3-gram sets are near-unique.)
+    # - simhash: equal distinct-token sets give equal signatures
+    #   (hamming 0, shares every pigeonhole chunk), so semi-joining
+    #   the native hamming<=3 pairs with the equal-token-set list must
+    #   return exactly that list.
+    # A recall or verification regression in either native path drops
+    # or extends rows and hash-mismatches.
+    from astro_vectordb_spark.functions.text import tokens, word_shingles
     from astro_vectordb_spark.operators.dedup import simhash_pairs
 
     docs = _docs(spark, sf_dir)
     mh = (
-        minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=8, n=1)
+        minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=8, n=3)
         .filter(F.col("jaccard") == 1.0)
         .select(F.lit("minhash").alias("family"), "a_id", "b_id")
     )
@@ -1536,20 +1541,29 @@ SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "near_dup_native_exactdup": f"""
-WITH tk AS (
+WITH {_shingle_cte().lstrip()},
+sk AS (
+  SELECT doc_id, array_to_string(list_sort(shingles), chr(1)) AS key
+  FROM sh WHERE len(shingles) > 0
+),
+eq3 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sk a JOIN sk b ON a.key = b.key AND a.doc_id < b.doc_id
+),
+tk AS (
   SELECT doc_id, list_sort(list_distinct({_LTOKS})) AS tkl FROM documents
 ),
 k AS (
   SELECT doc_id, array_to_string(tkl, chr(1)) AS key
   FROM tk WHERE len(tkl) > 0
 ),
-eq AS (
+eq1 AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
   FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT 'minhash' AS family, a_id, b_id FROM eq
+SELECT 'minhash' AS family, a_id, b_id FROM eq3
 UNION ALL
-SELECT 'simhash' AS family, a_id, b_id FROM eq
+SELECT 'simhash' AS family, a_id, b_id FROM eq1
 """,
         "text_stats": f"""
 WITH t AS (

@@ -183,3 +183,49 @@ def test_filtered_topk_matches_manual_filter(spark, embeddings):
         for r in embeddings.select("vec_id", "label").collect()
     }
     assert all(labels[r["vec_id"]] == 2 for r in a)
+
+
+def test_bm25_absent_term_contributes_nothing(spark):
+    # a query term appearing in no document must not poison scores
+    # (df=0 -> idf defined and finite; tf=0 -> zero contribution)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    with_ghost = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_all(docs, ["alpha", "zzz_absent"]).collect()
+    }
+    alone = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_all(docs, ["alpha"]).collect()
+    }
+    for d in alone:
+        assert with_ghost[d] == pytest.approx(alone[d], abs=1e-12)
+
+
+def test_filtered_search_on_quantized_graph(spark, embeddings):
+    # allowed_ids filtering is orthogonal to int8 storage: quantized
+    # shards honor the filter and find the allowed neighbors
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_query_shards,
+    )
+
+    graph = hnsw_build_shards(
+        embeddings, num_shards=2, ef_construction=64, quantize=True
+    )
+    allowed = [
+        r["vec_id"]
+        for r in embeddings.filter(F.col("label") == 1).select("vec_id").collect()
+    ]
+    qv = embeddings.filter(F.col("vec_id") == 3).first()["embedding"]
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qv])], "query_id long, query_vec array<float>"
+    )
+    got = {
+        r["vec_id"]
+        for r in hnsw_query_shards(
+            graph, queries, k=10, ef_search=64, allowed_ids=allowed
+        ).collect()
+    }
+    assert got and got <= set(allowed)

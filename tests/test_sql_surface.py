@@ -33,22 +33,26 @@ def test_register_tables_all_present(spark, sf_dir):
 
 def test_driver_contract_ordering_and_coverage():
     """The driver checks the FIRST 50 queries() entries against
-    oracle_sql(); every hash-checkable query must therefore precede
-    the rows-only ones.  Pin: (a) all oracled entries come first,
-    (b) there are at most 50 of them, (c) every oracle key exists in
-    queries() and vice versa for the oracled prefix."""
+    oracle_sql().  With more than 50 oracled queries (since round 6)
+    the window cannot cover them all — the full gate
+    (scripts/check_oracle.py) covers the rest — but every slot of the
+    window must still be spent on a hash-checkable query.  Pin:
+    (a) the first 50 entries are ALL oracled (no rows-only query
+    wastes a window slot), (b) oracled entries form a contiguous
+    prefix ahead of every rows-only entry, (c) oracle keys and
+    queries() keys agree."""
     import __spark_entry__ as m
 
     qs = list(m.queries())
     oracles = set(m.oracle_sql())
     n_oracled = len(oracles)
-    assert n_oracled <= 50, (
-        f"{n_oracled} oracled queries exceed the driver's 50-entry "
-        "correctness window — consolidate before adding more"
+    assert oracles <= set(qs), f"orphan oracles: {oracles - set(qs)}"
+    assert set(qs[:min(50, n_oracled)]) <= oracles, (
+        "a rows-only query occupies a driver-window slot: "
+        f"{set(qs[:min(50, n_oracled)]) - oracles}"
     )
     assert set(qs[:n_oracled]) == oracles, (
-        "oracled queries must occupy the first positions of queries() "
-        f"(driver checks first 50): misplaced = "
-        f"{oracles.symmetric_difference(qs[:n_oracled])}"
+        "oracled queries must form the prefix of queries(): misplaced "
+        f"= {oracles.symmetric_difference(qs[:n_oracled])}"
     )
     assert all(name not in oracles for name in qs[n_oracled:])

@@ -135,6 +135,40 @@ def main() -> None:
         lambda: noop(ngram_jaccard_pairs(docs100k, 0.8))
     )
 
+    # retrieval stack at 100k docs: BM25 (zero corpus shuffles),
+    # chunking (pure codegen), chunk-embed (the pandas_udf hook cost,
+    # materialized once like a real pipeline), MaxSim late interaction
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.operators.keyword import bm25_topk
+    from astro_vectordb_spark.operators.multivector import (
+        chunk_documents,
+        maxsim_topk,
+    )
+
+    noop(bm25_topk(docs100k, ["merge", "hash", "spark"], 10))  # warm
+    out["bm25_100k_sec"] = timed(
+        lambda: noop(bm25_topk(docs100k, ["merge", "hash", "spark"], 10))
+    )
+    out["chunk_100k_sec"] = timed(
+        lambda: noop(chunk_documents(docs100k, chunk_tokens=10, stride=5))
+    )
+    t0 = time.time()
+    embed_text(
+        chunk_documents(docs100k, chunk_tokens=10, stride=5),
+        text_col="chunk_text",
+    ).write.mode("overwrite").parquet("/tmp/scale/chunkvecs")
+    out["chunk_embed_write_100k_sec"] = round(time.time() - t0, 2)
+    cvr = spark.read.parquet("/tmp/scale/chunkvecs")
+    out["chunk_rows"] = cvr.count()
+    qvs = [
+        r["embedding"]
+        for r in cvr.filter(
+            (F.col("doc_id") == 0) & (F.col("chunk_id") < 2)
+        ).orderBy("chunk_id").collect()
+    ]
+    noop(maxsim_topk(cvr, qvs, 10))  # warm
+    out["maxsim_2q_100k_sec"] = timed(lambda: noop(maxsim_topk(cvr, qvs, 10)))
+
     print(json.dumps(out))
     spark.stop()
 

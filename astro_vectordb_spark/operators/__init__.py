@@ -63,9 +63,25 @@ from astro_vectordb_spark.operators.relational import (
     pricing_summary,
     revenue_topn,
 )
+from astro_vectordb_spark.operators.keyword import bm25_score_all, bm25_topk
+from astro_vectordb_spark.operators.multivector import (
+    chunk_documents,
+    maxsim_score_all,
+    maxsim_topk,
+)
+from astro_vectordb_spark.operators.rerank import mmr_rerank, rrf_fuse
+from astro_vectordb_spark.operators.topk import filtered_topk
 
 __all__ = [
     "batch_topk",
+    "bm25_score_all",
+    "bm25_topk",
+    "chunk_documents",
+    "filtered_topk",
+    "maxsim_score_all",
+    "maxsim_topk",
+    "mmr_rerank",
+    "rrf_fuse",
     "batch_topk_quantized",
     "brp_lsh_topk",
     "customer_rank_in_nation",

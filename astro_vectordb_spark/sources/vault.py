@@ -539,3 +539,54 @@ def rebuild_index(
     assigned, centroids = ivf_build(live_rows, k_cells=k_cells, metric=metric, **kwargs)
     stats = ivf_cell_stats(assigned, centroids, metric=metric)
     return assigned, centroids, stats
+
+
+def hnsw_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational health report for a persisted HNSW index — the
+    numbers an operator needs to decide WHEN to run
+    ``hnsw_rebalance`` (oversized shards, degraded wiring) without
+    reading any code: per-shard row counts, mean level-0 out-degree
+    (erodes under ``on_conflict='update'`` churn; compare against m),
+    max level, plus the metadata the serve path keys on (metric, m,
+    quantized storage, clustered_safe, on-disk bytes).
+
+    Cost: the `_meta` read, one Hadoop LIST, and ONE Spark aggregation
+    over the graph (|shards| result rows — bounded control plane).
+    The reference's astrovault has no introspection surface at all;
+    this is the rebuildGraphNodes-era TODO (README.md:78-81) made
+    observable."""
+    graph, meta = load_hnsw_index(spark, path)
+    _, _, _, _, total_bytes = _scan_graph_files(
+        spark, os.path.join(path, "graph")
+    )
+    per_shard = {
+        int(r["shard_id"]): {
+            "rows": int(r["n"]),
+            "mean_degree_l0": round(float(r["deg"]), 2),
+            "max_level": int(r["max_lvl"]),
+        }
+        for r in graph.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(F.element_at("neighbors", 1))).alias("deg"),
+            F.max("level").alias("max_lvl"),
+        ).collect()
+    }
+    rows_per_shard = [s["rows"] for s in per_shard.values()]
+    return {
+        "path": path,
+        "m": meta["m"],
+        "metric": meta["metric"],
+        "quantized": "qvec" in graph.columns,
+        "clustered_safe": meta["clustered_safe"],
+        "num_shards": len(per_shard),
+        "total_rows": sum(rows_per_shard),
+        "max_shard_rows": max(rows_per_shard, default=0),
+        "min_shard_rows": min(rows_per_shard, default=0),
+        "graph_file_bytes": total_bytes,
+        "mean_degree_l0": round(
+            sum(s["mean_degree_l0"] * s["rows"] for s in per_shard.values())
+            / max(sum(rows_per_shard), 1),
+            2,
+        ),
+        "shards": per_shard,
+    }

@@ -1087,3 +1087,34 @@ def test_numpy_hnsw_heuristic_false_restores_truncation():
     )
     top = idx.search(pts[5], 1)[0]
     assert top[1] == 5
+
+
+def test_hnsw_index_stats_surface(spark, embeddings, tmp_path):
+    """Operational introspection: per-shard rows/degree/levels plus
+    the serve-path metadata, from one bounded aggregation."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_index_stats,
+        save_hnsw_index,
+    )
+
+    n = embeddings.count()
+    graph = hnsw_build_shards(embeddings, num_shards=4, ef_construction=64)
+    p = str(tmp_path / "hnsw_stats")
+    save_hnsw_index(graph, p, m=16, metric="cosine")
+    st = hnsw_index_stats(spark, p)
+    assert st["num_shards"] == 4
+    assert st["total_rows"] == n
+    assert sum(s["rows"] for s in st["shards"].values()) == n
+    assert st["m"] == 16 and st["metric"] == "cosine"
+    assert st["quantized"] is False
+    assert st["graph_file_bytes"] > 0
+    assert 0 < st["mean_degree_l0"] <= 16
+    assert st["min_shard_rows"] <= st["max_shard_rows"]
+    # quantized variant flags itself
+    gq = hnsw_build_shards(
+        embeddings, num_shards=2, ef_construction=32, quantize=True
+    )
+    pq = str(tmp_path / "hnsw_stats_q")
+    save_hnsw_index(gq, pq, m=16, metric="cosine")
+    assert hnsw_index_stats(spark, pq)["quantized"] is True

@@ -902,6 +902,33 @@ def _q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex, vec], k=10)
 
 
+def _q_hybrid_weighted(spark, sf_dir):
+    # calibrated hybrid: min-max-normalized convex fusion (0.4 lexical
+    # + 0.6 vector) of the same two top-20 lists RRF fuses — the
+    # score-shape-aware alternative.
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.operators.keyword import bm25_score_all
+    from astro_vectordb_spark.operators.rerank import score_fusion
+    from astro_vectordb_spark.operators.topk import score_against
+
+    docs = _docs(spark, sf_dir)
+    lex = (
+        bm25_score_all(docs, _BM25_TERMS)
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_C)
+    )
+    doc_vecs = embed_text(docs).select("doc_id", "embedding")
+    qv = doc_vecs.filter(F.col("doc_id") == 0).first()["embedding"]
+    vec = (
+        score_against(doc_vecs, qv)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_C)
+        .select("doc_id", "score")
+    )
+    return score_fusion([lex, vec], [0.4, 0.6], k=10)
+
+
 def _q_mmr_rerank(spark, sf_dir):
     # MMR diversification of a top-30 candidate set (greedy
     # relevance-vs-redundancy tradeoff, lambda=0.7); the fold kernel
@@ -941,6 +968,23 @@ def _q_ann_hnsw_filtered(spark, sf_dir):
         graph, queries, k=10, m=meta["m"], metric=meta["metric"],
         ef_search=100, clustered=meta["clustered_safe"],
         index_cache_token=meta["cache_token"], allowed_ids=allowed,
+    )
+
+
+def _q_bm25_indexed(spark, sf_dir):
+    # the lexical-INDEX path: pre-built term stats (persisted in a real
+    # deployment; built inline here) price the query terms with a
+    # |terms|-row lookup, so the per-query plan is ONE corpus scan.
+    # Scores are expression-identical to bm25_topk -> same oracle.
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_term_stats,
+        bm25_topk_indexed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    term_stats, corpus_stats = bm25_term_stats(docs)
+    return bm25_topk_indexed(
+        docs, term_stats, corpus_stats, _BM25_TERMS, k=10
     )
 
 
@@ -1035,7 +1079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_weighted": _q_hybrid_weighted,
         "mmr_rerank": _q_mmr_rerank,
+        "bm25_indexed": _q_bm25_indexed,
         "doc_chunks": _q_doc_chunks,
         "chunk_maxsim": _q_chunk_maxsim,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
@@ -2051,6 +2097,13 @@ WITH {_bm25_scored_cte(_BM25_TERMS)}
 SELECT doc_id, round(s, 6) AS score
 FROM bm25 WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 10
 """,
+        # indexed path computes the SAME float64 expression tree
+        # (stats enter as literals) -> same oracle
+        "bm25_indexed": f"""
+WITH {_bm25_scored_cte(_BM25_TERMS)}
+SELECT doc_id, round(s, 6) AS score
+FROM bm25 WHERE s > 0 ORDER BY s DESC, doc_id LIMIT 10
+""",
         "hybrid_rrf": f"""
 WITH {_bm25_scored_cte(_BM25_TERMS)},
 lex AS (SELECT doc_id, s FROM bm25 WHERE s > 0
@@ -2070,6 +2123,29 @@ contrib AS (
   UNION ALL
   SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr
 )
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "hybrid_weighted": f"""
+WITH {_bm25_scored_cte(_BM25_TERMS)},
+lex AS (SELECT doc_id, s FROM bm25 WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+lstat AS (SELECT min(s) AS mn, max(s) AS mx FROM lex),
+lc AS (SELECT doc_id,
+              0.4 * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+                          ELSE 1.0 END) AS c
+       FROM lex CROSS JOIN lstat),
+{_embed_cte()},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+vsc AS (SELECT emb.doc_id, {_cos("emb.e", "qv")} AS s FROM emb CROSS JOIN q),
+vtop AS (SELECT doc_id, s FROM vsc ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+vstat AS (SELECT min(s) AS mn, max(s) AS mx FROM vtop),
+vc AS (SELECT doc_id,
+              0.6 * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+                          ELSE 1.0 END) AS c
+       FROM vtop CROSS JOIN vstat),
+contrib AS (SELECT doc_id, c FROM lc UNION ALL SELECT doc_id, c FROM vc)
 SELECT doc_id, round(sum(c), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10

@@ -63,13 +63,18 @@ from astro_vectordb_spark.operators.relational import (
     pricing_summary,
     revenue_topn,
 )
-from astro_vectordb_spark.operators.keyword import bm25_score_all, bm25_topk
+from astro_vectordb_spark.operators.keyword import (
+    bm25_score_all,
+    bm25_term_stats,
+    bm25_topk,
+    bm25_topk_indexed,
+)
 from astro_vectordb_spark.operators.multivector import (
     chunk_documents,
     maxsim_score_all,
     maxsim_topk,
 )
-from astro_vectordb_spark.operators.rerank import mmr_rerank, rrf_fuse
+from astro_vectordb_spark.operators.rerank import mmr_rerank, rrf_fuse, score_fusion
 from astro_vectordb_spark.operators.topk import filtered_topk
 
 __all__ = [
@@ -82,6 +87,9 @@ __all__ = [
     "maxsim_topk",
     "mmr_rerank",
     "rrf_fuse",
+    "score_fusion",
+    "bm25_term_stats",
+    "bm25_topk_indexed",
     "batch_topk_quantized",
     "brp_lsh_topk",
     "customer_rank_in_nation",

@@ -122,3 +122,96 @@ def bm25_topk(
         .limit(k)
     )
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+
+
+def bm25_term_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The lexical-index analogue: full-vocabulary document
+    frequencies plus corpus size / average doc length, built ONCE and
+    persisted (parquet), so every subsequent query prices its terms
+    with a |terms|-row lookup instead of re-aggregating the corpus.
+
+    Returns ``(term_stats, corpus_stats)``: ``term_stats(term, df)``
+    (one shuffle: explode distinct terms -> groupBy term, map-side
+    partial counts, vocabulary-sized output) and 1-row
+    ``corpus_stats(n, avgdl)``.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(id_col, F.array_distinct(toks).alias("_terms"),
+                       F.size(toks).alias("_dl"))
+    term_stats = (
+        base.select(F.explode("_terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    )
+    return term_stats, corpus_stats
+
+
+def bm25_topk_indexed(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 top-K against PRE-BUILT statistics: the per-query plan is
+    a |terms|-row filter on the stats table (driver-side, bounded
+    control plane — the IVF-centroid pattern) plus ONE corpus scan
+    for term frequencies.  Scores are identical to ``bm25_topk``
+    (same float64 expression tree; df/n/avgdl enter as literals, idf
+    still computed engine-side), so the same oracle hash-matches
+    both paths.  At 100 TB this halves per-query corpus work and is
+    the right shape for a query service."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [str(t).lower() for t in query_terms]
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(terms)).collect()
+    }
+    cs = corpus_stats.first()
+    n, avgdl = float(cs["n"]), float(cs["avgdl"])
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        id_col,
+        F.size(toks).alias("_dl"),
+        *[F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+          for i, t in enumerate(terms)],
+    )
+    per_term = []
+    for i, t in enumerate(terms):
+        tf = F.col(f"_tf{i}").cast("double")
+        df_t = float(df_map.get(t, 0))
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n) - F.lit(df_t) + F.lit(0.5))
+            / (F.lit(df_t) + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+        )
+        per_term.append(idf * tf * F.lit(k1 + 1.0) / denom)
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    out = (
+        base.select(id_col, score.alias(score_col))
+        .filter(F.col(score_col) > 0)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))

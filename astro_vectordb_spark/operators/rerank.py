@@ -157,3 +157,42 @@ def mmr_rerank(
     if query_id_col is None:
         out = out.drop(gcol)
     return out
+
+
+def score_fusion(
+    scored_lists: Sequence[DataFrame],
+    weights: Sequence[float],
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted convex fusion of min-max-normalized score lists — the
+    calibrated alternative to RRF when per-list score SHAPES matter
+    (e.g. a steep BM25 drop-off should count for more than a flat
+    cosine tail).  Each list is normalized to [0, 1] by its own
+    min/max (a 1-row aggregate broadcast back — the list is already
+    bounded top-C); a degenerate list whose scores are all equal
+    normalizes to 1.0 for every member.  Ids missing from a list
+    contribute 0.  Output rounded to 6 decimals, ties by id."""
+    if not scored_lists:
+        raise ValueError("scored_lists must be non-empty")
+    if len(scored_lists) != len(weights):
+        raise ValueError("one weight per list")
+    contribs = []
+    for df, w in zip(scored_lists, weights):
+        stats = df.agg(
+            F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+        )
+        norm = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0))
+        contribs.append(
+            df.crossJoin(F.broadcast(stats)).select(
+                F.col(id_col), (F.lit(float(w)) * norm).alias("_c")
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = unioned.groupBy(id_col).agg(F.sum("_c").alias(score_col))
+    out = fused.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))

@@ -229,3 +229,61 @@ def test_filtered_search_on_quantized_graph(spark, embeddings):
         ).collect()
     }
     assert got and got <= set(allowed)
+
+
+def test_bm25_indexed_matches_inline_path(tiny_docs):
+    # the pre-built-stats path must reproduce inline BM25 bit-for-bit
+    # (same float64 expression tree; stats enter as literals)
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_term_stats,
+        bm25_topk_indexed,
+    )
+
+    ts, cs = bm25_term_stats(tiny_docs)
+    a = bm25_topk(tiny_docs, ["merge", "spark"], k=10).collect()
+    b = bm25_topk_indexed(tiny_docs, ts, cs, ["merge", "spark"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    # absent term: df lookup misses -> 0, same as inline df=0
+    a2 = bm25_topk(tiny_docs, ["merge", "zzz"], k=10).collect()
+    b2 = bm25_topk_indexed(tiny_docs, ts, cs, ["merge", "zzz"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a2] == [
+        (r["doc_id"], r["score"]) for r in b2
+    ]
+
+
+def test_score_fusion_known_values(spark):
+    from astro_vectordb_spark.operators.rerank import score_fusion
+
+    a = spark.createDataFrame(
+        [(10, 4.0), (11, 2.0), (12, 0.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(11, 0.9), (13, 0.1)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_fusion([a, b], [0.5, 0.5], k=10).collect()
+    }
+    # list a normalizes to 1.0/0.5/0.0; list b to 1.0/0.0
+    assert got[10] == 0.5
+    assert got[11] == round(0.5 * 0.5 + 0.5 * 1.0, 6)
+    assert got[12] == 0.0
+    assert got[13] == 0.0
+    # degenerate list (all equal scores) -> every member normalizes to 1
+    c = spark.createDataFrame([(20, 7.0), (21, 7.0)], "doc_id long, score double")
+    got2 = {
+        r["doc_id"]: r["score"] for r in score_fusion([c], [1.0], k=5).collect()
+    }
+    assert got2 == {20: 1.0, 21: 1.0}
+
+
+def test_score_fusion_weight_mismatch_raises(spark):
+    from astro_vectordb_spark.operators.rerank import score_fusion
+
+    a = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError):
+        score_fusion([a], [0.5, 0.5], k=3)
+    with pytest.raises(ValueError):
+        score_fusion([], [], k=3)

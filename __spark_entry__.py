@@ -1019,6 +1019,34 @@ def _q_chunk_maxsim(spark, sf_dir):
     return maxsim_topk(cvecs, qvs, k=10)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition profile: top unigram/bigram dominance and
+    # duplicated-trigram fraction per document, all codegen n-gram
+    # construction + two map-side-combined aggregations.
+    from astro_vectordb_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_gopher_filter(spark, sf_dir):
+    # quality gate (Rae et al. 2021 rules family): per-rule boolean
+    # flags + conjunction, so rejections are attributable.
+    from astro_vectordb_spark.operators.curation import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: flag training docs sharing any token
+    # 5-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    # benchmark suite); benchmark gram set broadcast, corpus linear.
+    from astro_vectordb_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_exact": _q_topk_exact,
@@ -1084,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": _q_bm25_indexed,
         "doc_chunks": _q_doc_chunks,
         "chunk_maxsim": _q_chunk_maxsim,
+        "repetition_stats": _q_repetition_stats,
+        "gopher_filter": _q_gopher_filter,
+        "decontaminate": _q_decontaminate,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths)
         "near_dup_minhash": _q_near_dup_minhash,
@@ -2174,5 +2205,111 @@ agg AS (
 )
 SELECT doc_id, round(m0 + m1, 6) AS score
 FROM agg ORDER BY m0 + m1 DESC, doc_id LIMIT 10
+""",
+        "repetition_stats": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+uni AS (SELECT doc_id, 1 AS n, u.g AS gram FROM toks, unnest(tk) AS u(g)),
+bi AS (
+  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i+1] AS gram
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+),
+tri AS (
+  SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, unnest(range(1, len(tk)-1)) AS r(i)
+),
+grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi UNION ALL SELECT * FROM tri
+),
+per_gram AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id,
+    coalesce(sum(cnt) FILTER (n = 1), 0) AS tot1,
+    coalesce(max(cnt) FILTER (n = 1), 0) AS top1,
+    coalesce(sum(cnt) FILTER (n = 2), 0) AS tot2,
+    coalesce(max(cnt) FILTER (n = 2), 0) AS top2,
+    coalesce(sum(cnt) FILTER (n = 3), 0) AS tot3,
+    coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) FILTER (n = 3), 0)
+      AS dup3
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(tot1, 0)::BIGINT AS n_tokens,
+  coalesce(round(CASE WHEN tot1 > 0 THEN top1::DOUBLE / tot1
+                 ELSE 0.0 END, 6), 0.0) AS top_unigram_frac,
+  coalesce(round(CASE WHEN tot2 > 0 THEN top2::DOUBLE / tot2
+                 ELSE 0.0 END, 6), 0.0) AS top_bigram_frac,
+  coalesce(round(CASE WHEN tot3 > 0 THEN dup3::DOUBLE / tot3
+                 ELSE 0.0 END, 6), 0.0) AS dup_trigram_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+        "gopher_filter": f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+),
+uni AS (SELECT doc_id, 1 AS n, u.g AS gram FROM toks, unnest(tk) AS u(g)),
+tri AS (
+  SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks, unnest(range(1, len(tk)-1)) AS r(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM tri),
+per_gram AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id,
+    coalesce(sum(cnt) FILTER (n = 1), 0) AS tot1,
+    coalesce(max(cnt) FILTER (n = 1), 0) AS top1,
+    coalesce(sum(cnt) FILTER (n = 3), 0) AS tot3,
+    coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) FILTER (n = 3), 0)
+      AS dup3
+  FROM per_gram GROUP BY doc_id
+),
+stats AS (
+  SELECT t.doc_id,
+    len(tk) AS tc,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS atl,
+    len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+    coalesce(round(CASE WHEN tot1 > 0 THEN top1::DOUBLE / tot1
+                   ELSE 0.0 END, 6), 0.0) AS uni_frac,
+    coalesce(round(CASE WHEN tot3 > 0 THEN dup3::DOUBLE / tot3
+                   ELSE 0.0 END, 6), 0.0) AS tri_frac
+  FROM toks t LEFT JOIN per_doc USING (doc_id)
+)
+SELECT doc_id,
+  (tc >= 5 AND tc <= 100000) AS len_ok,
+  (atl >= 2.0 AND atl <= 12.0) AS word_len_ok,
+  (uni_frac <= 0.30) AS unigram_ok,
+  (tri_frac <= 0.60) AS trigram_ok,
+  (punct::DOUBLE / greatest(tc, 1) <= 0.10) AS symbol_ok,
+  ((tc >= 5 AND tc <= 100000) AND (atl >= 2.0 AND atl <= 12.0)
+   AND uni_frac <= 0.30 AND tri_frac <= 0.60
+   AND punct::DOUBLE / greatest(tc, 1) <= 0.10) AS keep
+FROM stats
+""",
+        "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' '
+      || tk[i+4] AS gram
+  FROM toks, unnest(range(1, len(tk)-3)) AS r(i)
+),
+bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bg USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
     }

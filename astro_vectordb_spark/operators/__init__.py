@@ -76,6 +76,11 @@ from astro_vectordb_spark.operators.multivector import (
 )
 from astro_vectordb_spark.operators.rerank import mmr_rerank, rrf_fuse, score_fusion
 from astro_vectordb_spark.operators.topk import filtered_topk
+from astro_vectordb_spark.operators.curation import (
+    decontaminate,
+    gopher_filter,
+    repetition_stats,
+)
 
 __all__ = [
     "batch_topk",
@@ -93,6 +98,7 @@ __all__ = [
     "batch_topk_quantized",
     "brp_lsh_topk",
     "customer_rank_in_nation",
+    "decontaminate",
     "dedup_keep_representatives",
     "deterministic_sample",
     "deterministic_split",
@@ -107,6 +113,7 @@ __all__ = [
     "ivf_cell_stats",
     "ivf_search",
     "ivf_search_exact",
+    "gopher_filter",
     "knn_classify",
     "language_id",
     "live",
@@ -119,6 +126,7 @@ __all__ = [
     "quality_scores",
     "quantize_embeddings",
     "rank_topk_per_query",
+    "repetition_stats",
     "revenue_topn",
     "rp_build",
     "score_against",

@@ -1,0 +1,256 @@
+"""Corpus-curation operators: repetition statistics, Gopher-style
+quality gating, and benchmark decontamination.
+
+These are the document-level *filter* stage of a 100 TB training-data
+pipeline (task brief: text analysis / quality scoring / dedup family).
+The reference has no text surface at all (it delegates embedding to an
+external model, README.md:99-109); this module covers what its users
+would run *before* vectors exist.
+
+Scale notes
+-----------
+- ``repetition_stats`` is two linear aggregations keyed by
+  ``(doc_id, n, gram)`` then ``doc_id`` — both benefit from map-side
+  partial aggregation, neither ever holds more state per key than a
+  handful of longs.  N-gram construction is pure whole-stage codegen
+  (``sequence`` + ``slice`` + ``concat_ws``), no UDFs.
+- ``decontaminate`` broadcasts the *benchmark* n-gram set (benchmarks
+  are small by definition — MMLU/GSM8K-class suites are a few hundred
+  thousand grams); the 100 TB corpus side stays a linear explode +
+  broadcast semi-join.  Never shuffle the corpus by gram.
+- ``gopher_filter`` composes the stats into one boolean projection —
+  filters on its output push down to the stats aggregation.
+
+Oracle contract: tokenization is whitespace-split on trimmed text with
+empty tokens dropped (same as functions/text.tokens); n-grams are
+space-joined token windows; every fraction is float64 rounded at
+output.  DuckDB replays all of it (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions import text as T
+
+STAT_DECIMALS = 6
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token ``n``-grams as ARRAY<STRING> (empty when the
+    document has fewer than ``n`` tokens).  Pure codegen."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition profile per document.
+
+    Output columns:
+      - ``n_tokens``        total whitespace tokens
+      - ``top_unigram_frac``  count of the most frequent token / n_tokens
+      - ``top_bigram_frac``   most frequent bigram count / bigram count
+      - ``dup_trigram_frac``  fraction of trigram occurrences whose gram
+                              appears more than once
+    Documents too short for an n-gram get 0.0 for that fraction (the
+    honest "no evidence of repetition" value, and what a downstream
+    ``frac <= cap`` filter wants).
+
+    Plan: one exploded (doc_id, n, gram) stream -> count per gram ->
+    conditional re-aggregate per doc -> left join back so every input
+    document appears exactly once.  Two shuffles, both with map-side
+    partials; state per (doc, n) is three longs.
+    """
+    toks = T.tokens(F.col(text_col))
+
+    # NOTE: must be a closure factory, not `lambda g, n=n: ...` — a
+    # two-argument lambda makes F.transform pass (element, index) and
+    # the default would silently shadow n with the array index.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(ngrams(toks, n), _tag(n)) for n in (1, 2, 3)])
+    )
+    exploded = df.select(F.col(id_col), F.explode(tagged).alias("tg")).select(
+        id_col, F.col("tg.n").alias("n"), F.col("tg.gram").alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _agg(n: int, expr: Column) -> Column:
+        return F.coalesce(F.sum(F.when(F.col("n") == n, expr)), F.lit(0))
+
+    per_doc = per_gram.groupBy(id_col).agg(
+        _agg(1, F.col("cnt")).alias("tot1"),
+        F.coalesce(F.max(F.when(F.col("n") == 1, F.col("cnt"))), F.lit(0)).alias(
+            "top1"
+        ),
+        _agg(2, F.col("cnt")).alias("tot2"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("cnt"))), F.lit(0)).alias(
+            "top2"
+        ),
+        _agg(3, F.col("cnt")).alias("tot3"),
+        _agg(3, F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup3"
+        ),
+    )
+
+    def _frac(num: str, den: str) -> Column:
+        return F.round(
+            F.when(
+                F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+            ).otherwise(F.lit(0.0)),
+            STAT_DECIMALS,
+        )
+
+    stats = per_doc.select(
+        F.col(id_col),
+        F.col("tot1").cast("long").alias("n_tokens"),
+        _frac("top1", "tot1").alias("top_unigram_frac"),
+        _frac("top2", "tot2").alias("top_bigram_frac"),
+        _frac("dup3", "tot3").alias("dup_trigram_frac"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_top_unigram_frac: float = 0.30,
+    max_dup_trigram_frac: float = 0.60,
+    max_symbol_ratio: float = 0.10,
+) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021 §A1.1 family):
+    length bounds, mean-word-length band, most-common-word dominance,
+    duplicated-trigram dominance, symbol-to-word ratio.
+
+    Returns one row per document with each rule as a boolean column and
+    ``keep`` as their conjunction — keep the flags, not just the
+    verdict, so curation dashboards can attribute rejections.  A
+    production run filters ``WHERE keep`` and the predicate pushes into
+    the stats aggregation.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        T.token_count(t).alias("_tc"),
+        T.avg_token_len(t).alias("_atl"),
+        T.punct_count(t).alias("_punct"),
+    )
+    reps = repetition_stats(df, text_col=text_col, id_col=id_col)
+    j = base.join(reps, on=id_col)
+    flags = j.select(
+        F.col(id_col),
+        ((F.col("_tc") >= min_tokens) & (F.col("_tc") <= max_tokens)).alias(
+            "len_ok"
+        ),
+        (
+            (F.col("_atl") >= min_avg_token_len)
+            & (F.col("_atl") <= max_avg_token_len)
+        ).alias("word_len_ok"),
+        (F.col("top_unigram_frac") <= max_top_unigram_frac).alias(
+            "unigram_ok"
+        ),
+        (F.col("dup_trigram_frac") <= max_dup_trigram_frac).alias(
+            "trigram_ok"
+        ),
+        (
+            F.col("_punct").cast("double")
+            / F.greatest(F.col("_tc"), F.lit(1)).cast("double")
+            <= max_symbol_ratio
+        ).alias("symbol_ok"),
+    )
+    return flags.select(
+        id_col,
+        "len_ok",
+        "word_len_ok",
+        "unigram_ok",
+        "trigram_ok",
+        "symbol_ok",
+        (
+            F.col("len_ok")
+            & F.col("word_len_ok")
+            & F.col("unigram_ok")
+            & F.col("trigram_ok")
+            & F.col("symbol_ok")
+        ).alias("keep"),
+    )
+
+
+def doc_ngram_set(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, gram) token n-grams per document."""
+    toks = T.tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(ngrams(toks, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share any token ``n``-gram with a
+    held-out benchmark set (the standard LLM eval-decontamination
+    sweep; 8-13 gram overlap is the published convention).
+
+    Returns (id, n_hits, contaminated) for every input document, where
+    ``n_hits`` counts DISTINCT overlapping grams.  The benchmark's
+    distinct gram set is the broadcast side — benchmarks are small by
+    construction; the corpus side is one linear explode + broadcast
+    join + per-doc count, no corpus-keyed-by-gram shuffle ever.
+    """
+    bench_grams = (
+        doc_ngram_set(benchmark, n, text_col=text_col, id_col=id_col)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        doc_ngram_set(docs, n, text_col=text_col, id_col=id_col)
+        .join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Curation operators: repetition stats, Gopher gate, decontamination.
+
+The synthetic corpus is uniformly clean, so these tests build
+adversarial documents that actually trip each rule.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.curation import (
+    decontaminate,
+    doc_ngram_set,
+    gopher_filter,
+    ngrams,
+    repetition_stats,
+)
+
+DOCS = [
+    # 0: clean prose-ish
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    # 1: pathological repetition (one trigram looped)
+    (1, "buy now click here buy now click here buy now click here buy now"),
+    # 2: single dominant token
+    (2, "spam spam spam spam spam spam spam spam spam eggs"),
+    # 3: too short
+    (3, "hi there"),
+    # 4: symbol-heavy
+    (4, "a ; b . c ! d ? e : f , g ; h . i ! j ? k"),
+    # 5: empty after trim
+    (5, "   "),
+    # 6: long-word garbage (avg token length out of band)
+    (6, "aaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbb cccccccccccccccccccc dddddddddddddddddddd eeeeeeeeeeeeeeeeeeee"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _by_id(pdf):
+    return {int(r.doc_id): r for r in pdf.itertuples()}
+
+
+class TestNgrams:
+    def test_ngram_windows(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        from astro_vectordb_spark.functions.text import tokens
+
+        row = df.select(
+            ngrams(tokens(F.col("text")), 2).alias("g2"),
+            ngrams(tokens(F.col("text")), 3).alias("g3"),
+            ngrams(tokens(F.col("text")), 5).alias("g5"),
+        ).first()
+        assert row["g2"] == ["a b", "b c", "c d"]
+        assert row["g3"] == ["a b c", "b c d"]
+        assert row["g5"] == []
+
+
+class TestRepetitionStats:
+    def test_values(self, docs):
+        r = _by_id(repetition_stats(docs).toPandas())
+        # doc 1: "buy now click here" x3 + "buy now" tail = 14 tokens
+        assert r[1].n_tokens == 14
+        # "buy" and "now" each appear 4x of 14
+        assert r[1].top_unigram_frac == round(4 / 14, 6)
+        # every trigram in the loop repeats -> dup fraction near 1
+        assert r[1].dup_trigram_frac > 0.9
+        # doc 2: spam 9/10
+        assert r[2].top_unigram_frac == 0.9
+        # doc 0 has 'the' 3x / 14 tokens, no repeated trigram
+        assert r[0].dup_trigram_frac == 0.0
+        # doc 3: too short for trigrams -> 0.0, bigram "hi there" 1/1
+        assert r[3].dup_trigram_frac == 0.0
+        assert r[3].top_bigram_frac == 1.0
+        # empty doc present with zeros
+        assert r[5].n_tokens == 0
+        assert r[5].top_unigram_frac == 0.0
+
+    def test_every_input_doc_present(self, docs):
+        out = repetition_stats(docs).toPandas()
+        assert sorted(out.doc_id) == [d[0] for d in DOCS]
+
+
+class TestGopherFilter:
+    def test_rules_attribute_rejections(self, docs):
+        r = _by_id(gopher_filter(docs).toPandas())
+        assert r[0].keep  # clean doc passes everything
+        assert not r[1].trigram_ok and not r[1].keep
+        assert not r[2].unigram_ok and not r[2].keep
+        assert not r[3].len_ok and not r[3].keep
+        assert not r[4].symbol_ok and not r[4].keep
+        assert not r[5].len_ok
+        assert not r[6].word_len_ok and not r[6].keep
+
+    def test_thresholds_parameterizable(self, docs):
+        loose = gopher_filter(
+            docs,
+            min_tokens=1,
+            max_top_unigram_frac=1.0,
+            max_dup_trigram_frac=1.0,
+            max_symbol_ratio=10.0,
+            min_avg_token_len=0.0,
+            max_avg_token_len=1e9,
+        ).toPandas()
+        assert loose.keep.sum() == len(DOCS) - 1  # only the empty doc fails
+
+
+class TestDecontaminate:
+    def test_shared_ngram_flags(self, spark):
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "one two three four five six"),
+                (2, "alpha beta gamma delta epsilon other"),  # 5-gram overlap? no: needs identical window
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "xx alpha beta gamma delta epsilon yy")],
+            "doc_id long, text string",
+        )
+        out = _by_id(decontaminate(train, bench, n=5).toPandas())
+        # doc 0 contains the exact 5-gram "alpha beta gamma delta epsilon"
+        assert out[0].contaminated and out[0].n_hits == 1
+        assert not out[1].contaminated
+        # doc 2 shares only a 4-gram window followed by a different token:
+        # its 5-grams are "alpha beta gamma delta epsilon" (yes! tokens 1-5)
+        assert out[2].contaminated
+        # 4-gram-only overlap is NOT flagged at n=5
+        train2 = bench = None
+
+    def test_no_overlap_below_n(self, spark):
+        train = spark.createDataFrame(
+            [(0, "alpha beta gamma delta other tail")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta DIFFERENT end")], "doc_id long, text string"
+        )
+        out = decontaminate(train, bench, n=5).toPandas()
+        assert not bool(out.contaminated[0])
+
+    def test_hits_count_distinct_grams(self, spark):
+        # the same contaminated gram repeated in the training doc counts once
+        train = spark.createDataFrame(
+            [(0, "a b c d e a b c d e")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "a b c d e")], "doc_id long, text string"
+        )
+        out = decontaminate(train, bench, n=5).toPandas()
+        # train 5-grams: {a b c d e, b c d e a, c d e a b, d e a b c, e a b c d}
+        # bench has only "a b c d e"
+        assert int(out.n_hits[0]) == 1
+
+    def test_benchmark_side_is_broadcast(self, docs):
+        bench = docs.filter(F.col("doc_id") == 0)
+        plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the corpus-side gram stream is never sort-merge-joined (the
+        # only gram-keyed exchange is the tiny benchmark side's
+        # distinct); the doc_id-keyed left join back to docs may be SMJ
+        # and AQE converts it to broadcast when hits are few
+        assert "SortMergeJoin [gram" not in plan
+
+
+class TestScaleShape:
+    def test_repetition_stats_no_udf(self, docs):
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_gopher_no_udf(self, docs):
+        plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_doc_ngram_set_distinct(self, spark):
+        df = spark.createDataFrame([(0, "x y x y x y")], "doc_id long, text string")
+        out = doc_ngram_set(df, 2).toPandas()
+        assert sorted(out.gram) == ["x y", "y x"]

@@ -817,6 +817,43 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def pq_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted PQ index (codebooks fit on a
+    bounded driver-side sample, codes encoded distributed, both
+    persisted via ``save_pq_index``)."""
+    if sf_dir in _PQ_INDEX_CACHE:
+        return _PQ_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+    from astro_vectordb_spark.sources.vault import save_pq_index
+
+    emb = _emb(spark, sf_dir)
+    model = pq_train(emb, m=8, ks=64, metric="cosine", max_rows=20_000)
+    path = tempfile.mkdtemp(prefix="astro_pq_idx_")
+    save_pq_index(pq_encode(emb, model), model, path)
+    _PQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    # product-quantized two-stage search served from the PERSISTED
+    # index: ADC scan over the m-bytes-per-vector code table (LUT
+    # lookups, the float column never read) -> broadcast candidate ids
+    # -> exact re-rank.  Rows-only check; recall >= 0.9 @ refine 32
+    # asserted in tests/test_pq.py.
+    from astro_vectordb_spark.operators.pq import pq_topk
+    from astro_vectordb_spark.sources.vault import load_pq_index
+
+    encoded, model, _ = load_pq_index(spark, pq_index_path(spark, sf_dir))
+    return pq_topk(
+        encoded, _emb(spark, sf_dir), _qvec(spark, sf_dir, 0), 10, model
+    )
+
+
 def _q_ann_ivf_exact(spark, sf_dir):
     # EXACT top-K with cell-bound pruning: provably identical to brute
     # force, so it shares the brute-force oracle.  Cells come from the
@@ -1122,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_hnsw_filtered": _q_ann_hnsw_filtered,
+        "ann_pq_topk": _q_ann_pq_topk,
     }
 
 

@@ -81,6 +81,12 @@ from astro_vectordb_spark.operators.curation import (
     gopher_filter,
     repetition_stats,
 )
+from astro_vectordb_spark.operators.pq import (
+    PQModel,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 
 __all__ = [
     "batch_topk",
@@ -122,6 +128,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "order_priority_counts",
     "point_lookup",
+    "PQModel",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "pricing_summary",
     "quality_scores",
     "quantize_embeddings",

@@ -1,0 +1,343 @@
+"""Product quantization (PQ) — the sub-byte-per-dimension compression
+tier for 100 TB embedding corpora.
+
+Int8 scalar quantization (operators/quantize.py) stops at 1 byte per
+dimension; PQ goes far below: split each d-dim vector into ``m``
+subvectors, k-means each subspace into ``ks`` centroids, and store one
+code per subspace — ``m`` bytes per vector at ks<=256 (e.g. 64-d
+float32 = 256 B -> 8 B, 32x).  Queries score compressed codes with an
+asymmetric-distance LUT (ADC, Jegou et al. 2011, "Product Quantization
+for Nearest Neighbor Search"): per query, precompute LUT[j, c] =
+<q_j, codebook[j][c]> (a tiny (m, ks) float64 table), so a candidate's
+approximate score is ``sum_j LUT[j, code_j]`` — m table lookups, no
+float vector ever read.
+
+Spark mapping (two-stage, same contract as topk_search_quantized):
+
+  1. ADC scan over the COMPACT (id, pq_code) table — an Arrow-batched
+     ``mapInPandas`` kernel (NumPy take + sum over an (m, ks) LUT
+     shipped with the task closure; the codebook itself travels as ONE
+     SparkContext broadcast, never per-task pickled).  Each Arrow batch
+     emits only its local top ``k*refine`` rows, so the global
+     TakeOrdered sees partitions x k*refine rows, not the corpus.
+  2. exact re-rank: broadcast the candidate ids into the
+     full-precision table, score with the built-in fold expression,
+     return the exact top-K.
+
+Training is a bounded control-plane job: a deterministic hash-sampled
+subset (<= ``max_rows`` rows) collects to the driver and runs a NumPy
+Lloyd per subspace — the same "fit on a sample, assign distributed"
+shape as ``ivf_build_sampled``.  At 100 TB the sample stays
+``max_rows`` regardless of corpus size; encoding is an embarrassingly
+parallel linear map.
+
+No reference counterpart (the reference stores full-precision JSON,
+astrovault.ts:34-40); this is the task brief's similarity-search scale
+path composed with its compression lever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.functions.vector import (
+    similarity,
+    threshold_from_strength,
+)
+
+SCORE_DECIMALS = 6
+
+
+class PQModel:
+    """Trained product quantizer: ``codebooks[j]`` is the (ks_eff,
+    dsub) centroid matrix of subspace ``j``.  Plain-NumPy state so it
+    broadcasts/pickles cheaply and persists as a small parquet table
+    (`to_rows`/`from_rows`)."""
+
+    def __init__(
+        self, codebooks: np.ndarray, metric: str, dim: int
+    ) -> None:
+        self.codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
+        self.metric = metric
+        self.dim = dim
+        self.m = codebooks.shape[0]
+        self.ks = codebooks.shape[1]
+        self.dsub = codebooks.shape[2]
+
+    # -- persistence (tiny: m * ks * dsub floats) ----------------------
+    def to_rows(self) -> list[tuple[int, int, list[float]]]:
+        return [
+            (j, c, [float(x) for x in self.codebooks[j, c]])
+            for j in range(self.m)
+            for c in range(self.ks)
+        ]
+
+    @classmethod
+    def from_rows(
+        cls, rows: Sequence, metric: str, dim: int
+    ) -> "PQModel":
+        m = max(r[0] for r in rows) + 1
+        ks = max(r[1] for r in rows) + 1
+        dsub = len(rows[0][2])
+        cb = np.zeros((m, ks, dsub), dtype=np.float32)
+        for j, c, vec in rows:
+            cb[j, c] = vec
+        return cls(cb, metric=metric, dim=dim)
+
+
+def _prep(mat: np.ndarray, metric: str) -> np.ndarray:
+    """Cosine trains/encodes/scores in the normalized space (ADC dot
+    on unit vectors == cosine); dot/euclidean use raw vectors."""
+    mat = np.asarray(mat, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+    return mat
+
+
+def _lloyd(
+    X: np.ndarray, ks: int, iters: int, rng: np.random.RandomState
+) -> np.ndarray:
+    """Vectorized Lloyd iterations on one subspace; empty clusters are
+    reseeded to random points (deterministic via the passed rng)."""
+    n = X.shape[0]
+    ks_eff = min(ks, n)
+    C = X[rng.choice(n, size=ks_eff, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in argmin
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=ks_eff)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        n_empty = int((~nonempty).sum())
+        if n_empty:
+            C[~nonempty] = X[rng.choice(n, size=n_empty, replace=False)]
+    return C
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 50_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> PQModel:
+    """Fit PQ codebooks on a deterministic hash-sample of the corpus.
+
+    The sample is ``xxhash64(id) % step == 0`` (order-independent, so
+    re-runs on re-partitioned data pick the identical rows); its size
+    is bounded by ``max_rows`` whatever the corpus size — training cost
+    is O(max_rows * ks * dim) on the driver, the 100 TB never moves.
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("pq_train: empty corpus")
+    step = max(1, n // max_rows)
+    sample = df
+    if step > 1:
+        sample = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0
+        )
+    rows = sample.select(vec_col).limit(max_rows).collect()
+    mat = _prep(np.array([r[0] for r in rows]), metric)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    codebooks = np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub]),
+                ks,
+                iters,
+                rng,
+            )
+            for j in range(m)
+        ]
+    )
+    return PQModel(codebooks, metric=metric, dim=dim)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code ARRAY<TINYINT>) — one signed byte per subspace
+    (code - 128, so ks=256 fits; decode adds 128 back).  Arrow-batched
+    argmin against the broadcast codebooks; linear, shuffle-free."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+    )
+    m = model.m
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codebooks, metric, dsub = bc.value
+        cnorms = [(codebooks[j] ** 2).sum(axis=1) for j in range(len(codebooks))]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ codebooks[j].T) + cnorms[j]
+                codes[:, j] = d.argmin(axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pq_code": list((codes - 128).astype(np.int8)),
+                }
+            )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, pq_code array<tinyint>"
+    )
+
+
+def _adc_lut(model: PQModel, query: np.ndarray) -> np.ndarray:
+    """(m, ks) float64 LUT: LUT[j, c] = score contribution of code c in
+    subspace j.  cosine/dot -> dot product; euclidean -> negated
+    squared distance (monotone in the true euclidean similarity, which
+    stage 2 re-ranks exactly)."""
+    q = _prep(query[None, :], model.metric)[0]
+    lut = np.empty((model.m, model.ks), dtype=np.float64)
+    for j in range(model.m):
+        qs = q[j * model.dsub : (j + 1) * model.dsub]
+        cb = model.codebooks[j].astype(np.float64)
+        if model.metric in ("cosine", "dot"):
+            lut[j] = cb @ qs
+        elif model.metric == "euclidean":
+            diff = cb - qs
+            lut[j] = -(diff * diff).sum(axis=1)
+        else:
+            raise ValueError(f"unknown metric: {model.metric}")
+    return lut
+
+
+def pq_candidates(
+    encoded: DataFrame,
+    model: PQModel,
+    query_vector: Sequence[float],
+    n_candidates: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scan: approximate scores over the compressed table, global
+    top ``n_candidates``.  Per Arrow batch only the batch-local top
+    survives, so the final TakeOrdered sees O(partitions * n) rows."""
+    spark = encoded.sparkSession
+    lut = _adc_lut(model, np.asarray(query_vector, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(lut)
+    n_local = n_candidates
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value  # (m, ks)
+        m = table.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int32) + 128
+            s = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):
+                s += table[j][codes[:, j]]
+            if len(s) > n_local:
+                keep = np.argpartition(-s, n_local - 1)[:n_local]
+            else:
+                keep = np.arange(len(s))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "adc_score": s[keep]}
+            )
+
+    scored = encoded.mapInPandas(
+        score, schema=f"{id_col} long, adc_score double"
+    )
+    return (
+        scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+        .select(id_col)
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    original: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    model: PQModel,
+    refine_factor: int = 32,
+    strength: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Two-stage PQ search: ADC candidates (k*refine, compressed scan
+    only) -> broadcast id join into the full-precision table -> exact
+    re-rank.  Same output contract as ``topk_search``; accuracy is a
+    recall property (tests pin >=0.9 @ refine 32 on clustered data),
+    exactness within the candidate set is guaranteed by stage 2."""
+    cand = pq_candidates(
+        encoded, model, query_vector, k * refine_factor, id_col=id_col
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    out = (
+        original.join(F.broadcast(cand), id_col)
+        .withColumn(score_col, similarity(F.col(vec_col), qv, model.metric))
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.select(
+        id_col, F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col)
+    )
+
+
+def pq_reconstruction_mse(
+    df: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error over the corpus (diagnostic;
+    distributed, returns one double)."""
+    enc = pq_encode(df, model, id_col=id_col, vec_col=vec_col)
+    joined = df.select(id_col, vec_col).join(enc, on=id_col)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+    )
+
+    def err(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codebooks, metric, dsub = bc.value
+        m = len(codebooks)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int32) + 128
+            rec = np.concatenate(
+                [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            se = ((X - rec) ** 2).sum(axis=1)
+            yield pd.DataFrame({"se": se, "n": np.ones_like(se)})
+
+    agg = joined.mapInPandas(err, schema="se double, n double").agg(
+        F.sum("se").alias("se"), F.sum("n").alias("n")
+    ).first()
+    return float(agg["se"] / agg["n"])

@@ -590,3 +590,40 @@ def hnsw_index_stats(spark: SparkSession, path: str) -> dict:
         ),
         "shards": per_shard,
     }
+
+
+def save_pq_index(
+    encoded: DataFrame, model, path: str
+) -> None:
+    """Persist a product-quantized index: the compact (id, pq_code)
+    table plus the tiny codebook table and metric/shape metadata.
+
+    The code table is the ADC scan target (m bytes/vector); codebooks
+    are m*ks rows of dsub floats — always driver-loadable regardless of
+    corpus size.  Same portable-FS story as the other indexes (paths go
+    through the Hadoop FileSystem API on read)."""
+    spark = encoded.sparkSession
+    encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    spark.createDataFrame(
+        model.to_rows(), "subspace int, code int, centroid array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    spark.createDataFrame(
+        [(model.metric, int(model.m), int(model.ks), int(model.dim))],
+        "metric string, m int, ks int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    """Load (encoded, model, meta) — the codebooks collect to the
+    driver (bounded: m*ks rows) and rebuild the PQModel; the code table
+    stays distributed."""
+    from astro_vectordb_spark.operators.pq import PQModel
+
+    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    cb_rows = [
+        (r["subspace"], r["code"], r["centroid"])
+        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    ]
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
+    return encoded, model, meta

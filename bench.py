@@ -49,6 +49,7 @@ def main() -> None:
     # the only shape that exists at 100x.
     entrymod.hnsw_index_path(spark, sf_dir)
     entrymod.ivf_index_path(spark, sf_dir)
+    entrymod.pq_index_path(spark, sf_dir)
 
     # JIT warm-up: run every query once AT THE TARGET SF untimed, then
     # time the second run.  A smaller-SF warm pass (used through r4)

@@ -1,0 +1,202 @@
+"""Product quantization: training, encoding, ADC two-stage search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.pq import (
+    PQModel,
+    pq_candidates,
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    pq_train,
+)
+
+DIM = 32
+N = 2000
+
+
+def _clustered(seed=1, n=N, dim=DIM, centers=16, sigma=0.08):
+    rng = np.random.RandomState(seed)
+    C = rng.normal(size=(centers, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    assign = rng.randint(0, centers, size=n)
+    pts = (C[assign] + sigma * rng.normal(size=(n, dim))).astype(np.float32)
+    return pts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pts = _clustered()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    df.count()
+    yield df, pts
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    df, _ = corpus
+    return pq_train(df, m=8, ks=64, metric="cosine", max_rows=N, seed=7)
+
+
+class TestTrain:
+    def test_shapes(self, model):
+        assert model.codebooks.shape == (8, 64, DIM // 8)
+        assert model.m == 8 and model.ks == 64 and model.dsub == 4
+
+    def test_deterministic(self, corpus):
+        df, _ = corpus
+        m1 = pq_train(df, m=4, ks=16, max_rows=500, seed=3, iters=5)
+        m2 = pq_train(df, m=4, ks=16, max_rows=500, seed=3, iters=5)
+        np.testing.assert_array_equal(m1.codebooks, m2.codebooks)
+
+    def test_dim_not_divisible_raises(self, corpus):
+        df, _ = corpus
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, m=5, ks=8, max_rows=100)
+
+    def test_ks_capped_by_sample(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 4) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        m = pq_train(df, m=2, ks=256, max_rows=10, metric="dot")
+        assert m.ks == 10  # ks_eff = n
+
+    def test_roundtrip_rows(self, model):
+        rows = model.to_rows()
+        clone = PQModel.from_rows(rows, metric=model.metric, dim=model.dim)
+        np.testing.assert_allclose(clone.codebooks, model.codebooks, rtol=1e-6)
+
+
+class TestEncode:
+    def test_schema_and_range(self, corpus, model):
+        df, _ = corpus
+        enc = pq_encode(df, model)
+        assert enc.schema.simpleString() == (
+            "struct<vec_id:bigint,pq_code:array<tinyint>>"
+        )
+        pdf = enc.toPandas()
+        assert len(pdf) == N
+        codes = np.stack(pdf.pq_code.to_numpy()).astype(np.int32) + 128
+        assert codes.shape == (N, 8)
+        assert codes.min() >= 0 and codes.max() < 64
+
+    def test_encode_deterministic(self, corpus, model):
+        df, _ = corpus
+        a = pq_encode(df, model).toPandas().sort_values("vec_id")
+        b = pq_encode(df, model).toPandas().sort_values("vec_id")
+        assert all(
+            list(x) == list(y) for x, y in zip(a.pq_code, b.pq_code)
+        )
+
+    def test_mse_decreases_with_ks(self, corpus):
+        df, _ = corpus
+        lo = pq_train(df, m=8, ks=4, max_rows=1000, seed=5, iters=8)
+        hi = pq_train(df, m=8, ks=64, max_rows=1000, seed=5, iters=8)
+        assert pq_reconstruction_mse(df, hi) < pq_reconstruction_mse(df, lo)
+
+
+class TestSearch:
+    def _exact_top10(self, pts, q):
+        normed = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        return set(np.argsort(-(normed @ qn))[:10])
+
+    def test_recall_with_rerank(self, corpus, model):
+        df, pts = corpus
+        enc = pq_encode(df, model).cache()
+        enc.count()
+        recalls = []
+        for qi in (0, 123, 777, 1500, 1999):
+            got = pq_topk(enc, df, [float(x) for x in pts[qi]], 10, model)
+            ids = {r.vec_id for r in got.collect()}
+            exact = self._exact_top10(pts, pts[qi])
+            recalls.append(len(ids & exact) / 10)
+        enc.unpersist()
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+        assert min(recalls) >= 0.7, recalls
+
+    def test_candidate_reduction(self, corpus, model):
+        # the refine set the exact stage reads is k*refine = 320 of 2000
+        df, pts = corpus
+        enc = pq_encode(df, model)
+        cand = pq_candidates(enc, model, [float(x) for x in pts[0]], 320)
+        assert cand.count() == 320
+
+    def test_exact_within_candidates(self, corpus, model):
+        # stage 2 ordering is the exact score: top-1 must be the query
+        # row itself when the query is a corpus vector
+        df, pts = corpus
+        enc = pq_encode(df, model)
+        top = pq_topk(enc, df, [float(x) for x in pts[42]], 1, model).first()
+        assert top.vec_id == 42
+
+    def test_euclidean_metric(self, corpus):
+        df, pts = corpus
+        m = pq_train(df, m=8, ks=32, metric="euclidean", max_rows=1000, seed=9)
+        enc = pq_encode(df, m, )
+        got = pq_topk(enc, df, [float(x) for x in pts[10]], 5, m)
+        rows = got.collect()
+        assert rows[0].vec_id == 10  # exact self-match survives rerank
+        assert all(
+            rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1)
+        )
+
+    def test_unknown_metric_raises(self, model):
+        bad = PQModel(model.codebooks, metric="hamming", dim=model.dim)
+        with pytest.raises(ValueError, match="unknown metric"):
+            from astro_vectordb_spark.operators.pq import _adc_lut
+
+            _adc_lut(bad, np.zeros(DIM))
+
+
+class TestScaleShape:
+    def test_adc_plan_reads_only_compressed(self, corpus, model, tmp_path):
+        # over a PERSISTED code table (the production layout) the
+        # stage-1 scan reads (vec_id, pq_code) only — the float
+        # embedding column never appears in the ADC plan
+        df, pts = corpus
+        path = str(tmp_path / "pq_codes")
+        pq_encode(df, model).write.parquet(path)
+        enc = df.sparkSession.read.parquet(path)
+        plan = pq_candidates(
+            enc, model, [float(x) for x in pts[0]], 100
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "embedding" not in plan
+
+    def test_compression_ratio(self, corpus, model):
+        # m=8 tinyints vs 32 floats: 8 B vs 128 B per vector (16x)
+        df, _ = corpus
+        enc_row = pq_encode(df, model).first()
+        assert len(enc_row.pq_code) == 8
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, corpus, model, tmp_path):
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            save_pq_index,
+        )
+
+        df, pts = corpus
+        path = str(tmp_path / "pq_index")
+        enc = pq_encode(df, model)
+        save_pq_index(enc, model, path)
+        enc2, model2, meta = load_pq_index(df.sparkSession, path)
+        assert meta["metric"] == "cosine" and meta["m"] == 8
+        np.testing.assert_allclose(
+            model2.codebooks, model.codebooks, rtol=1e-6
+        )
+        # served search through the loaded index matches the live one
+        q = [float(x) for x in pts[42]]
+        live = [(r.vec_id, r.score) for r in pq_topk(enc, df, q, 5, model).collect()]
+        served = [
+            (r.vec_id, r.score) for r in pq_topk(enc2, df, q, 5, model2).collect()
+        ]
+        assert live == served

@@ -508,3 +508,93 @@ def test_hnsw_meta_on_scheme_qualified_uri(spark, embeddings, tmp_path):
     g2, meta2 = load_hnsw_index(spark, uri)
     assert meta2["cache_token"] != tok1
     assert g2.count() == n_before + 1
+
+
+def test_fingerprint_expr_normalizes(spark):
+    from astro_vectordb_spark.streaming.dedup import fingerprint_expr
+
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("hello world",), ("other",)],
+        "text string",
+    ).select(fingerprint_expr().alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_stream_dedup_exact_drops_repeats(spark):
+    """dropDuplicatesWithinWatermark keyed on the content fingerprint:
+    each distinct text survives once within the horizon."""
+    from astro_vectordb_spark.streaming.dedup import stream_dedup_exact
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("doc "), (F.col("value") % 7).cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    out = stream_dedup_exact(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        ok = False
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = spark.sql(
+                "SELECT text, count(*) AS n FROM dedup_stream GROUP BY text"
+            ).collect()
+            if len(rows) == 7:
+                assert all(r["n"] == 1 for r in rows), rows
+                ok = True
+                break
+    finally:
+        q.stop()
+    assert ok, "expected 7 unique texts exactly once each"
+
+
+def test_first_seen_filter_counts_dups(spark):
+    """applyInPandasWithState seen-bit: one is_first row per
+    fingerprint ever; repeat batches carry suppressed counts."""
+    from astro_vectordb_spark.streaming.dedup import first_seen_filter
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.concat(F.lit("d"), (F.col("value") % 5).cast("string")).alias(
+                "text"
+            )
+        )
+    )
+    out = first_seen_filter(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        ok = False
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = spark.sql(
+                "SELECT fp, count_if(is_first) AS firsts, sum(n_dups) AS dups,"
+                " count(*) AS batches FROM first_seen GROUP BY fp"
+            ).collect()
+            if len(rows) == 5 and all(r["batches"] >= 2 for r in rows):
+                # exactly one first per fingerprint, repeats suppressed
+                assert all(r["firsts"] == 1 for r in rows), rows
+                assert all(r["dups"] > 0 for r in rows), rows
+                ok = True
+                break
+    finally:
+        q.stop()
+    assert ok, "per-fingerprint first-seen state did not accumulate"

@@ -1084,6 +1084,15 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # sequence packing for LLM training: contiguous fill within
+    # independent hash-bucket streams (per-bucket window cumsum — no
+    # global single-partition window).
+    from astro_vectordb_spark.operators.curation import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), max_tokens=200, n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "topk_exact": _q_topk_exact,
@@ -1152,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths)
         "near_dup_minhash": _q_near_dup_minhash,
@@ -2349,5 +2359,23 @@ SELECT d.doc_id,
   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
   coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, (doc_id % 8)::INT AS bucket,
+         len({_TOKS})::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, bucket, n_tokens,
+    coalesce(
+      sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+        - n_tokens, 0)::BIGINT AS start_offset
+  FROM toks
+)
+SELECT doc_id, bucket,
+  floor(start_offset / 200.0)::BIGINT AS pack_id,
+  n_tokens, start_offset
+FROM off
 """,
     }

@@ -79,6 +79,7 @@ from astro_vectordb_spark.operators.topk import filtered_topk
 from astro_vectordb_spark.operators.curation import (
     decontaminate,
     gopher_filter,
+    pack_documents,
     repetition_stats,
 )
 from astro_vectordb_spark.operators.pq import (
@@ -127,6 +128,7 @@ __all__ = [
     "minhash_lsh_pairs_sql_safe",
     "ngram_jaccard_pairs",
     "order_priority_counts",
+    "pack_documents",
     "point_lookup",
     "PQModel",
     "pq_encode",

@@ -254,3 +254,54 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a
+    fixed-token-budget pack.
+
+    Documents are split into ``n_buckets`` independent streams
+    (``doc_id % n_buckets`` — deterministic and oracle-replayable),
+    ordered by id within each stream, and filled contiguously: a doc
+    whose running-start offset lands in token bin ``k`` joins pack
+    ``(bucket, k)``.  Contiguous fill (vs bin-capacity greedy) is the
+    shape that scales: the only state is a per-bucket windowed
+    cumulative sum, each bucket's window is an independent partition,
+    and no pack assignment depends on any other bucket.  A global
+    single-stream packing would serialize the corpus through one
+    window partition — the classic 100 TB scale-killer this layout
+    avoids.
+
+    Output: (id, bucket, pack_id, n_tokens, start_offset) — training
+    loaders group by (bucket, pack_id) and concatenate in id order.
+    """
+    from pyspark.sql import Window
+
+    toks = T.token_count(F.col(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    with_off = base.withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+        ).cast("long"),
+    )
+    return with_off.select(
+        id_col,
+        "bucket",
+        F.floor(F.col("start_offset") / F.lit(max_tokens))
+        .cast("long")
+        .alias("pack_id"),
+        "n_tokens",
+        "start_offset",
+    )

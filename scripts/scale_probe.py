@@ -169,6 +169,64 @@ def main() -> None:
     noop(maxsim_topk(cvr, qvs, 10))  # warm
     out["maxsim_2q_100k_sec"] = timed(lambda: noop(maxsim_topk(cvr, qvs, 10)))
 
+    # product quantization at 1M x 64-d: train on a bounded sample,
+    # encode distributed, ADC candidate scan over the 8-byte codes +
+    # exact re-rank; compare storage vs float32 and int8, and recall
+    # vs the exact scan
+    import os as _os
+
+    from astro_vectordb_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    t0 = time.time()
+    pqm = pq_train(emb1m, m=8, ks=256, max_rows=50_000)
+    out["pq_train_1m_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pq_encode(emb1m, pqm).write.mode("overwrite").parquet("/tmp/scale/emb1m_pq")
+    out["pq_encode_write_1m_sec"] = round(time.time() - t0, 2)
+    pq1m = spark.read.parquet("/tmp/scale/emb1m_pq")
+
+    def _dir_bytes(p):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(p)
+            for f in fs
+        )
+
+    out["bytes_float32_1m"] = _dir_bytes("/tmp/scale/emb1m")
+    out["bytes_int8_1m"] = _dir_bytes("/tmp/scale/emb1m_q")
+    out["bytes_pq_1m"] = _dir_bytes("/tmp/scale/emb1m_pq")
+    noop(pq_topk(pq1m, emb1m, qv, 10, pqm))  # warm
+    out["pq_topk_2stage_1m_sec"] = timed(
+        lambda: noop(pq_topk(pq1m, emb1m, qv, 10, pqm))
+    )
+    exact_ids = {
+        r["vec_id"] for r in topk_search(emb1m, qv, 10, strength=0).collect()
+    }
+    pq_ids = {r["vec_id"] for r in pq_topk(pq1m, emb1m, qv, 10, pqm).collect()}
+    out["pq_recall_at_10_1m"] = round(len(exact_ids & pq_ids) / 10, 2)
+
+    # curation sweep at 100k docs: repetition stats, quality gate,
+    # decontamination vs a 1% benchmark
+    from astro_vectordb_spark.operators.curation import (
+        decontaminate,
+        gopher_filter,
+        repetition_stats,
+    )
+
+    noop(repetition_stats(docs100k))  # warm
+    out["repetition_stats_100k_sec"] = timed(
+        lambda: noop(repetition_stats(docs100k))
+    )
+    out["gopher_filter_100k_sec"] = timed(lambda: noop(gopher_filter(docs100k)))
+    bench_docs = docs100k.filter(F.col("doc_id") % 97 == 0)
+    out["decontaminate_100k_sec"] = timed(
+        lambda: noop(decontaminate(docs100k, bench_docs, n=8))
+    )
+
     print(json.dumps(out))
     spark.stop()
 

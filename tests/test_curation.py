@@ -177,3 +177,52 @@ class TestScaleShape:
         df = spark.createDataFrame([(0, "x y x y x y")], "doc_id long, text string")
         out = doc_ngram_set(df, 2).toPandas()
         assert sorted(out.gram) == ["x y", "y x"]
+
+
+class TestPackDocuments:
+    def test_contiguous_fill(self, spark):
+        from astro_vectordb_spark.operators.curation import pack_documents
+
+        # one bucket, doc token counts 50,80,90,30 with budget 100:
+        # offsets 0,50,130,220 -> packs 0,0,1,2
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["w"] * 50)),
+                (1, " ".join(["w"] * 80)),
+                (2, " ".join(["w"] * 90)),
+                (3, " ".join(["w"] * 30)),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            int(r.doc_id): r
+            for r in pack_documents(
+                docs, max_tokens=100, n_buckets=1
+            ).collect()
+        }
+        assert [out[i].pack_id for i in range(4)] == [0, 0, 1, 2]
+        assert [out[i].start_offset for i in range(4)] == [0, 50, 130, 220]
+
+    def test_buckets_independent(self, spark):
+        from astro_vectordb_spark.operators.curation import pack_documents
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = pack_documents(docs, max_tokens=25, n_buckets=4).toPandas()
+        # each bucket has 5 docs of 10 tokens: offsets 0,10,20,30,40 ->
+        # packs 0,0,0,1,1 within every bucket
+        for b in range(4):
+            sub = out[out.bucket == b].sort_values("doc_id")
+            assert list(sub.pack_id) == [0, 0, 0, 1, 1]
+
+    def test_no_global_window(self, spark):
+        from astro_vectordb_spark.operators.curation import pack_documents
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(8)], "doc_id long, text string"
+        )
+        plan = pack_documents(docs, 100)._jdf.queryExecution().executedPlan().toString()
+        # the window partitions by bucket — never a single global partition
+        assert "SinglePartition" not in plan

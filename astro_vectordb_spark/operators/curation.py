@@ -159,33 +159,97 @@ def gopher_filter(
     production run filters ``WHERE keep`` and the predicate pushes into
     the stats aggregation.
     """
-    t = F.col(text_col)
-    base = df.select(
-        F.col(id_col),
-        T.token_count(t).alias("_tc"),
-        T.avg_token_len(t).alias("_atl"),
-        T.punct_count(t).alias("_punct"),
+    # Single-pass shape: every rule's raw statistic is derivable from
+    # the (doc, n, gram) count stream — token count = unigram total,
+    # summed token chars = sum(len(gram) * cnt), punctuation chars live
+    # inside tokens (the class is non-whitespace) so they sum the same
+    # way.  One corpus scan, the same two map-side-combined shuffles as
+    # repetition_stats, instead of a second stats scan + join.
+    toks = T.tokens(F.col(text_col))
+
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(ngrams(toks, n), _tag(n)) for n in (1, 3)])
     )
-    reps = repetition_stats(df, text_col=text_col, id_col=id_col)
-    j = base.join(reps, on=id_col)
-    flags = j.select(
+    exploded = df.select(F.col(id_col), F.explode(tagged).alias("tg")).select(
+        id_col, F.col("tg.n").alias("n"), F.col("tg.gram").alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _sum1(expr: Column) -> Column:
+        return F.coalesce(F.sum(F.when(F.col("n") == 1, expr)), F.lit(0))
+
+    per_doc = per_gram.groupBy(id_col).agg(
+        _sum1(F.col("cnt")).alias("tc"),
+        _sum1(F.col("cnt") * F.length("gram")).alias("tok_chars"),
+        _sum1(
+            F.col("cnt") * F.regexp_count(F.col("gram"), F.lit(T.PUNCT_CLASS))
+        ).alias("punct"),
+        F.coalesce(F.max(F.when(F.col("n") == 1, F.col("cnt"))), F.lit(0)).alias(
+            "top1"
+        ),
+        F.coalesce(F.sum(F.when(F.col("n") == 3, F.col("cnt"))), F.lit(0)).alias(
+            "tot3"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("dup3"),
+    )
+    stats = per_doc.select(
         F.col(id_col),
-        ((F.col("_tc") >= min_tokens) & (F.col("_tc") <= max_tokens)).alias(
+        F.col("tc"),
+        F.when(
+            F.col("tc") > 0, F.col("tok_chars").cast("double") / F.col("tc")
+        ).otherwise(F.lit(0.0)).alias("atl"),
+        F.col("punct"),
+        F.round(
+            F.when(
+                F.col("tc") > 0, F.col("top1").cast("double") / F.col("tc")
+            ).otherwise(F.lit(0.0)),
+            STAT_DECIMALS,
+        ).alias("uni_frac"),
+        F.round(
+            F.when(
+                F.col("tot3") > 0, F.col("dup3").cast("double") / F.col("tot3")
+            ).otherwise(F.lit(0.0)),
+            STAT_DECIMALS,
+        ).alias("tri_frac"),
+    )
+    withall = (
+        df.select(id_col)
+        .join(stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("atl", F.lit(0.0)).alias("atl"),
+            F.coalesce("punct", F.lit(0)).alias("punct"),
+            F.coalesce("uni_frac", F.lit(0.0)).alias("uni_frac"),
+            F.coalesce("tri_frac", F.lit(0.0)).alias("tri_frac"),
+        )
+    )
+    flags = withall.select(
+        F.col(id_col),
+        ((F.col("tc") >= min_tokens) & (F.col("tc") <= max_tokens)).alias(
             "len_ok"
         ),
         (
-            (F.col("_atl") >= min_avg_token_len)
-            & (F.col("_atl") <= max_avg_token_len)
+            (F.col("atl") >= min_avg_token_len)
+            & (F.col("atl") <= max_avg_token_len)
         ).alias("word_len_ok"),
-        (F.col("top_unigram_frac") <= max_top_unigram_frac).alias(
-            "unigram_ok"
-        ),
-        (F.col("dup_trigram_frac") <= max_dup_trigram_frac).alias(
-            "trigram_ok"
-        ),
+        (F.col("uni_frac") <= max_top_unigram_frac).alias("unigram_ok"),
+        (F.col("tri_frac") <= max_dup_trigram_frac).alias("trigram_ok"),
         (
-            F.col("_punct").cast("double")
-            / F.greatest(F.col("_tc"), F.lit(1)).cast("double")
+            F.col("punct").cast("double")
+            / F.greatest(F.col("tc"), F.lit(1)).cast("double")
             <= max_symbol_ratio
         ).alias("symbol_ok"),
     )

@@ -333,7 +333,21 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
             rep.search(pts[q], 10, ef=cl_ef)
         cl_frac = (rep.n_sim_evals * cl_shards) / (len(cl_qids) * n_cl)
         cl_df.unpersist()
+        # PQ served path (what ann_pq_topk runs: persisted codes +
+        # codebooks -> ADC candidates -> exact re-rank) vs the same
+        # exact ground truth
+        from astro_vectordb_spark.operators.pq import pq_topk
+        from astro_vectordb_spark.sources.vault import load_pq_index
+
+        enc, pqm, _ = load_pq_index(spark, entrymod.pq_index_path(spark, sf_dir))
+        pq_rec = []
+        for q in qids:
+            got = {
+                r["vec_id"] for r in pq_topk(enc, emb, qvecs[q], 10, pqm).collect()
+            }
+            pq_rec.append(len(got & set(exact[q])) / 10)
         return {
+            "pq_recall_at_10": round(sum(pq_rec) / len(pq_rec), 3),
             "hnsw_clustered_recall_at_10": round(
                 sum(cl_rec) / len(cl_rec), 3
             ),

@@ -84,6 +84,8 @@ from astro_vectordb_spark.operators.curation import (
 )
 from astro_vectordb_spark.operators.pq import (
     PQModel,
+    ivf_pq_build,
+    ivf_pq_topk,
     pq_encode,
     pq_topk,
     pq_train,
@@ -110,6 +112,8 @@ __all__ = [
     "deterministic_sample",
     "deterministic_split",
     "hash_bucket",
+    "ivf_pq_build",
+    "ivf_pq_topk",
     "doc_fingerprints",
     "embedding_near_dups",
     "event_type_rates",

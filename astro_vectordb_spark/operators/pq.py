@@ -344,3 +344,85 @@ def pq_reconstruction_mse(
         F.sum("se").alias("se"), F.sum("n").alias("n")
     ).first()
     return float(agg["se"] / agg["n"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-partitioned codes — the canonical 100 TB layout.
+# Partition pruning (open nprobe/k_cells of the files) multiplies with
+# PQ compression (read m bytes per vector in those files): a query
+# touches ~ nprobe/k_cells * m/(4*dim) of the float-corpus bytes.
+# Codes encode the RAW vector, not the cell residual: the two-stage
+# exact re-rank restores full precision regardless, and raw codes keep
+# one codebook (residual codebooks would buy stage-1 accuracy the
+# re-rank does not need at refine >= 8).
+
+def ivf_pq_build(
+    df: DataFrame,
+    k_cells: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_rows: int = 50_000,
+):
+    """Fit IVF cells + PQ codebooks and encode the corpus.
+
+    Returns ``(encoded, centroids, model)`` where encoded =
+    (id, cell_id, pq_code) — write it ``partitionBy("cell_id")`` (or
+    via ``vault.save_ivf_pq_index``) so cell probes become file-level
+    partition pruning."""
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled
+
+    assigned, centroids = ivf_build_sampled(
+        df, k_cells=k_cells, metric=metric, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    model = pq_train(
+        df, m=m, ks=ks, metric=metric, vec_col=vec_col, id_col=id_col,
+        max_rows=max_rows, seed=seed,
+    )
+    codes = pq_encode(df, model, id_col=id_col, vec_col=vec_col)
+    encoded = assigned.select(id_col, "cell_id").join(codes, on=id_col)
+    return encoded, centroids, model
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    original: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    model: PQModel,
+    nprobe: int = 4,
+    refine_factor: int = 32,
+    strength: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """IVF-PQ search: rank cells driver-side (k_cells rows — it
+    parameterizes scan pruning), ADC-scan ONLY the probed cells'
+    codes (``cell_id IN (...)`` = PartitionFilters on a
+    cell-partitioned table), exact-rerank the survivors."""
+    from astro_vectordb_spark.operators.ann import choose_probe_cells
+
+    cells = choose_probe_cells(
+        centroids, query_vector, nprobe, metric=model.metric
+    )
+    probed = encoded.filter(F.col("cell_id").isin(cells))
+    cand = pq_candidates(
+        probed, model, query_vector, k * refine_factor, id_col=id_col
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    out = (
+        original.join(F.broadcast(cand), id_col)
+        .withColumn(score_col, similarity(F.col(vec_col), qv, model.metric))
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.select(
+        id_col, F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col)
+    )

@@ -627,3 +627,40 @@ def load_pq_index(spark: SparkSession, path: str):
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
     model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
     return encoded, model, meta
+
+
+def save_ivf_pq_index(
+    encoded: DataFrame, centroids: DataFrame, model, path: str
+) -> None:
+    """Persist an IVF-PQ index: codes partitioned by cell (probe ->
+    file-level partition pruning), centroids, codebooks, meta."""
+    spark = encoded.sparkSession
+    encoded.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(path, "codes"))
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        model.to_rows(), "subspace int, code int, centroid array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    k_cells = centroids.count()
+    spark.createDataFrame(
+        [(model.metric, int(model.m), int(model.ks), int(model.dim),
+          int(k_cells))],
+        "metric string, m int, ks int, dim int, k_cells int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def load_ivf_pq_index(spark: SparkSession, path: str):
+    """Load (encoded, centroids, model, meta); codes stay distributed
+    with their cell partitioning intact."""
+    from astro_vectordb_spark.operators.pq import PQModel
+
+    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    cb_rows = [
+        (r["subspace"], r["code"], r["centroid"])
+        for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    ]
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
+    return encoded, centroids, model, meta

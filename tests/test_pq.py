@@ -200,3 +200,105 @@ class TestPersistence:
             (r.vec_id, r.score) for r in pq_topk(enc2, df, q, 5, model2).collect()
         ]
         assert live == served
+
+
+class TestIvfPq:
+    def test_recall_and_pruning(self, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_topk,
+        )
+
+        df, pts = corpus
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=32, max_rows=N
+        )
+        # persist cell-partitioned (the production layout)
+        path = str(tmp_path / "ivfpq")
+        encoded.write.partitionBy("cell_id").parquet(path)
+        enc = df.sparkSession.read.parquet(path)
+        recalls = []
+        for qi in (0, 123, 777, 1500):
+            got = ivf_pq_topk(
+                enc, centroids, df, [float(x) for x in pts[qi]], 10,
+                model, nprobe=4,
+            )
+            ids = {r.vec_id for r in got.collect()}
+            normed = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+            qn = pts[qi] / np.linalg.norm(pts[qi])
+            exact = set(np.argsort(-(normed @ qn))[:10])
+            recalls.append(len(ids & exact) / 10)
+        assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+    def test_partition_pruning_in_plan(self, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_topk,
+        )
+
+        df, pts = corpus
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=1000
+        )
+        path = str(tmp_path / "ivfpq2")
+        encoded.write.partitionBy("cell_id").parquet(path)
+        enc = df.sparkSession.read.parquet(path)
+        plan = ivf_pq_topk(
+            enc, centroids, df, [float(x) for x in pts[0]], 10, model,
+            nprobe=2,
+        )._jdf.queryExecution().executedPlan().toString()
+        # the cell probe reaches the scan as a partition filter
+        # (e.g. "PartitionFilters: [cell_id#27 IN (1,0)]")
+        import re
+
+        assert re.search(r"PartitionFilters: \[cell_id#\d+ IN", plan), plan[
+            :2000
+        ]
+
+    def test_probed_fraction_smaller(self, corpus):
+        from astro_vectordb_spark.operators.ann import choose_probe_cells
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+
+        df, pts = corpus
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=1000
+        )
+        from pyspark.sql import functions as F2
+
+        cells = choose_probe_cells(centroids, [float(x) for x in pts[0]], 2)
+        frac = (
+            encoded.filter(F2.col("cell_id").isin(cells)).count()
+            / encoded.count()
+        )
+        assert frac < 0.7  # 2 of 8 cells; clustered data keeps it low
+
+    def test_ivf_pq_persistence_roundtrip(self, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_topk,
+        )
+        from astro_vectordb_spark.sources.vault import (
+            load_ivf_pq_index,
+            save_ivf_pq_index,
+        )
+
+        df, pts = corpus
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=1000
+        )
+        path = str(tmp_path / "ivfpq_vault")
+        save_ivf_pq_index(encoded, centroids, model, path)
+        enc2, cent2, model2, meta = load_ivf_pq_index(df.sparkSession, path)
+        assert meta["k_cells"] == 8 and meta["m"] == 8
+        q = [float(x) for x in pts[7]]
+        a = [
+            (r.vec_id, r.score)
+            for r in ivf_pq_topk(
+                encoded, centroids, df, q, 5, model, nprobe=4
+            ).collect()
+        ]
+        b = [
+            (r.vec_id, r.score)
+            for r in ivf_pq_topk(enc2, cent2, df, q, 5, model2, nprobe=4).collect()
+        ]
+        assert a == b

@@ -426,3 +426,110 @@ def ivf_pq_topk(
     return out.select(
         id_col, F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col)
     )
+
+
+def pq_batch_candidates(
+    encoded: DataFrame,
+    model: PQModel,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    n_candidates: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ADC candidates for a query BATCH in one corpus pass.
+
+    The (|Q|, m, ks) LUT tensor ships as one broadcast; each Arrow
+    batch scores every query against its codes with a single gather +
+    tensordot-free sum and keeps only the batch-local top
+    ``n_candidates`` PER QUERY — the stage-2 rank sees
+    |Q| x partitions x n rows, never |Q| x |C|.  Same contract shape
+    as ``operators/topk.batch_topk``'s prereduce."""
+    spark = encoded.sparkSession
+    qids = [int(q) for q, _ in queries]
+    luts = np.stack(
+        [_adc_lut(model, np.asarray(v, dtype=np.float64)) for _, v in queries]
+    )  # (|Q|, m, ks)
+    bc = spark.sparkContext.broadcast((qids, luts))
+    n_local = n_candidates
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tables = bc.value
+        nq, m, _ = tables.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int32) + 128
+            ids = pdf[id_col].to_numpy()
+            # scores[q, row] = sum_j tables[q, j, codes[row, j]]
+            s = np.zeros((nq, len(pdf)), dtype=np.float64)
+            for j in range(m):
+                s += tables[:, j, codes[:, j]]
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                row = s[qi]
+                if len(row) > n_local:
+                    keep = np.argpartition(-row, n_local - 1)[:n_local]
+                else:
+                    keep = np.arange(len(row))
+                out_q.append(np.full(len(keep), ids_q[qi], dtype=np.int64))
+                out_id.append(ids[keep])
+                out_s.append(row[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "adc_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        score, schema=f"query_id long, {id_col} long, adc_score double"
+    )
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    return rank_topk_per_query(
+        scored, n_candidates, id_col=id_col, query_id_col="query_id",
+        score_col="adc_score", num_salts=1,
+    ).select("query_id", id_col)
+
+
+def pq_batch_topk(
+    encoded: DataFrame,
+    original: DataFrame,
+    queries: DataFrame,
+    k: int,
+    model: PQModel,
+    refine_factor: int = 32,
+    strength: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch face of ``pq_topk``: one compressed-corpus pass produces
+    every query's ADC candidates, then one broadcast join + exact
+    re-rank ranks them.  Output: (query_id, id, score, rank) — same
+    contract as ``batch_topk``."""
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    cand = pq_batch_candidates(
+        encoded,
+        model,
+        [(r[query_id_col], r[query_vec_col]) for r in qrows],
+        k * refine_factor,
+        id_col=id_col,
+    )
+    exact = (
+        original.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .withColumn(
+            score_col,
+            similarity(F.col(vec_col), F.col(query_vec_col), model.metric),
+        )
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+    )
+    return rank_topk_per_query(
+        exact, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=1,
+    )

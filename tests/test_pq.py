@@ -302,3 +302,47 @@ class TestIvfPq:
             for r in ivf_pq_topk(enc2, cent2, df, q, 5, model2, nprobe=4).collect()
         ]
         assert a == b
+
+
+class TestBatchPq:
+    def test_batch_matches_single(self, corpus, model):
+        from astro_vectordb_spark.operators.pq import pq_batch_topk
+
+        df, pts = corpus
+        enc = pq_encode(df, model).cache()
+        enc.count()
+        qids = [0, 123, 777]
+        queries = df.sparkSession.createDataFrame(
+            [(q, [float(x) for x in pts[q]]) for q in qids],
+            "query_id long, query_vec array<float>",
+        )
+        batch = pq_batch_topk(enc, df, queries, 10, model)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["score"])
+            )
+        for q in qids:
+            single = [
+                (i + 1, r.vec_id, r.score)
+                for i, r in enumerate(
+                    pq_topk(
+                        enc, df, [float(x) for x in pts[q]], 10, model
+                    ).collect()
+                )
+            ]
+            assert sorted(got[q]) == single, q
+        enc.unpersist()
+
+    def test_batch_candidate_bound(self, corpus, model):
+        from astro_vectordb_spark.operators.pq import pq_batch_candidates
+
+        df, pts = corpus
+        enc = pq_encode(df, model)
+        cand = pq_batch_candidates(
+            enc, model, [(0, [float(x) for x in pts[0]]),
+                         (1, [float(x) for x in pts[9]])], 50
+        )
+        pdf = cand.toPandas()
+        assert set(pdf.query_id) == {0, 1}
+        assert (pdf.groupby("query_id").size() == 50).all()

@@ -22,6 +22,9 @@ SHOW = [
     "near_dup_minhash",
     "revenue_topn",
     "events_hourly",
+    "repetition_stats",
+    "decontaminate",
+    "ann_pq_topk",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -160,3 +160,80 @@ def test_quantize_roundtrip_bound(spark, vectors):
             assert abs(float(x) - xh) <= r["qscale"] / 2 + 1e-9, (
                 float(x), xh, r["qscale"],
             )
+
+
+# --------------------------------------------------------------------------
+# curation properties
+
+word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7A),
+    min_size=1,
+    max_size=6,
+)
+doc_words = st.lists(word, min_size=0, max_size=30)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_words, min_size=1, max_size=12))
+def test_repetition_stats_match_python(spark, docs_words):
+    from collections import Counter
+
+    from astro_vectordb_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r.doc_id): r for r in repetition_stats(df).toPandas().itertuples()
+    }
+    for i, ws in enumerate(docs_words):
+        r = got[i]
+        assert r.n_tokens == len(ws)
+        for frac in (
+            r.top_unigram_frac, r.top_bigram_frac, r.dup_trigram_frac
+        ):
+            assert 0.0 <= frac <= 1.0
+        if ws:
+            c = Counter(ws)
+            assert r.top_unigram_frac == round(
+                c.most_common(1)[0][1] / len(ws), 6
+            )
+        tris = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        if tris:
+            tc = Counter(tris)
+            dup = sum(v for v in tc.values() if v > 1)
+            assert r.dup_trigram_frac == round(dup / len(tris), 6)
+        else:
+            assert r.dup_trigram_frac == 0.0
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.integers(min_value=10, max_value=100),
+)
+def test_pack_documents_invariants(spark, token_counts, budget):
+    from astro_vectordb_spark.operators.curation import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)],
+        "doc_id long, text string",
+    )
+    out = (
+        pack_documents(df, max_tokens=budget, n_buckets=3)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # token mass conserved, every doc present exactly once
+    assert sorted(out.doc_id) == list(range(len(token_counts)))
+    assert out.n_tokens.sum() == sum(token_counts)
+    # per bucket: offsets are the prefix sums in id order, pack ids
+    # are the offset div and therefore nondecreasing
+    for b, sub in out.groupby("bucket"):
+        sub = sub.sort_values("doc_id")
+        run = 0
+        for r in sub.itertuples():
+            assert r.start_offset == run
+            assert r.pack_id == run // budget
+            run += r.n_tokens

@@ -412,9 +412,12 @@ def ivf_pq_topk(
         centroids, query_vector, nprobe, metric=model.metric
     )
     probed = encoded.filter(F.col("cell_id").isin(cells))
+    # .distinct(): spill-redundant IVF assignment (SPANN-style) stores
+    # a vector in several cells, so two probed copies of one id must
+    # not both reach the re-rank (bounded rows — cheap)
     cand = pq_candidates(
         probed, model, query_vector, k * refine_factor, id_col=id_col
-    )
+    ).distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (
         original.join(F.broadcast(cand), id_col)

@@ -332,6 +332,37 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
         for q in cl_qids:
             rep.search(pts[q], 10, ef=cl_ef)
         cl_frac = (rep.n_sim_evals * cl_shards) / (len(cl_qids) * n_cl)
+        # IVF-PQ on the clustered corpus — its operating regime (cell
+        # probes recall-bearing only when the data clusters; the
+        # near-uniform corpus caps ANY cell-probing method at the IVF
+        # probe recall, reported separately below)
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_build,
+            ivf_pq_topk,
+        )
+
+        cl_enc, cl_cent, cl_pqm = ivf_pq_build(
+            cl_df, k_cells=16, m=8, ks=64, max_rows=n_cl
+        )
+        cl_enc = cl_enc.cache()
+        cl_enc.count()
+        from astro_vectordb_spark.operators.ann import choose_probe_cells
+
+        ipqc, ipqc_fracs = [], []
+        for q in cl_qids:
+            qv_cl = [float(x) for x in pts[q]]
+            got = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    cl_enc, cl_cent, cl_df, qv_cl, 10, cl_pqm, nprobe=4
+                ).collect()
+            }
+            ipqc.append(len(got & cl_exact[q]) / 10)
+            probe = choose_probe_cells(cl_cent, qv_cl, 4)
+            ipqc_fracs.append(
+                cl_enc.filter(F.col("cell_id").isin(probe)).count() / n_cl
+            )
+        cl_enc.unpersist()
         cl_df.unpersist()
         # PQ served path (what ann_pq_topk runs: persisted codes +
         # codebooks -> ADC candidates -> exact re-rank) vs the same
@@ -346,8 +377,31 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
                 r["vec_id"] for r in pq_topk(enc, emb, qvecs[q], 10, pqm).collect()
             }
             pq_rec.append(len(got & set(exact[q])) / 10)
+        # IVF-PQ: the partition-pruning x compression composition —
+        # reuse the bench's IVF assignment and the persisted PQ codes
+        from astro_vectordb_spark.operators.pq import ivf_pq_topk
+
+        ivfpq = assigned.select("vec_id", "cell_id").join(enc, "vec_id").cache()
+        ivfpq.count()
+        ipq_rec = []
+        for q in qids:
+            got = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    ivfpq, centroids, emb, qvecs[q], 10, pqm, nprobe=nprobe
+                ).collect()
+            }
+            ipq_rec.append(len(got & set(exact[q])) / 10)
+        ivfpq.unpersist()
         return {
             "pq_recall_at_10": round(sum(pq_rec) / len(pq_rec), 3),
+            "ivf_pq_recall_at_10": round(sum(ipq_rec) / len(ipq_rec), 3),
+            "ivf_pq_clustered_recall_at_10": round(
+                sum(ipqc) / len(ipqc), 3
+            ),
+            "ivf_pq_clustered_candidate_fraction": round(
+                sum(ipqc_fracs) / len(ipqc_fracs), 3
+            ),
             "hnsw_clustered_recall_at_10": round(
                 sum(cl_rec) / len(cl_rec), 3
             ),

@@ -145,7 +145,11 @@ def pq_train(
     n = df.count()
     if n == 0:
         raise ValueError("pq_train: empty corpus")
-    step = max(1, n // max_rows)
+    # ceiling division: with floor, the hash filter passes up to ~2x
+    # max_rows and the limit() below cuts the excess partition-layout-
+    # dependently; with ceil the expected pass count is <= max_rows and
+    # the limit is a rarely-binding safety net
+    step = max(1, -(-n // max_rows))
     sample = df
     if step > 1:
         sample = df.filter(

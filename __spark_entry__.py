@@ -1119,37 +1119,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
-        "supplier_balance": _q_supplier_balance,
-        "part_brand_stats": _q_part_brand_stats,
-        "event_rates": _q_event_rates,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_topn": _q_revenue_topn,
-        "customer_rank": _q_customer_rank,
-        "order_priority": _q_order_priority,
         "knn_classify": _q_knn_classify,
         "validate_dim": _q_validate_dim,
-        "nation_revenue": _q_nation_revenue,
         "embed_docs": _q_embed_docs,
         "multimodal_decode": _q_multimodal_decode,
-        "token_counts": _q_token_counts,
-        "events_json": _q_events_json,
-        "split_counts": _q_split_counts,
         "stratified_sample": _q_stratified_sample,
         "topk_quantized": _q_topk_quantized,
         "batch_topk_quantized": _q_batch_topk_quantized,
         "profile_lineitem": _q_profile_lineitem,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
-        "segment_no_orders": _q_segment_no_orders,
-        "revenue_rollup": _q_revenue_rollup,
-        "status_pivot": _q_status_pivot,
         "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry correctness window (first 50 stay the stable
-        # oracled core); the judge's full gate
-        # (scripts/check_oracle.py) verifies these four oracled
-        # round-6 additions identically
+        # round-6 operator families go INSIDE the driver's 50-entry
+        # correctness window: the retrieval stack and curation ops are
+        # new and benefit most from the hard driver signal
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -1162,6 +1148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window: trivial relational/scalar queries with 4-5
+        # consecutive rounds of green driver history (r2-r5 artifacts);
+        # ALL of them stay oracled and the full gate
+        # (scripts/check_oracle.py) verifies them every round
+        "supplier_balance": _q_supplier_balance,
+        "part_brand_stats": _q_part_brand_stats,
+        "event_rates": _q_event_rates,
+        "customer_rank": _q_customer_rank,
+        "order_priority": _q_order_priority,
+        "nation_revenue": _q_nation_revenue,
+        "token_counts": _q_token_counts,
+        "events_json": _q_events_json,
+        "split_counts": _q_split_counts,
+        "segment_no_orders": _q_segment_no_orders,
+        "revenue_rollup": _q_revenue_rollup,
+        "status_pivot": _q_status_pivot,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths)
         "near_dup_minhash": _q_near_dup_minhash,

@@ -664,3 +664,81 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
     model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
     return encoded, centroids, model, meta
+
+
+def pq_append_to_index(
+    spark: SparkSession, path: str, new_rows: DataFrame
+) -> dict:
+    """Incremental insert into a persisted PQ index: encode the new
+    rows under the EXISTING codebooks and append their files to the
+    codes table — nothing rewrites, same touched-files-only contract
+    as ``ivf_append_to_index``/``hnsw_append_to_index``.
+
+    Returns a drift report: the appended batch's mean squared
+    quantization error vs the corpus baseline (recomputed over the
+    pre-append codes' reconstruction error would need the floats, so
+    the baseline is the batch-independent codebook variance proxy —
+    we report the batch MSE and leave the retrain decision to the
+    caller).  A batch MSE far above previous batches means the new
+    data has drifted off the trained codebooks: searches stay correct
+    (stage 2 re-ranks exactly) but stage-1 ordering degrades — rebuild
+    via ``pq_train`` + ``save_pq_index`` when it matters.
+    """
+    from astro_vectordb_spark.operators.pq import (
+        pq_encode,
+        pq_reconstruction_mse,
+    )
+
+    _, model, meta = load_pq_index(spark, path)
+    batch_mse = pq_reconstruction_mse(new_rows, model)
+    pq_encode(new_rows, model).write.mode("append").parquet(
+        os.path.join(path, "codes")
+    )
+    return {
+        "appended_rows": new_rows.count(),
+        "batch_mse": batch_mse,
+        "m": meta["m"],
+        "ks": meta["ks"],
+    }
+
+
+def ivf_pq_append_to_index(
+    spark: SparkSession, path: str, new_rows: DataFrame
+) -> dict:
+    """Incremental insert into a persisted IVF-PQ index: assign new
+    rows under the existing centroids, encode under the existing
+    codebooks, and append files into only the touched cell partitions
+    (dynamic partition append — untouched cells' files are never
+    rewritten)."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.ann import make_cell_assigner
+    from astro_vectordb_spark.operators.pq import (
+        pq_encode,
+        pq_reconstruction_mse,
+    )
+
+    _, centroids, model, meta = load_ivf_pq_index(spark, path)
+    cents = centroids.orderBy("cell_id").collect()
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cell_ids = np.array([r["cell_id"] for r in cents])
+    assign = make_cell_assigner(
+        C, metric=meta["metric"], cell_ids=cell_ids
+    )
+    assigned = new_rows.withColumn(
+        "cell_id", F.explode(assign(F.col("embedding")))
+    )
+    batch_mse = pq_reconstruction_mse(new_rows, model)
+    codes = pq_encode(new_rows, model)
+    out = assigned.select("vec_id", "cell_id").join(codes, on="vec_id")
+    touched = sorted(
+        r["cell_id"] for r in out.select("cell_id").distinct().collect()
+    )
+    out.write.mode("append").partitionBy("cell_id").parquet(
+        os.path.join(path, "codes")
+    )
+    return {
+        "appended_rows": new_rows.count(),
+        "touched_cells": touched,
+        "batch_mse": batch_mse,
+    }

@@ -346,3 +346,90 @@ class TestBatchPq:
         pdf = cand.toPandas()
         assert set(pdf.query_id) == {0, 1}
         assert (pdf.groupby("query_id").size() == 50).all()
+
+
+class TestPqAppend:
+    def test_pq_append_and_search(self, corpus, model, tmp_path):
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            pq_append_to_index,
+            save_pq_index,
+        )
+
+        df, pts = corpus
+        spark = df.sparkSession
+        path = str(tmp_path / "pq_app")
+        save_pq_index(pq_encode(df, model), model, path)
+        # append 5 new rows: copies of row 7's vector under fresh ids
+        new = spark.createDataFrame(
+            [(10_000 + i, [float(x) for x in pts[7]]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        rep = pq_append_to_index(spark, path, new)
+        assert rep["appended_rows"] == 5 and rep["batch_mse"] >= 0.0
+        enc2, model2, _ = load_pq_index(spark, path)
+        assert enc2.count() == N + 5
+        # the appended near-dups of row 7 dominate its neighborhood
+        full = df.unionByName(new)
+        got = pq_topk(enc2, full, [float(x) for x in pts[7]], 6, model2)
+        ids = {r.vec_id for r in got.collect()}
+        assert 7 in ids
+        assert len(ids & {10_000, 10_001, 10_002, 10_003, 10_004}) == 5
+
+    def test_ivf_pq_append_touches_cells(self, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.sources.vault import (
+            ivf_pq_append_to_index,
+            load_ivf_pq_index,
+            save_ivf_pq_index,
+        )
+
+        df, pts = corpus
+        spark = df.sparkSession
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=1000
+        )
+        path = str(tmp_path / "ivfpq_app")
+        save_ivf_pq_index(encoded, centroids, model, path)
+        new = spark.createDataFrame(
+            [(20_000 + i, [float(x) for x in pts[3]]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        rep = ivf_pq_append_to_index(spark, path, new)
+        assert rep["appended_rows"] == 4
+        # identical vectors land in exactly one cell
+        assert len(rep["touched_cells"]) == 1
+        enc2, _, _, _ = load_ivf_pq_index(spark, path)
+        assert enc2.count() == N + 4
+        # appended rows live in their assigned cell partition
+        got = enc2.filter(
+            enc2.cell_id == rep["touched_cells"][0]
+        ).filter("vec_id >= 20000")
+        assert got.count() == 4
+
+    def test_append_drift_signal(self, corpus, model, tmp_path):
+        # far-off-manifold batch reports much larger MSE than in-dist
+        from astro_vectordb_spark.sources.vault import (
+            pq_append_to_index,
+            save_pq_index,
+        )
+
+        df, pts = corpus
+        spark = df.sparkSession
+        path = str(tmp_path / "pq_drift")
+        save_pq_index(pq_encode(df, model), model, path)
+        indist = spark.createDataFrame(
+            [(30_000, [float(x) for x in pts[11]])],
+            "vec_id long, embedding array<float>",
+        )
+        rng = np.random.RandomState(99)
+        off = spark.createDataFrame(
+            [(30_001, [float(x) for x in rng.normal(size=DIM)])],
+            "vec_id long, embedding array<float>",
+        )
+        mse_in = pq_append_to_index(spark, path, indist)["batch_mse"]
+        mse_off = pq_append_to_index(spark, path, off)["batch_mse"]
+        # cosine-normalized 4-d subspaces keep the gap moderate
+        # (measured 0.21 vs 0.15 with these seeds) — the signal is the
+        # ordering, pinned with margin
+        assert mse_off > mse_in * 1.25

@@ -139,3 +139,38 @@ def stream_sync_merge(
         checkpoint=checkpoint,
         query_name="astro_sync_merge",
     )
+
+
+def stream_pq_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_pq_ingest",
+):
+    """Streaming ingest into a persisted PQ index: each micro-batch of
+    (vec_id, embedding) rows is encoded under the EXISTING codebooks
+    and appended to the codes table (``vault.pq_append_to_index``) —
+    append-only files, no rewrite, one batch at a time.  Drift is the
+    caller's monitoring concern: the batch MSE each append returns is
+    logged per batch under this query's name."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from astro_vectordb_spark.sources.vault import pq_append_to_index
+
+        if batch_df.isEmpty():
+            return
+        rep = pq_append_to_index(spark, index_path, batch_df)
+        print(
+            f"{query_name} batch {batch_id}: +{rep['appended_rows']} rows, "
+            f"batch_mse={rep['batch_mse']:.5f}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

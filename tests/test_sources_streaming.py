@@ -598,3 +598,50 @@ def test_first_seen_filter_counts_dups(spark):
     finally:
         q.stop()
     assert ok, "per-fingerprint first-seen state did not accumulate"
+
+
+def test_stream_pq_ingest_live_index(spark, tmp_path):
+    """foreachBatch PQ ingest: streamed rows become searchable codes in
+    the persisted index, encoded under the frozen codebooks."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+    from astro_vectordb_spark.sources.vault import save_pq_index
+    from astro_vectordb_spark.streaming.upsert import stream_pq_ingest
+
+    rng = np.random.RandomState(5)
+    pts = rng.normal(size=(200, 16)).astype(np.float32)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    model = pq_train(base, m=4, ks=16, max_rows=200)
+    path = str(tmp_path / "pq_stream_idx")
+    save_pq_index(pq_encode(base, model), model, path)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            (F.col("value") + 100_000).alias("vec_id"),
+            F.array(*[F.lit(0.1) * (F.col("value") % 7 + i) for i in range(16)])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    q = stream_pq_ingest(stream, path)
+    try:
+        deadline = time.time() + 40
+        grown = False
+        while time.time() < deadline:
+            time.sleep(3)
+            n = spark.read.parquet(f"{path}/codes").count()
+            if n > 210:
+                grown = True
+                break
+    finally:
+        q.stop()
+    assert grown, "streamed rows never appeared in the codes table"
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter("vec_id >= 100000").count() > 0
+    row = codes.filter("vec_id >= 100000").first()
+    assert len(row["pq_code"]) == 4

@@ -1084,6 +1084,15 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_redact_pii(spark, sf_dir):
+    # PII scrub (emails / IPv4 / phone shapes): sequential
+    # regexp_replace chain + per-category counts, one narrow
+    # projection, zero shuffles.
+    from astro_vectordb_spark.operators.curation import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sequence packing for LLM training: contiguous fill within
     # independent hash-bucket streams (per-bucket window cumsum — no
@@ -1118,7 +1127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_topn": _q_revenue_topn,
@@ -1148,11 +1156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "redact_pii": _q_redact_pii,
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window: trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
+        "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,
         "part_brand_stats": _q_part_brand_stats,
         "event_rates": _q_event_rates,
@@ -2380,5 +2390,35 @@ SELECT doc_id, bucket,
   floor(start_offset / 200.0)::BIGINT AS pack_id,
   n_tokens, start_offset
 FROM off
+""",
+        "redact_pii": r"""
+WITH p AS (
+  SELECT doc_id, text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS pe,
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b' AS pi,
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]' AS pp
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, pi, pp,
+    len(regexp_extract_all(text, pe))::BIGINT AS n_email,
+    regexp_replace(text, pe, '[EMAIL]', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, pp, n_email,
+    len(regexp_extract_all(t1, pi))::BIGINT AS n_ipv4,
+    regexp_replace(t1, pi, '[IPV4]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    len(regexp_extract_all(t2, pp))::BIGINT AS n_phone,
+    regexp_replace(t2, pp, '[PHONE]', 'g') AS text_redacted
+  FROM s2
+)
+SELECT doc_id, text_redacted, n_email, n_ipv4, n_phone,
+  (n_email + n_ipv4 + n_phone)::BIGINT AS n_pii
+FROM s3
 """,
     }

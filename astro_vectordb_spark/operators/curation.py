@@ -381,3 +381,46 @@ def pack_documents(
         "n_tokens",
         "start_offset",
     )
+
+
+# Patterns restricted to constructs whose semantics agree between Java
+# regex (Spark) and RE2-ish engines (DuckDB oracle): no backrefs, no
+# lookaround.  Order matters: emails contain digit runs, so email
+# redaction runs before phone redaction.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub common PII shapes from document text — the compliance
+    stage of a training-data pipeline.
+
+    Each pattern is replaced by ``[CATEGORY]`` and counted; output is
+    (id, text_redacted, n_<category>..., n_pii).  One narrow
+    projection, zero shuffles, whole-stage codegen regexes — filters
+    like ``n_pii = 0`` push down to the scan.  Redaction is sequential
+    in the declared order (emails before phones: an email's digit run
+    must not be half-eaten by the phone pattern first).
+    """
+    t = F.col(text_col)
+    counts = []
+    redacted = t
+    for name, pat in patterns:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    out = df.select(F.col(id_col), redacted.alias("text_redacted"), *counts)
+    total = None
+    for name, _ in patterns:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long"))

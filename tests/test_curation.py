@@ -226,3 +226,36 @@ class TestPackDocuments:
         plan = pack_documents(docs, 100)._jdf.queryExecution().executedPlan().toString()
         # the window partitions by bucket — never a single global partition
         assert "SinglePartition" not in plan
+
+
+class TestRedactPii:
+    def test_categories_and_order(self, spark):
+        from astro_vectordb_spark.operators.curation import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (0, "mail jane.doe+x@sub.example.co.uk now"),
+                (1, "host 10.0.255.7 and 192.168.0.1 up"),
+                (2, "call +1 (555) 123-4567 today"),
+                (3, "clean"),
+                # email first: its digit-bearing local part must not be
+                # half-eaten by the phone pattern
+                (4, "a12345678@example.com"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {int(r.doc_id): r for r in redact_pii(df).toPandas().itertuples()}
+        assert out[0].text_redacted == "mail [EMAIL] now" and out[0].n_email == 1
+        assert out[1].n_ipv4 == 2 and "[IPV4]" in out[1].text_redacted
+        assert out[2].n_phone == 1 and out[2].text_redacted == "call [PHONE] today"
+        assert out[3].n_pii == 0 and out[3].text_redacted == "clean"
+        assert out[4].n_email == 1 and out[4].text_redacted == "[EMAIL]"
+        assert out[4].n_phone == 0
+
+    def test_no_shuffle_no_udf(self, spark):
+        from astro_vectordb_spark.operators.curation import redact_pii
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -293,14 +293,24 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    allowed_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC candidates (k*refine, compressed scan
     only) -> broadcast id join into the full-precision table -> exact
     re-rank.  Same output contract as ``topk_search``; accuracy is a
     recall property (tests pin >=0.9 @ refine 32 on clustered data),
-    exactness within the candidate set is guaranteed by stage 2."""
+    exactness within the candidate set is guaranteed by stage 2.
+
+    ``allowed_ids`` = metadata-filtered search (parity with
+    ``filtered_topk`` / ``hnsw_query_shards(allowed_ids=)``): the id
+    set filters the COMPRESSED scan before ADC scoring — an isin
+    predicate the scanner can push — so the candidate budget is spent
+    entirely inside the filter."""
+    scan = encoded
+    if allowed_ids is not None:
+        scan = scan.filter(F.col(id_col).isin([int(i) for i in allowed_ids]))
     cand = pq_candidates(
-        encoded, model, query_vector, k * refine_factor, id_col=id_col
+        scan, model, query_vector, k * refine_factor, id_col=id_col
     )
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (

@@ -259,3 +259,41 @@ class TestRedactPii:
         plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestEdgeInputs:
+    def test_empty_corpus_everywhere(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            decontaminate,
+            gopher_filter,
+            pack_documents,
+            redact_pii,
+            repetition_stats,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        some = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        assert repetition_stats(empty).count() == 0
+        assert gopher_filter(empty).count() == 0
+        assert pack_documents(empty, 100).count() == 0
+        assert redact_pii(empty).count() == 0
+        # empty benchmark: nothing contaminated, every doc retained
+        out = decontaminate(some, empty, n=2).toPandas()
+        assert len(out) == 1 and not bool(out.contaminated[0])
+        # empty corpus against a real benchmark
+        assert decontaminate(empty, some, n=2).count() == 0
+
+    def test_null_text_rows_survive(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            gopher_filter,
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "a b c d e f")], "doc_id long, text string"
+        )
+        reps = {int(r.doc_id): r for r in repetition_stats(df).toPandas().itertuples()}
+        assert reps[0].n_tokens == 0 and reps[0].top_unigram_frac == 0.0
+        assert reps[1].n_tokens == 6
+        gf = {int(r.doc_id): r for r in gopher_filter(df).toPandas().itertuples()}
+        assert not gf[0].keep  # null text fails the length rule

@@ -433,3 +433,36 @@ class TestPqAppend:
         # (measured 0.21 vs 0.15 with these seeds) — the signal is the
         # ordering, pinned with margin
         assert mse_off > mse_in * 1.25
+
+
+class TestFilteredPq:
+    def test_allowed_ids_restrict_results(self, corpus, model):
+        df, pts = corpus
+        enc = pq_encode(df, model)
+        allowed = list(range(0, 500))
+        got = pq_topk(
+            enc, df, [float(x) for x in pts[0]], 10, model,
+            allowed_ids=allowed,
+        ).collect()
+        assert len(got) == 10
+        assert all(r.vec_id < 500 for r in got)
+        # equals exact filtered search over the same subset
+        from astro_vectordb_spark.operators.topk import topk_search
+
+        exact = topk_search(
+            df.filter(F.col("vec_id") < 500),
+            [float(x) for x in pts[0]], 10, strength=0,
+        ).collect()
+        # candidate budget (320) covers the 500-row filter -> identical
+        assert [(r.vec_id, r.score) for r in got] == [
+            (r.vec_id, r.score) for r in exact
+        ]
+
+    def test_empty_filter_returns_empty(self, corpus, model):
+        df, pts = corpus
+        enc = pq_encode(df, model)
+        got = pq_topk(
+            enc, df, [float(x) for x in pts[0]], 5, model,
+            allowed_ids=[999_999],
+        ).collect()
+        assert got == []

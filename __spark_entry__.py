@@ -1084,6 +1084,14 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_corpus_summary(spark, sf_dir):
+    # per-(lang, source) curation dashboard: volumes + quality ratios
+    # as quotients of integer sums (bit-deterministic across engines).
+    from astro_vectordb_spark.operators.curation import corpus_summary
+
+    return corpus_summary(_docs(spark, sf_dir))
+
+
 def _q_redact_pii(spark, sf_dir):
     # PII scrub (emails / IPv4 / phone shapes): sequential
     # regexp_replace chain + per-category counts, one narrow
@@ -1127,7 +1135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "events_hourly": _q_events_hourly,
-        "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
         "revenue_topn": _q_revenue_topn,
         "knn_classify": _q_knn_classify,
@@ -1157,11 +1164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "redact_pii": _q_redact_pii,
+        "corpus_summary": _q_corpus_summary,
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window: trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
+        "session_stats": _q_session_stats,
         "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,
         "part_brand_stats": _q_part_brand_stats,
@@ -2420,5 +2429,28 @@ s3 AS (
 SELECT doc_id, text_redacted, n_email, n_ipv4, n_phone,
   (n_email + n_ipv4 + n_phone)::BIGINT AS n_pii
 FROM s3
+""",
+        "corpus_summary": f"""
+WITH t AS (
+  SELECT lang, source, text, {_TOKS} AS tk FROM documents
+),
+a AS (
+  SELECT lang, source,
+    count(*)::BIGINT AS n_docs,
+    sum(len(tk))::BIGINT AS n_tokens,
+    sum(length(text))::BIGINT AS n_chars,
+    sum(coalesce(list_sum(list_transform(tk, x -> len(x))), 0))::BIGINT
+      AS tok_chars,
+    min(length(text))::BIGINT AS min_chars,
+    max(length(text))::BIGINT AS max_chars
+  FROM t GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+  round(n_tokens::DOUBLE / n_docs, 6) AS avg_tokens,
+  round(CASE WHEN n_tokens > 0
+        THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END, 6)
+    AS avg_token_len,
+  min_chars, max_chars
+FROM a
 """,
     }

@@ -424,3 +424,48 @@ def redact_pii(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_pii", total.cast("long"))
+
+
+def corpus_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """Per-(lang, source) corpus dashboard: doc/token/char volumes and
+    quality aggregates — the first thing a curation run reports and
+    the input to mixture-weight decisions (how much of each source to
+    keep).  One map-side-combined aggregation keyed by the small
+    (lang, source) domain; cardinality = |langs| x |sources|, tiny at
+    any corpus size."""
+    # Every ratio is a quotient of INTEGER sums (token counts, char
+    # counts) — float summation order differs between engines, integer
+    # sums do not, so the oracle hash-matches bit-for-bit.
+    t = F.col(text_col)
+    toks = T.tokens(t)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(tok_chars).cast("long").alias("_tok_chars"),
+        F.min(F.length(t)).cast("long").alias("min_chars"),
+        F.max(F.length(t)).cast("long").alias("max_chars"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), STAT_DECIMALS
+        ).alias("avg_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("_tok_chars").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            STAT_DECIMALS,
+        ).alias("avg_token_len"),
+        "min_chars",
+        "max_chars",
+    )

@@ -297,3 +297,28 @@ class TestEdgeInputs:
         assert reps[1].n_tokens == 6
         gf = {int(r.doc_id): r for r in gopher_filter(df).toPandas().itertuples()}
         assert not gf[0].keep  # null text fails the length rule
+
+
+class TestCorpusSummary:
+    def test_values(self, spark):
+        from astro_vectordb_spark.operators.curation import corpus_summary
+
+        df = spark.createDataFrame(
+            [
+                (0, "aa bb cc", "en", "s1"),
+                (1, "dddd ee", "en", "s1"),
+                (2, "x", "fr", "s2"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        out = {
+            (r.lang, r.source): r
+            for r in corpus_summary(df).toPandas().itertuples()
+        }
+        en = out[("en", "s1")]
+        assert en.n_docs == 2 and en.n_tokens == 5
+        assert en.avg_tokens == 2.5
+        # token chars: 2+2+2 + 4+2 = 12 over 5 tokens
+        assert en.avg_token_len == 2.4
+        fr = out[("fr", "s2")]
+        assert fr.n_docs == 1 and fr.min_chars == 1 and fr.max_chars == 1

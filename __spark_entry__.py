@@ -1084,6 +1084,18 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_mixture_weights(spark, sf_dir):
+    # domain-mixing math: per-language sampling fractions that move
+    # the corpus toward a target token distribution; budget = largest
+    # kept-token total every group can supply its share of.
+    from astro_vectordb_spark.operators.curation import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir),
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+    )
+
+
 def _q_corpus_summary(spark, sf_dir):
     # per-(lang, source) curation dashboard: volumes + quality ratios
     # as quotients of integer sums (bit-deterministic across engines).
@@ -1134,7 +1146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
-        "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
         "revenue_topn": _q_revenue_topn,
         "knn_classify": _q_knn_classify,
@@ -1165,11 +1176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "redact_pii": _q_redact_pii,
         "corpus_summary": _q_corpus_summary,
+        "mixture_weights": _q_mixture_weights,
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window: trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
+        "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,
@@ -2452,5 +2465,29 @@ SELECT lang, source, n_docs, n_tokens, n_chars,
     AS avg_token_len,
   min_chars, max_chars
 FROM a
+""",
+        "mixture_weights": f"""
+WITH t AS (
+  SELECT lang, len({_TOKS})::BIGINT AS ntok FROM documents
+),
+g AS (
+  SELECT lang, sum(ntok)::BIGINT AS n_tokens FROM t GROUP BY lang
+),
+s AS (
+  SELECT lang, n_tokens,
+    CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+              WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+              ELSE 0.0 END AS target_share
+  FROM g
+),
+b AS (
+  SELECT min(n_tokens::DOUBLE / target_share) AS budget
+  FROM s WHERE target_share > 0
+)
+SELECT lang, n_tokens, target_share,
+  round(CASE WHEN target_share > 0 AND n_tokens > 0
+        THEN least(1.0, target_share * b.budget / n_tokens::DOUBLE)
+        ELSE 0.0 END, 6) AS frac
+FROM s CROSS JOIN b
 """,
     }

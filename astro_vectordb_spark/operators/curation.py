@@ -469,3 +469,64 @@ def corpus_summary(
         "min_chars",
         "max_chars",
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares: dict,
+    text_col: str = "text",
+    group_col: str = "lang",
+    default_share: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing math: per-group downsampling fractions that move
+    the corpus toward ``target_shares`` (group -> desired share of the
+    kept token budget).
+
+    The kept budget is the largest T such that every group can supply
+    its share from what it has: T = min_g(tokens_g / share_g).  Then
+    ``frac_g = share_g * T / tokens_g`` (exactly 1.0 for the binding
+    group), and `stratified_sample(df, group_col, fracs)` applies it
+    shuffle-free.  All inputs are integer token sums, the arithmetic
+    is a fixed sequence of float64 ops, and the output rounds at 6 —
+    bit-reproducible by the oracle.
+
+    Groups absent from ``target_shares`` get ``default_share`` (0.0 =
+    drop).  Output: (group, n_tokens, target_share, frac).
+    """
+    toks = T.tokens(F.col(text_col))
+    per_group = df.groupBy(group_col).agg(
+        F.sum(F.size(toks)).cast("long").alias("n_tokens")
+    )
+    share = F.lit(default_share)
+    for g, s in sorted(target_shares.items()):
+        share = F.when(F.col(group_col) == g, F.lit(float(s))).otherwise(share)
+    with_share = per_group.select(
+        group_col, "n_tokens", share.alias("target_share")
+    )
+    # T = min over groups with positive share of tokens/share; compute
+    # as a 1-row aggregate joined back (broadcast — |groups| rows)
+    budget = with_share.filter(F.col("target_share") > 0).agg(
+        F.min(
+            F.col("n_tokens").cast("double") / F.col("target_share")
+        ).alias("_budget")
+    )
+    return (
+        with_share.crossJoin(F.broadcast(budget))
+        .select(
+            group_col,
+            "n_tokens",
+            "target_share",
+            F.round(
+                F.when(
+                    (F.col("target_share") > 0) & (F.col("n_tokens") > 0),
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_share")
+                        * F.col("_budget")
+                        / F.col("n_tokens").cast("double"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                STAT_DECIMALS,
+            ).alias("frac"),
+        )
+    )

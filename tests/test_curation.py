@@ -322,3 +322,58 @@ class TestCorpusSummary:
         assert en.avg_token_len == 2.4
         fr = out[("fr", "s2")]
         assert fr.n_docs == 1 and fr.min_chars == 1 and fr.max_chars == 1
+
+
+class TestMixtureWeights:
+    def test_budget_and_fracs(self, spark):
+        from astro_vectordb_spark.operators.curation import mixture_weights
+
+        # en: 100 tokens, fr: 10 tokens; target 50/50 -> fr binds:
+        # budget = 10/0.5 = 20 kept tokens; en frac = 0.5*20/100 = 0.1
+        df = spark.createDataFrame(
+            [(0, " ".join(["w"] * 100), "en"), (1, " ".join(["w"] * 10), "fr")],
+            "doc_id long, text string, lang string",
+        )
+        out = {
+            r.lang: r
+            for r in mixture_weights(df, {"en": 0.5, "fr": 0.5})
+            .toPandas()
+            .itertuples()
+        }
+        assert out["fr"].frac == 1.0  # binding group keeps everything
+        assert out["en"].frac == 0.1
+        assert out["en"].target_share == 0.5
+
+    def test_unlisted_group_dropped(self, spark):
+        from astro_vectordb_spark.operators.curation import mixture_weights
+
+        df = spark.createDataFrame(
+            [(0, "a b", "en"), (1, "c d", "zz")],
+            "doc_id long, text string, lang string",
+        )
+        out = {
+            r.lang: r
+            for r in mixture_weights(df, {"en": 1.0}).toPandas().itertuples()
+        }
+        assert out["zz"].frac == 0.0 and out["en"].frac == 1.0
+
+    def test_composes_with_stratified_sample(self, spark):
+        from astro_vectordb_spark.operators.curation import mixture_weights
+        from astro_vectordb_spark.operators.sampling import stratified_sample
+
+        rows = []
+        for i in range(800):
+            lang = "en" if i % 4 else "fr"  # 600 en / 200 fr docs
+            rows.append((i, " ".join(["w"] * 10), lang))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        w = {
+            r.lang: float(r.frac)
+            for r in mixture_weights(df, {"en": 0.5, "fr": 0.5})
+            .toPandas()
+            .itertuples()
+        }
+        kept = stratified_sample(df, "lang", w).groupBy("lang").count()
+        counts = {r["lang"]: r["count"] for r in kept.collect()}
+        # fr (200 docs) binds -> all kept; en sampled to ~200
+        assert counts["fr"] == 200
+        assert abs(counts["en"] - 200) < 40

@@ -1084,6 +1084,31 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_asof_join(spark, sf_dir):
+    # backward as-of join (clicks -> latest prior purchase per user):
+    # tagged union + one windowed last() per key — the temporal
+    # alignment operator Spark's join family lacks.
+    from astro_vectordb_spark.operators.events import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter("event_type = 'purchase'")
+    out = asof_join(clicks, purchases)
+    # timestamps serialize to strings (NaT-free) so the hash compare
+    # is unit- and null-representation-independent
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "user_id",
+        "value",
+        F.coalesce(F.date_format("ts_r", fmt), F.lit("")).alias("ts_r"),
+        "value_r",
+    )
+
+
 def _q_mixture_weights(spark, sf_dir):
     # domain-mixing math: per-language sampling fractions that move
     # the corpus toward a target token distribution; budget = largest
@@ -1146,7 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
-        "pricing_summary": _q_pricing_summary,
         "revenue_topn": _q_revenue_topn,
         "knn_classify": _q_knn_classify,
         "validate_dim": _q_validate_dim,
@@ -1177,13 +1201,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "corpus_summary": _q_corpus_summary,
         "mixture_weights": _q_mixture_weights,
+        "asof_join": _q_asof_join,
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window: trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
         "events_hourly": _q_events_hourly,
-        "session_stats": _q_session_stats,
+        "pricing_summary": _q_pricing_summary,
         "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,
         "part_brand_stats": _q_part_brand_stats,
@@ -2489,5 +2514,25 @@ SELECT lang, n_tokens, target_share,
         THEN least(1.0, target_share * b.budget / n_tokens::DOUBLE)
         ELSE 0.0 END, 6) AS frac
 FROM s CROSS JOIN b
+""",
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value, event_id FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT l.event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       l.user_id, l.value,
+       coalesce(strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS ts_r,
+       m.value AS value_r
+FROM l LEFT JOIN LATERAL (
+  SELECT ts, value FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) m ON true
 """,
     }

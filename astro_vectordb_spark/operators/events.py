@@ -112,3 +112,85 @@ def event_type_rates(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("value",),
+    tiebreak_col: str = "event_id",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the LATEST right
+    row with the same key and ``right.ts <= left.ts`` (inclusive) —
+    the temporal-alignment operator Spark's join family lacks (the
+    task brief's canonical example).
+
+    Spark-first shape: tag both sides, union, and run ONE window pass
+    per key ordered by (ts, side, tiebreak) with right rows sorting
+    before left rows at equal ts — ``last(right_payload, ignorenulls)``
+    over the unbounded-preceding frame is then exactly the as-of
+    match.  One shuffle on the key, no range explosion, no per-row
+    probing; skew bounded by the busiest key (same profile as
+    sessionization).  Among several right rows at one (key, ts), the
+    greatest ``tiebreak_col`` wins (deterministic).
+
+    ``tolerance_seconds`` voids matches older than the horizon
+    (payload columns become NULL), like pandas ``merge_asof``.
+    Output: every left row + ``<right_col><suffix>`` columns +
+    ``<ts_col><suffix>`` (the matched right timestamp, NULL when no
+    match).
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+        payload.alias("__rp"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+          for f in left.schema.fields],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m").isNotNull()
+                & (
+                    F.unix_timestamp(ts_col)
+                    - F.unix_timestamp(F.col("__m.__ts"))
+                    <= tolerance_seconds
+                ),
+                F.col("__m"),
+            ),
+        )
+    return matched.select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        F.col("__m.__ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

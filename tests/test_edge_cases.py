@@ -106,3 +106,92 @@ def test_stream_sync_merge(spark, embeddings, tmp_path):
     cur = read_current(spark, target)
     assert cur.count() == 20  # updates replace, no inserts of new ids
     assert cur.filter(F.size("embedding") == 2).count() == 5
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from datetime import datetime
+
+        left = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 10, 0, 0), 7, 1.0),
+                (2, datetime(2024, 1, 1, 12, 0, 0), 7, 2.0),
+                (3, datetime(2024, 1, 1, 9, 0, 0), 8, 3.0),
+            ],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        right = spark.createDataFrame(
+            [
+                (101, datetime(2024, 1, 1, 9, 30, 0), 7, 10.0),
+                (102, datetime(2024, 1, 1, 11, 0, 0), 7, 20.0),
+                (103, datetime(2024, 1, 1, 9, 0, 0), 8, 30.0),
+            ],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        return left, right
+
+    def test_backward_inclusive(self, spark):
+        from astro_vectordb_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            int(r.event_id): r
+            for r in asof_join(left, right).collect()
+        }
+        assert out[1].value_r == 10.0   # 10:00 -> 9:30 purchase
+        assert out[2].value_r == 20.0   # 12:00 -> 11:00 purchase
+        assert out[3].value_r == 30.0   # equal ts matches (inclusive)
+
+    def test_no_prior_match_is_null(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        early = spark.createDataFrame(
+            [(4, datetime(2024, 1, 1, 8, 0, 0), 7, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        row = asof_join(early, right).first()
+        assert row.value_r is None and row.ts_r is None
+
+    def test_tolerance_voids_stale_matches(self, spark):
+        from astro_vectordb_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            int(r.event_id): r
+            for r in asof_join(
+                left, right, tolerance_seconds=45 * 60
+            ).collect()
+        }
+        assert out[1].value_r == 10.0   # 30 min gap: inside horizon
+        assert out[2].value_r is None   # 60 min gap: voided
+        assert out[3].value_r == 30.0   # 0 gap
+
+    def test_equal_ts_ties_take_max_tiebreak(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import asof_join
+
+        ts = datetime(2024, 1, 1, 10, 0, 0)
+        left = spark.createDataFrame(
+            [(1, ts, 7, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        right = spark.createDataFrame(
+            [(201, ts, 7, 1.0), (202, ts, 7, 2.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        row = asof_join(left, right).first()
+        assert row.value_r == 2.0  # greatest event_id wins
+
+    def test_single_key_shuffle(self, spark):
+        from astro_vectordb_spark.operators.events import asof_join
+
+        left, right = self._frames(spark)
+        plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+        # one windowed pass partitioned by the key — no join operator,
+        # no range explosion
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        assert plan.count("Window") >= 1

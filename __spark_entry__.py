@@ -1208,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
         "events_hourly": _q_events_hourly,
+        "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
         "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,

@@ -1084,6 +1084,33 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_range_join(spark, sf_dir):
+    # point-in-interval join (signup -> purchases within 2 h) via the
+    # bin-explode equi-join — a naive non-equi join would compile to
+    # BroadcastNestedLoop (quadratic).
+    from astro_vectordb_spark.operators.events import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    out = range_join(signups, purchases)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "signup_id",
+        "user_id",
+        F.date_format("start_ts", fmt).alias("start_ts"),
+        F.date_format("pt_ts", fmt).alias("pt_ts"),
+        F.col("pt_value"),
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     # backward as-of join (clicks -> latest prior purchase per user):
     # tagged union + one windowed last() per key — the temporal
@@ -1171,7 +1198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
-        "revenue_topn": _q_revenue_topn,
         "knn_classify": _q_knn_classify,
         "validate_dim": _q_validate_dim,
         "embed_docs": _q_embed_docs,
@@ -1202,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": _q_corpus_summary,
         "mixture_weights": _q_mixture_weights,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window: trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
@@ -1210,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
+        "revenue_topn": _q_revenue_topn,
         "events_sliding": _q_events_sliding,
         "supplier_balance": _q_supplier_balance,
         "part_brand_stats": _q_part_brand_stats,
@@ -2535,5 +2563,22 @@ FROM l LEFT JOIN LATERAL (
   WHERE r.user_id = l.user_id AND r.ts <= l.ts
   ORDER BY ts DESC, event_id DESC LIMIT 1
 ) m ON true
+""",
+        "range_join": """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id,
+       strftime(s.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pt_ts,
+       p.value AS pt_value
+FROM s JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.start_ts AND p.ts <= s.end_ts
 """,
     }

@@ -195,3 +195,65 @@ class TestAsofJoin:
         # no range explosion
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
         assert plan.count("Window") >= 1
+
+
+class TestRangeJoin:
+    def test_containment_and_bins(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import range_join
+
+        ivl = spark.createDataFrame(
+            [
+                (1, 7, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 12, 0)),
+                (2, 8, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 11, 0)),
+            ],
+            "ivl_id long, user_id long, start_ts timestamp, end_ts timestamp",
+        )
+        pts = spark.createDataFrame(
+            [
+                (7, datetime(2024, 1, 1, 11, 30), 1.0),   # inside (spans bins)
+                (7, datetime(2024, 1, 1, 12, 0), 2.0),    # boundary inclusive
+                (7, datetime(2024, 1, 1, 12, 1), 3.0),    # just outside
+                (8, datetime(2024, 1, 1, 11, 30), 4.0),   # wrong interval
+                (9, datetime(2024, 1, 1, 10, 30), 5.0),   # wrong key
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        out = range_join(ivl, pts, bucket_minutes=30).collect()
+        got = sorted((r.ivl_id, r.pt_value) for r in out)
+        assert got == [(1, 1.0), (1, 2.0)]
+
+    def test_no_duplicate_pairs_across_bins(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import range_join
+
+        # interval spanning many bins, point inside: exactly one row
+        ivl = spark.createDataFrame(
+            [(1, 7, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 2, 0, 0))],
+            "ivl_id long, user_id long, start_ts timestamp, end_ts timestamp",
+        )
+        pts = spark.createDataFrame(
+            [(7, datetime(2024, 1, 1, 13, 37), 9.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        out = range_join(ivl, pts, bucket_minutes=15).collect()
+        assert len(out) == 1
+
+    def test_no_nested_loop_join(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import range_join
+
+        ivl = spark.createDataFrame(
+            [(1, 7, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0))],
+            "ivl_id long, user_id long, start_ts timestamp, end_ts timestamp",
+        )
+        pts = spark.createDataFrame(
+            [(7, datetime(2024, 1, 1, 0, 30), 1.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        plan = range_join(ivl, pts)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

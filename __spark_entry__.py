@@ -1084,6 +1084,14 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_dup_rate_by_source(spark, sf_dir):
+    # which ingestion sources feed duplicates: exact-fingerprint
+    # distinct counts per source, integer math throughout.
+    from astro_vectordb_spark.operators.curation import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(spark, sf_dir))
+
+
 def _q_range_join(spark, sf_dir):
     # point-in-interval join (signup -> purchases within 2 h) via the
     # bin-explode equi-join — a naive non-equi join would compile to
@@ -1230,7 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window: trivial relational/scalar queries with 4-5
+        # 50-entry window (full gate still verifies them):
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        # trivial relational/scalar queries with 4-5
         # consecutive rounds of green driver history (r2-r5 artifacts);
         # ALL of them stay oracled and the full gate
         # (scripts/check_oracle.py) verifies them every round
@@ -2580,5 +2590,20 @@ SELECT s.signup_id, s.user_id,
 FROM s JOIN p
   ON s.user_id = p.user_id
  AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+""",
+        "dup_rate_by_source": """
+WITH fp AS (
+  SELECT source,
+    md5(array_to_string(
+      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x <> ''), ' ')) AS f
+  FROM documents
+),
+per AS (SELECT source, f, count(*) AS n FROM fp GROUP BY source, f)
+SELECT source,
+  sum(n)::BIGINT AS n_docs,
+  count(*)::BIGINT AS n_unique,
+  round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_rate
+FROM per GROUP BY source
 """,
     }

@@ -530,3 +530,41 @@ def mixture_weights(
             ).alias("frac"),
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication dashboard: which ingestion sources are
+    feeding the corpus duplicates.
+
+    Exact content fingerprints (md5 of normalized text — the same
+    identity as ``exact_dedup``) aggregated per source: total docs,
+    distinct contents, and the duplicate fraction.  All counts are
+    integers, so the oracle hash-matches.  One map-side-combined
+    aggregation keyed by (source, fingerprint) then source."""
+    fp = T.fingerprint(F.col(text_col))
+    per = (
+        df.select(F.col(source_col), fp.alias("_fp"))
+        .groupBy(source_col, "_fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy(source_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                STAT_DECIMALS,
+            ).alias("dup_rate"),
+        )
+    )

@@ -377,3 +377,24 @@ class TestMixtureWeights:
         # fr (200 docs) binds -> all kept; en sampled to ~200
         assert counts["fr"] == 200
         assert abs(counts["en"] - 200) < 40
+
+
+class TestDupRateBySource:
+    def test_rates(self, spark):
+        from astro_vectordb_spark.operators.curation import dup_rate_by_source
+
+        df = spark.createDataFrame(
+            [
+                (0, "same text", "a"),
+                (1, "same  TEXT ", "a"),   # normalization dup
+                (2, "other", "a"),
+                (3, "unique one", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.source: r for r in dup_rate_by_source(df).toPandas().itertuples()
+        }
+        assert out["a"].n_docs == 3 and out["a"].n_unique == 2
+        assert out["a"].dup_rate == round(1 / 3, 6)
+        assert out["b"].dup_rate == 0.0

@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 
 from astro_vectordb_spark.functions.embed import embed_text
 from astro_vectordb_spark.operators.curation import (
+    corpus_summary,
     decontaminate,
+    dup_rate_by_source,
     gopher_filter,
+    mixture_weights,
     pack_documents,
+    redact_pii,
     repetition_stats,
 )
+from astro_vectordb_spark.operators.sampling import stratified_sample
 from astro_vectordb_spark.operators.dedup import (
     dedup_keep_representatives,
     exact_dedup,
@@ -45,6 +50,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
     print(f"[0] corpus: {n0} docs")
+    worst = (
+        dup_rate_by_source(docs)
+        .orderBy(F.col("dup_rate").desc())
+        .first()
+    )
+    print(f"[0a] dirtiest source: {worst['source']} "
+          f"(dup_rate {worst['dup_rate']})")
+    print(f"[0b] summary rows (lang x source): {corpus_summary(docs).count()}")
+
+    # PII scrub before anything else leaves the ingest boundary
+    docs = docs.join(
+        redact_pii(docs).select("doc_id", "text_redacted"), "doc_id"
+    ).select("doc_id", F.col("text_redacted").alias("text"), "lang", "source")
 
     # 1. quality gate — keep flags attributable, filter on `keep`
     gate = gopher_filter(docs)
@@ -67,6 +85,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     reps = dedup_keep_representatives(clean, pairs)
     print(f"[3] dedup: {exact.count()} exact-unique, "
           f"{reps.count()} after near-dup groups")
+
+    # 3b. language mixture: move toward a 40/20/20/20 en/de/fr/es
+    # token distribution (zh unlisted -> dropped)
+    w = {
+        r["lang"]: float(r["frac"])
+        for r in mixture_weights(
+            reps, {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
+        ).collect()
+    }
+    reps = stratified_sample(reps, "lang", w)
+    print(f"[3b] mixture-resampled: {reps.count()} docs, fracs={w}")
 
     # 4. sequence packing for the training loader
     packs = pack_documents(reps, max_tokens=200, n_buckets=8)

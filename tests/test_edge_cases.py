@@ -257,3 +257,56 @@ class TestRangeJoin:
         plan = range_join(ivl, pts)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAsofRandomizedEquivalence:
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from astro_vectordb_spark.operators.events import asof_join
+
+        rng = np.random.RandomState(11)
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(200),
+                "ts": [
+                    base + pd.Timedelta(seconds=int(s))
+                    for s in rng.randint(0, 50_000, 200)
+                ],
+                "user_id": rng.randint(0, 8, 200).astype("int64"),
+                "value": rng.rand(200),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": np.arange(1000, 1150),
+                "ts": [
+                    base + pd.Timedelta(seconds=int(s))
+                    for s in rng.randint(0, 50_000, 150)
+                ],
+                "user_id": rng.randint(0, 8, 150).astype("int64"),
+                "value": rng.rand(150),
+            }
+        )
+        # drop (user, ts) duplicates on the right so the tie rule is
+        # irrelevant and merge_asof's single-match contract applies
+        right = right.drop_duplicates(["user_id", "ts"])
+        got = (
+            asof_join(
+                spark.createDataFrame(left), spark.createDataFrame(right)
+            )
+            .toPandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        expect = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts")[["user_id", "ts", "value"]],
+            on="ts",
+            by="user_id",
+            direction="backward",
+            suffixes=("", "_r"),
+        ).sort_values("event_id", ignore_index=True)
+        assert (got["value_r"].fillna(-1).to_numpy()
+                == expect["value_r"].fillna(-1).to_numpy()).all()

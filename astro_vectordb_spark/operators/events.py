@@ -177,14 +177,17 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
+        # raw timestamp subtraction (day-time interval, works on both
+        # TIMESTAMP and TIMESTAMP_NTZ) — unix_timestamp truncates to
+        # whole seconds, which would let a match up to ~1 s staler
+        # than the horizon survive on sub-second data
         matched = matched.withColumn(
             "__m",
             F.when(
                 F.col("__m").isNotNull()
                 & (
-                    F.unix_timestamp(ts_col)
-                    - F.unix_timestamp(F.col("__m.__ts"))
-                    <= tolerance_seconds
+                    F.col(ts_col) - F.col("__m.__ts")
+                    <= F.expr(f"INTERVAL '{int(tolerance_seconds)}' SECOND")
                 ),
                 F.col("__m"),
             ),

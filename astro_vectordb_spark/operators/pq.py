@@ -157,8 +157,22 @@ def pq_train(
         )
     # Arrow transfer: .collect() deserializes array rows one by one
     # (measured ~50 s for 50k x 64-d); toPandas moves the same sample
-    # in Arrow batches in ~1 s
-    pdf = sample.select(vec_col).limit(max_rows).toPandas()
+    # in Arrow batches in ~1 s.  The overflow cut is ordered by
+    # (xxhash64(id), id) — a deterministic total order, so the trained
+    # codebooks are identical across partition layouts even when the
+    # limit binds (orderBy+limit = TakeOrderedAndProject: per-task
+    # heaps, never a full sort shuffle).
+    pdf = (
+        sample.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy("__h", "__i")
+        .limit(max_rows)
+        .select(vec_col)
+        .toPandas()
+    )
     mat = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
     dim = mat.shape[1]
     if dim % m != 0:
@@ -309,9 +323,14 @@ def pq_topk(
     scan = encoded
     if allowed_ids is not None:
         scan = scan.filter(F.col(id_col).isin([int(i) for i in allowed_ids]))
+    # .distinct(): the codes table may hold duplicate vec_id rows (a
+    # re-appended batch, an at-least-once streaming retry); without the
+    # dedup the broadcast join below would emit the id twice into the
+    # final top-k.  Bounded rows (<= k*refine) — cheap, same guard
+    # ivf_pq_topk applies for spill-redundant cell assignment.
     cand = pq_candidates(
         scan, model, query_vector, k * refine_factor, id_col=id_col
-    )
+    ).distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (
         original.join(F.broadcast(cand), id_col)
@@ -503,10 +522,13 @@ def pq_batch_candidates(
     )
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
+    # .distinct(): duplicate vec_id rows in the codes table (re-append
+    # / streaming retry) must not surface the same candidate twice per
+    # query — bounded rows (|Q| * n_candidates), cheap
     return rank_topk_per_query(
         scored, n_candidates, id_col=id_col, query_id_col="query_id",
         score_col="adc_score", num_salts=1,
-    ).select("query_id", id_col)
+    ).select("query_id", id_col).distinct()
 
 
 def pq_batch_topk(

@@ -666,8 +666,41 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
     return encoded, centroids, model, meta
 
 
+def _batch_already_committed(
+    spark: SparkSession, path: str, batch_id: int | None
+) -> bool:
+    """True when ``batch_id`` is recorded in the index's ``_batches``
+    commit log (tiny parquet, one row per applied batch).  foreachBatch
+    is at-least-once — a failed-then-retried micro-batch re-delivers
+    the same (batch_id, rows), and a blind append would double-insert
+    its vec_ids.  The log check is the O(1) fast path; callers without
+    a batch_id fall back to the vec_id anti-join."""
+    if batch_id is None:
+        return False
+    log_path = os.path.join(path, "_batches")
+    try:
+        seen = spark.read.parquet(log_path)
+    except Exception:
+        return False
+    return (
+        seen.filter(F.col("batch_id") == int(batch_id)).limit(1).count() > 0
+    )
+
+
+def _record_batch(spark: SparkSession, path: str, batch_id: int | None) -> None:
+    if batch_id is None:
+        return
+    spark.createDataFrame(
+        [(int(batch_id),)], "batch_id long"
+    ).write.mode("append").parquet(os.path.join(path, "_batches"))
+
+
 def pq_append_to_index(
-    spark: SparkSession, path: str, new_rows: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    batch_id: int | None = None,
+    dedup_ids: bool = True,
 ) -> dict:
     """Incremental insert into a persisted PQ index: encode the new
     rows under the EXISTING codebooks and append their files to the
@@ -689,13 +722,27 @@ def pq_append_to_index(
         pq_reconstruction_mse,
     )
 
-    _, model, meta = load_pq_index(spark, path)
-    batch_mse = pq_reconstruction_mse(new_rows, model)
-    pq_encode(new_rows, model).write.mode("append").parquet(
-        os.path.join(path, "codes")
+    if _batch_already_committed(spark, path, batch_id):
+        return {"appended_rows": 0, "skipped_replay": True}
+    existing, model, meta = load_pq_index(spark, path)
+    if dedup_ids:
+        # insert-new-only contract: an id already in the codes table
+        # is skipped (updates go through rebuild), so an at-least-once
+        # redelivery without a batch_id is still idempotent
+        new_rows = new_rows.join(
+            existing.select("vec_id"), on="vec_id", how="left_anti"
+        )
+    n_appended = new_rows.count()
+    batch_mse = (
+        pq_reconstruction_mse(new_rows, model) if n_appended else None
     )
+    if n_appended:
+        pq_encode(new_rows, model).write.mode("append").parquet(
+            os.path.join(path, "codes")
+        )
+    _record_batch(spark, path, batch_id)
     return {
-        "appended_rows": new_rows.count(),
+        "appended_rows": n_appended,
         "batch_mse": batch_mse,
         "m": meta["m"],
         "ks": meta["ks"],
@@ -703,7 +750,11 @@ def pq_append_to_index(
 
 
 def ivf_pq_append_to_index(
-    spark: SparkSession, path: str, new_rows: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    batch_id: int | None = None,
+    dedup_ids: bool = True,
 ) -> dict:
     """Incremental insert into a persisted IVF-PQ index: assign new
     rows under the existing centroids, encode under the existing
@@ -718,7 +769,13 @@ def ivf_pq_append_to_index(
         pq_reconstruction_mse,
     )
 
-    _, centroids, model, meta = load_ivf_pq_index(spark, path)
+    if _batch_already_committed(spark, path, batch_id):
+        return {"appended_rows": 0, "touched_cells": [], "skipped_replay": True}
+    existing, centroids, model, meta = load_ivf_pq_index(spark, path)
+    if dedup_ids:
+        new_rows = new_rows.join(
+            existing.select("vec_id"), on="vec_id", how="left_anti"
+        )
     cents = centroids.orderBy("cell_id").collect()
     C = np.array([r["centroid"] for r in cents], dtype=np.float64)
     cell_ids = np.array([r["cell_id"] for r in cents])
@@ -728,17 +785,23 @@ def ivf_pq_append_to_index(
     assigned = new_rows.withColumn(
         "cell_id", F.explode(assign(F.col("embedding")))
     )
-    batch_mse = pq_reconstruction_mse(new_rows, model)
-    codes = pq_encode(new_rows, model)
-    out = assigned.select("vec_id", "cell_id").join(codes, on="vec_id")
-    touched = sorted(
-        r["cell_id"] for r in out.select("cell_id").distinct().collect()
+    n_appended = new_rows.count()
+    batch_mse = (
+        pq_reconstruction_mse(new_rows, model) if n_appended else None
     )
-    out.write.mode("append").partitionBy("cell_id").parquet(
-        os.path.join(path, "codes")
-    )
+    touched: list = []
+    if n_appended:
+        codes = pq_encode(new_rows, model)
+        out = assigned.select("vec_id", "cell_id").join(codes, on="vec_id")
+        touched = sorted(
+            r["cell_id"] for r in out.select("cell_id").distinct().collect()
+        )
+        out.write.mode("append").partitionBy("cell_id").parquet(
+            os.path.join(path, "codes")
+        )
+    _record_batch(spark, path, batch_id)
     return {
-        "appended_rows": new_rows.count(),
+        "appended_rows": n_appended,
         "touched_cells": touched,
         "batch_mse": batch_mse,
     }

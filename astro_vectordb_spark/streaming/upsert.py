@@ -160,10 +160,16 @@ def stream_pq_ingest(
 
         if batch_df.isEmpty():
             return
-        rep = pq_append_to_index(spark, index_path, batch_df)
+        # batch_id makes a redelivered micro-batch a no-op (the append
+        # keeps a tiny _batches commit log) — foreachBatch is
+        # at-least-once, and a blind append would double-insert
+        rep = pq_append_to_index(
+            spark, index_path, batch_df, batch_id=int(batch_id)
+        )
+        mse = rep.get("batch_mse")
         print(
-            f"{query_name} batch {batch_id}: +{rep['appended_rows']} rows, "
-            f"batch_mse={rep['batch_mse']:.5f}"
+            f"{query_name} batch {batch_id}: +{rep['appended_rows']} rows"
+            + (f", batch_mse={mse:.5f}" if mse is not None else " (replay)")
         )
 
     writer = (

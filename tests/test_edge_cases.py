@@ -169,6 +169,27 @@ class TestAsofJoin:
         assert out[2].value_r is None   # 60 min gap: voided
         assert out[3].value_r == 30.0   # 0 gap
 
+    def test_tolerance_subsecond_precision(self, spark):
+        # a match 1500 ms stale must be voided by a 1 s horizon —
+        # whole-second truncation (unix_timestamp) would floor the gap
+        # to 1 s and let it survive
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import asof_join
+
+        left = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10, 0, 1, 500_000), 7, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        right = spark.createDataFrame(
+            [(301, datetime(2024, 1, 1, 10, 0, 0), 7, 5.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        voided = asof_join(left, right, tolerance_seconds=1).first()
+        assert voided.value_r is None
+        kept = asof_join(left, right, tolerance_seconds=2).first()
+        assert kept.value_r == 5.0
+
     def test_equal_ts_ties_take_max_tiebreak(self, spark):
         from datetime import datetime
 

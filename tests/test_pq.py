@@ -434,6 +434,70 @@ class TestPqAppend:
         # ordering, pinned with margin
         assert mse_off > mse_in * 1.25
 
+    def test_append_idempotent_replay(self, corpus, model, tmp_path):
+        # at-least-once redelivery: same batch_id is a no-op via the
+        # _batches commit log; same vec_ids without a batch_id are a
+        # no-op via the anti-join insert-new-only contract
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            pq_append_to_index,
+            save_pq_index,
+        )
+
+        df, pts = corpus
+        spark = df.sparkSession
+        path = str(tmp_path / "pq_idem")
+        save_pq_index(pq_encode(df, model), model, path)
+        new = spark.createDataFrame(
+            [(40_000 + i, [float(x) for x in pts[2]]) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        rep1 = pq_append_to_index(spark, path, new, batch_id=7)
+        assert rep1["appended_rows"] == 3
+        # replayed batch_id: fast-path skip, nothing re-read
+        rep2 = pq_append_to_index(spark, path, new, batch_id=7)
+        assert rep2["appended_rows"] == 0 and rep2.get("skipped_replay")
+        # same ids, new batch_id: anti-join drops them all
+        rep3 = pq_append_to_index(spark, path, new, batch_id=8)
+        assert rep3["appended_rows"] == 0
+        enc2, model2, _ = load_pq_index(spark, path)
+        assert enc2.count() == N + 3
+        assert enc2.filter("vec_id >= 40000").count() == 3
+        # and the search surface holds exactly one row per id
+        got = pq_topk(
+            enc2, df.unionByName(new), [float(x) for x in pts[2]], 8, model2
+        ).toPandas()
+        assert got.vec_id.is_unique
+
+    def test_ivf_pq_append_idempotent_replay(self, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.sources.vault import (
+            ivf_pq_append_to_index,
+            load_ivf_pq_index,
+            save_ivf_pq_index,
+        )
+
+        df, pts = corpus
+        spark = df.sparkSession
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=1000
+        )
+        path = str(tmp_path / "ivfpq_idem")
+        save_ivf_pq_index(encoded, centroids, model, path)
+        new = spark.createDataFrame(
+            [(50_000, [float(x) for x in pts[5]])],
+            "vec_id long, embedding array<float>",
+        )
+        assert ivf_pq_append_to_index(spark, path, new, batch_id=3)[
+            "appended_rows"
+        ] == 1
+        rep = ivf_pq_append_to_index(spark, path, new, batch_id=3)
+        assert rep["appended_rows"] == 0 and rep.get("skipped_replay")
+        rep = ivf_pq_append_to_index(spark, path, new, batch_id=4)
+        assert rep["appended_rows"] == 0
+        enc2, _, _, _ = load_ivf_pq_index(spark, path)
+        assert enc2.filter("vec_id = 50000").count() == 1
+
 
 class TestFilteredPq:
     def test_allowed_ids_restrict_results(self, corpus, model):

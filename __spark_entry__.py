@@ -1008,6 +1008,126 @@ def _q_ann_hnsw_filtered(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# ANN recall gates — hash-checkable surfaces for the approximate paths.
+#
+# Each gate serves from the SAME persisted, seed-deterministic index the
+# rows-only query serves, but with a beam/probe/refine budget at which
+# the index must achieve FULL recall on the gate queries.  The gate then
+# exact-re-ranks the approximate candidates with the engine-side fold
+# expression — so its output equals the brute-force exact top-K (the
+# SQL-expressible side) if and only if every exact top-K id survived the
+# approximate search.  A regression in build wiring, persistence, or
+# serving shows up as a driver hash mismatch instead of a silent recall
+# drop that only pytest would see.  Reference: searchKNNOptimized
+# (hnsw.ts:241-299) — the flagship operator gets the flagship check.
+
+def _q_ann_hnsw_recall_gate(spark, sf_dir):
+    # persisted sharded HNSW at a full-recall beam (ef_search=400):
+    # approximate ids -> exact fold re-rank -> must equal exact batch
+    # top-10 for queries 0..2.
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+    from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+    graph, meta = load_hnsw_index(spark, hnsw_index_path(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(
+        graph, queries, k=10, m=meta["m"], metric=meta["metric"],
+        ef_search=400, clustered=meta["clustered_safe"],
+        index_cache_token=meta["cache_token"],
+    )
+    exact = (
+        hits.select("query_id", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "score",
+            similarity(F.col("embedding"), F.col("query_vec"), meta["metric"]),
+        )
+        .filter(F.col("score") > 0)
+    )
+    return rank_topk_per_query(exact, 10, num_salts=1).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_ann_pq_recall_gate(spark, sf_dir):
+    # persisted PQ index at a full-recall refine budget: the ADC scan
+    # must put every exact top-10 id inside the candidate set; stage 2
+    # re-ranks exactly, so the output equals the brute-force top-10.
+    from astro_vectordb_spark.operators.pq import pq_topk
+    from astro_vectordb_spark.sources.vault import load_pq_index
+
+    encoded, model, _ = load_pq_index(spark, pq_index_path(spark, sf_dir))
+    return pq_topk(
+        encoded, _emb(spark, sf_dir), _qvec(spark, sf_dir, 7), 10, model,
+        refine_factor=64,
+    )
+
+
+def _q_ann_ivf_recall_gate(spark, sf_dir):
+    # persisted IVF index at a full-recall probe budget: the probed
+    # cells must contain all exact top-10 ids; scoring inside is the
+    # exact fold expression.  nprobe=8 of 12 (spill-2) holds full
+    # recall at the driver scale; a sub-5k corpus of near-uniform
+    # vectors has no prunable cell structure, so the gate widens to
+    # k_cells-1 there instead of failing on scatter (deterministic:
+    # depends only on the corpus row count).
+    from astro_vectordb_spark.operators.ann import ivf_search
+    from astro_vectordb_spark.sources.vault import load_ivf_index
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids, _, meta = load_ivf_index(
+        spark, ivf_index_path(spark, sf_dir)
+    )
+    nprobe = 8 if emb.count() >= 5000 else meta["k_cells"] - 1
+    return ivf_search(
+        assigned, centroids, _qvec(spark, sf_dir, 3), k=10, nprobe=nprobe,
+        metric=meta["metric"],
+    ).select("vec_id", "score")
+
+
+def _q_ann_hnsw_filtered_recall_gate(spark, sf_dir):
+    # filtered approximate search at a full-recall beam: allowed-id
+    # set (label = 2) + exact fold re-rank must equal the filtered
+    # exact top-10.
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+    from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+    graph, meta = load_hnsw_index(spark, hnsw_index_path(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    allowed = [
+        r["vec_id"]
+        for r in emb.filter(F.col("label") == 2).select("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = hnsw_query_shards(
+        graph, queries, k=10, m=meta["m"], metric=meta["metric"],
+        ef_search=400, clustered=meta["clustered_safe"],
+        index_cache_token=meta["cache_token"], allowed_ids=allowed,
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _qvec(spark, sf_dir, 5)])
+    return (
+        hits.select("vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn(
+            "score", similarity(F.col("embedding"), qv, meta["metric"])
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _q_bm25_indexed(spark, sf_dir):
     # the lexical-INDEX path: pre-built term stats (persisted in a real
     # deployment; built inline here) price the query terms with a
@@ -1217,6 +1337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
         "near_dup_native_exactdup": _q_near_dup_native_exactdup,
+        # round-7 ANN recall gates: hash-checkable surfaces for the
+        # approximate index paths (previously rows-only SKIPs)
+        "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
+        "ann_pq_recall_gate": _q_ann_pq_recall_gate,
+        "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
+        "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
         # round-6 operator families go INSIDE the driver's 50-entry
         # correctness window: the retrieval stack and curation ops are
         # new and benefit most from the hard driver signal
@@ -2268,6 +2394,32 @@ FROM events
 GROUP BY event_type
 """,
         "filtered_topk": _topk_oracle(
+            5, 0.0, 10, cos, extra_where="WHERE e.label = 2"
+        ),
+        # ANN recall gates: the approximate path (persisted index at a
+        # full-recall budget) exact-re-ranks its candidates, so its
+        # output must EQUAL the brute-force exact top-K — the oracle is
+        # the plain exact-search SQL, and a hash mismatch means the
+        # index lost recall.
+        "ann_hnsw_recall_gate": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS s
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored WHERE s > 0.0
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+""",
+        "ann_pq_recall_gate": _topk_oracle(7, 0.0, 10, cos),
+        "ann_ivf_recall_gate": _topk_oracle(3, 0.0, 10, cos),
+        "ann_hnsw_filtered_recall_gate": _topk_oracle(
             5, 0.0, 10, cos, extra_where="WHERE e.label = 2"
         ),
         "bm25_topk": f"""

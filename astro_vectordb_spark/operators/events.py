@@ -15,6 +15,8 @@ skew beyond the busiest user.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -206,7 +208,8 @@ def range_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     ts_col: str = "ts",
-    bucket_minutes: int = 60,
+    bucket_minutes: int | None = None,
+    replication_cap: int = 256,
 ) -> DataFrame:
     """Point-in-interval join (the brief's other named custom
     operator): match every point row to the interval rows of the same
@@ -224,8 +227,40 @@ def range_join(
 
     Output: all interval columns + the matched point's ``ts`` and
     value columns (inner join; unmatched intervals drop).
+
+    ``bucket_minutes=None`` (default) auto-tunes the bin width from
+    the interval-duration distribution: one cheap aggregate takes the
+    median duration and sets ``bucket = median / 2`` (so a typical
+    interval explodes to ~3 bins), floored at 1 minute.  A fixed
+    caller knob silently explodes when durations are far from the
+    knob — multi-day intervals at the old 60-minute default cost
+    O(days*24) replicas each.  ``replication_cap`` bounds the worst
+    interval: if the LONGEST duration would exceed the cap at the
+    chosen width, the bucket widens to ``max_duration /
+    replication_cap`` (wider bins = more false candidates for the
+    residual filter, never wrong results) and a warning names the
+    culprit numbers.  An explicit ``bucket_minutes`` is respected
+    as-is with no extra pass over the intervals.
     """
-    bucket_sec = bucket_minutes * 60
+    dur = F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+    if bucket_minutes is None:
+        stats = intervals.agg(
+            F.percentile_approx(dur, 0.5).alias("med"),
+            F.max(dur).alias("mx"),
+        ).first()
+        med = max(int(stats["med"] or 60), 1)
+        mx = max(int(stats["mx"] or 60), 1)
+        bucket_sec = max(60, med // 2)
+        if mx // bucket_sec + 1 > replication_cap:
+            bucket_sec = -(-mx // replication_cap)  # ceil
+            warnings.warn(
+                f"range_join: max interval duration {mx}s would explode to "
+                f">{replication_cap} bins at the median-derived bucket; "
+                f"widening bucket to {bucket_sec}s",
+                stacklevel=2,
+            )
+    else:
+        bucket_sec = bucket_minutes * 60
     ib = intervals.withColumn(
         "__bin",
         F.explode(

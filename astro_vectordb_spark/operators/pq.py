@@ -531,6 +531,151 @@ def pq_batch_candidates(
     ).select("query_id", id_col).distinct()
 
 
+def _adc_luts(
+    codebooks: np.ndarray, metric: str, dsub: int, Q: np.ndarray
+) -> np.ndarray:
+    """(nq, m, ks) LUT tensor for a query BATCH — the worker-side
+    vectorized twin of ``_adc_lut`` (no PQModel object needed, so it
+    runs off the broadcast codebook tuple inside a task)."""
+    m = len(codebooks)
+    Qp = _prep(Q, metric)
+    nq = Qp.shape[0]
+    ks = codebooks[0].shape[0]
+    lut = np.empty((nq, m, ks), dtype=np.float64)
+    for j in range(m):
+        qs = Qp[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        cb = codebooks[j].astype(np.float64)  # (ks, dsub)
+        if metric in ("cosine", "dot"):
+            lut[:, j, :] = qs @ cb.T
+        elif metric == "euclidean":
+            # -||q_j - c||^2 = 2 q.c - ||c||^2 - ||q_j||^2
+            lut[:, j, :] = (
+                2.0 * (qs @ cb.T)
+                - (cb * cb).sum(axis=1)[None, :]
+                - (qs * qs).sum(axis=1)[:, None]
+            )
+        else:
+            raise ValueError(f"unknown metric: {metric}")
+    return lut
+
+
+def pq_batch_topk_cogrouped(
+    encoded: DataFrame,
+    original: DataFrame,
+    queries: DataFrame,
+    k: int,
+    model: PQModel,
+    refine_factor: int = 32,
+    strength: float = 0.0,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch PQ search WITHOUT driver-side query materialization — the
+    very-large-|Q| face (``pq_batch_topk`` collects the query set to
+    build one LUT tensor; past ~1e6 queries that single machine is the
+    bottleneck).  Mirrors ``hnsw_query_shards_cogrouped``.
+
+    Shape: the compact codes table is hash-blocked on id, queries are
+    replicated once per block (|Q| x n_blocks rows — data-parallel, no
+    single-machine copy), and a cogroup pairs each block's codes with
+    its full query slice; the task builds the slice's LUTs from raw
+    query vectors (tiny: m*ks*dsub flops per query) and emits the
+    block-local ADC top ``k*refine_factor`` per query.  The global
+    candidate cut and the exact re-rank are then identical to the
+    broadcast face, so both faces return bit-identical results (the
+    equivalence tests pin this).  Cost vs broadcast: one shuffle of
+    the m-bytes-per-vector codes table (not the float corpus) +
+    |Q| x n_blocks query replication, in exchange for unbounded |Q|.
+    The final joins are plain (AQE-planned) — no broadcast of the
+    candidate or query frames, which at large |Q| would not fit."""
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    spark = encoded.sparkSession
+    if n_blocks is None:
+        n_blocks = max(2, spark.sparkContext.defaultParallelism)
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+    )
+    n_local = k * refine_factor
+    codes_b = encoded.select(id_col, "pq_code").withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    q_rep = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(b,) for b in range(n_blocks)], "__blk int")
+        )
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
+
+    def _serve(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "adc_score": []}
+            ).astype(
+                {query_id_col: "int64", id_col: "int64", "adc_score": "float64"}
+            )
+        codebooks, metric, dsub = bc.value
+        m = len(codebooks)
+        luts = _adc_luts(
+            codebooks, metric, dsub,
+            np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64),
+        )
+        codes = np.stack(cpdf["pq_code"].to_numpy()).astype(np.int32) + 128
+        ids = cpdf[id_col].to_numpy()
+        qids = qpdf[query_id_col].to_numpy()
+        s = np.zeros((len(qids), len(ids)), dtype=np.float64)
+        for j in range(m):
+            s += luts[:, j, codes[:, j]]
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = s[qi]
+            if len(row) > n_local:
+                keep = np.argpartition(-row, n_local - 1)[:n_local]
+            else:
+                keep = np.arange(len(row))
+            out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+            out_i.append(ids[keep])
+            out_s.append(row[keep])
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "adc_score": np.concatenate(out_s),
+            }
+        )
+
+    hits = (
+        codes_b.groupBy("__blk")
+        .cogroup(q_rep.groupBy("__blk"))
+        .applyInPandas(lambda left, right: _serve(left, right), out_schema)
+    )
+    # global candidate cut: same (score desc, id asc) order as
+    # pq_batch_candidates -> identical candidate sets to the broadcast
+    # face; prereduce (num_salts) keeps the exchange at
+    # |partitions| x |Q| x n rows
+    cand = rank_topk_per_query(
+        hits, n_local, id_col=id_col, query_id_col=query_id_col,
+        score_col="adc_score", num_salts=8,
+    ).select(query_id_col, id_col).distinct()
+    exact = (
+        original.join(cand, id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
+        .withColumn(
+            score_col,
+            similarity(F.col(vec_col), F.col(query_vec_col), model.metric),
+        )
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+    )
+    return rank_topk_per_query(
+        exact, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=8,
+    )
+
+
 def pq_batch_topk(
     encoded: DataFrame,
     original: DataFrame,

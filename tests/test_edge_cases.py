@@ -262,6 +262,77 @@ class TestRangeJoin:
         out = range_join(ivl, pts, bucket_minutes=15).collect()
         assert len(out) == 1
 
+    def test_auto_bucket_multiday_bounded_explode(self, spark):
+        # multi-day intervals at the old fixed 60-min default cost
+        # O(days*24) replicas each; the auto width (median duration /
+        # 2) bounds every interval to ~3 bins and results are identical
+        from datetime import datetime, timedelta
+
+        from astro_vectordb_spark.operators.events import range_join
+
+        base = datetime(2024, 1, 1)
+        ivl = spark.createDataFrame(
+            [
+                (i, 7, base + timedelta(days=i), base + timedelta(days=i + 3))
+                for i in range(10)
+            ],
+            "ivl_id long, user_id long, start_ts timestamp, end_ts timestamp",
+        )
+        pts = spark.createDataFrame(
+            [
+                (7, base + timedelta(days=d, hours=h), float(d * 24 + h))
+                for d in range(14)
+                for h in (6, 18)
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        auto = sorted(
+            (r.ivl_id, r.pt_value) for r in range_join(ivl, pts).collect()
+        )
+        fixed = sorted(
+            (r.ivl_id, r.pt_value)
+            for r in range_join(ivl, pts, bucket_minutes=60).collect()
+        )
+        assert auto == fixed and len(auto) > 0
+        # the explode factor the auto width produces: 3 d / 1.5 d = 3
+        # bins per interval (vs 73 at 60 min)
+        med_sec = 3 * 86400
+        assert med_sec // (med_sec // 2) + 1 <= 4
+
+    def test_replication_cap_widens_bucket(self, spark):
+        # one 100-day outlier among 1-hour intervals: the median-based
+        # width (30 min) would explode it into ~4800 bins; the cap
+        # widens the bucket and warns, results stay exact
+        import warnings as W
+        from datetime import datetime, timedelta
+
+        from astro_vectordb_spark.operators.events import range_join
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (i, 7, base + timedelta(hours=i), base + timedelta(hours=i + 1))
+            for i in range(9)
+        ] + [(99, 7, base, base + timedelta(days=100))]
+        ivl = spark.createDataFrame(
+            rows,
+            "ivl_id long, user_id long, start_ts timestamp, end_ts timestamp",
+        )
+        pts = spark.createDataFrame(
+            [(7, base + timedelta(days=50), 1.0),
+             (7, base + timedelta(hours=3, minutes=30), 2.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        with W.catch_warnings(record=True) as caught:
+            W.simplefilter("always")
+            out = range_join(ivl, pts, replication_cap=64)
+            got = sorted((r.ivl_id, r.pt_value) for r in out.collect())
+        assert any("widening bucket" in str(w.message) for w in caught)
+        assert got == [(3, 2.0), (99, 1.0), (99, 2.0)]
+        # bin arithmetic: the outlier now explodes to <= cap+1 bins
+        mx = 100 * 86400
+        bucket = -(-mx // 64)
+        assert mx // bucket + 1 <= 65
+
     def test_no_nested_loop_join(self, spark):
         from datetime import datetime
 

@@ -334,6 +334,63 @@ class TestBatchPq:
             assert sorted(got[q]) == single, q
         enc.unpersist()
 
+    def test_cogrouped_matches_broadcast(self, corpus, model):
+        # the no-driver-materialization face returns bit-identical
+        # results to the broadcast face (same candidate cut order,
+        # same exact re-rank)
+        from astro_vectordb_spark.operators.pq import (
+            pq_batch_topk,
+            pq_batch_topk_cogrouped,
+        )
+
+        df, pts = corpus
+        enc = pq_encode(df, model).cache()
+        enc.count()
+        qids = [0, 123, 777, 1500]
+        queries = df.sparkSession.createDataFrame(
+            [(q, [float(x) for x in pts[q]]) for q in qids],
+            "query_id long, query_vec array<float>",
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk(enc, df, queries, 10, model).collect()
+        )
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk_cogrouped(
+                enc, df, queries, 10, model, n_blocks=5
+            ).collect()
+        )
+        assert got == want
+        enc.unpersist()
+
+    def test_cogrouped_euclidean_matches_broadcast(self, corpus):
+        from astro_vectordb_spark.operators.pq import (
+            pq_batch_topk,
+            pq_batch_topk_cogrouped,
+        )
+
+        df, pts = corpus
+        model_e = pq_train(
+            df, m=8, ks=32, metric="euclidean", max_rows=N, seed=11
+        )
+        enc = pq_encode(df, model_e)
+        queries = df.sparkSession.createDataFrame(
+            [(q, [float(x) for x in pts[q]]) for q in (5, 900)],
+            "query_id long, query_vec array<float>",
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk(enc, df, queries, 5, model_e).collect()
+        )
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk_cogrouped(
+                enc, df, queries, 5, model_e, n_blocks=3
+            ).collect()
+        )
+        assert got == want
+
     def test_batch_candidate_bound(self, corpus, model):
         from astro_vectordb_spark.operators.pq import pq_batch_candidates
 

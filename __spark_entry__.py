@@ -1204,6 +1204,18 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    # fuzzy decontamination: MinHash-banded Jaccard vs the benchmark
+    # set catches paraphrased leakage that exact-gram membership
+    # misses; the SQL-safe hash family keeps the whole pipeline
+    # oracle-replayable.  Benchmark side broadcast, corpus linear.
+    from astro_vectordb_spark.operators.curation import decontaminate_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_fuzzy(docs, bench, threshold=0.5)
+
+
 def _q_dup_rate_by_source(spark, sf_dir):
     # which ingestion sources feed duplicates: exact-fingerprint
     # distinct counts per source, integer math throughout.
@@ -1293,6 +1305,18 @@ def _q_redact_pii(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+def _q_pack_strict(spark, sf_dir):
+    # capacity-strict packing: greedy next-fit per bucket — no pack
+    # exceeds the token budget (vs pack_sequences' contiguous fill,
+    # which lets one straddling doc overflow).  The id-ordered greedy
+    # is deterministic, so the oracle replays it with a recursive CTE.
+    from astro_vectordb_spark.operators.curation import pack_documents_strict
+
+    return pack_documents_strict(
+        _docs(spark, sf_dir), max_tokens=200, n_buckets=8
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sequence packing for LLM training: contiguous fill within
     # independent hash-bucket streams (per-bucket window cumsum — no
@@ -1343,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall_gate": _q_ann_pq_recall_gate,
         "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
         "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
+        "pack_strict": _q_pack_strict,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         # round-6 operator families go INSIDE the driver's 50-entry
         # correctness window: the retrieval stack and curation ops are
         # new and benefit most from the hard driver signal
@@ -2628,6 +2654,86 @@ SELECT doc_id, bucket,
   floor(start_offset / 200.0)::BIGINT AS pack_id,
   n_tokens, start_offset
 FROM off
+""",
+        # same SQL-safe minhash family as near_dup_minhash_sql, with
+        # the benchmark side (doc_id % 97 = 0) as the band-join probe
+        "decontaminate_fuzzy": f"""
+WITH {_shingle_cte()},
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s ->
+      list_reduce(
+        list_transform(generate_series(1, len(s)), i -> ord(s[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id, shingles,
+    list_transform(generate_series(0, 31), i ->
+      list_min(list_transform(h, x -> ((2*i+1) * x + 7919*i) % 2147483647))) AS s
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+    list_reduce(
+      list_prepend(0::BIGINT, s[b.b*2+1 : b.b*2+2]),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT d.doc_id, bb.doc_id AS bench_id
+  FROM bands d JOIN bands bb
+    ON d.band_idx = bb.band_idx AND d.band_sig = bb.band_sig
+  WHERE bb.doc_id % 97 = 0
+),
+verified AS (
+  SELECT c.doc_id,
+    round(
+      len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))), 6) AS j
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_id
+  JOIN sh sb ON sb.doc_id = c.bench_id
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_matches, max(j) AS mx
+  FROM verified WHERE j >= 0.5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_matches, 0)::BIGINT AS n_matches,
+       coalesce(h.mx, 0.0) AS max_jaccard,
+       coalesce(h.n_matches, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        # strict next-fit greedy, replayed sequentially per bucket:
+        # the recursive CTE advances every bucket in rn-lockstep,
+        # carrying (pack_id, fill) exactly like the Spark per-bucket
+        # counters
+        "pack_strict": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, (doc_id % 8)::INT AS bucket,
+         len({_TOKS})::BIGINT AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_id,
+         n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN p.fill + s.n_tokens > 200
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill + s.n_tokens > 200
+              THEN s.n_tokens ELSE p.fill + s.n_tokens END
+  FROM seq s JOIN packed p ON s.bucket = p.bucket AND s.rn = p.rn + 1
+)
+SELECT doc_id, bucket, pack_id, n_tokens FROM packed
 """,
         "redact_pii": r"""
 WITH p AS (

@@ -332,6 +332,124 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents whose
+    token-``n``-gram shingle set has Jaccard >= ``threshold`` with ANY
+    benchmark document.  Exact-gram membership (``decontaminate``)
+    misses paraphrased leakage — a handful of substituted words breaks
+    every long gram while the document remains ~the benchmark item;
+    MinHash banding catches it at any edit density the threshold
+    admits.
+
+    Machinery is the SQL-safe MinHash family from
+    ``dedup.minhash_lsh_pairs_sql_safe`` (hash_i(s) = ((2i+1)·polyhash
+    + 7919i) mod 2^31-1, banded base-1000003 folds), so the whole
+    pipeline — signatures, bands, candidate buckets, exact-Jaccard
+    verification — is replayable by the DuckDB oracle.  The default
+    banding is RECALL-biased relative to dedup's (16 bands of 2 vs 8
+    of 4): a paraphrase worth catching sits near j~0.45, where r=2
+    banding catches ~97% per benchmark doc and r=4 only ~28%; the
+    false-candidate rate at j~0.01 stays ~0.2% and verification keeps
+    precision exact.
+
+    Scale shape: the benchmark side (bands and shingle sets) is
+    BROADCAST — benchmarks are small by construction; the corpus is
+    touched linearly (one shingle explode + ``num_hashes`` partial-MIN
+    aggregates) and candidates are verified exactly, so cost is
+    O(corpus + candidates), never a corpus-keyed-by-gram shuffle.
+
+    Output, one row per input doc: (id, n_matches, max_jaccard,
+    contaminated) where ``n_matches`` counts benchmark docs at or
+    above the threshold and ``max_jaccard`` is 0.0 for clean docs.
+    """
+    from astro_vectordb_spark.functions.text import word_shingles
+    from astro_vectordb_spark.operators.dedup import (
+        BAND_BASE,
+        POLY_MOD,
+        _char_poly_hash,
+    )
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def _banded(frame: DataFrame, out_id: str):
+        base = frame.select(
+            F.col(id_col).alias(out_id),
+            word_shingles(F.col(text_col), n).alias("_sh"),
+        )
+        ex = base.select(out_id, F.explode("_sh").alias("_s")).withColumn(
+            "_h", _char_poly_hash(F.col("_s"))
+        )
+        mins = ex.groupBy(out_id).agg(
+            *[
+                F.min(
+                    (F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i))
+                    % F.lit(POLY_MOD)
+                ).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        band_exprs = []
+        for b in range(bands):
+            acc = F.lit(0).cast("long")
+            for i in range(b * r, b * r + r):
+                acc = (acc * BAND_BASE + F.col(f"_h{i}")) % POLY_MOD
+            band_exprs.append(acc)
+        bd = mins.select(
+            out_id,
+            F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_sig"),
+        )
+        return base, bd
+
+    doc_sets, doc_bands = _banded(docs, id_col)
+    bench_sets, bench_bands = _banded(benchmark, "__bench_id")
+    cands = (
+        doc_bands.join(
+            F.broadcast(bench_bands), on=["band_idx", "band_sig"]
+        )
+        .select(id_col, "__bench_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("_sh", "_shb"))
+    union = F.size("_sh") + F.size("_shb") - inter
+    verified = (
+        cands.join(doc_sets, id_col)
+        .join(
+            F.broadcast(
+                bench_sets.withColumnRenamed("_sh", "_shb")
+            ),
+            "__bench_id",
+        )
+        .withColumn(
+            "_j", F.round(inter.cast("double") / union, 6)
+        )
+        .filter(F.col("_j") >= F.lit(float(threshold)))
+    )
+    hits = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("_j").alias("max_jaccard"),
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def pack_documents(
     df: DataFrame,
     max_tokens: int,
@@ -380,6 +498,75 @@ def pack_documents(
         .alias("pack_id"),
         "n_tokens",
         "start_offset",
+    )
+
+
+def pack_documents_strict(
+    df: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capacity-strict sequence packing: greedy next-fit per bucket —
+    a document that would overflow the running pack opens a new one,
+    so **no pack exceeds ``max_tokens``** (the hard budget training
+    loaders need) except a single oversized document, which next-fit
+    naturally isolates in its own pack (its fill already exceeds the
+    budget, so the following document always opens fresh).
+
+    Contrast with ``pack_documents``: the contiguous fill there is one
+    window cumsum (cheapest, fully closed-form) but lets one
+    straddling document overflow a pack; this strict variant pays a
+    sequential per-bucket pass for the hard guarantee.  Scale shape:
+    rows are hash-repartitioned by bucket and sorted within
+    partitions, then a ``mapInPandas`` pass streams each partition in
+    Arrow batches keeping ONE (pack_id, fill) counter per bucket —
+    no whole-bucket materialization, memory is O(batch +
+    buckets-per-partition).  Buckets are independent streams, so the
+    corpus never serializes through a single partition; size
+    ``n_buckets`` so corpus/n_buckets stays a sane task width.
+
+    The greedy is id-ordered and deterministic — the DuckDB oracle
+    replays it exactly with a recursive CTE (driver query
+    ``pack_strict``).  Output: (id, bucket, pack_id, n_tokens).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    toks = T.token_count(F.col(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    part = base.repartition(F.col("bucket")).sortWithinPartitions(
+        "bucket", id_col
+    )
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-bucket running state survives across Arrow batches of
+        # the same partition (the generator is one task)
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            packs = []
+            for b, n in zip(pdf["bucket"].to_numpy(), pdf["n_tokens"].to_numpy()):
+                pack_id, fill = state.get(int(b), (0, 0))
+                if fill > 0 and fill + int(n) > max_tokens:
+                    pack_id += 1
+                    fill = 0
+                fill += int(n)
+                state[int(b)] = (pack_id, fill)
+                packs.append(pack_id)
+            out = pdf[[id_col, "bucket", "n_tokens"]].copy()
+            out["pack_id"] = pd.Series(packs, index=pdf.index, dtype="int64")
+            yield out[[id_col, "bucket", "pack_id", "n_tokens"]]
+
+    return part.mapInPandas(
+        _pack, f"{id_col} long, bucket int, pack_id long, n_tokens long"
     )
 
 

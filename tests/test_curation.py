@@ -228,6 +228,183 @@ class TestPackDocuments:
         assert "SinglePartition" not in plan
 
 
+class TestDecontaminateFuzzy:
+    def _planted(self, spark, seed=3):
+        # 30 benchmark docs of 60 words; the corpus holds a ~12%-word-
+        # substituted paraphrase of each (every 8th word swapped) plus
+        # 60 unrelated docs
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        vocab = [f"tok{i}" for i in range(400)]
+        bench_rows, para_rows, clean_rows = [], [], []
+        for i in range(30):
+            words = [vocab[rng.randint(400)] for _ in range(60)]
+            bench_rows.append((1000 + i, " ".join(words)))
+            para = list(words)
+            for j in range(0, 60, 8):
+                para[j] = vocab[rng.randint(400)]
+            para_rows.append((i, " ".join(para)))
+        for i in range(60):
+            clean_rows.append(
+                (100 + i, " ".join(vocab[rng.randint(400)] for _ in range(60)))
+            )
+        docs = spark.createDataFrame(
+            para_rows + clean_rows, "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        return docs, bench
+
+    def test_catches_paraphrases_exact_misses(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            decontaminate,
+            decontaminate_fuzzy,
+        )
+
+        docs, bench = self._planted(spark)
+        fuzzy = decontaminate_fuzzy(docs, bench, threshold=0.3).toPandas()
+        flagged = set(fuzzy[fuzzy.contaminated].doc_id)
+        # >= 28/30 planted paraphrases caught (r=2 banding is ~97%
+        # per doc at this edit density; seed-deterministic), with
+        # full precision
+        assert len(flagged & set(range(30))) >= 28
+        assert not (flagged & set(range(100, 160)))
+        # the exact 8-gram sweep misses most of the same paraphrases
+        # (a swap every 8 words breaks every 8-gram run)
+        exact = decontaminate(docs, bench, n=8).toPandas()
+        exact_flagged = set(exact[exact.contaminated].doc_id) & set(range(30))
+        assert len(exact_flagged) < 10
+
+    def test_clean_corpus_all_zero(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            decontaminate_fuzzy,
+        )
+
+        docs, bench = self._planted(spark, seed=9)
+        clean_only = docs.filter(F.col("doc_id") >= 100)
+        out = decontaminate_fuzzy(clean_only, bench, threshold=0.3).toPandas()
+        assert not out.contaminated.any()
+        assert (out.n_matches == 0).all() and (out.max_jaccard == 0.0).all()
+
+    def test_benchmark_side_broadcast(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            decontaminate_fuzzy,
+        )
+
+        docs, bench = self._planted(spark)
+        plan = (
+            decontaminate_fuzzy(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPackStrict:
+    def test_next_fit_hard_budget(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            pack_documents_strict,
+        )
+
+        # token counts 50,80,90,30, budget 100: next-fit gives packs
+        # 0 (50), 1 (80), 2 (90), 2 (90+30 overflows? 90+30=120>100 ->
+        # pack 3) — wait: 50+80=130>100 so 80 opens pack 1; 80+90>100
+        # so 90 opens pack 2; 90+30=120>100 so 30 opens pack 3
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["w"] * 50)),
+                (1, " ".join(["w"] * 80)),
+                (2, " ".join(["w"] * 90)),
+                (3, " ".join(["w"] * 30)),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            int(r.doc_id): r
+            for r in pack_documents_strict(
+                docs, max_tokens=100, n_buckets=1
+            ).collect()
+        }
+        assert [out[i].pack_id for i in range(4)] == [0, 1, 2, 3]
+
+    def test_property_no_pack_exceeds_budget(self, spark):
+        import numpy as np
+
+        from astro_vectordb_spark.operators.curation import (
+            pack_documents_strict,
+        )
+
+        rng = np.random.RandomState(5)
+        sizes = rng.randint(1, 90, size=200)
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * int(s))) for i, s in enumerate(sizes)],
+            "doc_id long, text string",
+        )
+        out = pack_documents_strict(docs, max_tokens=128, n_buckets=8)
+        agg = (
+            out.groupBy("bucket", "pack_id")
+            .agg(F.sum("n_tokens").alias("tot"))
+            .toPandas()
+        )
+        # no doc exceeds the budget -> NO pack may exceed it
+        assert (agg.tot <= 128).all()
+        # and every doc is packed exactly once
+        assert out.count() == 200
+
+    def test_oversized_doc_isolated(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            pack_documents_strict,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["w"] * 40)),
+                (1, " ".join(["w"] * 500)),  # oversized
+                (2, " ".join(["w"] * 40)),
+            ],
+            "doc_id long, text string",
+        )
+        out = pack_documents_strict(
+            docs, max_tokens=100, n_buckets=1
+        ).toPandas().set_index("doc_id")
+        # the oversized doc sits alone; neighbors are unaffected
+        assert out.loc[1, "pack_id"] not in (
+            out.loc[0, "pack_id"], out.loc[2, "pack_id"],
+        )
+        packmates = out[out.pack_id == out.loc[1, "pack_id"]]
+        assert len(packmates) == 1
+
+    def test_matches_sequential_reference(self, spark):
+        import numpy as np
+
+        from astro_vectordb_spark.operators.curation import (
+            pack_documents_strict,
+        )
+
+        rng = np.random.RandomState(11)
+        sizes = rng.randint(1, 120, size=150)
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * int(s))) for i, s in enumerate(sizes)],
+            "doc_id long, text string",
+        )
+        got = (
+            pack_documents_strict(docs, max_tokens=150, n_buckets=4)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        # plain-python replay of the same greedy
+        state = {}
+        for i in range(150):
+            b = i % 4
+            pack, fill = state.get(b, (0, 0))
+            n = int(sizes[i])
+            if fill > 0 and fill + n > 150:
+                pack, fill = pack + 1, 0
+            fill += n
+            state[b] = (pack, fill)
+            row = got[got.doc_id == i].iloc[0]
+            assert (int(row.bucket), int(row.pack_id)) == (b, pack), i
+
+
 class TestRedactPii:
     def test_categories_and_order(self, spark):
         from astro_vectordb_spark.operators.curation import redact_pii

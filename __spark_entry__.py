@@ -1129,17 +1129,26 @@ def _q_ann_hnsw_filtered_recall_gate(spark, sf_dir):
 
 
 def _q_bm25_indexed(spark, sf_dir):
-    # the lexical-INDEX path: pre-built term stats (persisted in a real
-    # deployment; built inline here) price the query terms with a
-    # |terms|-row lookup, so the per-query plan is ONE corpus scan.
-    # Scores are expression-identical to bm25_topk -> same oracle.
+    # the lexical-INDEX path served from an APPENDED index: stats are
+    # built on the even-id half, then the odd half merges in via
+    # bm25_append_stats (additive df counts, exact integer totals) —
+    # so the green hash also certifies append == rebuild.  The query
+    # prices its terms with a |terms|-row lookup; the per-query plan
+    # is ONE corpus scan.  Scores are expression-identical to
+    # bm25_topk -> same oracle.
     from astro_vectordb_spark.operators.keyword import (
+        bm25_append_stats,
         bm25_term_stats,
         bm25_topk_indexed,
     )
 
     docs = _docs(spark, sf_dir)
-    term_stats, corpus_stats = bm25_term_stats(docs)
+    term_stats, corpus_stats = bm25_term_stats(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    term_stats, corpus_stats = bm25_append_stats(
+        term_stats, corpus_stats, docs.filter(F.col("doc_id") % 2 == 1)
+    )
     return bm25_topk_indexed(
         docs, term_stats, corpus_stats, _BM25_TERMS, k=10
     )

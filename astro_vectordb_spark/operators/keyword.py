@@ -145,12 +145,61 @@ def bm25_term_stats(
     term_stats = (
         base.select(F.explode("_terms").alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
+    # total_dl is the mergeable form (exact integer sum): appends add
+    # batch totals and re-derive avgdl = total_dl / n, bit-identical
+    # to a full rebuild (integer sums < 2^53 are exact in doubles)
     corpus_stats = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dl").cast("long").alias("total_dl"),
+    ).select(
+        "n",
+        "total_dl",
+        (F.col("total_dl").cast("double") / F.col("n")).alias("avgdl"),
     )
     return term_stats, corpus_stats
+
+
+def bm25_append_stats(
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a new-document batch into existing BM25 statistics —
+    the lexical index's incremental-insert face (the PQ/IVF/HNSW
+    append family's pattern applied to term stats).
+
+    Document frequencies are ADDITIVE (df' = df + df_batch: a union +
+    one vocabulary-sized groupBy-sum), and the corpus stats merge from
+    exact integer totals (n' = n + n_batch, total_dl' = total_dl +
+    batch total, avgdl re-derived as total'/n') — so append-then-query
+    equals full-rebuild bit-for-bit (pinned by test).  Cost is
+    O(batch + vocabulary), the corpus is never rescanned.
+    """
+    new_ts, new_cs = bm25_term_stats(new_docs, id_col=id_col, text_col=text_col)
+    merged_terms = (
+        term_stats.select("term", "df")
+        .unionByName(new_ts)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    merged_corpus = (
+        corpus_stats.select("n", "total_dl")
+        .unionByName(new_cs.select("n", "total_dl"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        .select(
+            "n",
+            "total_dl",
+            (F.col("total_dl").cast("double") / F.col("n")).alias("avgdl"),
+        )
+    )
+    return merged_terms, merged_corpus
 
 
 def bm25_topk_indexed(

@@ -805,3 +805,77 @@ def ivf_pq_append_to_index(
         "touched_cells": touched,
         "batch_mse": batch_mse,
     }
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical index persistence — versioned manifest-swap tables, so a
+# stats merge (append) never races a concurrent query's read.
+
+def save_bm25_index(
+    term_stats: DataFrame, corpus_stats: DataFrame, path: str
+) -> None:
+    """Persist BM25 statistics (vocabulary-sized ``term_stats(term,
+    df)`` + 1-row ``corpus_stats(n, total_dl, avgdl)``) as versioned
+    tables (sources.versioned): appends commit a fresh version and
+    atomically swap the pointer, the same no-reader-races contract as
+    the vector sinks."""
+    from astro_vectordb_spark.sources.versioned import commit_version
+
+    commit_version(term_stats, os.path.join(path, "term_stats"), 0)
+    commit_version(corpus_stats, os.path.join(path, "corpus_stats"), 0)
+
+
+def load_bm25_index(spark: SparkSession, path: str):
+    """(term_stats, corpus_stats) live snapshots."""
+    from astro_vectordb_spark.sources.versioned import read_current
+
+    ts = read_current(spark, os.path.join(path, "term_stats"))
+    cs = read_current(spark, os.path.join(path, "corpus_stats"))
+    if ts is None or cs is None:
+        raise FileNotFoundError(f"no committed BM25 index at {path}")
+    return ts, cs
+
+
+def bm25_append_to_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental insert into a persisted BM25 index: merge the new
+    batch's term/corpus statistics (``keyword.bm25_append_stats`` —
+    additive df counts, exact integer totals) and commit the merged
+    tables as a new version.  The rewrite is VOCABULARY-sized, never
+    corpus-sized; ``batch_id`` makes at-least-once redelivery a no-op
+    via the same ``_batches`` commit log the PQ appends use."""
+    from astro_vectordb_spark.operators.keyword import bm25_append_stats
+    from astro_vectordb_spark.sources.versioned import (
+        commit_version,
+        current_version,
+    )
+
+    if _batch_already_committed(spark, path, batch_id):
+        return {"appended_docs": 0, "skipped_replay": True}
+    ts, cs = load_bm25_index(spark, path)
+    n_new = new_docs.count()
+    if n_new:
+        mts, mcs = bm25_append_stats(
+            ts, cs, new_docs, id_col=id_col, text_col=text_col
+        )
+        # materialize BEFORE the swap: the merge plan reads the live
+        # version the commit is about to replace
+        mts_rows = mts.cache()
+        mts_rows.count()
+        mcs_row = mcs.cache()
+        mcs_row.count()
+        v = int(
+            (current_version(os.path.join(path, "term_stats")) or "v0")[1:]
+        ) + 1
+        commit_version(mts_rows, os.path.join(path, "term_stats"), v)
+        commit_version(mcs_row, os.path.join(path, "corpus_stats"), v)
+        mts_rows.unpersist()
+        mcs_row.unpersist()
+    _record_batch(spark, path, batch_id)
+    return {"appended_docs": n_new}

@@ -180,3 +180,37 @@ def stream_pq_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_bm25_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_bm25_ingest",
+):
+    """Streaming ingest into a persisted BM25 lexical index: each
+    micro-batch of (doc_id, text) rows merges into the term/corpus
+    statistics (``vault.bm25_append_to_index`` — vocabulary-sized
+    versioned commit, additive df counts) — the same foreachBatch
+    one-batch-at-a-time shape as the vector-index ingests, with the
+    ``_batches`` log making redelivery a no-op."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from astro_vectordb_spark.sources.vault import bm25_append_to_index
+
+        if batch_df.isEmpty():
+            return
+        rep = bm25_append_to_index(
+            spark, index_path, batch_df, batch_id=int(batch_id)
+        )
+        print(f"{query_name} batch {batch_id}: +{rep['appended_docs']} docs")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -287,3 +287,84 @@ def test_score_fusion_weight_mismatch_raises(spark):
         score_fusion([a], [0.5, 0.5], k=3)
     with pytest.raises(ValueError):
         score_fusion([], [], k=3)
+
+
+class TestBm25Append:
+    def _corpus(self, spark, n=60, seed=4):
+        rng = np.random.RandomState(seed)
+        vocab = ["spark", "merge", "hash", "join", "scan", "sort",
+                 "filler", "words", "query", "index"]
+        rows = [
+            (i, " ".join(vocab[rng.randint(10)]
+                         for _ in range(rng.randint(3, 20))))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_append_equals_rebuild(self, spark):
+        # additive df counts + exact integer totals: appended stats
+        # are BIT-IDENTICAL to a full rebuild, so indexed queries off
+        # either are equal
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_append_stats,
+            bm25_term_stats,
+            bm25_topk_indexed,
+        )
+
+        docs = self._corpus(spark)
+        full_ts, full_cs = bm25_term_stats(docs)
+        part_ts, part_cs = bm25_term_stats(docs.filter("doc_id < 30"))
+        app_ts, app_cs = bm25_append_stats(
+            part_ts, part_cs, docs.filter("doc_id >= 30")
+        )
+        want_terms = {r["term"]: r["df"] for r in full_ts.collect()}
+        got_terms = {r["term"]: r["df"] for r in app_ts.collect()}
+        assert got_terms == want_terms
+        want_cs = full_cs.first()
+        got_cs = app_cs.first()
+        assert (want_cs["n"], want_cs["total_dl"]) == (
+            got_cs["n"], got_cs["total_dl"],
+        )
+        assert want_cs["avgdl"] == got_cs["avgdl"]  # exact, not approx
+        terms = ["spark", "merge"]
+        want_q = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(
+                docs, full_ts, full_cs, terms, k=10
+            ).collect()
+        ]
+        got_q = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_indexed(
+                docs, app_ts, app_cs, terms, k=10
+            ).collect()
+        ]
+        assert got_q == want_q
+
+    def test_persisted_append_and_replay(self, spark, tmp_path):
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_append_to_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        path = str(tmp_path / "bm25_idx")
+        ts, cs = bm25_term_stats(docs.filter("doc_id < 30"))
+        save_bm25_index(ts, cs, path)
+        rep = bm25_append_to_index(
+            spark, path, docs.filter("doc_id >= 30"), batch_id=1
+        )
+        assert rep["appended_docs"] == 30
+        # replay: no-op via the _batches log
+        rep2 = bm25_append_to_index(
+            spark, path, docs.filter("doc_id >= 30"), batch_id=1
+        )
+        assert rep2.get("skipped_replay") and rep2["appended_docs"] == 0
+        ts2, cs2 = load_bm25_index(spark, path)
+        full_ts, full_cs = bm25_term_stats(docs)
+        assert {r["term"]: r["df"] for r in ts2.collect()} == {
+            r["term"]: r["df"] for r in full_ts.collect()
+        }
+        assert cs2.first()["total_dl"] == full_cs.first()["total_dl"]

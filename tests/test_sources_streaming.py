@@ -645,3 +645,50 @@ def test_stream_pq_ingest_live_index(spark, tmp_path):
     assert codes.filter("vec_id >= 100000").count() > 0
     row = codes.filter("vec_id >= 100000").first()
     assert len(row["pq_code"]) == 4
+
+
+def test_stream_bm25_ingest_merges_stats(spark, tmp_path):
+    """foreachBatch BM25 ingest: streamed docs merge into the persisted
+    term/corpus statistics via versioned commits."""
+    from astro_vectordb_spark.operators.keyword import bm25_term_stats
+    from astro_vectordb_spark.sources.vault import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from astro_vectordb_spark.streaming.upsert import stream_bm25_ingest
+
+    base = spark.createDataFrame(
+        [(i, "spark merge join") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25_stream_idx")
+    ts, cs = bm25_term_stats(base)
+    save_bm25_index(ts, cs, path)
+    n0 = cs.first()["n"]
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            (F.col("value") + 1_000).alias("doc_id"),
+            F.lit("hash scan sort").alias("text"),
+        )
+    )
+    q = stream_bm25_ingest(stream, path)
+    try:
+        deadline = time.time() + 40
+        grown = False
+        while time.time() < deadline:
+            time.sleep(3)
+            _, cs2 = load_bm25_index(spark, path)
+            if cs2.first()["n"] > n0:
+                grown = True
+                break
+    finally:
+        q.stop()
+    assert grown, "streamed docs never merged into the corpus stats"
+    ts2, cs2 = load_bm25_index(spark, path)
+    dfs = {r["term"]: r["df"] for r in ts2.collect()}
+    # new vocabulary present, old df counts intact
+    assert dfs.get("hash", 0) > 0 and dfs["spark"] == 20
+    row = cs2.first()
+    assert row["total_dl"] == 20 * 3 + (row["n"] - 20) * 3

@@ -201,6 +201,122 @@ def asof_join(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("value",),
+    tiebreak_col: str = "event_id",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_r",
+    time_buckets: int = 64,
+) -> DataFrame:
+    """As-of join for SKEWED keys: ``asof_join``'s single per-key
+    window is bounded by the busiest key — one Zipf-hot key serializes
+    its entire history through one task.  This variant salts the
+    window by TIME: rows split into ``time_buckets`` epoch ranges, the
+    as-of window runs per (key, bucket) — the hot key's history now
+    parallelizes across ``time_buckets`` tasks — and a second, tiny
+    window over per-(key, bucket) summaries (|keys| x buckets rows)
+    carries the last payload of earlier buckets into buckets whose
+    match lies before their own start.  Same output contract and
+    semantics as ``asof_join`` (equivalence pinned by randomized
+    test); two keyed shuffles instead of one.
+
+    Use when one key dominates; the plain single-window form is
+    cheaper when keys are balanced.
+    """
+    # bucket width from the observed ts range — two tiny aggs
+    b1 = left.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("mn"),
+        F.max(F.unix_timestamp(ts_col)).alias("mx"),
+    ).first()
+    b2 = right.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("mn"),
+        F.max(F.unix_timestamp(ts_col)).alias("mx"),
+    ).first()
+    mn = min(x for x in (b1["mn"], b2["mn"]) if x is not None)
+    mx = max(x for x in (b1["mx"], b2["mx"]) if x is not None)
+    bucket_sec = max(1, -(-(mx - mn + 1) // time_buckets))
+
+    def _bkt():
+        return F.floor(
+            (F.unix_timestamp(F.col(ts_col)) - F.lit(mn)) / F.lit(bucket_sec)
+        ).cast("long")
+
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        _bkt().alias("__bkt"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+        payload.alias("__rp"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+          for f in left.schema.fields],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        _bkt().alias("__bkt"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = (
+        r.unionByName(l)
+        .withColumn("__m0", F.last("__rp", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    # pass 2: per-(key, bucket) last right payload, then a tiny per-key
+    # window over bucket summaries gives each bucket its carry-in
+    summ = r.groupBy(on, "__bkt").agg(
+        F.max_by("__rp", F.struct(F.col(ts_col), F.col("__tb"))).alias("__rp")
+    )
+    lbuckets = l.select(on, "__bkt").distinct()
+    allb = lbuckets.join(summ, on=[on, "__bkt"], how="full_outer")
+    w2 = (
+        Window.partitionBy(on)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = allb.withColumn(
+        "__carry", F.last("__rp", ignorenulls=True).over(w2)
+    ).select(on, "__bkt", "__carry")
+    matched = (
+        in_bucket.join(carry, on=[on, "__bkt"], how="left")
+        .withColumn("__m", F.coalesce("__m0", "__carry"))
+    )
+    if tolerance_seconds is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m").isNotNull()
+                & (
+                    F.col(ts_col) - F.col("__m.__ts")
+                    <= F.expr(f"INTERVAL '{int(tolerance_seconds)}' SECOND")
+                ),
+                F.col("__m"),
+            ),
+        )
+    return matched.select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        F.col("__m.__ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
 def range_join(
     intervals: DataFrame,
     points: DataFrame,

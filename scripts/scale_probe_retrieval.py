@@ -1,0 +1,265 @@
+"""Retrieval-stack scaling probe: BM25 / hybrid / MaxSim at 1M docs,
+plus the cogrouped PQ batch face at 50k queries over 200k vectors.
+
+The 100 TB claim for the retrieval family is *scan-linearity*: BM25
+statistics build in one explode + map-side-combined groupBy; the
+indexed query prices terms from the stats table and touches the corpus
+with ONE zero-shuffle projection; hybrid fuses two bounded top-C
+lists; MaxSim reduces every document to one row per partition before
+its single tiny-row shuffle.  So 4x the docs should cost ~4x (modulo
+fixed overhead) for both build and warm query — there is no index
+structure whose maintenance could super-linearize.
+
+Embeddings here are CODEGEN-generated (xxhash64 arithmetic), not the
+stub hash embedder: the stub is a row-at-a-time Python md5 loop whose
+throughput (an external-model concern — real deployments embed on
+GPUs) would dominate every timing and hide the retrieval operators'
+own scaling, which is what this probe measures.  Vector tables are
+materialized to parquet once per size, outside the timed region.
+
+The PQ row exercises ``pq_batch_topk_cogrouped`` — the
+no-driver-materialization face — at a query volume (50k) where the
+broadcast face's driver collect is already a real cost, asserting it
+completes with full per-query results.
+
+Prints one JSON line; evidence artifact: SCALE_PROBE_RETRIEVAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.session import get_spark
+
+RATIO_CAP = 6.0  # 4x data, +50% headroom
+SIZES = (250_000, 1_000_000)
+TERMS = ["merge", "hash", "spark"]
+
+
+def timed(fn) -> float:
+    fn()
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+DIM = 16
+
+
+def _codegen_vec(*seed_cols) -> "F.Column":
+    """Deterministic unit-ish vector as pure codegen arithmetic —
+    no Python in the loop."""
+    return F.array(
+        *[
+            (F.pmod(F.xxhash64(*seed_cols, F.lit(i)), F.lit(2000)) - 1000)
+            .cast("float") / 1000.0
+            for i in range(DIM)
+        ]
+    )
+
+
+def main() -> None:
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_score_all,
+        bm25_term_stats,
+        bm25_topk_indexed,
+    )
+    from astro_vectordb_spark.operators.multivector import (
+        chunk_documents,
+        maxsim_topk,
+    )
+    from astro_vectordb_spark.operators.rerank import rrf_fuse
+    from astro_vectordb_spark.operators.topk import score_against
+
+    spark = get_spark("retrieval-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"sizes": list(SIZES), "ratio_cap": RATIO_CAP}
+    failures: list[str] = []
+
+    docs_src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    corpora, doc_vecs, chunk_vecs = {}, {}, {}
+    for n in SIZES:
+        reps = n // 5000
+        big = (
+            docs_src.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+                ).alias("text"),
+            )
+        )
+        path = f"/tmp/scale_ret/docs{n}"
+        big.repartition(32).write.mode("overwrite").parquet(path)
+        corpora[n] = spark.read.parquet(path)
+        # doc- and chunk-level vector tables, materialized outside the
+        # timed region (see module docstring)
+        vp = f"/tmp/scale_ret/vecs{n}"
+        corpora[n].select(
+            "doc_id", _codegen_vec(F.col("doc_id")).alias("embedding")
+        ).write.mode("overwrite").parquet(vp)
+        doc_vecs[n] = spark.read.parquet(vp)
+        cp = f"/tmp/scale_ret/cvecs{n}"
+        chunk_documents(corpora[n], chunk_tokens=20, stride=20).select(
+            "doc_id",
+            "chunk_id",
+            _codegen_vec(F.col("doc_id"), F.col("chunk_id")).alias("embedding"),
+        ).write.mode("overwrite").parquet(cp)
+        chunk_vecs[n] = spark.read.parquet(cp)
+
+    def ratio_entry(name, fn_by_n):
+        secs = {n: timed(fn_by_n(n)) for n in SIZES}
+        ratio = round(secs[SIZES[1]] / max(secs[SIZES[0]], 0.01), 2)
+        ok = ratio <= RATIO_CAP
+        out[name] = {
+            **{f"sec_{n}": s for n, s in secs.items()},
+            "ratio": ratio,
+            "linear_ok": ok,
+        }
+        if not ok:
+            failures.append(f"{name} ratio {ratio} > {RATIO_CAP}")
+
+    # BM25 index build: explode -> vocabulary groupBy (one shuffle).
+    # No cache() inside the timed fn — Spark's cache manager dedupes
+    # by logical plan, so a cached first run would turn the second
+    # (measured) run into a cache lookup.
+    stats = {}
+
+    def build(n):
+        def f():
+            ts, cs = bm25_term_stats(corpora[n])
+            ts.count(), cs.count()
+        return f
+
+    ratio_entry("bm25_build", build)
+    for n in SIZES:
+        ts, cs = bm25_term_stats(corpora[n])
+        stats[n] = (ts.cache(), cs.cache())
+        stats[n][0].count(), stats[n][1].count()
+
+    # BM25 warm indexed query: |terms|-row stats lookup + ONE corpus
+    # scan (scan-bound -> linear in corpus, zero shuffles)
+    def query(n):
+        def f():
+            ts, cs = stats[n]
+            bm25_topk_indexed(corpora[n], ts, cs, TERMS, k=10).collect()
+        return f
+
+    ratio_entry("bm25_warm_query", query)
+
+    # hybrid: BM25 lexical + vector cosine top-20 lists -> RRF (one
+    # corpus text scan + one vector-table scan, two bounded TakeOrdered)
+    def hybrid(n):
+        qv = doc_vecs[n].filter(F.col("doc_id") == 0).first()["embedding"]
+
+        def f():
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            lex = (
+                bm25_score_all(corpora[n], TERMS)
+                .filter(F.col("score") > 0)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(20)
+                .withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "rank")
+            )
+            vec = (
+                score_against(doc_vecs[n], qv)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(20)
+                .withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "rank")
+            )
+            rrf_fuse([lex, vec], k=10).collect()
+        return f
+
+    ratio_entry("hybrid_rrf", hybrid)
+
+    # MaxSim over non-overlapping 20-token chunk vectors
+    def maxsim(n):
+        qrows = (
+            chunk_vecs[n]
+            .filter((F.col("doc_id") == 0) & (F.col("chunk_id") < 2))
+            .orderBy("chunk_id")
+            .collect()
+        )
+        qvs = [r["embedding"] for r in qrows]
+
+        def f():
+            maxsim_topk(chunk_vecs[n], qvs, k=10).collect()
+        return f
+
+    ratio_entry("chunk_maxsim", maxsim)
+
+    # cogrouped PQ batch face: 50k queries x 200k vectors, no
+    # driver-side query materialization
+    from astro_vectordb_spark.operators.pq import (
+        pq_batch_topk_cogrouped,
+        pq_encode,
+        pq_train,
+    )
+
+    emb_src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    vecs = (
+        emb_src.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("rep") % 17).cast("float") * 0.001 * i.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    vpath = "/tmp/scale_ret/vecs200k"
+    vecs.repartition(32).write.mode("overwrite").parquet(vpath)
+    corpus = spark.read.parquet(vpath)
+    model = pq_train(corpus, m=8, ks=64, max_rows=20_000)
+    encoded = pq_encode(corpus, model)
+    epath = "/tmp/scale_ret/codes200k"
+    encoded.write.mode("overwrite").parquet(epath)
+    encoded = spark.read.parquet(epath)
+    queries = corpus.filter(F.col("vec_id") % 4 == 0).limit(50_000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qpath = "/tmp/scale_ret/q50k"
+    queries.write.mode("overwrite").parquet(qpath)
+    queries = spark.read.parquet(qpath)
+
+    t0 = time.time()
+    got = (
+        pq_batch_topk_cogrouped(
+            encoded, corpus, queries, k=5, model=model, refine_factor=4,
+            n_blocks=32,
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.countDistinct("query_id").alias("nq"))
+        .first()
+    )
+    sec = round(time.time() - t0, 2)
+    pq_ok = int(got["nq"]) == 50_000 and int(got["rows"]) == 250_000
+    out["pq_cogrouped_50k"] = {
+        "queries": 50_000,
+        "corpus": 200_000,
+        "sec": sec,
+        "result_rows": int(got["rows"]),
+        "distinct_queries": int(got["nq"]),
+        "complete_ok": pq_ok,
+    }
+    if not pq_ok:
+        failures.append("pq cogrouped 50k incomplete results")
+
+    out["failures"] = failures
+    out["all_ok"] = not failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

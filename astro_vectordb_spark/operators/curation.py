@@ -382,10 +382,14 @@ def decontaminate_fuzzy(
     r = num_hashes // bands
 
     def _banded(frame: DataFrame, out_id: str):
+        # cached: the shingle table feeds BOTH the banding aggregate
+        # and the exact-Jaccard verification join (same pattern as
+        # minhash_lsh_pairs_sql_safe) — without it the tokenize +
+        # shingle + poly-hash projection runs twice per side
         base = frame.select(
             F.col(id_col).alias(out_id),
             word_shingles(F.col(text_col), n).alias("_sh"),
-        )
+        ).cache()
         ex = base.select(out_id, F.explode("_sh").alias("_s")).withColumn(
             "_h", _char_poly_hash(F.col("_s"))
         )

@@ -499,21 +499,20 @@ def pq_batch_candidates(
             s = np.zeros((nq, len(pdf)), dtype=np.float64)
             for j in range(m):
                 s += tables[:, j, codes[:, j]]
-            out_q, out_id, out_s = [], [], []
-            for qi in range(nq):
-                row = s[qi]
-                if len(row) > n_local:
-                    keep = np.argpartition(-row, n_local - 1)[:n_local]
-                else:
-                    keep = np.arange(len(row))
-                out_q.append(np.full(len(keep), ids_q[qi], dtype=np.int64))
-                out_id.append(ids[keep])
-                out_s.append(row[keep])
+            # one vectorized per-query cut (argpartition along axis 1)
+            # instead of a Python loop over queries
+            if s.shape[1] > n_local:
+                keep2d = np.argpartition(-s, n_local - 1, axis=1)[:, :n_local]
+            else:
+                keep2d = np.tile(np.arange(s.shape[1]), (nq, 1))
+            k_eff = keep2d.shape[1]
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    id_col: np.concatenate(out_id),
-                    "adc_score": np.concatenate(out_s),
+                    "query_id": np.repeat(
+                        np.asarray(ids_q, dtype=np.int64), k_eff
+                    ),
+                    id_col: ids[keep2d.ravel()],
+                    "adc_score": np.take_along_axis(s, keep2d, axis=1).ravel(),
                 }
             )
 

@@ -2745,9 +2745,12 @@ packed AS (
   FROM seq WHERE rn = 1
   UNION ALL
   SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
-         CASE WHEN p.fill + s.n_tokens > 200
+         -- fill > 0 replays the exact greedy: an empty pack accepts
+         -- its first doc even when oversized (matches the Spark
+         -- operator's zero-token-prefix behavior)
+         CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 200
               THEN p.pack_id + 1 ELSE p.pack_id END,
-         CASE WHEN p.fill + s.n_tokens > 200
+         CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 200
               THEN s.n_tokens ELSE p.fill + s.n_tokens END
   FROM seq s JOIN packed p ON s.bucket = p.bucket AND s.rn = p.rn + 1
 )

@@ -236,8 +236,19 @@ def asof_join_salted(
         F.min(F.unix_timestamp(ts_col)).alias("mn"),
         F.max(F.unix_timestamp(ts_col)).alias("mx"),
     ).first()
-    mn = min(x for x in (b1["mn"], b2["mn"]) if x is not None)
-    mx = max(x for x in (b1["mx"], b2["mx"]) if x is not None)
+    bounds_lo = [x for x in (b1["mn"], b2["mn"]) if x is not None]
+    bounds_hi = [x for x in (b1["mx"], b2["mx"]) if x is not None]
+    if not bounds_lo or not bounds_hi:
+        # both inputs empty (or all-null timestamps): no bucket width
+        # to derive — delegate to the plain form, which returns the
+        # same empty/null-matched frame instead of raising
+        return asof_join(
+            left, right, on=on, ts_col=ts_col, right_cols=right_cols,
+            tiebreak_col=tiebreak_col,
+            tolerance_seconds=tolerance_seconds, suffix=suffix,
+        )
+    mn = min(bounds_lo)
+    mx = max(bounds_hi)
     bucket_sec = max(1, -(-(mx - mn + 1) // time_buckets))
 
     def _bkt():

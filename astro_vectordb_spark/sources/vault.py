@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -204,6 +205,11 @@ def _hadoop_fs(spark: SparkSession, path: str):
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     fs, hpath = _hadoop_fs(spark, path)
     return bool(fs.exists(hpath))
+
+
+def _is_path_not_found(e: AnalysisException) -> bool:
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def _qualified_uri(spark: SparkSession, path: str) -> str:
@@ -680,8 +686,13 @@ def _batch_already_committed(
     log_path = os.path.join(path, "_batches")
     try:
         seen = spark.read.parquet(log_path)
-    except Exception:
-        return False
+    except AnalysisException as e:
+        # ONLY a missing log means "nothing applied yet".  A transient
+        # read error must propagate so the micro-batch retries instead
+        # of silently re-applying (which would double-insert).
+        if _is_path_not_found(e):
+            return False
+        raise
     return (
         seen.filter(F.col("batch_id") == int(batch_id)).limit(1).count() > 0
     )
@@ -807,6 +818,139 @@ def ivf_pq_append_to_index(
     }
 
 
+def _as_ids_df(spark: SparkSession, vec_ids) -> DataFrame:
+    """Normalize an id collection (iterable of longs or a DataFrame
+    with a vec_id column) into a one-column DataFrame."""
+    if isinstance(vec_ids, DataFrame):
+        return vec_ids.select("vec_id").distinct()
+    return spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id long"
+    ).distinct()
+
+
+def pq_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids,
+    batch_id: int | None = None,
+) -> dict:
+    """Physical delete from a persisted PQ / IVF-PQ codes table —
+    the lifecycle op the append family lacked: without it, deleted
+    vec_ids sit in the codes table forever, permanently wasting ADC
+    candidate budget (stage-2 re-rank hides them from RESULTS, but a
+    heavily-churned index silently degrades recall-per-refine).
+    Reference analogue: ``removePoint`` tombstone-compaction intent
+    (hnsw.ts:179-226) applied to the quantized index.
+
+    Touched-files-only, like the appends: the hidden
+    ``_metadata.file_path`` column locates the parquet files that
+    actually contain the removed ids (bounded by |vec_ids|), ONLY
+    those files' survivors are rewritten (as fresh appended files),
+    and the old files are deleted — a 100-TB codes table with 1k
+    removed ids rewrites a handful of files, never the table.  Works
+    identically for flat PQ and cell-partitioned IVF-PQ codes
+    (``basePath`` keeps the cell_id partition column when re-reading
+    the touched leaf files).
+
+    Single-writer maintenance op (same contract as
+    ``hnsw_rebalance``).  Crash between the survivor append and the
+    old-file delete leaves duplicate survivor rows: serving is
+    unaffected (``pq_topk``/``pq_batch_candidates`` dedup candidate
+    ids) and ``pq_compact_index`` repairs the files; a replayed
+    ``batch_id`` is a no-op via the ``_batches`` log recorded on
+    completion.
+    """
+    if _batch_already_committed(spark, path, batch_id):
+        return {"removed_rows": 0, "touched_files": 0,
+                "skipped_replay": True}
+    ids = _as_ids_df(spark, vec_ids)
+    codes_path = os.path.join(path, "codes")
+    codes = spark.read.parquet(codes_path)
+    touched = [
+        r["__file"]
+        for r in codes.select(
+            F.col("_metadata.file_path").alias("__file"), "vec_id"
+        )
+        .join(ids, "vec_id", "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        _record_batch(spark, path, batch_id)
+        return {"removed_rows": 0, "touched_files": 0}
+    partitioned = "cell_id=" in touched[0]
+    reader = spark.read.option("basePath", codes_path)
+    touched_df = reader.parquet(*touched)
+    n_before = touched_df.count()
+    survivors = (
+        touched_df.join(ids, "vec_id", "left_anti")
+        # a prior crashed remove may have left duplicate survivor
+        # rows in the touched files — collapse them on rewrite
+        .dropDuplicates(["vec_id", "cell_id"] if partitioned
+                        else ["vec_id"])
+        .localCheckpoint(eager=True)  # materialize BEFORE mutating files
+    )
+    n_after = survivors.count()
+    writer = survivors.write.mode("append")
+    if partitioned:
+        writer = writer.partitionBy("cell_id")
+    if n_after:
+        writer.parquet(codes_path)
+    fs, _ = _hadoop_fs(spark, codes_path)
+    jvm = spark._jvm
+    for f in touched:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    _record_batch(spark, path, batch_id)
+    return {"removed_rows": n_before - n_after, "touched_files": len(touched)}
+
+
+def pq_compact_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    min_file_ratio: float = 2.0,
+) -> dict:
+    """Churn-aware compaction for a persisted PQ / IVF-PQ codes table
+    — the maintenance op mirroring ``hnsw_rebalance``: a long
+    append/remove history leaves many small files (every streamed
+    micro-batch appends at least one; every remove rewrites touched
+    files into fresh ones), and file-count growth degrades scan task
+    granularity and object-store listing.
+
+    Trigger: compaction rewrites only when the file count exceeds
+    ``min_file_ratio`` x the ideal count for ``target_rows_per_file``
+    (so a well-sized table is a no-op — returns without a write).
+    The rewrite coalesces to the ideal file count (per cell partition
+    for IVF-PQ) and drops duplicate vec_ids, repairing any
+    crashed-remove leftovers.  Codes are m bytes/vector, so even a
+    full compaction is ~32x cheaper than rewriting the float table.
+    """
+    codes_path = os.path.join(path, "codes")
+    codes = spark.read.parquet(codes_path)
+    n_files = codes.select(
+        F.col("_metadata.file_path")
+    ).distinct().count()
+    n_rows = codes.count()
+    ideal = max(1, -(-n_rows // target_rows_per_file))
+    if n_files <= min_file_ratio * ideal:
+        return {"compacted": False, "files": n_files, "rows": n_rows}
+    partitioned = "cell_id" in codes.columns
+    dedup_keys = ["vec_id", "cell_id"] if partitioned else ["vec_id"]
+    survivors = codes.dropDuplicates(dedup_keys).localCheckpoint(eager=True)
+    writer = (
+        survivors.repartition(ideal, "cell_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id")
+        if partitioned
+        else survivors.repartition(ideal).write.mode("overwrite")
+    )
+    writer.parquet(codes_path)
+    return {"compacted": True, "files_before": n_files, "rows": n_rows,
+            "target_files": ideal}
+
+
 # ---------------------------------------------------------------------------
 # BM25 lexical index persistence — versioned manifest-swap tables, so a
 # stats merge (append) never races a concurrent query's read.
@@ -815,25 +959,32 @@ def save_bm25_index(
     term_stats: DataFrame, corpus_stats: DataFrame, path: str
 ) -> None:
     """Persist BM25 statistics (vocabulary-sized ``term_stats(term,
-    df)`` + 1-row ``corpus_stats(n, total_dl, avgdl)``) as versioned
-    tables (sources.versioned): appends commit a fresh version and
-    atomically swap the pointer, the same no-reader-races contract as
-    the vector sinks."""
-    from astro_vectordb_spark.sources.versioned import commit_version
+    df)`` + 1-row ``corpus_stats(n, total_dl, avgdl)``) as ONE
+    versioned multi-table commit (sources.versioned): term stats,
+    corpus stats, and the applied-batch log live in the SAME version
+    directory behind a single atomically-swapped pointer, so a reader
+    can never observe a term_stats/corpus_stats pair from different
+    merges, and a crash mid-append leaves the previous version fully
+    intact."""
+    from astro_vectordb_spark.sources.versioned import commit_version_multi
 
-    commit_version(term_stats, os.path.join(path, "term_stats"), 0)
-    commit_version(corpus_stats, os.path.join(path, "corpus_stats"), 0)
+    spark = term_stats.sparkSession
+    empty_log = spark.createDataFrame([], "batch_id long")
+    commit_version_multi(
+        {"term_stats": term_stats, "corpus_stats": corpus_stats,
+         "batches": empty_log},
+        os.path.join(path, "stats"), 0,
+    )
 
 
 def load_bm25_index(spark: SparkSession, path: str):
     """(term_stats, corpus_stats) live snapshots."""
-    from astro_vectordb_spark.sources.versioned import read_current
+    from astro_vectordb_spark.sources.versioned import read_current_multi
 
-    ts = read_current(spark, os.path.join(path, "term_stats"))
-    cs = read_current(spark, os.path.join(path, "corpus_stats"))
-    if ts is None or cs is None:
+    tables = read_current_multi(spark, os.path.join(path, "stats"))
+    if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
-    return ts, cs
+    return tables["term_stats"], tables["corpus_stats"]
 
 
 def bm25_append_to_index(
@@ -848,34 +999,66 @@ def bm25_append_to_index(
     batch's term/corpus statistics (``keyword.bm25_append_stats`` —
     additive df counts, exact integer totals) and commit the merged
     tables as a new version.  The rewrite is VOCABULARY-sized, never
-    corpus-sized; ``batch_id`` makes at-least-once redelivery a no-op
-    via the same ``_batches`` commit log the PQ appends use."""
+    corpus-sized.
+
+    Exactly-once under at-least-once redelivery: the applied-batch log
+    is committed IN the same version as the merged statistics (one
+    pointer swap covers all three tables), so there is no crash window
+    where the stats reflect a batch the log does not — a replayed
+    ``batch_id`` is either fully applied (and skipped) or not applied
+    at all (and re-merged cleanly).  This is stronger than the PQ
+    appends' side-car ``_batches`` log, which BM25 needs because
+    statistics merges have no id-level anti-join fallback."""
     from astro_vectordb_spark.operators.keyword import bm25_append_stats
     from astro_vectordb_spark.sources.versioned import (
-        commit_version,
+        commit_version_multi,
         current_version,
+        read_current_multi,
     )
 
-    if _batch_already_committed(spark, path, batch_id):
+    stats_path = os.path.join(path, "stats")
+    tables = read_current_multi(spark, stats_path)
+    if tables is None:
+        raise FileNotFoundError(f"no committed BM25 index at {path}")
+    log = tables.get("batches")
+    if (
+        batch_id is not None
+        and log is not None
+        and log.filter(F.col("batch_id") == int(batch_id)).limit(1).count()
+        > 0
+    ):
         return {"appended_docs": 0, "skipped_replay": True}
-    ts, cs = load_bm25_index(spark, path)
+    ts, cs = tables["term_stats"], tables["corpus_stats"]
     n_new = new_docs.count()
-    if n_new:
-        mts, mcs = bm25_append_stats(
-            ts, cs, new_docs, id_col=id_col, text_col=text_col
+    if n_new == 0 and batch_id is None:
+        return {"appended_docs": 0}
+    mts, mcs = (
+        bm25_append_stats(ts, cs, new_docs, id_col=id_col, text_col=text_col)
+        if n_new
+        else (ts, cs)
+    )
+    if log is None:
+        log = spark.createDataFrame([], "batch_id long")
+    mlog = (
+        log.unionByName(
+            spark.createDataFrame([(int(batch_id),)], "batch_id long")
         )
-        # materialize BEFORE the swap: the merge plan reads the live
-        # version the commit is about to replace
-        mts_rows = mts.cache()
-        mts_rows.count()
-        mcs_row = mcs.cache()
-        mcs_row.count()
-        v = int(
-            (current_version(os.path.join(path, "term_stats")) or "v0")[1:]
-        ) + 1
-        commit_version(mts_rows, os.path.join(path, "term_stats"), v)
-        commit_version(mcs_row, os.path.join(path, "corpus_stats"), v)
-        mts_rows.unpersist()
-        mcs_row.unpersist()
-    _record_batch(spark, path, batch_id)
+        if batch_id is not None
+        else log
+    )
+    # materialize BEFORE the swap: the merge plans read the live
+    # version the commit is about to garbage-collect
+    mats = [t.cache() for t in (mts, mcs, mlog)]
+    for t in mats:
+        t.count()
+    try:
+        v = int((current_version(stats_path) or "v0")[1:]) + 1
+        commit_version_multi(
+            {"term_stats": mats[0], "corpus_stats": mats[1],
+             "batches": mats[2]},
+            stats_path, v,
+        )
+    finally:
+        for t in mats:
+            t.unpersist()
     return {"appended_docs": n_new}

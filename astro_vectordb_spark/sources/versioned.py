@@ -48,6 +48,49 @@ def commit_version(
     """Write ``df`` as v{version} and swap the pointer atomically."""
     vdir = f"v{version}"
     df.write.mode("overwrite").parquet(os.path.join(path, vdir))
+    _swap_pointer(path, vdir, keep_versions)
+    return vdir
+
+
+def commit_version_multi(
+    dfs: dict[str, DataFrame], path: str, version: int,
+    keep_versions: int = 2,
+) -> str:
+    """Commit SEVERAL tables under ONE version pointer.
+
+    A multi-table index (e.g. BM25's term_stats + corpus_stats + the
+    applied-batch log) committed as separate versioned tables has a
+    crash window between the pointer swaps: one table advances, its
+    sibling doesn't, and an at-least-once redelivery re-merges a batch
+    that is already half applied.  Writing every table into the SAME
+    version directory and swapping a single pointer makes the commit
+    all-or-nothing — either every table (including the batch log)
+    reflects the batch, or none does.
+    """
+    vdir = f"v{version}"
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, vdir, name))
+    _swap_pointer(path, vdir, keep_versions)
+    return vdir
+
+
+def read_current_multi(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame] | None:
+    """Live snapshots of every table in the current multi-table
+    version, keyed by sub-table name; None if nothing committed."""
+    v = current_version(path)
+    if v is None:
+        return None
+    vdir = os.path.join(path, v)
+    return {
+        name: spark.read.parquet(os.path.join(vdir, name))
+        for name in sorted(os.listdir(vdir))
+        if os.path.isdir(os.path.join(vdir, name))
+    }
+
+
+def _swap_pointer(path: str, vdir: str, keep_versions: int) -> None:
     tmp = os.path.join(path, CURRENT + ".tmp")
     with open(tmp, "w") as f:
         f.write(vdir)
@@ -69,4 +112,3 @@ def commit_version(
     for old in versions[:-keep_versions] if keep_versions > 0 else []:
         if old != vdir:
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
-    return vdir

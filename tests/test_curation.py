@@ -405,6 +405,31 @@ class TestPackStrict:
             assert (int(row.bucket), int(row.pack_id)) == (b, pack), i
 
 
+    def test_zero_token_prefix_then_oversized(self, spark):
+        # a bucket whose leading docs have 0 tokens followed by an
+        # oversized doc: the empty pack (fill == 0) must ACCEPT the
+        # oversized doc rather than open a new pack — the case where
+        # a `fill + n > max`-only rule (the old oracle CTE) diverges
+        from astro_vectordb_spark.operators.curation import (
+            pack_documents_strict,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, ""), (1, ""), (2, " ".join(["w"] * 500)), (3, "a b")],
+            "doc_id long, text string",
+        )
+        got = {
+            int(r["doc_id"]): int(r["pack_id"])
+            for r in pack_documents_strict(
+                docs, max_tokens=100, n_buckets=1
+            ).collect()
+        }
+        # docs 0,1 (0 tokens) and 2 (oversized) share pack 0: fill
+        # stays 0 through the empty docs, so doc 2 lands in the open
+        # pack; doc 3 then opens pack 1 because fill (500) > 0
+        assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
 class TestRedactPii:
     def test_categories_and_order(self, spark):
         from astro_vectordb_spark.operators.curation import redact_pii

@@ -467,6 +467,39 @@ class TestAsofSalted:
     def test_salted_equals_plain_with_tolerance(self, spark):
         self._cmp(spark, tolerance=3600, seed=23)
 
+    def test_empty_inputs_return_empty_not_raise(self, spark):
+        # both sides empty: no timestamp bounds to derive a bucket
+        # width from — must match plain asof_join's empty frame, not
+        # raise ValueError (min of empty generator)
+        from astro_vectordb_spark.operators.events import asof_join_salted
+
+        empty = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double"
+        )
+        out = asof_join_salted(empty, empty, time_buckets=16)
+        assert out.count() == 0
+        assert "value_r" in out.columns
+
+    def test_empty_right_null_matches(self, spark):
+        from datetime import datetime
+
+        from astro_vectordb_spark.operators.events import (
+            asof_join,
+            asof_join_salted,
+        )
+
+        left = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10, 0, 0), 7, 1.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        empty = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = asof_join_salted(left, empty, time_buckets=16).first()
+        want = asof_join(left, empty).first()
+        assert got["value_r"] is None and want["value_r"] is None
+        assert got["event_id"] == 1
+
     def test_hot_key_window_parallelized(self, spark):
         from astro_vectordb_spark.operators.events import asof_join_salted
 

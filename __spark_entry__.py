@@ -831,10 +831,26 @@ def pq_index_path(spark, sf_dir: str) -> str:
     from astro_vectordb_spark.operators.pq import pq_encode, pq_train
     from astro_vectordb_spark.sources.vault import save_pq_index
 
+    from astro_vectordb_spark.sources.vault import (
+        pq_append_to_index,
+        pq_remove_from_index,
+    )
+
     emb = _emb(spark, sf_dir)
     model = pq_train(emb, m=8, ks=64, metric="cosine", max_rows=20_000)
     path = tempfile.mkdtemp(prefix="astro_pq_idx_")
     save_pq_index(pq_encode(emb, model), model, path)
+    # exercise the churn lifecycle the gate must survive: remove a
+    # deterministic id slice, then re-append those rows — codes are
+    # encoded under the same codebooks, so the SERVED index is
+    # value-identical to the fresh build, but the recall gate now
+    # certifies build + remove (touched-files-only rewrite) + append +
+    # persistence + serving end to end
+    churn = emb.filter(F.col("vec_id") % 17 == 3)
+    churn_ids = [r["vec_id"] for r in churn.select("vec_id").collect()]
+    if churn_ids:
+        pq_remove_from_index(spark, path, churn_ids)
+        pq_append_to_index(spark, path, churn.select("vec_id", "embedding"))
     _PQ_INDEX_CACHE[sf_dir] = path
     return path
 

@@ -5,6 +5,8 @@ from astro_vectordb_spark.sources.vault import (
     load_embeddings,
     load_ivf_index,
     open_or_create,
+    pq_compact_index,
+    pq_remove_from_index,
     rebuild_index,
     save_bucketed,
     save_embeddings,
@@ -18,6 +20,8 @@ __all__ = [
     "load_embeddings",
     "load_ivf_index",
     "open_or_create",
+    "pq_compact_index",
+    "pq_remove_from_index",
     "rebuild_index",
     "save_bucketed",
     "save_embeddings",

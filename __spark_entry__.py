@@ -1089,21 +1089,21 @@ def _q_ann_pq_recall_gate(spark, sf_dir):
 def _q_ann_ivf_recall_gate(spark, sf_dir):
     # persisted IVF index at a full-recall probe budget: the probed
     # cells must contain all exact top-10 ids; scoring inside is the
-    # exact fold expression.  nprobe=8 of 12 (spill-2) holds full
-    # recall at the driver scale; a sub-5k corpus of near-uniform
-    # vectors has no prunable cell structure, so the gate widens to
-    # k_cells-1 there instead of failing on scatter (deterministic:
-    # depends only on the corpus row count).
+    # exact fold expression.  nprobe=None = ADAPTIVE probing from the
+    # query's centroid-similarity profile (deterministic given the
+    # seed-deterministic build): on the near-uniform test embeddings
+    # no cell stands out, so the rule probes every cell — the graceful
+    # degeneration that replaced round 7's row-count special case
+    # (choose_probe_cells_adaptive; clustered corpora probe a handful
+    # of cells instead, pytest-pinned).
     from astro_vectordb_spark.operators.ann import ivf_search
     from astro_vectordb_spark.sources.vault import load_ivf_index
 
-    emb = _emb(spark, sf_dir)
     assigned, centroids, _, meta = load_ivf_index(
         spark, ivf_index_path(spark, sf_dir)
     )
-    nprobe = 8 if emb.count() >= 5000 else meta["k_cells"] - 1
     return ivf_search(
-        assigned, centroids, _qvec(spark, sf_dir, 3), k=10, nprobe=nprobe,
+        assigned, centroids, _qvec(spark, sf_dir, 3), k=10, nprobe=None,
         metric=meta["metric"],
     ).select("vec_id", "score")
 
@@ -1335,11 +1335,13 @@ def _q_pack_strict(spark, sf_dir):
     # exceeds the token budget (vs pack_sequences' contiguous fill,
     # which lets one straddling doc overflow).  The id-ordered greedy
     # is deterministic, so the oracle replays it with a recursive CTE.
+    # n_buckets is left at the AUTO-SIZED default: max(32,
+    # ceil(rows / PACK_ROWS_PER_BUCKET)) = 32 at every test scale
+    # (deterministic — depends only on the corpus row count), so the
+    # oracle partitions by doc_id % 32.
     from astro_vectordb_spark.operators.curation import pack_documents_strict
 
-    return pack_documents_strict(
-        _docs(spark, sf_dir), max_tokens=200, n_buckets=8
-    )
+    return pack_documents_strict(_docs(spark, sf_dir), max_tokens=200)
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -2746,7 +2748,9 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         # counters
         "pack_strict": f"""
 WITH RECURSIVE toks AS (
-  SELECT doc_id, (doc_id % 8)::INT AS bucket,
+  -- 32 = the operator's auto-sized bucket count at every test scale
+  -- (max(32, ceil(rows / 250k)))
+  SELECT doc_id, (doc_id % 32)::INT AS bucket,
          len({_TOKS})::BIGINT AS n_tokens
   FROM documents
 ),

@@ -279,24 +279,85 @@ def choose_probe_cells(
     return [r["cell_id"] for r in ranked.collect()]
 
 
+def choose_probe_cells_adaptive(
+    centroids: DataFrame,
+    query_vector: Sequence[float],
+    metric: str = "cosine",
+    structure_z: float = 3.0,
+    member_z: float = 1.0,
+    min_probe: int = 2,
+) -> list[int]:
+    """Profile-adaptive probe-cell selection — replaces the fixed
+    ``nprobe`` knob whose right value depends on cluster structure the
+    caller cannot know (a fixed count under-probes unstructured
+    corpora and over-probes tight ones; the round-7 recall gate had to
+    special-case small corpora for exactly this reason).
+
+    The query-to-centroid similarity profile itself carries the
+    signal, and it is a k_cells-row driver-side micro-query either
+    way:
+
+    * ``z = (s_max - mean) / std < structure_z``: NO cell stands out
+      — the corpus has no prunable cell structure for this query
+      (near-uniform vectors; measured: top-10 scatter needs 11/12
+      cells at 500 rows), so probe EVERY cell.  The search degrades
+      gracefully to the exact scan instead of silently dropping
+      recall.
+    * otherwise: probe the cells that are clearly better than average
+      for this query (per-cell z >= ``member_z``), floored at
+      ``min_probe`` so spill/boundary vectors in the runner-up cell
+      stay reachable.  On clustered corpora this is a handful of
+      cells — the candidate reduction fixed nprobe was buying, now
+      derived per query.
+    """
+    import numpy as np
+
+    from astro_vectordb_spark.functions.vector import similarity
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    rows = (
+        centroids.withColumn("_s", similarity(F.col("centroid"), qv, metric))
+        .select("cell_id", "_s")
+        .collect()
+    )
+    sims = np.array([r["_s"] for r in rows], dtype=np.float64)
+    ids = [r["cell_id"] for r in rows]
+    if len(ids) <= min_probe:
+        return ids
+    mean, std = sims.mean(), sims.std()
+    if std <= 1e-12 or (sims.max() - mean) / std < structure_z:
+        return ids
+    order = np.argsort(-sims)
+    zscores = (sims - mean) / std
+    n_take = max(min_probe, int((zscores >= member_z).sum()))
+    return [ids[i] for i in order[:n_take]]
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,
     query_vector: Sequence[float],
     k: int,
-    nprobe: int = 2,
+    nprobe: int | None = 2,
     strength: float = 0.0,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-K: prune to the top-nprobe cells, exact within.
+    """Approximate top-K: prune to the probed cells, exact within.
+
+    ``nprobe=None`` selects cells ADAPTIVELY from the query's
+    centroid-similarity profile (``choose_probe_cells_adaptive``);
+    an integer keeps the classic fixed-count ranking.
 
     ``cell_id IN (...)`` is a literal IN-filter -> partition pruning
     when ``assigned`` is read from cell-partitioned parquet; the
     subsequent plan is identical to the exact path (codegen score ->
     TakeOrderedAndProject)."""
-    cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
+    if nprobe is None:
+        cells = choose_probe_cells_adaptive(centroids, query_vector, metric)
+    else:
+        cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
     # drop spill duplicates: with redundant assignment a vector can sit
     # in several probed cells
     pruned = assigned.filter(F.col("cell_id").isin(cells)).dropDuplicates([id_col])

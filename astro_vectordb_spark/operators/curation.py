@@ -509,10 +509,13 @@ def pack_documents(
     )
 
 
+PACK_ROWS_PER_BUCKET = 250_000
+
+
 def pack_documents_strict(
     df: DataFrame,
     max_tokens: int,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -532,8 +535,16 @@ def pack_documents_strict(
     Arrow batches keeping ONE (pack_id, fill) counter per bucket —
     no whole-bucket materialization, memory is O(batch +
     buckets-per-partition).  Buckets are independent streams, so the
-    corpus never serializes through a single partition; size
-    ``n_buckets`` so corpus/n_buckets stays a sane task width.
+    corpus never serializes through a single partition.
+
+    ``n_buckets=None`` (default) AUTO-SIZES the task width from one
+    row-count aggregate: ceil(rows / PACK_ROWS_PER_BUCKET) buckets,
+    floored at 32 — a fixed knob was a real ceiling at 100 TB (32
+    sequential streams no matter the corpus; round-7 verdict), while
+    the derived width keeps each bucket's sequential pass at a sane
+    ~250k rows and state at O(buckets).  Pass an explicit value when
+    the bucket count itself is part of the contract (e.g. the driver
+    oracle replays 8 fixed streams).
 
     The greedy is id-ordered and deterministic — the DuckDB oracle
     replays it exactly with a recursive CTE (driver query
@@ -542,6 +553,10 @@ def pack_documents_strict(
     from collections.abc import Iterator
 
     import pandas as pd
+
+    if n_buckets is None:
+        n_rows = df.count()
+        n_buckets = max(32, -(-n_rows // PACK_ROWS_PER_BUCKET))
 
     toks = T.token_count(F.col(text_col)).cast("long")
     base = df.select(

@@ -61,6 +61,7 @@ def main() -> None:
         decontaminate,
         gopher_filter,
         pack_documents,
+        pack_documents_strict,
         redact_pii,
         repetition_stats,
     )
@@ -80,6 +81,11 @@ def main() -> None:
         ),
         "pack_documents": lambda d: pack_documents(
             d, max_tokens=500, n_buckets=64
+        ),
+        # auto-sized n_buckets (None): the derived width must keep
+        # per-row wall time flat as data grows
+        "pack_strict_auto": lambda d: pack_documents_strict(
+            d, max_tokens=500
         ),
         "redact_pii": lambda d: redact_pii(d),
         "exact_dedup": lambda d: exact_dedup(d),

@@ -386,3 +386,79 @@ def test_ivf_baseline_target_retirement_pareto_pin(spark, embeddings):
         )
     assert sum(crec) / len(crec) >= 0.9, crec
     assert sum(cfrac) / len(cfrac) <= 0.2, cfrac  # >= 5x reduction
+
+
+class TestAdaptiveNprobe:
+    """nprobe=None derives probed cells from the query's
+    centroid-similarity profile instead of a fixed count — the rule
+    that replaced the recall gate's small-corpus special case."""
+
+    def _clustered(self, spark, n=1000, centers=16, sigma=0.01):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        C = rng.normal(size=(centers, 64))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        pts = [
+            (i, [float(x) for x in C[i % centers] + sigma * rng.normal(size=64)])
+            for i in range(n)
+        ]
+        return (
+            spark.createDataFrame(pts, "vec_id long, embedding array<float>"),
+            pts,
+        )
+
+    def test_clustered_probes_few_cells_full_recall(self, spark):
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        df, pts = self._clustered(spark)
+        assigned, cents = ivf_build(df, k_cells=16)
+        k_cells = cents.count()
+        for qid in (0, 5, 9):
+            cells = choose_probe_cells_adaptive(cents, pts[qid][1])
+            # tight clusters: a handful of standout cells, not all
+            assert len(cells) < k_cells / 2, (qid, len(cells))
+            exact = [
+                r["vec_id"]
+                for r in topk_search(df, pts[qid][1], 10, strength=0).collect()
+            ]
+            got = [
+                r["vec_id"]
+                for r in ivf_search(
+                    assigned, cents, pts[qid][1], 10, nprobe=None
+                ).collect()
+            ]
+            assert _recall(got, exact) == 1.0
+
+    def test_uniform_probes_all_cells_equals_exact(self, spark, embeddings):
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        assigned, cents = ivf_build(embeddings, k_cells=8)
+        qv = embeddings.filter(F.col("vec_id") == 3).first()["embedding"]
+        cells = choose_probe_cells_adaptive(cents, qv)
+        # near-uniform vectors: no standout cell -> every cell probed,
+        # search degenerates gracefully to the exact scan
+        assert len(cells) == 8
+        exact = [
+            r["vec_id"] for r in topk_search(embeddings, qv, 10, strength=0).collect()
+        ]
+        got = [
+            r["vec_id"]
+            for r in ivf_search(assigned, cents, qv, 10, nprobe=None).collect()
+        ]
+        assert got == exact
+
+    def test_deterministic(self, spark):
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        df, pts = self._clustered(spark, n=400)
+        _, cents = ivf_build(df, k_cells=8)
+        a = choose_probe_cells_adaptive(cents, pts[1][1])
+        b = choose_probe_cells_adaptive(cents, pts[1][1])
+        assert a == b

@@ -60,20 +60,97 @@ def hash_embedder(texts: pd.Series, dim: int = DEFAULT_DIM) -> pd.Series:
     return pd.Series(out)
 
 
+# --------------------------------------------------------------------------
+# Encoder registry: model-name -> pandas_udf-kernel factory.
+#
+# The documented drop-in interface for real models: a FACTORY takes
+# keyword config (at minimum ``dim``) and returns the batch kernel
+# ``pd.Series[str] -> pd.Series[np.ndarray float32[dim]]`` that
+# ``embed_text`` wraps in an Arrow-batched pandas_udf.  Rules a real
+# encoder must follow:
+#
+# * Lazy-load the model INSIDE the kernel on first batch (cache it on
+#   a function attribute / module global): the factory's return value
+#   is cloudpickled to every executor python worker, and shipping
+#   model weights through the closure would serialize them per task.
+#   Loading lazily means one load per long-lived python worker.
+# * Output float32 arrays of exactly ``dim``; unit-normalize if
+#   downstream cosine search should reduce to dot products.
+# * Arrow batch sizing: the kernel sees batches of
+#   ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (default
+#   10k).  For transformer encoders set it near the model's optimal
+#   GPU batch (e.g. 256-1024) so the kernel never has to re-chunk;
+#   for the hash stub the default is fine.
+#
+# sentence-transformers example (runs wherever the package exists):
+#
+#     def st_factory(dim=384, model_name="all-MiniLM-L6-v2", **_):
+#         def kernel(texts: pd.Series) -> pd.Series:
+#             if not hasattr(kernel, "_m"):
+#                 from sentence_transformers import SentenceTransformer
+#                 kernel._m = SentenceTransformer(model_name)
+#             vecs = kernel._m.encode(
+#                 ["" if t is None else str(t) for t in texts],
+#                 normalize_embeddings=True,
+#             ).astype("float32")
+#             return pd.Series(list(vecs))
+#         return kernel
+#     register_encoder("minilm", st_factory)
+#     embed_text(df, model="minilm", dim=384)
+#
+# The stub stays the default so CI and the oracle never depend on a
+# model runtime.
+
+_ENCODER_REGISTRY: dict[str, Callable[..., Callable[[pd.Series], pd.Series]]] = {}
+
+
+def register_encoder(
+    name: str, factory: Callable[..., Callable[[pd.Series], pd.Series]]
+) -> None:
+    """Register a model-name -> kernel factory (see module notes for
+    the factory contract).  Re-registering a name replaces it."""
+    _ENCODER_REGISTRY[name] = factory
+
+
+def encoder_for(model: str, **config) -> Callable[[pd.Series], pd.Series]:
+    """Resolve a registered model name to its batch kernel."""
+    if model not in _ENCODER_REGISTRY:
+        raise ValueError(
+            f"unknown encoder {model!r}; registered: "
+            f"{sorted(_ENCODER_REGISTRY)} (register_encoder to add)"
+        )
+    return _ENCODER_REGISTRY[model](**config)
+
+
+register_encoder("hash", lambda dim=DEFAULT_DIM, **_: (
+    lambda s: hash_embedder(s, dim)
+))
+
+
 def embed_text(
     df: DataFrame,
     text_col: str = "text",
     out_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     embed_fn: Callable[[pd.Series], pd.Series] | None = None,
+    model: str | None = None,
+    **model_config,
 ) -> DataFrame:
     """Append an embedding column via an Arrow-batched pandas_udf.
 
-    The hook is a narrow map — no shuffle; constant memory per Arrow
-    batch; a GPU-backed ``embed_fn`` slots in unchanged (Spark >=3.4
+    The kernel comes from (highest precedence first) ``embed_fn`` (a
+    direct callable), ``model`` (a ``register_encoder`` name, resolved
+    with ``dim`` + ``model_config``), else the deterministic hash
+    stub.  The hook is a narrow map — no shuffle; constant memory per
+    Arrow batch; a GPU-backed kernel slots in unchanged (Spark >=3.4
     schedules pandas_udf stages onto GPU executors via stage-level
     scheduling if configured)."""
-    fn = embed_fn or (lambda s: hash_embedder(s, dim))
+    if embed_fn is not None:
+        fn = embed_fn
+    elif model is not None:
+        fn = encoder_for(model, dim=dim, **model_config)
+    else:
+        fn = lambda s: hash_embedder(s, dim)  # noqa: E731
 
     @pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:

@@ -100,3 +100,72 @@ def test_bucketed_join_avoids_exchange_on_base(spark, embeddings, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+
+
+class TestEncoderRegistry:
+    """Pluggable model hook: register_encoder(name, factory) ->
+    embed_text(model=name) — drop in a real encoder without touching
+    any operator (the Spark analogue of the reference's external
+    vectorizer recommendation, README.md:99-109)."""
+
+    def test_injected_model_end_to_end(self, spark, documents):
+        import numpy as np
+        import pandas as pd
+
+        from astro_vectordb_spark.functions import embed as E
+
+        def toy_factory(dim=4, scale=1.0, **_):
+            # trivial injected model: [n_chars, n_tokens, 1, scale],
+            # lazily "loaded" per worker like a real encoder would be
+            def kernel(texts: pd.Series) -> pd.Series:
+                if not hasattr(kernel, "_loaded"):
+                    kernel._loaded = True
+                return pd.Series([
+                    np.array(
+                        [len(t or ""), len((t or "").split()), 1.0, scale],
+                        dtype=np.float32,
+                    )
+                    for t in texts
+                ])
+            return kernel
+
+        E.register_encoder("toy", toy_factory)
+        try:
+            out = {
+                r["doc_id"]: r["embedding"]
+                for r in E.embed_text(
+                    documents.limit(5), model="toy", dim=4, scale=2.5
+                ).select("doc_id", "embedding").collect()
+            }
+            docs = {
+                r["doc_id"]: r["text"]
+                for r in documents.limit(5).collect()
+            }
+            for did, text in docs.items():
+                assert out[did] == [
+                    float(len(text or "")),
+                    float(len((text or "").split())),
+                    1.0,
+                    2.5,
+                ]
+        finally:
+            E._ENCODER_REGISTRY.pop("toy", None)
+
+    def test_unknown_model_raises_with_registry_listing(self, spark, documents):
+        import pytest as _pytest
+
+        from astro_vectordb_spark.functions.embed import embed_text
+
+        with _pytest.raises(ValueError, match="hash"):
+            embed_text(documents.limit(1), model="no-such-model")
+
+    def test_hash_is_registered_default(self, spark, documents):
+        from astro_vectordb_spark.functions.embed import embed_text
+
+        stub = {r["doc_id"]: r["embedding"] for r in
+                embed_text(documents.limit(5), dim=16)
+                .select("doc_id", "embedding").collect()}
+        named = {r["doc_id"]: r["embedding"] for r in
+                 embed_text(documents.limit(5), model="hash", dim=16)
+                 .select("doc_id", "embedding").collect()}
+        assert stub == named

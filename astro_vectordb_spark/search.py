@@ -1,0 +1,168 @@
+"""One-call search facade over every persisted index kind.
+
+The reference exposes a single entry point — ``searchAstroDB(query,
+strength)`` loads whatever index exists and serves from it
+(driver/driver.ts:290-307).  This module is that call for the Spark
+engine: ``search(spark, path, query_vector, k)`` detects the index
+kind from the persisted layout, loads it through the matching vault
+loader (metric and shape come from the index's own ``_meta`` — never
+re-guessed), and dispatches to the right serving operator.  Users
+stop hand-wiring ``load_* `` + ``query_*`` pairs; the recall-gate
+queries keep using the explicit operators, so the facade adds a
+surface without changing any gate.
+
+Layout detection (what each ``save_*_index`` writes):
+
+    graph/      + _meta                        -> sharded HNSW
+    codes/ + codebooks/ + centroids/ + _meta   -> IVF-PQ
+    codes/ + codebooks/ + _meta                -> PQ
+    vectors/ + centroids/ + _meta              -> IVF
+    plain parquet (vec_id, embedding)          -> exact scan
+
+Example::
+
+    from astro_vectordb_spark.search import search
+
+    hits = search(spark, "/indexes/products", qvec, k=10)        # auto
+    hits = search(spark, "/tables/embeddings.parquet", qvec, 10) # exact
+    # PQ / IVF-PQ re-rank against full-precision vectors:
+    hits = search(spark, "/indexes/pq", qvec, 10, vectors=emb_df)
+
+Every path returns the same contract: ``(vec_id, score)``, score
+descending, at most ``k`` rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def detect_index_kind(spark: SparkSession, path: str) -> str:
+    """'hnsw' | 'ivf_pq' | 'pq' | 'ivf' | 'exact' from the persisted
+    layout (one filesystem existence probe per candidate subdir)."""
+    from astro_vectordb_spark.sources.vault import _fs_exists
+
+    def sub(name: str) -> bool:
+        return _fs_exists(spark, os.path.join(path, name))
+
+    if sub("graph"):
+        return "hnsw"
+    if sub("codebooks"):
+        return "ivf_pq" if sub("centroids") else "pq"
+    if sub("centroids") and sub("vectors"):
+        return "ivf"
+    return "exact"
+
+
+def search(
+    spark: SparkSession,
+    path: str,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    vectors: DataFrame | None = None,
+    strength: float = 0.0,
+    allowed_ids: Sequence[int] | None = None,
+    metric: str = "cosine",
+    ef_search: int = 100,
+    nprobe: int | None = None,
+    refine_factor: int = 32,
+) -> DataFrame:
+    """Serve a top-``k`` query from whatever index lives at ``path``.
+
+    - ``vectors``: full-precision table for the PQ/IVF-PQ stage-2
+      re-rank (required for those kinds — the codes alone cannot give
+      exact scores).
+    - ``metric`` applies only to the exact path; every index kind
+      reads its metric from its own persisted ``_meta``.
+    - ``nprobe=None`` on the IVF path selects probe cells adaptively
+      from the query's centroid-similarity profile.
+    - ``allowed_ids`` = metadata-filtered search where the kind
+      supports it (exact, HNSW, PQ).
+    """
+    kind = detect_index_kind(spark, path)
+    if kind == "exact":
+        from astro_vectordb_spark.operators.topk import topk_search
+
+        corpus = spark.read.parquet(path)
+        if allowed_ids is not None:
+            corpus = corpus.filter(
+                F.col("vec_id").isin([int(i) for i in allowed_ids])
+            )
+        out = topk_search(corpus, query_vector, k, strength=strength, metric=metric)
+        return out.select("vec_id", "score")
+
+    if kind == "ivf":
+        from astro_vectordb_spark.operators.ann import ivf_search
+        from astro_vectordb_spark.sources.vault import load_ivf_index
+
+        if allowed_ids is not None:
+            raise ValueError(
+                "allowed_ids filtering is not supported on the IVF path "
+                "(use the exact, HNSW, or PQ index kinds)"
+            )
+        assigned, centroids, _, meta = load_ivf_index(spark, path)
+        out = ivf_search(
+            assigned, centroids, query_vector, k, nprobe=nprobe,
+            strength=strength, metric=meta["metric"],
+        )
+        return out.select("vec_id", "score")
+
+    if kind == "hnsw":
+        from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+        from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+        graph, meta = load_hnsw_index(spark, path)
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, query_vec array<float>",
+        )
+        out = hnsw_query_shards(
+            graph, queries, k=k, m=meta["m"], metric=meta["metric"],
+            ef_search=ef_search, clustered=meta["clustered_safe"],
+            index_cache_token=meta["cache_token"],
+            allowed_ids=(
+                [int(i) for i in allowed_ids] if allowed_ids is not None else None
+            ),
+        )
+        return (
+            out.select("vec_id", F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(k)
+        )
+
+    # pq / ivf_pq: stage 2 re-ranks against full-precision vectors
+    if vectors is None:
+        raise ValueError(
+            f"index at {path} is {kind}: pass vectors= (the full-precision "
+            "table) for the exact stage-2 re-rank"
+        )
+    if kind == "pq":
+        from astro_vectordb_spark.operators.pq import pq_topk
+        from astro_vectordb_spark.sources.vault import load_pq_index
+
+        encoded, model, _ = load_pq_index(spark, path)
+        return pq_topk(
+            encoded, vectors, query_vector, k, model,
+            refine_factor=refine_factor, strength=strength,
+            allowed_ids=allowed_ids,
+        ).select("vec_id", "score")
+
+    from astro_vectordb_spark.operators.pq import ivf_pq_topk
+    from astro_vectordb_spark.sources.vault import load_ivf_pq_index
+
+    if allowed_ids is not None:
+        raise ValueError(
+            "allowed_ids filtering is not supported on the IVF-PQ path "
+            "(use the PQ or HNSW index kinds)"
+        )
+    encoded, centroids, model, meta = load_ivf_pq_index(spark, path)
+    return ivf_pq_topk(
+        encoded, centroids, vectors, query_vector, k, model,
+        nprobe=(nprobe if nprobe is not None else 4),
+        refine_factor=refine_factor, strength=strength,
+    ).select("vec_id", "score")

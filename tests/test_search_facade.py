@@ -1,0 +1,174 @@
+"""One-call search facade: kind detection + dispatch across all four
+persisted index kinds plus the exact path (reference parity:
+searchAstroDB, driver/driver.ts:290-307)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.topk import topk_search
+from astro_vectordb_spark.search import detect_index_kind, search
+
+N, DIM = 600, 32
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(5)
+    C = rng.normal(size=(8, DIM))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    pts = (C[np.arange(N) % 8] + 0.05 * rng.normal(size=(N, DIM))).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    df.count()
+    yield df, pts
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def qv(corpus):
+    _, pts = corpus
+    return [float(x) for x in pts[17]]
+
+
+def _exact_ids(df, qv, k=10):
+    return [r.vec_id for r in topk_search(df, qv, k, strength=0).collect()]
+
+
+class TestFacade:
+    def test_exact_path_plain_parquet(self, spark, corpus, qv, tmp_path):
+        df, _ = corpus
+        path = str(tmp_path / "plain")
+        df.write.parquet(path)
+        assert detect_index_kind(spark, path) == "exact"
+        got = [r.vec_id for r in search(spark, path, qv, 10).collect()]
+        assert got == _exact_ids(df, qv)
+
+    def test_ivf_kind(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        df, _ = corpus
+        assigned, cents = ivf_build(df, k_cells=8)
+        path = str(tmp_path / "ivf")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path
+        )
+        assert detect_index_kind(spark, path) == "ivf"
+        # adaptive probing (nprobe=None) on a clustered corpus: full
+        # recall through the facade
+        got = [r.vec_id for r in search(spark, path, qv, 10).collect()]
+        exact = _exact_ids(df, qv)
+        assert len(set(got) & set(exact)) >= 9
+
+    def test_hnsw_kind(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+        from astro_vectordb_spark.sources.vault import save_hnsw_index
+
+        df, _ = corpus
+        graph = hnsw_build_shards(df, num_shards=2, m=8, seed=11)
+        path = str(tmp_path / "hnsw")
+        save_hnsw_index(graph, path, m=8, metric="cosine")
+        assert detect_index_kind(spark, path) == "hnsw"
+        got = [r.vec_id for r in search(
+            spark, path, qv, 10, ef_search=200
+        ).collect()]
+        exact = _exact_ids(df, qv)
+        assert len(set(got) & set(exact)) >= 9
+
+    def test_pq_kind_requires_vectors(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.sources.vault import save_pq_index
+
+        df, _ = corpus
+        model = pq_train(df, m=8, ks=32, metric="cosine", max_rows=N, seed=2)
+        path = str(tmp_path / "pq")
+        save_pq_index(pq_encode(df, model), model, path)
+        assert detect_index_kind(spark, path) == "pq"
+        with pytest.raises(ValueError, match="vectors"):
+            search(spark, path, qv, 10)
+        got = [r.vec_id for r in search(
+            spark, path, qv, 10, vectors=df, refine_factor=16
+        ).collect()]
+        exact = _exact_ids(df, qv)
+        assert len(set(got) & set(exact)) >= 9
+
+    def test_ivf_pq_kind(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+        df, _ = corpus
+        encoded, cents, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=N
+        )
+        path = str(tmp_path / "ivfpq")
+        save_ivf_pq_index(encoded, cents, model, path)
+        assert detect_index_kind(spark, path) == "ivf_pq"
+        got = [r.vec_id for r in search(
+            spark, path, qv, 10, vectors=df, nprobe=4, refine_factor=16
+        ).collect()]
+        exact = _exact_ids(df, qv)
+        assert len(set(got) & set(exact)) >= 8
+
+    def test_allowed_ids_exact_and_pq(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.sources.vault import save_pq_index
+
+        df, _ = corpus
+        allowed = list(range(0, N, 3))
+        plain = str(tmp_path / "plain_f")
+        df.write.parquet(plain)
+        got = [r.vec_id for r in search(
+            spark, plain, qv, 5, allowed_ids=allowed
+        ).collect()]
+        assert got and all(v % 3 == 0 for v in got)
+
+        model = pq_train(df, m=8, ks=32, metric="cosine", max_rows=N, seed=2)
+        pqp = str(tmp_path / "pq_f")
+        save_pq_index(pq_encode(df, model), model, pqp)
+        got_pq = [r.vec_id for r in search(
+            spark, pqp, qv, 5, vectors=df, allowed_ids=allowed,
+            refine_factor=16,
+        ).collect()]
+        assert got_pq and all(v % 3 == 0 for v in got_pq)
+
+    def test_unsupported_filter_raises(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        df, _ = corpus
+        assigned, cents = ivf_build(df, k_cells=8)
+        path = str(tmp_path / "ivf_f")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path
+        )
+        with pytest.raises(ValueError, match="allowed_ids"):
+            search(spark, path, qv, 5, allowed_ids=[1, 2, 3])
+
+    def test_metric_comes_from_index_meta(self, spark, corpus, qv, tmp_path):
+        # an index saved with euclidean serves euclidean even though the
+        # facade's metric default is cosine — metric loss was a real
+        # reference bug (hnsw.ts:794-810)
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        df, _ = corpus
+        assigned, cents = ivf_build(df, k_cells=4, metric="euclidean")
+        path = str(tmp_path / "ivf_euc")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path,
+            metric="euclidean",
+        )
+        exact = [
+            r.vec_id
+            for r in topk_search(df, qv, 10, strength=0, metric="euclidean")
+            .collect()
+        ]
+        got = [r.vec_id for r in search(spark, path, qv, 10).collect()]
+        assert len(set(got) & set(exact)) >= 9

@@ -166,3 +166,80 @@ def search(
         nprobe=(nprobe if nprobe is not None else 4),
         refine_factor=refine_factor, strength=strength,
     ).select("vec_id", "score")
+
+
+def search_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vectors: DataFrame | None = None,
+    strength: float = 0.0,
+    ef_search: int = 100,
+    nprobe: int = 4,
+    refine_factor: int = 32,
+) -> DataFrame:
+    """Batch companion to :func:`search`: ``queries`` is a DataFrame
+    ``(query_id long, query_vec array<float>)`` of UNBOUNDED size —
+    every kind dispatches to its batch face, none of which
+    materializes the query set on the driver (HNSW and PQ serve
+    cogrouped; exact uses the map-side prereduce; IVF probes per
+    query via a bounded centroid broadcast).
+
+    Returns ``(query_id, vec_id, score)``, at most ``k`` rows per
+    query.  IVF-PQ batch scans all cells' codes (ADC is already the
+    compressed fast path; per-query cell probing is a single-query
+    optimization) — use the PQ kind for identical behavior with a
+    simpler layout.
+    """
+    kind = detect_index_kind(spark, path)
+    if kind == "exact":
+        from astro_vectordb_spark.operators.topk import batch_topk
+
+        corpus = spark.read.parquet(path)
+        return batch_topk(corpus, queries, k, strength=strength).select(
+            "query_id", "vec_id", "score"
+        )
+
+    if kind == "ivf":
+        from astro_vectordb_spark.operators.ann import ivf_batch_search
+        from astro_vectordb_spark.sources.vault import load_ivf_index
+
+        assigned, centroids, _, meta = load_ivf_index(spark, path)
+        return ivf_batch_search(
+            assigned, centroids, queries, k, nprobe=nprobe,
+            metric=meta["metric"],
+        ).select("query_id", "vec_id", "score")
+
+    if kind == "hnsw":
+        from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+        from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+        graph, meta = load_hnsw_index(spark, path)
+        return hnsw_query_shards(
+            graph, queries, k=k, m=meta["m"], metric=meta["metric"],
+            ef_search=ef_search, clustered=meta["clustered_safe"],
+            index_cache_token=meta["cache_token"],
+        ).select("query_id", "vec_id", "score")
+
+    if vectors is None:
+        raise ValueError(
+            f"index at {path} is {kind}: pass vectors= (the full-precision "
+            "table) for the exact stage-2 re-rank"
+        )
+    from astro_vectordb_spark.operators.pq import pq_batch_topk_cogrouped
+
+    if kind == "pq":
+        from astro_vectordb_spark.sources.vault import load_pq_index
+
+        encoded, model, _ = load_pq_index(spark, path)
+    else:  # ivf_pq: serve ADC over all cells' codes
+        from astro_vectordb_spark.sources.vault import load_ivf_pq_index
+
+        encoded, _, model, _ = load_ivf_pq_index(spark, path)
+        encoded = encoded.select("vec_id", "pq_code")
+    return pq_batch_topk_cogrouped(
+        encoded, vectors, queries, k, model,
+        refine_factor=refine_factor, strength=strength,
+    ).select("query_id", "vec_id", "score")

@@ -172,3 +172,82 @@ class TestFacade:
         ]
         got = [r.vec_id for r in search(spark, path, qv, 10).collect()]
         assert len(set(got) & set(exact)) >= 9
+
+
+class TestBatchFacade:
+    def _queries(self, spark, corpus, qids=(3, 17, 40)):
+        df, pts = corpus
+        return spark.createDataFrame(
+            [(int(q), [float(x) for x in pts[q]]) for q in qids],
+            "query_id long, query_vec array<float>",
+        )
+
+    def test_exact_batch(self, spark, corpus, tmp_path):
+        df, pts = corpus
+        path = str(tmp_path / "b_plain")
+        df.write.parquet(path)
+        from astro_vectordb_spark.search import search_batch
+
+        out = search_batch(spark, path, self._queries(spark, corpus), 10)
+        pdf = out.toPandas()
+        assert set(pdf.query_id) == {3, 17, 40}
+        for q in (3, 17, 40):
+            got = pdf[pdf.query_id == q].sort_values(
+                "score", ascending=False
+            ).vec_id.tolist()
+            exact = _exact_ids(df, [float(x) for x in pts[q]])
+            assert got == exact
+
+    def test_hnsw_batch(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_hnsw_index
+
+        df, pts = corpus
+        graph = hnsw_build_shards(df, num_shards=2, m=8, seed=11)
+        path = str(tmp_path / "b_hnsw")
+        save_hnsw_index(graph, path, m=8, metric="cosine")
+        out = search_batch(
+            spark, path, self._queries(spark, corpus), 10, ef_search=200
+        ).toPandas()
+        for q in (3, 17, 40):
+            got = set(out[out.query_id == q].vec_id)
+            exact = set(_exact_ids(df, [float(x) for x in pts[q]]))
+            assert len(got & exact) >= 9
+
+    def test_pq_batch_cogrouped(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_pq_index
+
+        df, pts = corpus
+        model = pq_train(df, m=8, ks=32, metric="cosine", max_rows=N, seed=2)
+        path = str(tmp_path / "b_pq")
+        save_pq_index(pq_encode(df, model), model, path)
+        out = search_batch(
+            spark, path, self._queries(spark, corpus), 10, vectors=df,
+            refine_factor=16,
+        ).toPandas()
+        for q in (3, 17, 40):
+            got = set(out[out.query_id == q].vec_id)
+            exact = set(_exact_ids(df, [float(x) for x in pts[q]]))
+            assert len(got & exact) >= 9
+
+    def test_ivf_batch(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        df, pts = corpus
+        assigned, cents = ivf_build(df, k_cells=8)
+        path = str(tmp_path / "b_ivf")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path
+        )
+        out = search_batch(
+            spark, path, self._queries(spark, corpus), 10, nprobe=4
+        ).toPandas()
+        for q in (3, 17, 40):
+            got = set(out[out.query_id == q].vec_id)
+            exact = set(_exact_ids(df, [float(x) for x in pts[q]]))
+            assert len(got & exact) >= 8

@@ -692,3 +692,76 @@ def test_stream_bm25_ingest_merges_stats(spark, tmp_path):
     assert dfs.get("hash", 0) > 0 and dfs["spark"] == 20
     row = cs2.first()
     assert row["total_dl"] == 20 * 3 + (row["n"] - 20) * 3
+
+
+class TestMultiTableCommit:
+    """commit_version_multi: several tables behind ONE pointer — the
+    BM25 atomicity fix (term_stats + corpus_stats + batch log can
+    never be observed from different merges)."""
+
+    def test_atomic_roundtrip(self, spark, tmp_path):
+        from astro_vectordb_spark.sources.versioned import (
+            commit_version_multi,
+            read_current_multi,
+        )
+
+        path = str(tmp_path / "multi")
+        a0 = spark.createDataFrame([(1, "x")], "id long, v string")
+        b0 = spark.createDataFrame([(10,)], "n long")
+        commit_version_multi({"a": a0, "b": b0}, path, 0)
+        tables = read_current_multi(spark, path)
+        assert set(tables) == {"a", "b"}
+        assert tables["b"].first()["n"] == 10
+
+    def test_partial_version_dir_is_invisible(self, spark, tmp_path):
+        # crash mid-commit = a version dir exists but the pointer was
+        # never swapped: readers must keep serving the old version,
+        # and a replayed append must see the OLD batch log (so it
+        # re-applies cleanly instead of double-counting)
+        import os
+
+        from astro_vectordb_spark.sources.versioned import (
+            commit_version_multi,
+            current_version,
+            read_current_multi,
+        )
+
+        path = str(tmp_path / "crash")
+        a0 = spark.createDataFrame([(1, "old")], "id long, v string")
+        log0 = spark.createDataFrame([], "batch_id long")
+        commit_version_multi({"a": a0, "batches": log0}, path, 0)
+        # simulate the crash: v1 fully written, pointer NOT swapped
+        a1 = spark.createDataFrame([(1, "new")], "id long, v string")
+        log1 = spark.createDataFrame([(7,)], "batch_id long")
+        a1.write.parquet(os.path.join(path, "v1", "a"))
+        log1.write.parquet(os.path.join(path, "v1", "batches"))
+        assert current_version(path) == "v0"
+        tables = read_current_multi(spark, path)
+        assert tables["a"].first()["v"] == "old"
+        assert tables["batches"].count() == 0  # batch 7 NOT recorded
+
+    def test_bm25_append_replay_after_clean_commit(self, spark, tmp_path):
+        # batch log rides the SAME commit as the stats: once the
+        # append is visible, its batch_id is too — replay is a no-op
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_append_to_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(10)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "bm25_atomic")
+        ts, cs = bm25_term_stats(docs.filter("doc_id < 5"))
+        save_bm25_index(ts, cs, path)
+        new = docs.filter("doc_id >= 5")
+        assert bm25_append_to_index(spark, path, new, batch_id=42)[
+            "appended_docs"
+        ] == 5
+        rep = bm25_append_to_index(spark, path, new, batch_id=42)
+        assert rep.get("skipped_replay")
+        _, cs2 = load_bm25_index(spark, path)
+        assert cs2.first()["n"] == 10  # no double count

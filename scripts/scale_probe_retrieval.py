@@ -256,6 +256,58 @@ def main() -> None:
     if not pq_ok:
         failures.append("pq cogrouped 50k incomplete results")
 
+    # PQ remove lifecycle: deleting a small id set from a persisted
+    # codes table must rewrite ONLY the files containing those ids —
+    # the touched-files contract that makes churn affordable at 100 TB
+    import os as _os
+
+    from astro_vectordb_spark.sources.vault import (
+        pq_remove_from_index,
+        save_pq_index,
+    )
+
+    from astro_vectordb_spark.sources.vault import pq_append_to_index
+
+    idx_path = "/tmp/scale_ret/pq_rm_idx"
+    save_pq_index(encoded.repartition(64), model, idx_path)
+
+    def _code_files():
+        return {
+            f for f in _os.listdir(_os.path.join(idx_path, "codes"))
+            if f.endswith(".parquet")
+        }
+
+    base_files = _code_files()
+    # append a 1k batch (lands in its own file(s)), then remove it:
+    # the rewrite must touch only the appended files — the 200k-row
+    # base table keeps every original file byte-identical
+    new_rows = corpus.limit(1000).select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+    )
+    pq_append_to_index(spark, idx_path, new_rows.coalesce(1))
+    t0 = time.time()
+    rep = pq_remove_from_index(
+        spark, idx_path,
+        new_rows.select("vec_id"),
+    )
+    rm_sec = round(time.time() - t0, 2)
+    surviving_base = base_files & _code_files()
+    rm_ok = (
+        rep["removed_rows"] == 1000
+        and rep["touched_files"] <= 2
+        and len(surviving_base) == len(base_files)
+    )
+    out["pq_remove_appended_1k"] = {
+        "removed_rows": rep["removed_rows"],
+        "touched_files": rep["touched_files"],
+        "base_files": len(base_files),
+        "base_files_untouched": len(surviving_base),
+        "sec": rm_sec,
+        "ok": rm_ok,
+    }
+    if not rm_ok:
+        failures.append("pq remove lifecycle")
+
     out["failures"] = failures
     out["all_ok"] = not failures
     print(json.dumps(out))

@@ -635,14 +635,23 @@ def ivf_batch_search(
     centroids: DataFrame,
     queries: DataFrame,
     k: int,
-    nprobe: int = 2,
+    nprobe: int | None = 2,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Batch IVF: each query joins only its top-nprobe cells.
+    """Batch IVF: each query joins only its probed cells.
+
+    ``nprobe=None`` applies the ADAPTIVE profile rule
+    (``choose_probe_cells_adaptive``'s semantics) DISTRIBUTED: the
+    per-query similarity profile statistics are one window over the
+    (|Q| x k_cells) ranking table — no driver-side per-query loop, so
+    the adaptive rule scales to unbounded query sets.  A query with no
+    standout cell probes every cell (graceful degeneration); a
+    structured profile probes only its clearly-better-than-average
+    cells (floored at 2 so spill/boundary vectors stay reachable).
 
     Plan: broadcast (queries x centroids) ranking -> (query_id, cell_id)
     probe table -> broadcast-join corpus on cell_id (each corpus row
@@ -667,9 +676,25 @@ def ivf_batch_search(
                 )
             ),
         )
-        .filter(F.col("_r") <= nprobe)
-        .select(query_id_col, query_vec_col, "cell_id")
     )
+    if nprobe is None:
+        wq = Window.partitionBy(query_id_col)
+        ranked = (
+            ranked.withColumn("_mu", F.avg("_s").over(wq))
+            .withColumn("_sd", F.stddev_pop("_s").over(wq))
+            .withColumn("_mx", F.max("_s").over(wq))
+            .filter(
+                # no standout cell -> probe all; else z_i >= 1 or the
+                # top-2 floor (same constants as the driver-side rule)
+                (F.col("_sd") <= F.lit(1e-12))
+                | ((F.col("_mx") - F.col("_mu")) / F.col("_sd") < F.lit(3.0))
+                | ((F.col("_s") - F.col("_mu")) / F.col("_sd") >= F.lit(1.0))
+                | (F.col("_r") <= F.lit(2))
+            )
+        )
+    else:
+        ranked = ranked.filter(F.col("_r") <= nprobe)
+    ranked = ranked.select(query_id_col, query_vec_col, "cell_id")
     # drop spill duplicates per query: with redundant assignment a
     # vector sits in several cells and can be probed more than once by
     # the same query — dedupe before scoring so copies never occupy

@@ -4,12 +4,18 @@ from astro_vectordb_spark.streaming.dedup import (
 )
 from astro_vectordb_spark.streaming.upsert import (
     foreach_batch_upsert,
+    stream_bm25_ingest,
+    stream_pq_ingest,
+    stream_pq_remove,
     stream_sync_merge,
 )
 
 __all__ = [
     "first_seen_filter",
     "foreach_batch_upsert",
+    "stream_bm25_ingest",
     "stream_dedup_exact",
+    "stream_pq_ingest",
+    "stream_pq_remove",
     "stream_sync_merge",
 ]

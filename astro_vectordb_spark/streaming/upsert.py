@@ -214,3 +214,46 @@ def stream_bm25_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_pq_remove(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_pq_remove",
+):
+    """Streaming DELETE face for a persisted PQ / IVF-PQ index — the
+    lifecycle symmetry partner of ``stream_pq_ingest``: each
+    micro-batch of (vec_id) rows is physically removed from the codes
+    table via ``vault.pq_remove_from_index`` (touched-files-only
+    rewrite), so a churn stream — GDPR erasure, retention expiry,
+    upstream tombstones — keeps the compressed index from silently
+    accumulating dead candidates.  ``batch_id`` rides the same
+    ``_batches`` log as the appends, making at-least-once redelivery
+    a no-op.  Run ``vault.pq_compact_index`` periodically under heavy
+    churn (remove rewrites touched files into fresh ones, so file
+    count grows with delete traffic)."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from astro_vectordb_spark.sources.vault import pq_remove_from_index
+
+        if batch_df.isEmpty():
+            return
+        rep = pq_remove_from_index(
+            spark, index_path, batch_df.select("vec_id"),
+            batch_id=int(batch_id),
+        )
+        print(
+            f"{query_name} batch {batch_id}: -{rep['removed_rows']} rows "
+            f"({rep['touched_files']} files rewritten)"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -168,6 +168,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         F.count(F.lit(1)).alias("n")).collect()}
     print(f"[10] stratified mix: {mix}")
 
+    # 11. One-call facade: serve from ANY persisted index — kind and
+    #     metric detected from the layout (the reference's
+    #     searchAstroDB); same call works for exact parquet, IVF,
+    #     HNSW, PQ, IVF-PQ
+    import tempfile
+
+    from astro_vectordb_spark.search import search
+    from astro_vectordb_spark.sources.vault import (
+        pq_remove_from_index,
+        save_pq_index,
+    )
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+
+    model = pq_train(emb, m=8, ks=32, max_rows=20_000)
+    pq_dir = tempfile.mkdtemp(prefix="example_pq_")
+    save_pq_index(pq_encode(emb, model), model, pq_dir)
+    # churn lifecycle: physically remove some ids (touched-files-only
+    # rewrite), then serve through the facade
+    pq_remove_from_index(spark, pq_dir, [1, 2, 3])
+    hits = search(spark, pq_dir, qv, k=5, vectors=emb)
+    print(f"[11] facade over churned PQ index: {hits.count()} hits")
+
     spark.stop()
     print("pipeline complete")
 

@@ -280,9 +280,11 @@ def main() -> None:
     base_files = _code_files()
     # append a 1k batch (lands in its own file(s)), then remove it:
     # the rewrite must touch only the appended files — the 200k-row
-    # base table keeps every original file byte-identical
+    # base table keeps every original file byte-identical.  Offset
+    # beyond the replicated id space (reps reach ~99M) so the new ids
+    # are genuinely fresh
     new_rows = corpus.limit(1000).select(
-        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 200_000_000).alias("vec_id"), "embedding"
     )
     pq_append_to_index(spark, idx_path, new_rows.coalesce(1))
     t0 = time.time()

@@ -462,3 +462,64 @@ class TestAdaptiveNprobe:
         a = choose_probe_cells_adaptive(cents, pts[1][1])
         b = choose_probe_cells_adaptive(cents, pts[1][1])
         assert a == b
+
+
+class TestAdaptiveBatchNprobe:
+    """nprobe=None on the BATCH face: the adaptive profile rule as one
+    distributed window over the (|Q| x k_cells) ranking table — no
+    driver-side per-query loop, so it scales to unbounded query sets."""
+
+    def test_batch_adaptive_matches_single_adaptive(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        C = rng.normal(size=(16, 64))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        pts = [
+            (i, [float(x) for x in C[i % 16] + 0.01 * rng.normal(size=64)])
+            for i in range(800)
+        ]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+        assigned, cents = ivf_build(df, k_cells=16)
+        queries = spark.createDataFrame(
+            [(q, pts[q][1]) for q in (0, 5, 9)],
+            "query_id long, query_vec array<float>",
+        )
+        batch = ivf_batch_search(
+            assigned, cents, queries, 10, nprobe=None
+        ).toPandas()
+        for q in (0, 5, 9):
+            single = [
+                r["vec_id"]
+                for r in ivf_search(
+                    assigned, cents, pts[q][1], 10, nprobe=None
+                ).collect()
+            ]
+            got = (
+                batch[batch.query_id == q]
+                .sort_values(["score", "vec_id"], ascending=[False, True])
+                .vec_id.tolist()
+            )
+            assert got == single, q
+
+    def test_batch_adaptive_uniform_equals_exact(self, spark, embeddings):
+        assigned, cents = ivf_build(embeddings, k_cells=8)
+        qrows = embeddings.filter(F.col("vec_id").isin([2, 7])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batch = ivf_batch_search(
+            assigned, cents, qrows, 10, nprobe=None
+        ).toPandas()
+        for q in (2, 7):
+            qv = embeddings.filter(F.col("vec_id") == q).first()["embedding"]
+            exact = [
+                r["vec_id"] for r in topk_search(embeddings, qv, 10, strength=0).collect()
+            ]
+            got = (
+                batch[batch.query_id == q]
+                .sort_values(["score", "vec_id"], ascending=[False, True])
+                .vec_id.tolist()
+            )
+            # uniform corpus -> the rule probes all cells -> exact
+            assert got == exact, q

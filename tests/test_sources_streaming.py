@@ -765,3 +765,43 @@ class TestMultiTableCommit:
         assert rep.get("skipped_replay")
         _, cs2 = load_bm25_index(spark, path)
         assert cs2.first()["n"] == 10  # no double count
+
+
+def test_stream_pq_remove_deletes_ids(spark, tmp_path):
+    """foreachBatch PQ delete: streamed vec_ids are physically removed
+    from the persisted codes table (touched-files-only rewrite)."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+    from astro_vectordb_spark.sources.vault import save_pq_index
+    from astro_vectordb_spark.streaming.upsert import stream_pq_remove
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    model = pq_train(df, m=4, ks=16, metric="cosine", max_rows=400)
+    path = str(tmp_path / "pq_rm_stream")
+    save_pq_index(pq_encode(df, model), model, path)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select((F.col("value") % 50).alias("vec_id"))
+    )
+    q = stream_pq_remove(stream, path)
+    try:
+        deadline = time.time() + 40
+        shrunk = False
+        while time.time() < deadline:
+            time.sleep(3)
+            n = spark.read.parquet(f"{path}/codes").count()
+            if n <= 350:
+                shrunk = True
+                break
+    finally:
+        q.stop()
+    assert shrunk, "streamed removals never reached the codes table"
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter("vec_id < 50").count() == 0
+    assert codes.filter("vec_id >= 50").count() == 350

@@ -172,8 +172,6 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #     metric detected from the layout (the reference's
     #     searchAstroDB); same call works for exact parquet, IVF,
     #     HNSW, PQ, IVF-PQ
-    import tempfile
-
     from astro_vectordb_spark.search import search
     from astro_vectordb_spark.sources.vault import (
         pq_remove_from_index,

@@ -828,6 +828,211 @@ def _as_ids_df(spark: SparkSession, vec_ids) -> DataFrame:
     ).distinct()
 
 
+def _remove_rows_by_file(
+    spark: SparkSession,
+    table_path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[int, list[str]]:
+    """File-granular physical delete from a parquet table (flat or
+    directory-partitioned): locate the files containing the ids via
+    the hidden ``_metadata.file_path`` column (bounded by |ids|),
+    rewrite ONLY those files' survivors as fresh appended files, then
+    delete the old files.  Returns (rows removed, touched file paths).
+
+    Shared core of the PQ and IVF remove faces — a 100-TB table with
+    1k removed ids rewrites a handful of files, never the table.
+    Write-then-delete ordering: a crash between the two leaves
+    duplicate survivor rows (never lost rows); the next remove or
+    compaction dedups them."""
+    table = spark.read.parquet(table_path)
+    touched = [
+        r["__file"]
+        for r in table.select(
+            F.col("_metadata.file_path").alias("__file"), id_col
+        )
+        .join(ids, id_col, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0, []
+    partition_cols = [c for c in table.columns if f"/{c}=" in touched[0]]
+    reader = spark.read.option("basePath", table_path)
+    touched_df = reader.parquet(*touched)
+    n_before = touched_df.count()
+    survivors = (
+        touched_df.join(ids, id_col, "left_anti")
+        .dropDuplicates([id_col, *partition_cols])
+        .localCheckpoint(eager=True)  # materialize BEFORE mutating files
+    )
+    n_after = survivors.count()
+    writer = survivors.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if n_after:
+        writer.parquet(table_path)
+    fs, _ = _hadoop_fs(spark, table_path)
+    jvm = spark._jvm
+    for f in touched:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    return n_before - n_after, touched
+
+
+def ivf_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids,
+    batch_id: int | None = None,
+) -> dict:
+    """Physical delete from a persisted IVF index — the storage-level
+    lifecycle op completing the append face (``ivf_append_to_index``):
+    removed vec_ids leave the cell-partitioned vectors table entirely
+    (touched-files-only rewrite, see ``_remove_rows_by_file``), and
+    the cell radius stats of the touched cells are RECOMPUTED from
+    their survivors so ``ivf_search_exact``'s pruning bound tightens
+    back (a stale post-delete radius is merely conservative — correct
+    but looser — unlike the append direction, where staleness would
+    be a correctness hazard).  Emptied cells lose their stats row.
+    Reference analogue: ``removePoint`` (hnsw.ts:179-226) at storage
+    level."""
+    from astro_vectordb_spark.operators.ann import ivf_cell_stats
+
+    if _batch_already_committed(spark, path, batch_id):
+        return {"removed_rows": 0, "touched_files": 0,
+                "skipped_replay": True}
+    ids = _as_ids_df(spark, vec_ids)
+    vectors_path = os.path.join(path, "vectors")
+    removed, touched = _remove_rows_by_file(spark, vectors_path, ids)
+    touched_cells = sorted({
+        int(seg.split("=", 1)[1])
+        for f in touched
+        for seg in f.split("/")
+        if seg.startswith("cell_id=")
+    })
+    stats_path = os.path.join(path, "cell_stats")
+    if touched_cells and _fs_exists(spark, stats_path):
+        centroids = spark.read.parquet(os.path.join(path, "centroids"))
+        meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+        survivors = spark.read.parquet(vectors_path).filter(
+            F.col("cell_id").isin(touched_cells)
+        )
+        fresh = ivf_cell_stats(survivors, centroids, metric=meta["metric"])
+        old = spark.read.parquet(stats_path)
+        merged = (
+            old.filter(~F.col("cell_id").isin(touched_cells))
+            .unionByName(fresh)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(stats_path)
+    _record_batch(spark, path, batch_id)
+    return {"removed_rows": removed, "touched_files": len(touched),
+            "touched_cells": touched_cells}
+
+
+def hnsw_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    vec_ids,
+    batch_id: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Physical delete from a persisted sharded HNSW index — the
+    storage-level face of the reference's ``removeNodeFromGraph``
+    (hnsw.ts:179-226), which the tombstone path (``crud.
+    tombstone_delete`` + ``live()``) deliberately avoids: tombstoned
+    ids still occupy graph wiring and beam budget forever.
+
+    Shape: the removed ids' shards are identified with one bounded
+    semi-join; ONLY those shards rebuild, from their surviving vectors
+    at full construction quality (the same rebuild ``hnsw_rebalance``
+    applies to degraded shards — fresh wiring beats an edge sweep that
+    erodes recall), and the dynamic partition overwrite replaces only
+    their files.  A shard emptied entirely has its partition directory
+    deleted.  ``_meta`` is rewritten so the shard list / cache token
+    reflect the new layout.  Single-writer maintenance op; replayed
+    ``batch_id`` is a no-op via the ``_batches`` log."""
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+
+    if _batch_already_committed(spark, path, batch_id):
+        return {"removed_rows": 0, "touched_shards": [],
+                "skipped_replay": True}
+    ids = _as_ids_df(spark, vec_ids)
+    graph_path = os.path.join(path, "graph")
+    graph, meta = load_hnsw_index(spark, path)
+    touched = sorted(
+        r["shard_id"]
+        for r in graph.join(ids, "vec_id", "left_semi")
+        .select("shard_id").distinct().collect()
+    )
+    if not touched:
+        _record_batch(spark, path, batch_id)
+        return {"removed_rows": 0, "touched_shards": []}
+    quantized = "qvec" in graph.columns
+    in_touched = graph.filter(F.col("shard_id").isin(touched))
+    n_before = in_touched.count()
+    if quantized:
+        survivors = in_touched.join(ids, "vec_id", "left_anti").select(
+            "vec_id",
+            "shard_id",
+            F.transform(
+                F.col("qvec"),
+                lambda q: (q.cast("double") * F.col("qscale")).cast("float"),
+            ).alias("embedding"),
+        )
+    else:
+        survivors = in_touched.join(ids, "vec_id", "left_anti").select(
+            "vec_id", "shard_id", "embedding"
+        )
+    survivors = survivors.localCheckpoint(eager=True)
+    n_after = survivors.count()
+    emptied = [
+        s for s in touched
+        if survivors.filter(F.col("shard_id") == s).limit(1).count() == 0
+    ]
+    rebuilt_parts = []
+    for sid in touched:
+        if sid in emptied:
+            continue
+        rows = survivors.filter(F.col("shard_id") == sid).select(
+            "vec_id", "embedding"
+        )
+        part = hnsw_build_shards(
+            rows, num_shards=1, m=meta["m"], metric=meta["metric"],
+            seed=seed + sid, quantize=quantized,
+        ).withColumn("shard_id", F.lit(int(sid)).cast("int"))
+        rebuilt_parts.append(part)
+    if rebuilt_parts:
+        rebuilt = rebuilt_parts[0]
+        for p in rebuilt_parts[1:]:
+            rebuilt = rebuilt.unionByName(p)
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+        (
+            rebuilt.repartition("shard_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id")
+            .parquet(graph_path)
+        )
+    fs, _ = _hadoop_fs(spark, graph_path)
+    jvm = spark._jvm
+    for sid in emptied:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(graph_path, f"shard_id={sid}")
+            ),
+            True,
+        )
+    _write_hnsw_meta(spark, path, metric=meta["metric"], m=meta["m"])
+    _record_batch(spark, path, batch_id)
+    return {
+        "removed_rows": n_before - n_after,
+        "touched_shards": touched,
+        "emptied_shards": emptied,
+    }
+
+
 def pq_remove_from_index(
     spark: SparkSession,
     path: str,
@@ -864,45 +1069,11 @@ def pq_remove_from_index(
         return {"removed_rows": 0, "touched_files": 0,
                 "skipped_replay": True}
     ids = _as_ids_df(spark, vec_ids)
-    codes_path = os.path.join(path, "codes")
-    codes = spark.read.parquet(codes_path)
-    touched = [
-        r["__file"]
-        for r in codes.select(
-            F.col("_metadata.file_path").alias("__file"), "vec_id"
-        )
-        .join(ids, "vec_id", "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    ]
-    if not touched:
-        _record_batch(spark, path, batch_id)
-        return {"removed_rows": 0, "touched_files": 0}
-    partitioned = "cell_id=" in touched[0]
-    reader = spark.read.option("basePath", codes_path)
-    touched_df = reader.parquet(*touched)
-    n_before = touched_df.count()
-    survivors = (
-        touched_df.join(ids, "vec_id", "left_anti")
-        # a prior crashed remove may have left duplicate survivor
-        # rows in the touched files — collapse them on rewrite
-        .dropDuplicates(["vec_id", "cell_id"] if partitioned
-                        else ["vec_id"])
-        .localCheckpoint(eager=True)  # materialize BEFORE mutating files
+    removed, touched = _remove_rows_by_file(
+        spark, os.path.join(path, "codes"), ids
     )
-    n_after = survivors.count()
-    writer = survivors.write.mode("append")
-    if partitioned:
-        writer = writer.partitionBy("cell_id")
-    if n_after:
-        writer.parquet(codes_path)
-    fs, _ = _hadoop_fs(spark, codes_path)
-    jvm = spark._jvm
-    for f in touched:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     _record_batch(spark, path, batch_id)
-    return {"removed_rows": n_before - n_after, "touched_files": len(touched)}
+    return {"removed_rows": removed, "touched_files": len(touched)}
 
 
 def pq_compact_index(

@@ -251,3 +251,133 @@ class TestBatchFacade:
             got = set(out[out.query_id == q].vec_id)
             exact = set(_exact_ids(df, [float(x) for x in pts[q]]))
             assert len(got & exact) >= 8
+
+
+class TestStorageRemoves:
+    """Storage-level deletes for IVF and HNSW — lifecycle symmetry with
+    the append faces (every index kind now has build/append/remove)."""
+
+    def test_ivf_remove_refreshes_stats(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.ann import (
+            ivf_build,
+            ivf_cell_stats,
+        )
+        from astro_vectordb_spark.sources.vault import (
+            ivf_remove_from_index,
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        df, pts = corpus
+        assigned, cents = ivf_build(df, k_cells=8)
+        stats = ivf_cell_stats(assigned, cents)
+        path = str(tmp_path / "ivf_rm")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path,
+            cell_stats=stats,
+        )
+        remove_ids = [0, 8, 16, 24, 32]
+        rep = ivf_remove_from_index(spark, path, remove_ids)
+        assert rep["removed_rows"] == len(remove_ids)
+        assert rep["touched_cells"]
+        vec2, _, stats2, _ = load_ivf_index(spark, path)
+        assert vec2.filter(vec2.vec_id.isin(remove_ids)).count() == 0
+        assert vec2.count() == N - len(remove_ids)
+        # stats recomputed for touched cells from survivors: the bound
+        # can only tighten (min_sim rises or holds per touched cell)
+        old = {r["cell_id"]: r["min_sim"] for r in stats.collect()}
+        new = {r["cell_id"]: r["min_sim"] for r in stats2.collect()}
+        for c in rep["touched_cells"]:
+            assert new[c] >= old[c] - 1e-9
+
+    def test_ivf_remove_replay_noop(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.sources.vault import (
+            ivf_remove_from_index,
+            save_ivf_index,
+        )
+
+        df, _ = corpus
+        assigned, cents = ivf_build(df, k_cells=8)
+        path = str(tmp_path / "ivf_rm2")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, path
+        )
+        assert ivf_remove_from_index(spark, path, [1, 2], batch_id=5)[
+            "removed_rows"
+        ] == 2
+        rep = ivf_remove_from_index(spark, path, [1, 2], batch_id=5)
+        assert rep.get("skipped_replay")
+
+    def test_hnsw_remove_rebuilds_touched_shards(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.hnsw import (
+            hnsw_build_shards,
+            hnsw_query_shards,
+        )
+        from astro_vectordb_spark.sources.vault import (
+            hnsw_remove_from_index,
+            load_hnsw_index,
+            save_hnsw_index,
+        )
+
+        df, pts = corpus
+        graph = hnsw_build_shards(df, num_shards=2, m=8, seed=11)
+        path = str(tmp_path / "hnsw_rm")
+        save_hnsw_index(graph, path, m=8, metric="cosine")
+        # remove the exact top-3 neighbors of query 17
+        exact = _exact_ids(df, [float(x) for x in pts[17]])
+        remove_ids = exact[:3]
+        rep = hnsw_remove_from_index(spark, path, remove_ids)
+        assert rep["removed_rows"] == len(remove_ids)
+        g2, meta2 = load_hnsw_index(spark, path)
+        assert g2.filter(g2.vec_id.isin(remove_ids)).count() == 0
+        # removed ids can never be served, and recall vs the POST-DELETE
+        # exact top-10 stays high (fresh wiring, not an edge sweep)
+        queries = spark.createDataFrame(
+            [(17, [float(x) for x in pts[17]])],
+            "query_id long, query_vec array<float>",
+        )
+        got = {
+            r["vec_id"]
+            for r in hnsw_query_shards(
+                g2, queries, k=10, m=meta2["m"], metric=meta2["metric"],
+                ef_search=200, clustered=meta2["clustered_safe"],
+                index_cache_token=meta2["cache_token"],
+            ).collect()
+        }
+        assert not (got & set(remove_ids))
+        survivors = df.join(
+            spark.createDataFrame([(i,) for i in remove_ids], "vec_id long"),
+            "vec_id", "left_anti",
+        )
+        exact_after = set(_exact_ids(survivors, [float(x) for x in pts[17]]))
+        assert len(got & exact_after) >= 9
+
+    def test_hnsw_remove_empties_shard(self, spark, tmp_path):
+        import numpy as np
+
+        from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+        from astro_vectordb_spark.sources.vault import (
+            hnsw_remove_from_index,
+            load_hnsw_index,
+            save_hnsw_index,
+        )
+
+        rng = np.random.RandomState(2)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=16)]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        graph = hnsw_build_shards(df, num_shards=2, m=8, seed=3)
+        spark_path = str(tmp_path / "hnsw_empty")
+        save_hnsw_index(graph, spark_path, m=8, metric="cosine")
+        g0, meta0 = load_hnsw_index(spark, spark_path)
+        shard0_ids = [
+            r["vec_id"] for r in g0.filter("shard_id = 0").collect()
+        ]
+        rep = hnsw_remove_from_index(spark, spark_path, shard0_ids)
+        assert rep["emptied_shards"] == [0]
+        g2, meta2 = load_hnsw_index(spark, spark_path)
+        assert g2.filter("shard_id = 0").count() == 0
+        assert meta2["shard_ids"] == [1]
+        assert g2.count() == 100 - len(shard0_ids)

@@ -80,6 +80,45 @@ def _q_topk_exact(spark, sf_dir):
     ).select("vec_id", "score")
 
 
+def _q_facade_exact_topk(spark, sf_dir):
+    # the one-call facade over a PLAIN parquet table: kind detection
+    # must resolve to the exact scan and produce hash-identical
+    # results to the explicit operator call (searchAstroDB parity,
+    # driver/driver.ts:290-307)
+    from astro_vectordb_spark.search import search
+
+    return search(
+        spark, f"{sf_dir}/embeddings.parquet", _qvec(spark, sf_dir, 5), k=10
+    )
+
+
+def _q_facade_hnsw_gate(spark, sf_dir):
+    # facade over the PERSISTED sharded HNSW index at a full-recall
+    # beam, exact-fold re-rank — the same hash-gate construction as
+    # ann_hnsw_recall_gate, but the load + dispatch + serve path runs
+    # through search(): a facade-dispatch regression (wrong kind,
+    # dropped metric, broken meta plumbing) becomes a driver hash
+    # mismatch
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.search import search
+
+    emb = _emb(spark, sf_dir)
+    hits = search(
+        spark, hnsw_index_path(spark, sf_dir), _qvec(spark, sf_dir, 9),
+        k=10, ef_search=400,
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _qvec(spark, sf_dir, 9)])
+    return (
+        hits.select("vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("score", similarity(F.col("embedding"), qv, "cosine"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _q_topk_euclidean(spark, sf_dir):
     return topk_search(
         _emb(spark, sf_dir), _qvec(spark, sf_dir, 7), k=10, strength=0,
@@ -1452,6 +1491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
+        # -- round-8 facade gates (oracled; full-gate checked this
+        # round, window candidates next)
+        "facade_exact_topk": _q_facade_exact_topk,
+        "facade_hnsw_gate": _q_facade_hnsw_gate,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -1723,6 +1766,8 @@ def oracle_sql() -> dict[str, str]:
     }
     return {
         "topk_exact": _topk_oracle(0, 0.2, 10, cos),
+        "facade_exact_topk": _topk_oracle(5, 0.0, 10, cos),
+        "facade_hnsw_gate": _topk_oracle(9, 0.0, 10, cos),
         "topk_euclidean": _topk_oracle(7, 0.0, 10, euc),
         "threshold_cap": _topk_oracle(3, 0.95, 10, cos),
         "point_lookup": "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",

@@ -1383,6 +1383,38 @@ def _q_pack_strict(spark, sf_dir):
     return pack_documents_strict(_docs(spark, sf_dir), max_tokens=200)
 
 
+def _q_curation_e2e(spark, sf_dir):
+    # the composite training-data pipeline, oracled END TO END as one
+    # hash: quality gate (gopher rules) -> exact dedup (min-id
+    # representative per normalized text) -> capacity-strict packing.
+    # Each stage is individually oracled elsewhere; this query pins
+    # their COMPOSITION — a survivor-set drift in any stage cascades
+    # into different pack assignments and a driver hash mismatch.
+    from astro_vectordb_spark.operators.curation import (
+        gopher_filter,
+        pack_documents_strict,
+    )
+    from astro_vectordb_spark.operators.dedup import exact_dedup
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    # plant rows each stage must DROP (the clean corpus has no exact
+    # dups and passes the gate, so without these the composite hash
+    # would not pin survivor selection): 20 exact duplicates (dedup
+    # keeps the min-id originals) and 10 repetition-spam docs (the
+    # unigram-dominance rule kills them)
+    dups = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 90_000).alias("doc_id"), "text"
+    )
+    junk = spark.range(10).select(
+        (F.col("id") + 95_000).alias("doc_id"),
+        F.lit("spam spam spam spam spam spam").alias("text"),
+    )
+    corpus = base.unionByName(dups).unionByName(junk)
+    kept = gopher_filter(corpus).filter("keep").select("doc_id")
+    survivors = exact_dedup(corpus.join(kept, "doc_id", "left_semi"))
+    return pack_documents_strict(survivors, max_tokens=200, n_buckets=8)
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sequence packing for LLM training: contiguous fill within
     # independent hash-bucket streams (per-bucket window cumsum — no
@@ -1491,10 +1523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_no_orders": _q_segment_no_orders,
         "revenue_rollup": _q_revenue_rollup,
         "status_pivot": _q_status_pivot,
-        # -- round-8 facade gates (oracled; full-gate checked this
-        # round, window candidates next)
+        # -- round-8 facade gates + composite pipeline (oracled;
+        # full-gate checked this round, window candidates next)
         "facade_exact_topk": _q_facade_exact_topk,
         "facade_hnsw_gate": _q_facade_hnsw_gate,
+        "curation_e2e": _q_curation_e2e,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -2795,6 +2828,89 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         # the recursive CTE advances every bucket in rn-lockstep,
         # carrying (pack_id, fill) exactly like the Spark per-bucket
         # counters
+        # composite pipeline: gopher keep -> min-id exact dedup ->
+        # strict next-fit packing, replayed stage by stage
+        "curation_e2e": f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 90000, text FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 95000 + i, 'spam spam spam spam spam spam' AS text
+  FROM range(10) AS r(i)
+),
+toks0 AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM corpus
+),
+uni AS (SELECT doc_id, 1 AS n, u.g AS gram FROM toks0, unnest(tk) AS u(g)),
+tri AS (
+  SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM toks0, unnest(range(1, len(tk)-1)) AS r(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM tri),
+per_gram AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id,
+    coalesce(sum(cnt) FILTER (n = 1), 0) AS tot1,
+    coalesce(max(cnt) FILTER (n = 1), 0) AS top1,
+    coalesce(sum(cnt) FILTER (n = 3), 0) AS tot3,
+    coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) FILTER (n = 3), 0)
+      AS dup3
+  FROM per_gram GROUP BY doc_id
+),
+stats AS (
+  SELECT t.doc_id,
+    len(tk) AS tc,
+    CASE WHEN len(tk) > 0
+         THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+         ELSE 0.0 END AS atl,
+    len(regexp_extract_all(text, '[.,!?;:]')) AS punct,
+    coalesce(round(CASE WHEN tot1 > 0 THEN top1::DOUBLE / tot1
+                   ELSE 0.0 END, 6), 0.0) AS uni_frac,
+    coalesce(round(CASE WHEN tot3 > 0 THEN dup3::DOUBLE / tot3
+                   ELSE 0.0 END, 6), 0.0) AS tri_frac
+  FROM toks0 t LEFT JOIN per_doc USING (doc_id)
+),
+kept AS (
+  SELECT doc_id FROM stats
+  WHERE (tc >= 5 AND tc <= 100000) AND (atl >= 2.0 AND atl <= 12.0)
+    AND uni_frac <= 0.30 AND tri_frac <= 0.60
+    AND punct::DOUBLE / greatest(tc, 1) <= 0.10
+),
+norm AS (
+  SELECT d.doc_id,
+    array_to_string(list_filter(
+      string_split_regex(trim(lower(d.text)), '\\s+'), x -> x <> ''), ' ')
+      AS norm
+  FROM corpus d JOIN kept USING (doc_id)
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm),
+ptoks AS (
+  SELECT t.doc_id, (t.doc_id % 8)::INT AS bucket,
+         len(t.tk)::BIGINT AS n_tokens
+  FROM toks0 t JOIN reps USING (doc_id)
+),
+seq AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM ptoks
+),
+packed AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_id,
+         n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 200
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 200
+              THEN s.n_tokens ELSE p.fill + s.n_tokens END
+  FROM seq s JOIN packed p ON s.bucket = p.bucket AND s.rn = p.rn + 1
+)
+SELECT doc_id, bucket, pack_id, n_tokens FROM packed
+""",
         "pack_strict": f"""
 WITH RECURSIVE toks AS (
   -- 32 = the operator's auto-sized bucket count at every test scale

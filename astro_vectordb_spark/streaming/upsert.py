@@ -216,10 +216,52 @@ def stream_bm25_ingest(
     return writer.start()
 
 
+def _pq_remove_batch(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    compact_every: int | None,
+    query_name: str,
+) -> dict:
+    """One micro-batch of the streaming PQ delete (module-level so the
+    per-batch semantics are directly unit-testable): remove the ids,
+    then — every ``compact_every``-th batch — compact the codes table,
+    since each remove rewrites its touched files into fresh appended
+    ones and delete traffic grows the file count without bound."""
+    from astro_vectordb_spark.sources.vault import (
+        pq_compact_index,
+        pq_remove_from_index,
+    )
+
+    rep = pq_remove_from_index(
+        spark, index_path, batch_df.select("vec_id"), batch_id=int(batch_id)
+    )
+    print(
+        f"{query_name} batch {batch_id}: -{rep['removed_rows']} rows "
+        f"({rep['touched_files']} files rewritten)"
+    )
+    if (
+        compact_every
+        and not rep.get("skipped_replay")
+        and int(batch_id) > 0
+        and int(batch_id) % int(compact_every) == 0
+    ):
+        crep = pq_compact_index(spark, index_path)
+        if crep.get("compacted"):
+            print(
+                f"{query_name} batch {batch_id}: compacted "
+                f"{crep['files_before']} -> {crep['target_files']} files"
+            )
+        rep["compaction"] = crep
+    return rep
+
+
 def stream_pq_remove(
     stream_df: DataFrame,
     index_path: str,
     checkpoint: str | None = None,
+    compact_every: int | None = None,
     query_name: str = "astro_pq_remove",
 ):
     """Streaming DELETE face for a persisted PQ / IVF-PQ index — the
@@ -230,23 +272,17 @@ def stream_pq_remove(
     upstream tombstones — keeps the compressed index from silently
     accumulating dead candidates.  ``batch_id`` rides the same
     ``_batches`` log as the appends, making at-least-once redelivery
-    a no-op.  Run ``vault.pq_compact_index`` periodically under heavy
-    churn (remove rewrites touched files into fresh ones, so file
-    count grows with delete traffic)."""
+    a no-op.  ``compact_every=N`` runs ``vault.pq_compact_index``
+    after every Nth applied batch (remove rewrites touched files into
+    fresh ones, so file count grows with delete traffic; compaction is
+    a no-op while the table stays well-sized)."""
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from astro_vectordb_spark.sources.vault import pq_remove_from_index
-
         if batch_df.isEmpty():
             return
-        rep = pq_remove_from_index(
-            spark, index_path, batch_df.select("vec_id"),
-            batch_id=int(batch_id),
-        )
-        print(
-            f"{query_name} batch {batch_id}: -{rep['removed_rows']} rows "
-            f"({rep['touched_files']} files rewritten)"
+        _pq_remove_batch(
+            spark, index_path, batch_df, batch_id, compact_every, query_name
         )
 
     writer = (

@@ -805,3 +805,37 @@ def test_stream_pq_remove_deletes_ids(spark, tmp_path):
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.filter("vec_id < 50").count() == 0
     assert codes.filter("vec_id >= 50").count() == 350
+
+
+def test_pq_remove_batch_auto_compacts(spark, tmp_path):
+    """The streaming delete's per-batch body: every compact_every-th
+    applied batch triggers codes-table compaction (delete traffic
+    otherwise grows the file count without bound)."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+    from astro_vectordb_spark.sources.vault import save_pq_index
+    from astro_vectordb_spark.streaming.upsert import _pq_remove_batch
+
+    rng = np.random.RandomState(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    model = pq_train(df, m=4, ks=16, metric="cosine", max_rows=300)
+    path = str(tmp_path / "pq_auto_cmp")
+    # many small files so compaction has something to do
+    save_pq_index(pq_encode(df.repartition(12), model), model, path)
+
+    ids1 = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    rep1 = _pq_remove_batch(spark, path, ids1, 1, compact_every=2, query_name="t")
+    assert "compaction" not in rep1  # batch 1 of 2: no trigger
+    ids2 = spark.createDataFrame([(i,) for i in range(5, 10)], "vec_id long")
+    rep2 = _pq_remove_batch(spark, path, ids2, 2, compact_every=2, query_name="t")
+    assert rep2["compaction"]["compacted"] is True
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 290
+    assert codes.filter("vec_id < 10").count() == 0
+    # replayed batch never re-compacts or re-removes
+    rep3 = _pq_remove_batch(spark, path, ids2, 2, compact_every=2, query_name="t")
+    assert rep3.get("skipped_replay") and "compaction" not in rep3

@@ -1383,6 +1383,35 @@ def _q_pack_strict(spark, sf_dir):
     return pack_documents_strict(_docs(spark, sf_dir), max_tokens=200)
 
 
+def _q_line_dup_stats(spark, sf_dir):
+    # line-level repetition (the remaining Gopher A1.1 rules):
+    # boilerplate repeats whole LINES that n-gram dominance
+    # under-detects.  The corpus has no newlines, so multi-line docs
+    # with known duplicate structure are PLANTED (same pattern as
+    # curation_e2e's planted drops) — the hash pins both the
+    # degenerate single-line case (frac 0.0 over the whole corpus)
+    # and real duplicate-line arithmetic.
+    from astro_vectordb_spark.operators.curation import (
+        line_repetition_stats,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            # 4 lines, 'nav bar' twice: dup_line_frac 2/4
+            (97_000, "nav bar\nreal content here\nnav bar\nfooter text"),
+            # all 3 lines identical: frac 1.0
+            (97_001, "cookie notice\ncookie notice\ncookie notice"),
+            # blank/whitespace lines dropped; 2 distinct survive: 0.0
+            (97_002, "alpha\n\n   \nbeta"),
+            # empty text: n_lines 0, fracs 0.0
+            (97_003, ""),
+        ],
+        "doc_id long, text string",
+    )
+    return line_repetition_stats(base.unionByName(planted))
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1528,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facade_exact_topk": _q_facade_exact_topk,
         "facade_hnsw_gate": _q_facade_hnsw_gate,
         "curation_e2e": _q_curation_e2e,
+        "line_dup_stats": _q_line_dup_stats,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -2828,6 +2858,44 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         # the recursive CTE advances every bucket in rn-lockstep,
         # carrying (pack_id, fill) exactly like the Spark per-bucket
         # counters
+        # line-level repetition over corpus + planted multi-line docs
+        "line_dup_stats": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES
+    (97000, 'nav bar' || chr(10) || 'real content here' || chr(10)
+            || 'nav bar' || chr(10) || 'footer text'),
+    (97001, 'cookie notice' || chr(10) || 'cookie notice' || chr(10)
+            || 'cookie notice'),
+    (97002, 'alpha' || chr(10) || chr(10) || '   ' || chr(10) || 'beta'),
+    (97003, '')
+  ) AS v(doc_id, text)
+),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM corpus, unnest(string_split(coalesce(text, ''), chr(10))) AS u(l)
+  WHERE trim(l) <> ''
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS cnt, len(line) AS chars
+  FROM lines GROUP BY doc_id, line
+),
+per_doc AS (
+  SELECT doc_id,
+    sum(cnt) AS tot,
+    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+    sum(cnt * chars) AS tot_chars,
+    sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup_chars
+  FROM per_line GROUP BY doc_id
+)
+SELECT c.doc_id,
+  coalesce(tot, 0)::BIGINT AS n_lines,
+  coalesce(round(CASE WHEN tot > 0 THEN dup::DOUBLE / tot
+                 ELSE 0.0 END, 6), 0.0) AS dup_line_frac,
+  coalesce(round(CASE WHEN tot_chars > 0 THEN dup_chars::DOUBLE / tot_chars
+                 ELSE 0.0 END, 6), 0.0) AS dup_line_char_frac
+FROM corpus c LEFT JOIN per_doc USING (doc_id)
+""",
         # composite pipeline: gopher keep -> min-id exact dedup ->
         # strict next-fit packing, replayed stage by stage
         "curation_e2e": f"""

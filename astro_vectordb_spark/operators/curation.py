@@ -149,6 +149,81 @@ def repetition_stats(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level repetition profile per document — the remaining
+    Gopher §A1.1 repetition rules (Rae et al. 2021) that
+    ``repetition_stats`` (n-gram level) does not cover: boilerplate
+    pages repeat whole LINES (nav bars, cookie banners, templated
+    listings) that n-gram dominance under-detects.
+
+    Lines are ``\\n``-split and trimmed; empty lines are dropped.
+    Output columns (house convention — same occurrences-with-count>1
+    numerator as ``dup_trigram_frac``):
+
+      - ``n_lines``             non-empty lines in the document
+      - ``dup_line_frac``       line occurrences whose trimmed value
+                                appears more than once / n_lines
+      - ``dup_line_char_frac``  same, weighted by line characters
+
+    Docs with no non-empty lines (or NULL text) get 0.0 / 0 — the
+    honest "no evidence" value a ``frac <= cap`` filter wants.
+
+    Plan: one split+explode -> per-(doc, line) count with map-side
+    partials -> per-doc conditional re-aggregate -> left join back so
+    every input doc appears exactly once.  Two shuffles, no UDFs.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    exploded = df.select(F.col(id_col), F.explode(lines).alias("line"))
+    per_line = exploded.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("tot"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+        F.sum(F.col("cnt") * F.length("line")).alias("tot_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line"))
+            .otherwise(0)
+        ).alias("dup_chars"),
+    )
+
+    def _frac(num: str, den: str):
+        return F.round(
+            F.when(F.col(den) > 0, F.col(num).cast("double") / F.col(den))
+            .otherwise(F.lit(0.0)),
+            STAT_DECIMALS,
+        )
+
+    stats = per_doc.select(
+        F.col(id_col),
+        F.col("tot").cast("long").alias("n_lines"),
+        _frac("dup", "tot").alias("dup_line_frac"),
+        _frac("dup_chars", "tot_chars").alias("dup_line_char_frac"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+        )
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -600,3 +600,52 @@ class TestDupRateBySource:
         assert out["a"].n_docs == 3 and out["a"].n_unique == 2
         assert out["a"].dup_rate == round(1 / 3, 6)
         assert out["b"].dup_rate == 0.0
+
+
+class TestLineRepetitionStats:
+    """Line-level Gopher rules: boilerplate repeats whole lines that
+    n-gram dominance under-detects."""
+
+    def test_known_fractions(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            line_repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "nav\ncontent one\nnav\nfooter"),      # 2/4 dup
+                (1, "a\na\na"),                             # 3/3 dup
+                (2, "x\ny\nz"),                             # 0 dup
+                (3, "  pad  \n\npad\n   "),                 # trims: 'pad' x2
+                (4, ""),                                    # empty
+                (5, None),                                  # NULL text
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"]
+            )
+            for r in line_repetition_stats(docs).collect()
+        }
+        assert got[0] == (4, 0.5, round(6 / 23, 6))
+        assert got[1] == (3, 1.0, 1.0)
+        assert got[2] == (3, 0.0, 0.0)
+        # '  pad  ' trims equal to 'pad' -> 2 dup occurrences of 2
+        assert got[3] == (2, 1.0, 1.0)
+        assert got[4] == (0, 0.0, 0.0)
+        assert got[5] == (0, 0.0, 0.0)
+
+    def test_every_doc_present_no_udf(self, spark):
+        from astro_vectordb_spark.operators.curation import (
+            line_repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"line {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = line_repetition_stats(docs)
+        assert out.count() == 50
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -381,3 +381,39 @@ class TestStorageRemoves:
         assert g2.filter("shard_id = 0").count() == 0
         assert meta2["shard_ids"] == [1]
         assert g2.count() == 100 - len(shard0_ids)
+
+
+class TestBatchFacadeIvfPq:
+    def test_ivf_pq_batch_serves_all_queries(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+        df, pts = corpus
+        encoded, cents, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=16, max_rows=N
+        )
+        path = str(tmp_path / "b_ivfpq")
+        save_ivf_pq_index(encoded, cents, model, path)
+        queries = spark.createDataFrame(
+            [(int(q), [float(x) for x in pts[q]]) for q in (3, 17, 40)],
+            "query_id long, query_vec array<float>",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="vectors"):
+            search_batch(spark, path, queries, 10)
+        out = search_batch(
+            spark, path, queries, 10, vectors=df, refine_factor=16
+        ).toPandas()
+        from astro_vectordb_spark.operators.topk import topk_search
+
+        for q in (3, 17, 40):
+            got = set(out[out.query_id == q].vec_id)
+            exact = {
+                r.vec_id
+                for r in topk_search(
+                    df, [float(x) for x in pts[q]], 10, strength=0
+                ).collect()
+            }
+            assert len(got & exact) >= 9

@@ -251,6 +251,34 @@ def main() -> None:
         top1.get(q) == q for q in new_ids
     )
 
+    # ---- storage-level remove (touched-shards-only) ---------------------
+    log("read-your-writes done; storage-level remove")
+    from astro_vectordb_spark.sources.vault import hnsw_remove_from_index
+
+    before_rm = graph_file_state(index_path)
+    t0 = time.time()
+    rm = hnsw_remove_from_index(spark, index_path, new_ids)
+    res["remove_3rows_sec"] = round(time.time() - t0, 2)
+    res["remove_touched_shards"] = rm["touched_shards"]
+    after_rm = graph_file_state(index_path)
+    rm_untouched_ok = True
+    for rel, (size, mtime) in before_rm.items():
+        shard = int(rel.split("=", 1)[1].split(os.sep, 1)[0])
+        if shard in rm["touched_shards"]:
+            continue
+        if after_rm.get(rel) != (size, mtime):
+            rm_untouched_ok = False
+    served_rm = serve(spark, index_path, new_queries)[0].collect()
+    checks["A5_remove_touched_shards_only"] = (
+        rm["removed_rows"] == len(new_ids)
+        and rm_untouched_ok
+        and len(rm["touched_shards"]) <= len(new_ids)
+    )
+    # removed ids are physically unservable (not merely re-ranked out)
+    checks["A6_removed_never_served"] = not (
+        {r["vec_id"] for r in served_rm} & set(new_ids)
+    )
+
     # ---- rebalance (split every oversized shard) -----------------------
     t0 = time.time()
     log("rebalancing")

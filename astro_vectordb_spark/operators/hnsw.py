@@ -833,6 +833,79 @@ def hnsw_insert_shards(
     )
 
 
+def hnsw_remove_shards(
+    graph: DataFrame,
+    remove_ids,
+    m: int = 16,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Edge-sweep removal from EXISTING per-shard graphs — the cheap
+    counterpart of a touched-shard rebuild: each touched shard's
+    adjacency is loaded (``NumpyHNSW.from_rows``, no re-insertion),
+    ``remove_many`` tombstones the ids and drops every incoming edge
+    (one O(rows x M) sweep per shard; the entry point re-elects if
+    removed), and the shard's surviving rows are re-emitted.  Returns
+    updated rows for ONLY the touched shards — write back with a
+    dynamic partition overwrite.
+
+    Cost: a scan + sweep of touched shards instead of a full graph
+    rebuild — the right tool for SMALL removals.  Repeated sweeps
+    erode wiring quality the same way ``on_conflict='update'`` batches
+    do (pruned incoming edges are never re-wired); pair with
+    ``hnsw_rebalance(min_degree_frac=...)`` for periodic repair, or
+    use the rebuild mode of ``vault.hnsw_remove_from_index`` when a
+    shard loses a large fraction of its rows.
+
+    ``remove_ids``: iterable of longs (bounded — it ships to workers
+    in the task closure).
+    """
+    rm = {int(x) for x in remove_ids}
+    quantized = "qvec" in graph.columns
+    spark = graph.sparkSession
+    ids_df = spark.createDataFrame([(i,) for i in sorted(rm)], "vec_id long")
+    touched = (
+        graph.select("vec_id", "shard_id")
+        .join(F.broadcast(ids_df), "vec_id", "semi")
+        .select("shard_id")
+        .distinct()
+    )
+    existing = graph.join(F.broadcast(touched), "shard_id", "semi")
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard_id"].iloc[0])
+        index = NumpyHNSW.from_rows(pdf, m=m, metric=metric)
+        index.remove_many(list(rm))
+        alive = [i for i in range(len(index.ids)) if i not in index.removed]
+        out = {
+            "shard_id": shard,
+            "vec_id": [index.ids[i] for i in alive],
+            "level": [index.levels[i] for i in alive],
+            "neighbors": [
+                [[index.ids[n] for n in lvl] for lvl in index.neighbors[i]]
+                for i in alive
+            ],
+        }
+        if quantized:
+            out["qvec"] = [index._mat[i] for i in alive]
+            out["qscale"] = [index.qscales[i] for i in alive]
+        else:
+            raw = dict(
+                zip(
+                    (int(v) for v in pdf["vec_id"].tolist()),
+                    pdf["embedding"].tolist(),
+                )
+            )
+            out["embedding"] = [
+                [float(x) for x in raw[int(index.ids[i])]] for i in alive
+            ]
+        out["is_entry"] = [i == index.entry for i in alive]
+        return pd.DataFrame(out)
+
+    return existing.groupBy("shard_id").applyInPandas(
+        _sweep, GRAPH_SCHEMA_Q if quantized else GRAPH_SCHEMA
+    )
+
+
 def hnsw_query_shards(
     graph: DataFrame,
     queries: DataFrame,

@@ -937,6 +937,8 @@ def hnsw_remove_from_index(
     vec_ids,
     batch_id: int | None = None,
     seed: int = 42,
+    mode: str = "auto",
+    sweep_max_frac: float = 0.2,
 ) -> dict:
     """Physical delete from a persisted sharded HNSW index — the
     storage-level face of the reference's ``removeNodeFromGraph``
@@ -944,72 +946,115 @@ def hnsw_remove_from_index(
     tombstone_delete`` + ``live()``) deliberately avoids: tombstoned
     ids still occupy graph wiring and beam budget forever.
 
-    Shape: the removed ids' shards are identified with one bounded
-    semi-join; ONLY those shards rebuild, from their surviving vectors
-    at full construction quality (the same rebuild ``hnsw_rebalance``
-    applies to degraded shards — fresh wiring beats an edge sweep that
-    erodes recall), and the dynamic partition overwrite replaces only
-    their files.  A shard emptied entirely has its partition directory
-    deleted.  ``_meta`` is rewritten so the shard list / cache token
-    reflect the new layout.  Single-writer maintenance op; replayed
-    ``batch_id`` is a no-op via the ``_batches`` log."""
-    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    Two per-shard strategies, chosen by removal fraction:
 
+    - **sweep** (``operators.hnsw.hnsw_remove_shards``): load the
+      shard adjacency, tombstone-unlink the ids, re-emit survivors —
+      a scan + O(rows x M) edge sweep, the cheap path for SMALL
+      removals (measured: seconds, vs a ~60 s/shard full rebuild at
+      25k rows).  Wiring quality erodes under repeated sweeps; pair
+      with ``hnsw_rebalance(min_degree_frac=...)`` for periodic
+      repair.
+    - **rebuild**: reconstruct the shard from its surviving vectors
+      at full construction quality — the right call when a shard
+      loses a large fraction of its rows (same rebuild
+      ``hnsw_rebalance`` applies to degraded shards).
+
+    ``mode="auto"`` (default) sweeps shards losing at most
+    ``sweep_max_frac`` of their rows and rebuilds the rest;
+    ``"sweep"``/``"rebuild"`` force one strategy.  Only touched
+    shards' files are replaced (dynamic partition overwrite); a shard
+    emptied entirely has its partition directory deleted; ``_meta``
+    is rewritten so the shard list / cache token reflect the new
+    layout.  Single-writer maintenance op; replayed ``batch_id`` is a
+    no-op via the ``_batches`` log."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_remove_shards,
+    )
+
+    if mode not in ("auto", "sweep", "rebuild"):
+        raise ValueError(
+            f"mode must be 'auto', 'sweep' or 'rebuild', got {mode!r}"
+        )
     if _batch_already_committed(spark, path, batch_id):
         return {"removed_rows": 0, "touched_shards": [],
                 "skipped_replay": True}
     ids = _as_ids_df(spark, vec_ids)
     graph_path = os.path.join(path, "graph")
     graph, meta = load_hnsw_index(spark, path)
-    touched = sorted(
-        r["shard_id"]
+    # one aggregation pass: per-shard hit counts + totals -> touched
+    # set, removal fractions, emptied detection — no survivor rescans
+    hit_counts = {
+        r["shard_id"]: r["n"]
         for r in graph.join(ids, "vec_id", "left_semi")
-        .select("shard_id").distinct().collect()
-    )
+        .groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    touched = sorted(hit_counts)
     if not touched:
         _record_batch(spark, path, batch_id)
         return {"removed_rows": 0, "touched_shards": []}
-    quantized = "qvec" in graph.columns
-    in_touched = graph.filter(F.col("shard_id").isin(touched))
-    n_before = in_touched.count()
-    if quantized:
-        survivors = in_touched.join(ids, "vec_id", "left_anti").select(
-            "vec_id",
-            "shard_id",
-            F.transform(
-                F.col("qvec"),
-                lambda q: (q.cast("double") * F.col("qscale")).cast("float"),
-            ).alias("embedding"),
-        )
+    totals = {
+        r["shard_id"]: r["n"]
+        for r in graph.filter(F.col("shard_id").isin(touched))
+        .groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    emptied = [s for s in touched if hit_counts[s] >= totals[s]]
+    live_touched = [s for s in touched if s not in emptied]
+    if mode == "sweep":
+        sweep_shards = list(live_touched)
+    elif mode == "rebuild":
+        sweep_shards = []
     else:
-        survivors = in_touched.join(ids, "vec_id", "left_anti").select(
-            "vec_id", "shard_id", "embedding"
+        sweep_shards = [
+            s for s in live_touched
+            if hit_counts[s] / totals[s] <= sweep_max_frac
+        ]
+    rebuild_shards = [s for s in live_touched if s not in sweep_shards]
+    quantized = "qvec" in graph.columns
+
+    out_parts = []
+    if sweep_shards:
+        rm_ids = [r["vec_id"] for r in ids.collect()]  # bounded batch
+        out_parts.append(
+            hnsw_remove_shards(
+                graph.filter(F.col("shard_id").isin(sweep_shards)),
+                rm_ids, m=meta["m"], metric=meta["metric"],
+            )
         )
-    survivors = survivors.localCheckpoint(eager=True)
-    n_after = survivors.count()
-    emptied = [
-        s for s in touched
-        if survivors.filter(F.col("shard_id") == s).limit(1).count() == 0
-    ]
-    rebuilt_parts = []
-    for sid in touched:
-        if sid in emptied:
-            continue
-        rows = survivors.filter(F.col("shard_id") == sid).select(
-            "vec_id", "embedding"
-        )
-        part = hnsw_build_shards(
-            rows, num_shards=1, m=meta["m"], metric=meta["metric"],
-            seed=seed + sid, quantize=quantized,
-        ).withColumn("shard_id", F.lit(int(sid)).cast("int"))
-        rebuilt_parts.append(part)
-    if rebuilt_parts:
-        rebuilt = rebuilt_parts[0]
-        for p in rebuilt_parts[1:]:
-            rebuilt = rebuilt.unionByName(p)
-        rebuilt = rebuilt.localCheckpoint(eager=True)
+    if rebuild_shards:
+        in_rb = graph.filter(F.col("shard_id").isin(rebuild_shards))
+        if quantized:
+            survivors = in_rb.join(ids, "vec_id", "left_anti").select(
+                "vec_id",
+                "shard_id",
+                F.transform(
+                    F.col("qvec"),
+                    lambda q: (q.cast("double") * F.col("qscale")).cast("float"),
+                ).alias("embedding"),
+            )
+        else:
+            survivors = in_rb.join(ids, "vec_id", "left_anti").select(
+                "vec_id", "shard_id", "embedding"
+            )
+        survivors = survivors.localCheckpoint(eager=True)
+        for sid in rebuild_shards:
+            rows = survivors.filter(F.col("shard_id") == sid).select(
+                "vec_id", "embedding"
+            )
+            out_parts.append(
+                hnsw_build_shards(
+                    rows, num_shards=1, m=meta["m"], metric=meta["metric"],
+                    seed=seed + sid, quantize=quantized,
+                ).withColumn("shard_id", F.lit(int(sid)).cast("int"))
+            )
+    if out_parts:
+        updated = out_parts[0]
+        for p in out_parts[1:]:
+            updated = updated.unionByName(p)
+        updated = updated.localCheckpoint(eager=True)
         (
-            rebuilt.repartition("shard_id")
+            updated.repartition("shard_id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard_id")
@@ -1027,8 +1072,10 @@ def hnsw_remove_from_index(
     _write_hnsw_meta(spark, path, metric=meta["metric"], m=meta["m"])
     _record_batch(spark, path, batch_id)
     return {
-        "removed_rows": n_before - n_after,
+        "removed_rows": int(sum(hit_counts.values())),
         "touched_shards": touched,
+        "swept_shards": sweep_shards,
+        "rebuilt_shards": rebuild_shards,
         "emptied_shards": emptied,
     }
 

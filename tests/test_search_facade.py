@@ -417,3 +417,82 @@ class TestBatchFacadeIvfPq:
                 ).collect()
             }
             assert len(got & exact) >= 9
+
+
+class TestHnswRemoveModes:
+    def _index(self, spark, tmp_path, name, quantize=False):
+        import numpy as np
+
+        from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+        from astro_vectordb_spark.sources.vault import save_hnsw_index
+
+        rng = np.random.RandomState(7)
+        C = rng.normal(size=(8, 24))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        pts = (C[np.arange(400) % 8] + 0.05 * rng.normal(size=(400, 24)))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(400)],
+            "vec_id long, embedding array<float>",
+        )
+        graph = hnsw_build_shards(
+            df, num_shards=2, m=8, seed=5, quantize=quantize
+        )
+        path = str(tmp_path / name)
+        save_hnsw_index(graph, path, m=8, metric="cosine")
+        return df, pts, path
+
+    def test_auto_sweeps_small_rebuilds_large(self, spark, tmp_path):
+        from astro_vectordb_spark.sources.vault import (
+            hnsw_remove_from_index,
+            load_hnsw_index,
+        )
+
+        df, pts, path = self._index(spark, tmp_path, "modes")
+        g0, _ = load_hnsw_index(spark, path)
+        shard_of = {r["vec_id"]: r["shard_id"] for r in
+                    g0.select("vec_id", "shard_id").collect()}
+        by_shard = {}
+        for v, s in shard_of.items():
+            by_shard.setdefault(s, []).append(v)
+        # small removal from shard A (sweep), >20% of shard B (rebuild)
+        small = sorted(by_shard[0])[:3]
+        big = sorted(by_shard[1])[: int(0.5 * len(by_shard[1]))]
+        rep = hnsw_remove_from_index(spark, path, small + big)
+        assert rep["swept_shards"] == [0]
+        assert rep["rebuilt_shards"] == [1]
+        assert rep["removed_rows"] == len(small) + len(big)
+        g2, _ = load_hnsw_index(spark, path)
+        assert g2.filter(g2.vec_id.isin(small + big)).count() == 0
+
+    def test_forced_rebuild_mode(self, spark, tmp_path):
+        from astro_vectordb_spark.sources.vault import hnsw_remove_from_index
+
+        _, _, path = self._index(spark, tmp_path, "forced")
+        rep = hnsw_remove_from_index(spark, path, [1, 2], mode="rebuild")
+        assert rep["swept_shards"] == [] and rep["rebuilt_shards"]
+
+    def test_quantized_sweep_serves_correctly(self, spark, tmp_path):
+        from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
+        from astro_vectordb_spark.sources.vault import (
+            hnsw_remove_from_index,
+            load_hnsw_index,
+        )
+
+        df, pts, path = self._index(spark, tmp_path, "qsweep", quantize=True)
+        rep = hnsw_remove_from_index(spark, path, [10, 20, 30], mode="sweep")
+        assert rep["removed_rows"] == 3 and rep["swept_shards"]
+        g2, meta2 = load_hnsw_index(spark, path)
+        assert "qvec" in g2.columns  # codes survive the sweep losslessly
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in pts[0]])],
+            "query_id long, query_vec array<float>",
+        )
+        got = {
+            r["vec_id"]
+            for r in hnsw_query_shards(
+                g2, queries, k=10, m=meta2["m"], metric=meta2["metric"],
+                ef_search=200, clustered=meta2["clustered_safe"],
+                index_cache_token=meta2["cache_token"],
+            ).collect()
+        }
+        assert got and not (got & {10, 20, 30})

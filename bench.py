@@ -198,6 +198,31 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
                 .select("vec_id").distinct().count()
             )
             ivf_fracs.append(n_cand / n_corpus)
+        # adaptive probing (nprobe=None): recall + candidate fraction
+        # at the cells the PROFILE rule picks — the verdict-item-5
+        # evidence that deleting the fixed knob keeps recall flat or
+        # better (on this near-uniform corpus the rule probes all
+        # cells -> recall 1.0 at fraction ~1.0; clustered behavior is
+        # pinned by pytest at < k_cells/2 probed with recall 1.0)
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        arec, afracs = [], []
+        for q in qids:
+            got = [
+                r["vec_id"]
+                for r in ivf_search(
+                    assigned, centroids, qvecs[q], 10, nprobe=None
+                ).collect()
+            ]
+            arec.append(len(set(got) & set(exact[q])) / 10)
+            acells = choose_probe_cells_adaptive(centroids, qvecs[q])
+            n_cand = (
+                assigned.filter(F.col("cell_id").isin(acells))
+                .select("vec_id").distinct().count()
+            )
+            afracs.append(n_cand / n_corpus)
         # exact bound-pruned (RP cells): recall 1.0 by construction;
         # report the measured scan fraction
         a2, c2 = rp_build(emb, n_planes=3, dim=64)
@@ -419,6 +444,10 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
             "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),
             "ivf_approx_candidate_fraction": round(
                 sum(ivf_fracs) / len(ivf_fracs), 3
+            ),
+            "ivf_adaptive_recall_at_10": round(sum(arec) / len(arec), 3),
+            "ivf_adaptive_candidate_fraction": round(
+                sum(afracs) / len(afracs), 3
             ),
             "exact_pruned_recall_at_10": 1.0,
             "exact_pruned_scan_fraction": round(sum(fracs) / len(fracs), 3),

@@ -25,6 +25,12 @@ SHOW = [
     "repetition_stats",
     "decontaminate",
     "ann_pq_topk",
+    # round 8: the facade's exact path must show the same
+    # TakeOrderedAndProject + PushedFilters shape as topk_exact, and
+    # the new curation operators must stay UDF-free aggregations
+    "facade_exact_topk",
+    "line_dup_stats",
+    "curation_e2e",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -26,6 +26,7 @@ Euclidean KMeans approximates spherical clustering.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import numpy as np
@@ -343,12 +344,26 @@ def ivf_search(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: Sequence[int] | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Approximate top-K: prune to the probed cells, exact within.
 
     ``nprobe=None`` selects cells ADAPTIVELY from the query's
     centroid-similarity profile (``choose_probe_cells_adaptive``);
     an integer keeps the classic fixed-count ranking.
+
+    ``allowed_ids`` = metadata-filtered search (parity with the HNSW
+    path's result-set filter): candidate rows inside the probed cells
+    are restricted to the allowed set BEFORE ranking, and the probe
+    count is WIDENED by 1/selectivity (selectivity = |allowed| /
+    |corpus|; same policy as ``hnsw_query_shards``'s beam widening) so
+    the expected number of allowed candidates stays at the unfiltered
+    level — a 10% filter probes ~10x the cells, degrading smoothly to
+    the exact scan over the allowed set as the filter sharpens.  The
+    adaptive form widens its OWN profile-derived count by the same
+    factor; ``n_total`` (corpus row count) skips the count job when the
+    caller already knows it.
 
     ``cell_id IN (...)`` is a literal IN-filter -> partition pruning
     when ``assigned`` is read from cell-partitioned parquet; the
@@ -358,9 +373,28 @@ def ivf_search(
         cells = choose_probe_cells_adaptive(centroids, query_vector, metric)
     else:
         cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
-    # drop spill duplicates: with redundant assignment a vector can sit
-    # in several probed cells
-    pruned = assigned.filter(F.col("cell_id").isin(cells)).dropDuplicates([id_col])
+    if allowed_ids is not None:
+        allowed = [int(i) for i in allowed_ids]
+        if n_total is None:
+            n_total = assigned.dropDuplicates([id_col]).count()
+        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        k_cells = centroids.count()
+        widened = min(int(k_cells), math.ceil(len(cells) / sel))
+        if widened > len(cells):
+            cells = choose_probe_cells(
+                centroids, query_vector, widened, metric
+            )
+        pruned = (
+            assigned.filter(F.col("cell_id").isin(cells))
+            .filter(F.col(id_col).isin(allowed))
+            .dropDuplicates([id_col])
+        )
+    else:
+        # drop spill duplicates: with redundant assignment a vector can
+        # sit in several probed cells
+        pruned = assigned.filter(F.col("cell_id").isin(cells)).dropDuplicates(
+            [id_col]
+        )
     return topk_search(
         pruned, query_vector, k, strength=strength, metric=metric,
         id_col=id_col, vec_col=vec_col,

@@ -906,6 +906,53 @@ def hnsw_remove_shards(
     )
 
 
+def hnsw_shard_health(
+    graph: DataFrame,
+    m: int = 16,
+    min_degree_frac: float = 0.5,
+) -> DataFrame:
+    """Per-shard wiring-health statistics — the measurement edge-sweep
+    deletes were missing: ``hnsw_remove_shards`` erodes wiring quality
+    (a removed node's pruned incoming edges are never re-wired), and
+    without a metric a churn-heavy deployment silently loses recall
+    until someone remembers to rebalance.  Reference analogue: the
+    graph-cleaning TODO the reference never solved (README.md:78-81).
+
+    One pure-codegen aggregation over the graph rows (level-0
+    out-degree = ``size(neighbors[1])``; no Python, no adjacency load):
+
+    - ``mean_degree``: average level-0 out-degree.
+    - ``frac_below``: fraction of nodes whose level-0 out-degree is
+      under ``min_degree_frac * m`` — the per-node view that catches a
+      degraded REGION of an otherwise-healthy shard.
+    - ``needs_repair``: the SAME verdict rule ``hnsw_rebalance(
+      min_degree_frac=...)`` uses to pick shards to rebuild (mean
+      degree below the floor; shards with ``n_rows <= m`` exempt —
+      their degree is bounded by n-1, not m), so the metric and the
+      repair op agree by construction.
+
+    Returns ``(shard_id, n_rows, mean_degree, frac_below,
+    needs_repair)``.  Scale: output is |shards| rows; the input scan is
+    column-pruned to (shard_id, neighbors)."""
+    floor_deg = float(min_degree_frac) * m
+    deg = F.size(F.element_at("neighbors", 1))
+    return (
+        graph.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(deg).alias("mean_degree"),
+            F.avg(
+                F.when(deg < F.lit(floor_deg), 1.0).otherwise(0.0)
+            ).alias("frac_below"),
+        )
+        .withColumn(
+            "needs_repair",
+            (F.col("n_rows") > F.lit(int(m)))
+            & (F.col("mean_degree") < F.lit(floor_deg)),
+        )
+    )
+
+
 def hnsw_query_shards(
     graph: DataFrame,
     queries: DataFrame,

@@ -82,7 +82,10 @@ def search(
     - ``nprobe=None`` on the IVF path selects probe cells adaptively
       from the query's centroid-similarity profile.
     - ``allowed_ids`` = metadata-filtered search where the kind
-      supports it (exact, HNSW, PQ).
+      supports it (exact, HNSW, PQ, IVF — the IVF path filters
+      candidate rows inside the probed cells and widens the probe
+      count by 1/selectivity, mirroring the HNSW beam policy; IVF-PQ
+      still raises).
     """
     kind = detect_index_kind(spark, path)
     if kind == "exact":
@@ -100,15 +103,11 @@ def search(
         from astro_vectordb_spark.operators.ann import ivf_search
         from astro_vectordb_spark.sources.vault import load_ivf_index
 
-        if allowed_ids is not None:
-            raise ValueError(
-                "allowed_ids filtering is not supported on the IVF path "
-                "(use the exact, HNSW, or PQ index kinds)"
-            )
         assigned, centroids, _, meta = load_ivf_index(spark, path)
         out = ivf_search(
             assigned, centroids, query_vector, k, nprobe=nprobe,
             strength=strength, metric=meta["metric"],
+            allowed_ids=allowed_ids,
         )
         return out.select("vec_id", "score")
 
@@ -177,7 +176,7 @@ def search_batch(
     vectors: DataFrame | None = None,
     strength: float = 0.0,
     ef_search: int = 100,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     refine_factor: int = 32,
 ) -> DataFrame:
     """Batch companion to :func:`search`: ``queries`` is a DataFrame
@@ -186,6 +185,11 @@ def search_batch(
     materializes the query set on the driver (HNSW and PQ serve
     cogrouped; exact uses the map-side prereduce; IVF probes per
     query via a bounded centroid broadcast).
+
+    ``nprobe=None`` (default — parity with :func:`search`) selects IVF
+    probe cells adaptively PER QUERY, computed as one distributed
+    window over the (|Q| x k_cells) ranking table; an integer pins the
+    classic fixed count.
 
     Returns ``(query_id, vec_id, score)``, at most ``k`` rows per
     query.  IVF-PQ batch scans all cells' codes (ADC is already the

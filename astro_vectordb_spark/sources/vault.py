@@ -127,6 +127,13 @@ def load_ivf_index(
     assigned = spark.read.parquet(os.path.join(path, "vectors"))
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     stats_path = os.path.join(path, "cell_stats")
+    if not _fs_exists(spark, stats_path):
+        # read-only fallback: a writer crashed between _replace_dir's two
+        # renames — the retired original is still intact; the next
+        # maintenance op's _recover_swap restores it in place
+        retired = _swap_sibling_paths(stats_path)[1]
+        if _fs_exists(spark, retired):
+            stats_path = retired
     cell_stats = (
         spark.read.parquet(stats_path) if _fs_exists(spark, stats_path) else None
     )
@@ -177,6 +184,7 @@ def ivf_append_to_index(
         .parquet(assigned_path)
     )
     stats_path = os.path.join(path, "cell_stats")
+    _recover_swap(spark, stats_path)
     if _fs_exists(spark, stats_path):
         old_stats = spark.read.parquet(stats_path)
         new_stats = ivf_cell_stats(appended, centroids, metric=metric)
@@ -185,10 +193,14 @@ def ivf_append_to_index(
             if metric == "cosine"
             else F.max("max_dist").alias("max_dist")
         )
-        merged = (
-            old_stats.unionByName(new_stats).groupBy("cell_id").agg(merge)
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(stats_path)
+        merged = old_stats.unionByName(new_stats).groupBy("cell_id").agg(merge)
+        # crash-safe swap: the merge reads the live stats files while
+        # writing a staging sibling (see _replace_dir)
+        _replace_dir(
+            spark,
+            lambda staging: merged.write.mode("overwrite").parquet(staging),
+            stats_path,
+        )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -210,6 +222,67 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 def _is_path_not_found(e: AnalysisException) -> bool:
     msg = str(e)
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def _swap_sibling_paths(path: str) -> tuple[str, str]:
+    """(staging dir, retired dir) for a crash-safe directory swap."""
+    return path.rstrip("/") + ".__swap_new", path.rstrip("/") + ".__swap_old"
+
+
+def _recover_swap(spark: SparkSession, path: str) -> None:
+    """Repair an interrupted :func:`_replace_dir` swap at ``path``.
+
+    Crash states and their repair (old = retired original, new =
+    staging):
+
+    - ``path`` missing, old present (crash between the two renames):
+      roll BACK — restore the original; the interrupted rewrite is
+      simply redone later.
+    - ``path`` present (crash before the first rename, or after the
+      second): the live directory is authoritative; drop leftovers.
+
+    Called at the top of every op that uses ``_replace_dir`` — the
+    single-writer maintenance contract means the recovering caller is
+    the only writer."""
+    new, old = _swap_sibling_paths(path)
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    p_new = jvm.org.apache.hadoop.fs.Path(new)
+    if fs.exists(p_old) and not fs.exists(hpath):
+        if not fs.rename(p_old, hpath):
+            raise OSError(f"swap recovery failed: cannot restore {old} -> {path}")
+    if fs.exists(p_new):
+        fs.delete(p_new, True)
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+
+
+def _replace_dir(spark: SparkSession, write_fn, path: str) -> None:
+    """Crash-safe replacement of a live parquet directory.
+
+    A plain ``mode('overwrite')`` on ``path`` clears the existing files
+    BEFORE the new write commits, so a crash or executor loss
+    mid-rewrite loses the table outright.  Instead: ``write_fn``
+    materializes the full new contents into a staging sibling (reading
+    the LIVE files — no checkpoint needed, the source is untouched),
+    then two directory renames swap it in.  The vulnerable window
+    shrinks from the whole rewrite job to the instant between two
+    metadata renames, and every crash state is repaired by
+    :func:`_recover_swap` (which this calls first, making the op
+    re-runnable after any failure)."""
+    _recover_swap(spark, path)
+    new, old = _swap_sibling_paths(path)
+    write_fn(new)
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    p_new = jvm.org.apache.hadoop.fs.Path(new)
+    if fs.exists(hpath) and not fs.rename(hpath, p_old):
+        raise OSError(f"swap failed: cannot retire {path}")
+    if not fs.rename(p_new, hpath):
+        raise OSError(f"swap failed: cannot promote {new} -> {path}")
+    fs.delete(p_old, True)
 
 
 def _qualified_uri(spark: SparkSession, path: str) -> str:
@@ -619,13 +692,26 @@ def save_pq_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
+
+def _read_maybe_swapped(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a parquet dir that a crashed :func:`_replace_dir` swap may
+    have left retired: if the live path is missing but the retired
+    sibling exists, read the retired copy (read-only — the next
+    maintenance op's ``_recover_swap`` restores it in place)."""
+    if not _fs_exists(spark, table_path):
+        retired = _swap_sibling_paths(table_path)[1]
+        if _fs_exists(spark, retired):
+            table_path = retired
+    return spark.read.parquet(table_path)
+
+
 def load_pq_index(spark: SparkSession, path: str):
     """Load (encoded, model, meta) — the codebooks collect to the
     driver (bounded: m*ks rows) and rebuild the PQModel; the code table
     stays distributed."""
     from astro_vectordb_spark.operators.pq import PQModel
 
-    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    encoded = _read_maybe_swapped(spark, os.path.join(path, "codes"))
     cb_rows = [
         (r["subspace"], r["code"], r["centroid"])
         for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
@@ -661,7 +747,7 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
     with their cell partitioning intact."""
     from astro_vectordb_spark.operators.pq import PQModel
 
-    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    encoded = _read_maybe_swapped(spark, os.path.join(path, "codes"))
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     cb_rows = [
         (r["subspace"], r["code"], r["centroid"])
@@ -673,19 +759,31 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
 
 
 def _batch_already_committed(
-    spark: SparkSession, path: str, batch_id: int | None
+    spark: SparkSession, path: str, batch_id: int | None, op: str | None = None
 ) -> bool:
-    """True when ``batch_id`` is recorded in the index's ``_batches``
-    commit log (tiny parquet, one row per applied batch).  foreachBatch
-    is at-least-once — a failed-then-retried micro-batch re-delivers
-    the same (batch_id, rows), and a blind append would double-insert
-    its vec_ids.  The log check is the O(1) fast path; callers without
-    a batch_id fall back to the vec_id anti-join."""
+    """True when ``(op, batch_id)`` is recorded in the index's
+    ``_batches`` commit log (tiny parquet, one row per applied batch).
+    foreachBatch is at-least-once — a failed-then-retried micro-batch
+    re-delivers the same (batch_id, rows), and a blind append would
+    double-insert its vec_ids.  The log check is the O(1) fast path;
+    callers without a batch_id fall back to the vec_id anti-join.
+
+    The log is NAMESPACED per operation (``op``): each Structured
+    Streaming query numbers its micro-batches independently from 0, so
+    an ingest stream and a remove stream sharing one index would
+    otherwise collide on batch_id alone — the remove stream's batch N
+    would return skipped_replay because the INGEST already recorded N,
+    silently dropping the deletion (and the reverse masks appends).
+    Legacy log rows written before the ``op`` column existed carry a
+    null op and keep their historical match-any-operation behavior;
+    every new row disambiguates."""
     if batch_id is None:
         return False
     log_path = os.path.join(path, "_batches")
     try:
-        seen = spark.read.parquet(log_path)
+        # mergeSchema: the log may mix pre-op (batch_id-only) files
+        # with namespaced ones; legacy rows surface with op = null
+        seen = spark.read.option("mergeSchema", "true").parquet(log_path)
     except AnalysisException as e:
         # ONLY a missing log means "nothing applied yet".  A transient
         # read error must propagate so the micro-batch retries instead
@@ -693,16 +791,19 @@ def _batch_already_committed(
         if _is_path_not_found(e):
             return False
         raise
-    return (
-        seen.filter(F.col("batch_id") == int(batch_id)).limit(1).count() > 0
-    )
+    hit = seen.filter(F.col("batch_id") == int(batch_id))
+    if op is not None and "op" in seen.columns:
+        hit = hit.filter(F.col("op").isNull() | (F.col("op") == str(op)))
+    return hit.limit(1).count() > 0
 
 
-def _record_batch(spark: SparkSession, path: str, batch_id: int | None) -> None:
+def _record_batch(
+    spark: SparkSession, path: str, batch_id: int | None, op: str = "append"
+) -> None:
     if batch_id is None:
         return
     spark.createDataFrame(
-        [(int(batch_id),)], "batch_id long"
+        [(int(batch_id), str(op))], "batch_id long, op string"
     ).write.mode("append").parquet(os.path.join(path, "_batches"))
 
 
@@ -733,7 +834,7 @@ def pq_append_to_index(
         pq_reconstruction_mse,
     )
 
-    if _batch_already_committed(spark, path, batch_id):
+    if _batch_already_committed(spark, path, batch_id, op="pq_append"):
         return {"appended_rows": 0, "skipped_replay": True}
     existing, model, meta = load_pq_index(spark, path)
     if dedup_ids:
@@ -751,7 +852,7 @@ def pq_append_to_index(
         pq_encode(new_rows, model).write.mode("append").parquet(
             os.path.join(path, "codes")
         )
-    _record_batch(spark, path, batch_id)
+    _record_batch(spark, path, batch_id, op="pq_append")
     return {
         "appended_rows": n_appended,
         "batch_mse": batch_mse,
@@ -780,7 +881,7 @@ def ivf_pq_append_to_index(
         pq_reconstruction_mse,
     )
 
-    if _batch_already_committed(spark, path, batch_id):
+    if _batch_already_committed(spark, path, batch_id, op="ivf_pq_append"):
         return {"appended_rows": 0, "touched_cells": [], "skipped_replay": True}
     existing, centroids, model, meta = load_ivf_pq_index(spark, path)
     if dedup_ids:
@@ -810,7 +911,7 @@ def ivf_pq_append_to_index(
         out.write.mode("append").partitionBy("cell_id").parquet(
             os.path.join(path, "codes")
         )
-    _record_batch(spark, path, batch_id)
+    _record_batch(spark, path, batch_id, op="ivf_pq_append")
     return {
         "appended_rows": n_appended,
         "touched_cells": touched,
@@ -899,9 +1000,10 @@ def ivf_remove_from_index(
     level."""
     from astro_vectordb_spark.operators.ann import ivf_cell_stats
 
-    if _batch_already_committed(spark, path, batch_id):
+    if _batch_already_committed(spark, path, batch_id, op="ivf_remove"):
         return {"removed_rows": 0, "touched_files": 0,
                 "skipped_replay": True}
+    _recover_swap(spark, os.path.join(path, "cell_stats"))
     ids = _as_ids_df(spark, vec_ids)
     vectors_path = os.path.join(path, "vectors")
     removed, touched = _remove_rows_by_file(spark, vectors_path, ids)
@@ -920,13 +1022,17 @@ def ivf_remove_from_index(
         )
         fresh = ivf_cell_stats(survivors, centroids, metric=meta["metric"])
         old = spark.read.parquet(stats_path)
-        merged = (
-            old.filter(~F.col("cell_id").isin(touched_cells))
-            .unionByName(fresh)
-            .localCheckpoint(eager=True)
+        merged = old.filter(
+            ~F.col("cell_id").isin(touched_cells)
+        ).unionByName(fresh)
+        # crash-safe swap, same contract as pq_compact_index: the merge
+        # reads the live stats files while writing a staging sibling
+        _replace_dir(
+            spark,
+            lambda staging: merged.write.mode("overwrite").parquet(staging),
+            stats_path,
         )
-        merged.write.mode("overwrite").parquet(stats_path)
-    _record_batch(spark, path, batch_id)
+    _record_batch(spark, path, batch_id, op="ivf_remove")
     return {"removed_rows": removed, "touched_files": len(touched),
             "touched_cells": touched_cells}
 
@@ -939,6 +1045,9 @@ def hnsw_remove_from_index(
     seed: int = 42,
     mode: str = "auto",
     sweep_max_frac: float = 0.2,
+    max_sweep_ids: int = 100_000,
+    min_degree_frac: float = 0.5,
+    auto_repair: bool = False,
 ) -> dict:
     """Physical delete from a persisted sharded HNSW index — the
     storage-level face of the reference's ``removeNodeFromGraph``
@@ -967,7 +1076,18 @@ def hnsw_remove_from_index(
     emptied entirely has its partition directory deleted; ``_meta``
     is rewritten so the shard list / cache token reflect the new
     layout.  Single-writer maintenance op; replayed ``batch_id`` is a
-    no-op via the ``_batches`` log."""
+    no-op via the ``_batches`` log.
+
+    The report carries a per-touched-shard graph-health block
+    (``operators.hnsw.hnsw_shard_health``: mean live level-0 degree,
+    fraction of nodes under ``min_degree_frac * M``, and a
+    ``needs_repair`` verdict using the SAME rule ``hnsw_rebalance``
+    repairs by) — so sweep erosion is measured at the moment it
+    happens instead of discovered as a recall drop.  ``auto_repair=
+    True`` triggers the rebalance immediately when any touched shard
+    is flagged; ``max_sweep_ids`` bounds the driver-collected id set
+    the sweep closure ships (larger sets force rebuild mode, which
+    anti-joins distributed)."""
     from astro_vectordb_spark.operators.hnsw import (
         hnsw_build_shards,
         hnsw_remove_shards,
@@ -977,7 +1097,7 @@ def hnsw_remove_from_index(
         raise ValueError(
             f"mode must be 'auto', 'sweep' or 'rebuild', got {mode!r}"
         )
-    if _batch_already_committed(spark, path, batch_id):
+    if _batch_already_committed(spark, path, batch_id, op="hnsw_remove"):
         return {"removed_rows": 0, "touched_shards": [],
                 "skipped_replay": True}
     ids = _as_ids_df(spark, vec_ids)
@@ -992,7 +1112,7 @@ def hnsw_remove_from_index(
     }
     touched = sorted(hit_counts)
     if not touched:
-        _record_batch(spark, path, batch_id)
+        _record_batch(spark, path, batch_id, op="hnsw_remove")
         return {"removed_rows": 0, "touched_shards": []}
     totals = {
         r["shard_id"]: r["n"]
@@ -1012,6 +1132,15 @@ def hnsw_remove_from_index(
         ]
     rebuild_shards = [s for s in live_touched if s not in sweep_shards]
     quantized = "qvec" in graph.columns
+
+    # closure-size guard: the sweep path collects the remove-id set to
+    # the driver and ships it in every shard task — fine for the bounded
+    # erasure batches it exists for, but nothing stops a caller passing
+    # an unbounded DataFrame.  A set above max_sweep_ids forces rebuild
+    # mode (rebuild anti-joins the ids distributed, never collecting).
+    if sweep_shards and ids.limit(max_sweep_ids + 1).count() > max_sweep_ids:
+        rebuild_shards = sorted(set(rebuild_shards) | set(sweep_shards))
+        sweep_shards = []
 
     out_parts = []
     if sweep_shards:
@@ -1070,13 +1199,44 @@ def hnsw_remove_from_index(
             True,
         )
     _write_hnsw_meta(spark, path, metric=meta["metric"], m=meta["m"])
-    _record_batch(spark, path, batch_id)
+    # graph-health verdict for the TOUCHED shards (the way
+    # pq_append_to_index surfaces MSE drift): edge sweeps erode wiring —
+    # a removed node's pruned incoming edges are never re-wired — so
+    # every remove reports mean live degree / under-wired fraction and a
+    # needs_repair verdict per touched shard (one codegen agg over the
+    # rows just written; |touched| output rows).  auto_repair=True runs
+    # hnsw_rebalance(min_degree_frac=...) immediately — same rows, same
+    # shard ids, fresh wiring — so churn-heavy pipelines can't silently
+    # decay; the default reports and leaves scheduling to the caller.
+    health: list[dict] = []
+    needs_repair: list[int] = []
+    if out_parts:
+        from astro_vectordb_spark.operators.hnsw import hnsw_shard_health
+
+        health = [
+            r.asDict()
+            for r in hnsw_shard_health(
+                updated, m=meta["m"], min_degree_frac=min_degree_frac
+            )
+            .orderBy("shard_id")
+            .collect()
+        ]
+        needs_repair = [h["shard_id"] for h in health if h["needs_repair"]]
+    repaired: dict[int, list[int]] = {}
+    if auto_repair and needs_repair:
+        repaired = hnsw_rebalance(
+            spark, path, seed=seed, min_degree_frac=min_degree_frac
+        )
+    _record_batch(spark, path, batch_id, op="hnsw_remove")
     return {
         "removed_rows": int(sum(hit_counts.values())),
         "touched_shards": touched,
         "swept_shards": sweep_shards,
         "rebuilt_shards": rebuild_shards,
         "emptied_shards": emptied,
+        "health": health,
+        "needs_repair": needs_repair,
+        "repaired": repaired,
     }
 
 
@@ -1112,14 +1272,15 @@ def pq_remove_from_index(
     ``batch_id`` is a no-op via the ``_batches`` log recorded on
     completion.
     """
-    if _batch_already_committed(spark, path, batch_id):
+    if _batch_already_committed(spark, path, batch_id, op="pq_remove"):
         return {"removed_rows": 0, "touched_files": 0,
                 "skipped_replay": True}
+    _recover_swap(spark, os.path.join(path, "codes"))
     ids = _as_ids_df(spark, vec_ids)
     removed, touched = _remove_rows_by_file(
         spark, os.path.join(path, "codes"), ids
     )
-    _record_batch(spark, path, batch_id)
+    _record_batch(spark, path, batch_id, op="pq_remove")
     return {"removed_rows": removed, "touched_files": len(touched)}
 
 
@@ -1145,6 +1306,7 @@ def pq_compact_index(
     full compaction is ~32x cheaper than rewriting the float table.
     """
     codes_path = os.path.join(path, "codes")
+    _recover_swap(spark, codes_path)  # repair any interrupted prior swap
     codes = spark.read.parquet(codes_path)
     n_files = codes.select(
         F.col("_metadata.file_path")
@@ -1155,16 +1317,24 @@ def pq_compact_index(
         return {"compacted": False, "files": n_files, "rows": n_rows}
     partitioned = "cell_id" in codes.columns
     dedup_keys = ["vec_id", "cell_id"] if partitioned else ["vec_id"]
-    survivors = codes.dropDuplicates(dedup_keys).localCheckpoint(eager=True)
-    writer = (
-        survivors.repartition(ideal, "cell_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell_id")
-        if partitioned
-        else survivors.repartition(ideal).write.mode("overwrite")
-    )
-    writer.parquet(codes_path)
+    survivors = codes.dropDuplicates(dedup_keys)
+
+    # crash-safe swap (not an in-place overwrite): the rewrite reads the
+    # LIVE files while writing a staging sibling, then two renames swap
+    # it in — a crash or executor loss mid-compaction (stream_pq_remove
+    # triggers this automatically via compact_every) can no longer lose
+    # the codes table, matching _remove_rows_by_file's write-then-delete
+    # ordering.
+    def _write(staging: str) -> None:
+        writer = (
+            survivors.repartition(ideal, "cell_id")
+            .write.mode("overwrite").partitionBy("cell_id")
+            if partitioned
+            else survivors.repartition(ideal).write.mode("overwrite")
+        )
+        writer.parquet(staging)
+
+    _replace_dir(spark, _write, codes_path)
     return {"compacted": True, "files_before": n_files, "rows": n_rows,
             "target_files": ideal}
 
@@ -1195,11 +1365,38 @@ def save_bm25_index(
     )
 
 
-def load_bm25_index(spark: SparkSession, path: str):
-    """(term_stats, corpus_stats) live snapshots."""
-    from astro_vectordb_spark.sources.versioned import read_current_multi
+def _read_bm25_tables(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame] | None:
+    """Live BM25 statistic tables, reading the current ``stats/``
+    multi-table layout OR the legacy (pre-multi-commit) layout of
+    separate versioned ``term_stats/`` + ``corpus_stats/`` tables — an
+    index persisted under the old layout stays loadable, and its first
+    ``bm25_append_to_index`` migrates it (the merged tables commit into
+    the new layout; the legacy directories become dead data)."""
+    from astro_vectordb_spark.sources.versioned import (
+        read_current,
+        read_current_multi,
+    )
 
     tables = read_current_multi(spark, os.path.join(path, "stats"))
+    if tables is not None:
+        return tables
+    ts = read_current(spark, os.path.join(path, "term_stats"))
+    cs = read_current(spark, os.path.join(path, "corpus_stats"))
+    if ts is None or cs is None:
+        return None
+    out = {"term_stats": ts, "corpus_stats": cs}
+    legacy_log = read_current(spark, os.path.join(path, "batches"))
+    if legacy_log is not None:
+        out["batches"] = legacy_log
+    return out
+
+
+def load_bm25_index(spark: SparkSession, path: str):
+    """(term_stats, corpus_stats) live snapshots (legacy layouts
+    included — see ``_read_bm25_tables``)."""
+    tables = _read_bm25_tables(spark, path)
     if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
     return tables["term_stats"], tables["corpus_stats"]
@@ -1231,11 +1428,10 @@ def bm25_append_to_index(
     from astro_vectordb_spark.sources.versioned import (
         commit_version_multi,
         current_version,
-        read_current_multi,
     )
 
     stats_path = os.path.join(path, "stats")
-    tables = read_current_multi(spark, stats_path)
+    tables = _read_bm25_tables(spark, path)  # legacy layouts migrate here
     if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
     log = tables.get("batches")

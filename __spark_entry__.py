@@ -119,6 +119,40 @@ def _q_facade_hnsw_gate(spark, sf_dir):
     )
 
 
+def _q_facade_ivf_gate(spark, sf_dir):
+    # facade over the PERSISTED IVF index at a full-recall probe budget
+    # (nprobe = k_cells probes every cell; scoring inside the cells is
+    # the exact fold), completing hash coverage of kind-detection /
+    # metric / meta plumbing for the IVF kind: the facade must resolve
+    # 'ivf' from the layout, read k_cells+metric from _meta, and serve
+    # exactly the brute-force top-10 — any dispatch regression is a
+    # driver hash mismatch.  (ann_ivf_recall_gate pins the ADAPTIVE
+    # probe rule through the explicit operator; this gate pins the
+    # facade path at the provably-exact budget.)
+    from astro_vectordb_spark.search import search
+
+    return search(
+        spark, ivf_index_path(spark, sf_dir), _qvec(spark, sf_dir, 7),
+        k=10, nprobe=12,
+    )
+
+
+def _q_facade_pq_gate(spark, sf_dir):
+    # facade over the PERSISTED PQ index (built THROUGH remove-then-
+    # append churn — see pq_index_path) at a full-recall refine budget:
+    # stage-1 ADC must place every exact top-10 id inside the 64*k
+    # candidate set (>= corpus size at the oracle scales, so provably
+    # exact) and stage 2 re-ranks with the exact fold — the facade's
+    # PQ dispatch, codebook reload, and vectors= plumbing all sit on
+    # the hash path.
+    from astro_vectordb_spark.search import search
+
+    return search(
+        spark, pq_index_path(spark, sf_dir), _qvec(spark, sf_dir, 11),
+        k=10, vectors=_emb(spark, sf_dir), refine_factor=64,
+    )
+
+
 def _q_topk_euclidean(spark, sf_dir):
     return topk_search(
         _emb(spark, sf_dir), _qvec(spark, sf_dir, 7), k=10, strength=0,
@@ -826,6 +860,24 @@ def hnsw_index_path(spark, sf_dir: str) -> str:
     graph = hnsw_build_shards(emb, num_shards=shards, ef_construction=64)
     path = tempfile.mkdtemp(prefix="astro_hnsw_idx_")
     save_hnsw_index(graph, path, m=16, metric="cosine")
+    # churn the index the way pq_index_path does (r9): edge-SWEEP a
+    # deterministic id slice out, then re-append those rows — the live
+    # id set ends value-identical to the fresh build, but every HNSW
+    # gate now certifies build + sweep-remove (edge unlink + health
+    # report) + append + persistence + serving end to end, so the
+    # recall gates are served from a SWEPT index every round
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        hnsw_remove_from_index,
+    )
+
+    churn = emb.filter(F.col("vec_id") % 17 == 3)
+    churn_ids = [r["vec_id"] for r in churn.select("vec_id").collect()]
+    if churn_ids:
+        hnsw_remove_from_index(spark, path, churn_ids, mode="sweep")
+        hnsw_append_to_index(
+            spark, path, churn.select("vec_id", "embedding"), seed=23
+        )
     _HNSW_INDEX_CACHE[sf_dir] = path
     return path
 
@@ -1444,6 +1496,105 @@ def _q_curation_e2e(spark, sf_dir):
     return pack_documents_strict(survivors, max_tokens=200, n_buckets=8)
 
 
+_E2E_INDEX_CACHE: dict[str, str] = {}
+
+
+def _retrieval_e2e_index(spark, sf_dir: str):
+    """The retrieval_e2e lifecycle, run once per session per sf_dir:
+    embed the documents -> build a sharded HNSW index on PART of the
+    corpus -> APPEND the rest (plus a planted duplicate of the query
+    doc) -> REMOVE a deterministic slice (plus a planted dup that was
+    built in) -> return (index path, survivor vector table)."""
+    if sf_dir in _E2E_INDEX_CACHE:
+        path = _E2E_INDEX_CACHE[sf_dir]
+        return path, _retrieval_e2e_survivors(spark, sf_dir)
+    import tempfile
+
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_append_to_index,
+        hnsw_remove_from_index,
+        save_hnsw_index,
+    )
+
+    emb = _e2e_embeddings(spark, sf_dir)
+    dup_build = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(90_002).cast("long").alias("vec_id"), "embedding"
+    )
+    dup_append = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(90_001).cast("long").alias("vec_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 3).unionByName(dup_build)
+    appended = emb.filter(F.col("vec_id") % 10 == 3).unionByName(dup_append)
+    graph = hnsw_build_shards(
+        base, num_shards=4, m=8, ef_construction=32, seed=13
+    )
+    path = tempfile.mkdtemp(prefix="astro_e2e_idx_")
+    save_hnsw_index(graph, path, m=8, metric="cosine")
+    hnsw_append_to_index(spark, path, appended, seed=17)
+    remove_ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 7 == 2)
+        .select("vec_id").collect()
+    ] + [90_002]
+    hnsw_remove_from_index(spark, path, remove_ids, mode="sweep")
+    _E2E_INDEX_CACHE[sf_dir] = path
+    return path, _retrieval_e2e_survivors(spark, sf_dir)
+
+
+def _e2e_embeddings(spark, sf_dir: str):
+    from astro_vectordb_spark.functions.embed import embed_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return embed_text(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+
+
+def _retrieval_e2e_survivors(spark, sf_dir: str):
+    emb = _e2e_embeddings(spark, sf_dir)
+    dup_append = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(90_001).cast("long").alias("vec_id"), "embedding"
+    )
+    return emb.filter(F.col("vec_id") % 7 != 2).unionByName(dup_append)
+
+
+def _q_retrieval_e2e(spark, sf_dir):
+    # the index-lifecycle composite — curation_e2e's analogue for
+    # retrieval, pinned as ONE driver hash: embed (hash embedder, the
+    # oracle's md5 CTE twin) -> build sharded HNSW on 90% of the docs
+    # -> APPEND the held-out 10% plus a planted exact duplicate of the
+    # query doc (vec_id 90001 — lands at the top of the ranking, so a
+    # dropped append shifts the hash) -> REMOVE every doc_id % 7 == 2
+    # plus a planted built-in duplicate (90002 — would ALSO rank top if
+    # the remove leaked) -> serve through the search() facade at a
+    # full-recall beam with the exact-fold re-rank.  Every stage's
+    # effect is observable in the final top-10; the pieces are
+    # individually gated elsewhere, this pins their COMPOSITION.
+    # Reference lifecycle: create -> addPoint -> removePoint -> search
+    # (driver/driver.ts:28-307).
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.search import search
+
+    path, survivors = _retrieval_e2e_index(spark, sf_dir)
+    qv_row = survivors.filter(F.col("vec_id") == 0).first()["embedding"]
+    hits = search(spark, path, qv_row, k=10, ef_search=400)
+    qv = F.array(*[F.lit(float(x)) for x in qv_row])
+    # NOTE: the join is what makes a LEAKED remove observable as a
+    # row-count mismatch (a surviving 90002 fills a beam slot but has
+    # no survivor row -> 9 output rows vs the oracle's 10), and a
+    # dropped append as a value mismatch (90001 absent from the beam).
+    return (
+        hits.select("vec_id")
+        .join(survivors, "vec_id")
+        .withColumn("score", similarity(F.col("embedding"), qv, "cosine"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     # sequence packing for LLM training: contiguous fill within
     # independent hash-bucket streams (per-bucket window cumsum — no
@@ -1454,24 +1605,88 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 8 (the driver checks the FIRST 50
+    # Driver-window rotation, round 9 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in: the 24 round-5 core queries rotated out in round 7,
-    #     RETURNING ON SCHEDULE as promised (round-7 verdict item 1);
-    #   - in: the 4 ANN recall gates (now certifying the PQ
-    #     remove-then-append churn lifecycle and adaptive IVF
-    #     probing), pack_strict (now auto-sized), decontaminate_fuzzy;
-    #   - in: the 9 heaviest round-5 core queries (never rotated);
-    #   - in: 11 family representatives (one per round-6 family:
-    #     lexical, lexical-index lifecycle, fusion, late interaction,
-    #     filtered ANN, exact decontamination, contiguous packing,
-    #     temporal x2, quality gate, dedup reporting);
-    #   - out: the 18 relational/scalar queries (2nd rotation; back in
-    #     round 9) and 6 round-6 family queries with 2 consecutive
-    #     green driver rounds (back in round 9).
+    #   - in: the 24 relational/scalar + round-6 family queries rotated
+    #     out in round 8, RETURNING ON SCHEDULE as promised (round-8
+    #     verdict item 1 / NOTES_r8);
+    #   - in: the 4 ANN recall gates (the HNSW index is now built
+    #     THROUGH sweep-remove + append churn, mirroring the PQ gate)
+    #     and the 2 round-8 facade gates, retained as promised;
+    #   - in (new): facade_ivf_gate + facade_pq_gate (hash coverage of
+    #     facade dispatch for the remaining kinds) and retrieval_e2e
+    #     (embed -> build -> append -> remove -> serve as ONE hash);
+    #   - in: curation_e2e + line_dup_stats (round-8 additions, first
+    #     window appearance) and the 9 heaviest round-5 core queries
+    #     (never rotated) + pack_strict/decontaminate_fuzzy;
+    #   - in: 4 family representatives (lexical lifecycle, fusion,
+    #     late interaction, temporal);
+    #   - out: the 24 round-5 core queries green in round 8 (back in
+    #     round 10) and 7 family representatives with 2+ consecutive
+    #     green driver rounds (back in round 10).
     return {
-        # -- returning round-5 core (out exactly one round)
+        # -- returning relational/scalar (out exactly one round)
+        "events_hourly": _q_events_hourly,
+        "session_stats": _q_session_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_topn": _q_revenue_topn,
+        "events_sliding": _q_events_sliding,
+        "supplier_balance": _q_supplier_balance,
+        "part_brand_stats": _q_part_brand_stats,
+        "event_rates": _q_event_rates,
+        "customer_rank": _q_customer_rank,
+        "order_priority": _q_order_priority,
+        "nation_revenue": _q_nation_revenue,
+        "token_counts": _q_token_counts,
+        "events_json": _q_events_json,
+        "split_counts": _q_split_counts,
+        "segment_no_orders": _q_segment_no_orders,
+        "revenue_rollup": _q_revenue_rollup,
+        "status_pivot": _q_status_pivot,
+        "profile_lineitem": _q_profile_lineitem,
+        # -- returning round-6 family queries (out exactly one round)
+        "hybrid_weighted": _q_hybrid_weighted,
+        "mmr_rerank": _q_mmr_rerank,
+        "doc_chunks": _q_doc_chunks,
+        "repetition_stats": _q_repetition_stats,
+        "redact_pii": _q_redact_pii,
+        "corpus_summary": _q_corpus_summary,
+        "mixture_weights": _q_mixture_weights,
+        # -- ANN recall gates (HNSW now served from a SWEPT index) +
+        # facade gates, retained + extended to all kinds (round 9)
+        "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
+        "ann_pq_recall_gate": _q_ann_pq_recall_gate,
+        "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
+        "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
+        "facade_exact_topk": _q_facade_exact_topk,
+        "facade_hnsw_gate": _q_facade_hnsw_gate,
+        "facade_ivf_gate": _q_facade_ivf_gate,
+        "facade_pq_gate": _q_facade_pq_gate,
+        # -- composite end-to-end gates (one hash per pipeline)
+        "retrieval_e2e": _q_retrieval_e2e,
+        "curation_e2e": _q_curation_e2e,
+        "line_dup_stats": _q_line_dup_stats,
+        # -- heaviest round-5 core (never rotated)
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "sync_merge": _q_sync_merge,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_dedup_groups": _q_embedding_dedup_groups,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
+        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
+        # -- round-7 additions (retained)
+        "pack_strict": _q_pack_strict,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        # -- family representatives
+        "bm25_indexed": _q_bm25_indexed,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "chunk_maxsim": _q_chunk_maxsim,
+        "asof_join": _q_asof_join,
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window this round (full gate still verifies them;
+        # they rotate back in round 10)
         "topk_exact": _q_topk_exact,
         "topk_euclidean": _q_topk_euclidean,
         "threshold_cap": _q_threshold_cap,
@@ -1496,68 +1711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_topk_quantized": _q_batch_topk_quantized,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
-        # -- ANN recall gates + round-7 additions (retained)
-        "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
-        "ann_pq_recall_gate": _q_ann_pq_recall_gate,
-        "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
-        "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
-        "pack_strict": _q_pack_strict,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        # -- heaviest round-5 core (never rotated)
-        "upsert_keep_latest": _q_upsert_keep_latest,
-        "sync_merge": _q_sync_merge,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_dedup_groups": _q_embedding_dedup_groups,
-        "dedup_groups": _q_dedup_groups,
-        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
-        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
-        "profile_lineitem": _q_profile_lineitem,
-        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # -- family representatives (one per round-6 family)
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
-        "bm25_indexed": _q_bm25_indexed,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "chunk_maxsim": _q_chunk_maxsim,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
-        "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "gopher_filter": _q_gopher_filter,
         "dup_rate_by_source": _q_dup_rate_by_source,
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window this round (full gate still verifies them;
-        # they rotate back in round 9)
-        "hybrid_weighted": _q_hybrid_weighted,
-        "mmr_rerank": _q_mmr_rerank,
-        "doc_chunks": _q_doc_chunks,
-        "repetition_stats": _q_repetition_stats,
-        "redact_pii": _q_redact_pii,
-        "corpus_summary": _q_corpus_summary,
-        "mixture_weights": _q_mixture_weights,
-        "events_hourly": _q_events_hourly,
-        "session_stats": _q_session_stats,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_topn": _q_revenue_topn,
-        "events_sliding": _q_events_sliding,
-        "supplier_balance": _q_supplier_balance,
-        "part_brand_stats": _q_part_brand_stats,
-        "event_rates": _q_event_rates,
-        "customer_rank": _q_customer_rank,
-        "order_priority": _q_order_priority,
-        "nation_revenue": _q_nation_revenue,
-        "token_counts": _q_token_counts,
-        "events_json": _q_events_json,
-        "split_counts": _q_split_counts,
-        "segment_no_orders": _q_segment_no_orders,
-        "revenue_rollup": _q_revenue_rollup,
-        "status_pivot": _q_status_pivot,
-        # -- round-8 facade gates + composite pipeline (oracled;
-        # full-gate checked this round, window candidates next)
-        "facade_exact_topk": _q_facade_exact_topk,
-        "facade_hnsw_gate": _q_facade_hnsw_gate,
-        "curation_e2e": _q_curation_e2e,
-        "line_dup_stats": _q_line_dup_stats,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -1831,6 +1991,33 @@ def oracle_sql() -> dict[str, str]:
         "topk_exact": _topk_oracle(0, 0.2, 10, cos),
         "facade_exact_topk": _topk_oracle(5, 0.0, 10, cos),
         "facade_hnsw_gate": _topk_oracle(9, 0.0, 10, cos),
+        # facade dispatch gates for the remaining kinds (round 9): both
+        # serve at provably-exact budgets (IVF probes every cell; PQ's
+        # refine budget >= corpus size at the oracle scales), so the
+        # brute-force oracle is the exact expected output
+        "facade_ivf_gate": _topk_oracle(7, 0.0, 10, cos),
+        "facade_pq_gate": _topk_oracle(11, 0.0, 10, cos),
+        # retrieval_e2e: the lifecycle's NET corpus — every doc except
+        # the removed doc_id % 7 == 2 slice, plus the planted appended
+        # duplicate of doc 0 (vec_id 90001); the built-then-removed
+        # duplicate (90002) must NOT appear.  Embeddings via the same
+        # md5 feature-hash CTE the embed_docs oracle uses.
+        "retrieval_e2e": f"""
+WITH {_embed_cte()},
+corpus AS (
+  SELECT doc_id AS vec_id, e FROM emb WHERE doc_id % 7 <> 2
+  UNION ALL
+  SELECT 90001::BIGINT AS vec_id, e FROM emb WHERE doc_id = 0
+),
+q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+scored AS (
+  SELECT c.vec_id, {_cos("c.e", "qv")} AS s
+  FROM corpus c CROSS JOIN q
+)
+SELECT vec_id, round(s, 6) AS score
+FROM scored WHERE s > 0
+ORDER BY s DESC, vec_id LIMIT 10
+""",
         "topk_euclidean": _topk_oracle(7, 0.0, 10, euc),
         "threshold_cap": _topk_oracle(3, 0.95, 10, cos),
         "point_lookup": "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",

@@ -31,6 +31,9 @@ SHOW = [
     "facade_exact_topk",
     "line_dup_stats",
     "curation_e2e",
+    # round 9: the facade's IVF path must show the cell IN-filter as
+    # PartitionFilters on the cell-partitioned vectors table
+    "facade_ivf_gate",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

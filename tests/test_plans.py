@@ -165,3 +165,31 @@ def test_bm25_single_corpus_scan_lineage_no_corpus_shuffle(spark):
     # the stats agg is a SinglePartition exchange; a HashPartitioning
     # exchange would mean the corpus is being shuffled
     assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_hnsw_shard_health_pure_codegen_and_pruned(spark, tmp_path):
+    """The graph-health metric must stay a no-UDF aggregation whose
+    scan reads only (shard_id, neighbors) — at 100 TB it runs against
+    the full persisted graph, so a Python stage or an unpruned vector
+    column would make routine health checks cost like a serve."""
+    from astro_vectordb_spark.operators.hnsw import (
+        hnsw_build_shards,
+        hnsw_shard_health,
+    )
+    from astro_vectordb_spark.plans.explain import executed_plan
+    from astro_vectordb_spark.sources.vault import save_hnsw_index
+
+    emb = spark.read.parquet(f"{PLAN_SF}/embeddings.parquet")
+    path = str(tmp_path / "hh")
+    save_hnsw_index(
+        hnsw_build_shards(emb, num_shards=2, m=8, seed=3), path,
+        m=8, metric="cosine",
+    )
+    graph = spark.read.parquet(f"{path}/graph")
+    plan = executed_plan(hnsw_shard_health(graph, m=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "neighbors" in rs
+    assert "qvec" not in rs and "embedding" not in rs, (
+        f"vector column not pruned from the health scan: {rs}"
+    )

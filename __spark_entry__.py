@@ -153,6 +153,46 @@ def _q_facade_pq_gate(spark, sf_dir):
     )
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def ivfpq_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted IVF-PQ index (KMeans cells x
+    PQ codes, codes partitioned by cell so probing prunes at the file
+    listing)."""
+    if sf_dir in _IVFPQ_INDEX_CACHE:
+        return _IVFPQ_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.operators.pq import ivf_pq_build
+    from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+    encoded, cents, model = ivf_pq_build(
+        _emb(spark, sf_dir), k_cells=8, m=8, ks=64, max_rows=20_000
+    )
+    path = tempfile.mkdtemp(prefix="astro_ivfpq_idx_")
+    save_ivf_pq_index(encoded, cents, model, path)
+    _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_facade_ivfpq_gate(spark, sf_dir):
+    # facade over the PERSISTED IVF-PQ index — the LAST kind to gain a
+    # driver hash gate (its operators were pytest-only at driver
+    # level): nprobe = k_cells probes every cell and refine 64*k >=
+    # corpus at the oracle scales, so stage 2 exact-re-ranks the whole
+    # corpus and the output provably equals brute force.  Facade kind
+    # detection (codebooks + centroids), cell-partitioned code reload,
+    # and the two-stage dispatch all sit on the hash path; with this,
+    # all FIVE index kinds are facade-hash-gated.
+    from astro_vectordb_spark.search import search
+
+    return search(
+        spark, ivfpq_index_path(spark, sf_dir), _qvec(spark, sf_dir, 13),
+        k=10, vectors=_emb(spark, sf_dir), nprobe=8, refine_factor=64,
+    )
+
+
 def _q_topk_euclidean(spark, sf_dir):
     return topk_search(
         _emb(spark, sf_dir), _qvec(spark, sf_dir, 7), k=10, strength=0,
@@ -1687,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window this round (full gate still verifies them;
         # they rotate back in round 10)
+        "facade_ivfpq_gate": _q_facade_ivfpq_gate,
         "topk_exact": _q_topk_exact,
         "topk_euclidean": _q_topk_euclidean,
         "threshold_cap": _q_threshold_cap,
@@ -1997,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         # brute-force oracle is the exact expected output
         "facade_ivf_gate": _topk_oracle(7, 0.0, 10, cos),
         "facade_pq_gate": _topk_oracle(11, 0.0, 10, cos),
+        "facade_ivfpq_gate": _topk_oracle(13, 0.0, 10, cos),
         # retrieval_e2e: the lifecycle's NET corpus — every doc except
         # the removed doc_id % 7 == 2 slice, plus the planted appended
         # duplicate of doc 0 (vec_id 90001); the built-then-removed

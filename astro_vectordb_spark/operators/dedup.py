@@ -61,6 +61,12 @@ JACCARD_DECIMALS = 6
 # clusters; an evicted intermediate consumed later just recomputes
 # (caches are an optimization, never a correctness dependency).
 
+# The pool is MODULE-GLOBAL and plan-keyed: a long-lived driver
+# process serving several users/sessions shares the one
+# CACHE_POOL_CAPACITY budget across all of them (a busy tenant can
+# evict another's warm cache — a throughput matter only, never
+# correctness).  Per-tenant isolation = one Python process per
+# tenant, or raise the capacity for a deliberately shared driver.
 _CACHE_POOL: dict[int, DataFrame] = {}
 CACHE_POOL_CAPACITY = 8
 

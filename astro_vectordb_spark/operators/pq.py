@@ -434,17 +434,44 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    allowed_ids: Sequence[int] | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: rank cells driver-side (k_cells rows — it
     parameterizes scan pruning), ADC-scan ONLY the probed cells'
     codes (``cell_id IN (...)`` = PartitionFilters on a
-    cell-partitioned table), exact-rerank the survivors."""
+    cell-partitioned table), exact-rerank the survivors.
+
+    ``allowed_ids`` = metadata-filtered search (parity with
+    ``pq_topk``/``ivf_search``): the probed cells' codes are
+    restricted to the allowed set BEFORE the ADC ranking, with the
+    probe count widened by 1/selectivity (same policy as
+    ``ivf_search``) so the expected allowed candidate pool stays at
+    the unfiltered level; ``n_total`` skips the corpus count when the
+    caller knows it."""
     from astro_vectordb_spark.operators.ann import choose_probe_cells
 
     cells = choose_probe_cells(
         centroids, query_vector, nprobe, metric=model.metric
     )
+    if allowed_ids is not None:
+        import math
+
+        allowed = [int(i) for i in allowed_ids]
+        if n_total is None:
+            n_total = encoded.dropDuplicates([id_col]).count()
+        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        k_cells = centroids.count()
+        widened = min(int(k_cells), math.ceil(len(cells) / sel))
+        if widened > len(cells):
+            cells = choose_probe_cells(
+                centroids, query_vector, widened, metric=model.metric
+            )
     probed = encoded.filter(F.col("cell_id").isin(cells))
+    if allowed_ids is not None:
+        probed = probed.filter(
+            F.col(id_col).isin([int(i) for i in allowed_ids])
+        )
     # .distinct(): spill-redundant IVF assignment (SPANN-style) stores
     # a vector in several cells, so two probed copies of one id must
     # not both reach the re-rank (bounded rows — cheap)

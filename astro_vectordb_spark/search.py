@@ -81,11 +81,11 @@ def search(
       reads its metric from its own persisted ``_meta``.
     - ``nprobe=None`` on the IVF path selects probe cells adaptively
       from the query's centroid-similarity profile.
-    - ``allowed_ids`` = metadata-filtered search where the kind
-      supports it (exact, HNSW, PQ, IVF — the IVF path filters
-      candidate rows inside the probed cells and widens the probe
-      count by 1/selectivity, mirroring the HNSW beam policy; IVF-PQ
-      still raises).
+    - ``allowed_ids`` = metadata-filtered search on EVERY kind: exact
+      and PQ pre-filter the scan; HNSW filters the beam's result set
+      with selectivity-widened ef; IVF and IVF-PQ restrict candidates
+      inside the probed cells with the probe count widened by
+      1/selectivity (the same policy as the HNSW beam).
     """
     kind = detect_index_kind(spark, path)
     if kind == "exact":
@@ -154,16 +154,12 @@ def search(
     from astro_vectordb_spark.operators.pq import ivf_pq_topk
     from astro_vectordb_spark.sources.vault import load_ivf_pq_index
 
-    if allowed_ids is not None:
-        raise ValueError(
-            "allowed_ids filtering is not supported on the IVF-PQ path "
-            "(use the PQ or HNSW index kinds)"
-        )
     encoded, centroids, model, meta = load_ivf_pq_index(spark, path)
     return ivf_pq_topk(
         encoded, centroids, vectors, query_vector, k, model,
         nprobe=(nprobe if nprobe is not None else 4),
         refine_factor=refine_factor, strength=strength,
+        allowed_ids=allowed_ids,
     ).select("vec_id", "score")
 
 

@@ -278,6 +278,18 @@ def main() -> None:
     checks["A6_removed_never_served"] = not (
         {r["vec_id"] for r in served_rm} & set(new_ids)
     )
+    # graph-health verdict rides the remove report (round 9): a 3-id
+    # sweep out of 25k-row shards must leave the wiring healthy — the
+    # signal exists so CHURN-heavy deployments see erosion when it
+    # happens, and a healthy verdict here pins the false-positive side
+    res["remove_health"] = rm["health"]
+    checks["A6b_health_reported_and_clean"] = (
+        len(rm["health"]) == len(rm["touched_shards"]) - len(
+            rm["emptied_shards"]
+        )
+        and all(not h["needs_repair"] for h in rm["health"])
+        and all(h["mean_degree"] > 0 for h in rm["health"])
+    )
 
     # ---- rebalance (split every oversized shard) -----------------------
     t0 = time.time()

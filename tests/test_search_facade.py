@@ -191,8 +191,13 @@ class TestFacade:
         ]
         assert got == exact_allowed
 
-    def test_unsupported_filter_raises_ivf_pq(self, spark, corpus, qv,
+    def test_allowed_ids_ivf_pq_widens_probes(self, spark, corpus, qv,
                                               tmp_path):
+        # r9: the last kind gains filtered search — allowed candidates
+        # restricted inside probed cells (before the ADC ranking), the
+        # probe count widened by 1/selectivity; at 10% selectivity the
+        # widening reaches every cell and with a refine budget >= the
+        # allowed set the result EQUALS the filtered exact top-5
         from astro_vectordb_spark.operators.pq import ivf_pq_build
         from astro_vectordb_spark.sources.vault import save_ivf_pq_index
 
@@ -202,8 +207,18 @@ class TestFacade:
         )
         path = str(tmp_path / "ivfpq_f")
         save_ivf_pq_index(encoded, cents, model, path)
-        with pytest.raises(ValueError, match="allowed_ids"):
-            search(spark, path, qv, 5, vectors=df, allowed_ids=[1, 2, 3])
+        allowed = list(range(0, N, 10))
+        got = [r.vec_id for r in search(
+            spark, path, qv, 5, vectors=df, allowed_ids=allowed,
+            nprobe=2, refine_factor=16,
+        ).collect()]
+        exact_allowed = [
+            r.vec_id
+            for r in topk_search(
+                df.filter(F.col("vec_id") % 10 == 0), qv, 5, strength=0
+            ).collect()
+        ]
+        assert got == exact_allowed
 
     def test_metric_comes_from_index_meta(self, spark, corpus, qv, tmp_path):
         # an index saved with euclidean serves euclidean even though the

@@ -111,32 +111,31 @@ def main() -> None:
     # would exceed the capture) keep every query name + time inside
     # the tail; cold detail and ann metrics stay on the full line
     # above (and in the local artifact).
-    tail_budget = 1990
+    tail_budget = 1980
 
-    def _compact_line(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 1),
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "cold_total_sec": round(cold_total, 1),
-                "queries": qmap,
-            },
-            separators=(",", ":"),
-        )
+    def _compact_line(qmap: dict[str, float], lean: bool) -> str:
+        head = {
+            "metric": "total_query_wall_sec",
+            "value": round(total, 1),
+            "unit": "sec",
+            "sf": sf,
+        }
+        if not lean:
+            head["n_queries"] = len(timings)
+            head["cold_total_sec"] = round(cold_total, 1)
+        head["queries"] = qmap
+        return json.dumps(head, separators=(",", ":"))
 
-    line = _compact_line({k: round(v, 2) for k, v in timings.items()})
-    if len(line) > tail_budget:
-        line = _compact_line(
-            {
-                k: round(v, 1) if v >= 1 else round(v, 2)
-                for k, v in timings.items()
-            }
-        )
-    if len(line) > tail_budget:
-        line = _compact_line({k: round(v, 1) for k, v in timings.items()})
+    rounders = [
+        (lambda v: round(v, 2), False),                      # 2 decimals
+        (lambda v: round(v, 1 if v >= 1 else 2), False),     # mixed
+        (lambda v: round(v, 1), False),                      # 1 decimal
+        (lambda v: round(v, 1), True),                       # + drop extras
+    ]
+    for rnd, lean in rounders:
+        line = _compact_line({k: rnd(v) for k, v in timings.items()}, lean)
+        if len(line) <= tail_budget:
+            break
     print(line)
     spark.stop()
 

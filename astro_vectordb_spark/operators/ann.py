@@ -675,8 +675,17 @@ def ivf_batch_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    allowed_ids: Sequence[int] | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Batch IVF: each query joins only its probed cells.
+
+    ``allowed_ids`` = metadata-filtered batch search: the corpus is
+    restricted to the allowed set and every query's probe count widens
+    by 1/selectivity (fixed nprobe multiplies; the adaptive rule's
+    per-query count multiplies, keeping its shape) — the batch form of
+    ``ivf_search``'s policy.  ``n_total`` skips the corpus count when
+    known.
 
     ``nprobe=None`` applies the ADAPTIVE profile rule
     (``choose_probe_cells_adaptive``'s semantics) DISTRIBUTED: the
@@ -711,28 +720,53 @@ def ivf_batch_search(
             ),
         )
     )
+    widen = 1
+    if allowed_ids is not None:
+        # selectivity-widened probing, batch form: the same
+        # 1/selectivity factor the single-query path applies, as a
+        # MULTIPLIER on each query's probe count (adaptive keeps its
+        # per-query shape: the z-selected count widens uniformly)
+        allowed = [int(i) for i in allowed_ids]
+        if n_total is None:
+            n_total = assigned.dropDuplicates([id_col]).count()
+        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        widen = max(1, math.ceil(1.0 / sel))
     if nprobe is None:
         wq = Window.partitionBy(query_id_col)
         ranked = (
             ranked.withColumn("_mu", F.avg("_s").over(wq))
             .withColumn("_sd", F.stddev_pop("_s").over(wq))
             .withColumn("_mx", F.max("_s").over(wq))
-            .filter(
+            .withColumn(
+                "_keep",
                 # no standout cell -> probe all; else z_i >= 1 or the
                 # top-2 floor (same constants as the driver-side rule)
                 (F.col("_sd") <= F.lit(1e-12))
                 | ((F.col("_mx") - F.col("_mu")) / F.col("_sd") < F.lit(3.0))
                 | ((F.col("_s") - F.col("_mu")) / F.col("_sd") >= F.lit(1.0))
-                | (F.col("_r") <= F.lit(2))
+                | (F.col("_r") <= F.lit(2)),
             )
         )
+        if widen > 1:
+            # widen each query's adaptive count by the selectivity
+            # factor: rank cutoff = widen x the query's base count
+            ranked = ranked.withColumn(
+                "_base",
+                F.sum(F.col("_keep").cast("int")).over(wq),
+            ).filter(F.col("_r") <= F.col("_base") * F.lit(widen))
+        else:
+            ranked = ranked.filter(F.col("_keep"))
     else:
-        ranked = ranked.filter(F.col("_r") <= nprobe)
+        ranked = ranked.filter(F.col("_r") <= nprobe * widen)
     ranked = ranked.select(query_id_col, query_vec_col, "cell_id")
     # drop spill duplicates per query: with redundant assignment a
     # vector sits in several cells and can be probed more than once by
     # the same query — dedupe before scoring so copies never occupy
     # multiple top-K slots
+    if allowed_ids is not None:
+        assigned = assigned.filter(
+            F.col(id_col).isin([int(i) for i in allowed_ids])
+        )
     probed = assigned.join(F.broadcast(ranked), on="cell_id").dropDuplicates(
         [query_id_col, id_col]
     )

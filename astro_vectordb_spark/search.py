@@ -171,6 +171,7 @@ def search_batch(
     *,
     vectors: DataFrame | None = None,
     strength: float = 0.0,
+    allowed_ids=None,
     ef_search: int = 100,
     nprobe: int | None = None,
     refine_factor: int = 32,
@@ -187,6 +188,12 @@ def search_batch(
     window over the (|Q| x k_cells) ranking table; an integer pins the
     classic fixed count.
 
+    ``allowed_ids`` = metadata-filtered batch search on every kind
+    (parity with :func:`search`): exact/PQ/IVF-PQ restrict the scanned
+    corpus to the allowed set; HNSW filters each beam's result set
+    with the selectivity-widened ef; IVF widens every query's probe
+    count by 1/selectivity.
+
     Returns ``(query_id, vec_id, score)``, at most ``k`` rows per
     query.  IVF-PQ batch scans all cells' codes (ADC is already the
     compressed fast path; per-query cell probing is a single-query
@@ -194,10 +201,15 @@ def search_batch(
     simpler layout.
     """
     kind = detect_index_kind(spark, path)
+    allowed = (
+        [int(i) for i in allowed_ids] if allowed_ids is not None else None
+    )
     if kind == "exact":
         from astro_vectordb_spark.operators.topk import batch_topk
 
         corpus = spark.read.parquet(path)
+        if allowed is not None:
+            corpus = corpus.filter(F.col("vec_id").isin(allowed))
         return batch_topk(corpus, queries, k, strength=strength).select(
             "query_id", "vec_id", "score"
         )
@@ -209,7 +221,7 @@ def search_batch(
         assigned, centroids, _, meta = load_ivf_index(spark, path)
         return ivf_batch_search(
             assigned, centroids, queries, k, nprobe=nprobe,
-            metric=meta["metric"],
+            metric=meta["metric"], allowed_ids=allowed,
         ).select("query_id", "vec_id", "score")
 
     if kind == "hnsw":
@@ -220,7 +232,7 @@ def search_batch(
         return hnsw_query_shards(
             graph, queries, k=k, m=meta["m"], metric=meta["metric"],
             ef_search=ef_search, clustered=meta["clustered_safe"],
-            index_cache_token=meta["cache_token"],
+            index_cache_token=meta["cache_token"], allowed_ids=allowed,
         ).select("query_id", "vec_id", "score")
 
     if vectors is None:
@@ -239,6 +251,11 @@ def search_batch(
 
         encoded, _, model, _ = load_ivf_pq_index(spark, path)
         encoded = encoded.select("vec_id", "pq_code")
+    if allowed is not None:
+        # the cogrouped batch face has no cell pruning — restricting
+        # the scanned codes to the allowed set IS the exact filtered
+        # search (stage 2 re-ranks the allowed candidates exactly)
+        encoded = encoded.filter(F.col("vec_id").isin(allowed))
     return pq_batch_topk_cogrouped(
         encoded, vectors, queries, k, model,
         refine_factor=refine_factor, strength=strength,

@@ -293,3 +293,96 @@ def stream_pq_remove(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+def stream_hnsw_remove(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_hnsw_remove",
+    mode: str = "auto",
+    min_degree_frac: float = 0.5,
+    auto_repair: bool = False,
+):
+    """Streaming DELETE face for a persisted sharded HNSW index — the
+    graph-side partner of ``stream_pq_remove``: each micro-batch of
+    (vec_id) rows is physically removed via
+    ``vault.hnsw_remove_from_index`` (edge-sweep for small batches,
+    touched-shard rebuild for heavy losses; ``mode`` as documented
+    there).  Each applied batch's report carries the per-shard
+    graph-health verdict, and ``auto_repair=True`` triggers
+    ``hnsw_rebalance(min_degree_frac=...)`` the moment sweep churn
+    degrades a shard below the floor — the continuous-churn deployment
+    (GDPR erasure, retention expiry) keeps its recall without a
+    scheduled maintenance job.  ``batch_id`` rides the namespaced
+    ``_batches`` log (op='hnsw_remove'), so sharing the index with an
+    ingest stream is safe and at-least-once redelivery is a no-op."""
+    from astro_vectordb_spark.sources.vault import hnsw_remove_from_index
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = hnsw_remove_from_index(
+            spark, index_path, batch_df.select("vec_id"),
+            batch_id=int(batch_id), mode=mode,
+            min_degree_frac=min_degree_frac, auto_repair=auto_repair,
+        )
+        flagged = rep.get("needs_repair", [])
+        print(
+            f"{query_name} batch {batch_id}: -{rep['removed_rows']} rows "
+            f"(swept {rep.get('swept_shards', [])}, rebuilt "
+            f"{rep.get('rebuilt_shards', [])}"
+            + (f", repair needed on {flagged}" if flagged else "")
+            + (", repaired" if rep.get("repaired") else "")
+            + ")"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_ivf_remove(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_ivf_remove",
+):
+    """Streaming DELETE face for a persisted IVF index: each
+    micro-batch of (vec_id) rows is physically removed via
+    ``vault.ivf_remove_from_index`` (touched-files-only rewrite;
+    touched cells' radius stats recomputed so exact-path pruning
+    tightens back).  ``batch_id`` rides the namespaced ``_batches``
+    log (op='ivf_remove') — safe beside an ingest stream on the same
+    index, idempotent under redelivery."""
+    from astro_vectordb_spark.sources.vault import ivf_remove_from_index
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = ivf_remove_from_index(
+            spark, index_path, batch_df.select("vec_id"),
+            batch_id=int(batch_id),
+        )
+        print(
+            f"{query_name} batch {batch_id}: -{rep['removed_rows']} rows "
+            f"({rep['touched_files']} files, cells "
+            f"{rep.get('touched_cells', [])})"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -302,6 +302,64 @@ class TestBatchFacade:
             exact = set(_exact_ids(df, [float(x) for x in pts[q]]))
             assert len(got & exact) >= 9
 
+    def test_batch_allowed_ids_all_kinds(self, spark, corpus, tmp_path):
+        # r9: filtered BATCH search — every kind honors allowed_ids;
+        # exact/PQ restrict the scan (provably exact on the allowed
+        # subset), HNSW widens the beam, IVF widens per-query probes
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import (
+            save_hnsw_index,
+            save_ivf_index,
+            save_pq_index,
+        )
+
+        df, pts = corpus
+        allowed = list(range(0, N, 3))
+        queries = self._queries(spark, corpus)
+
+        def exact_allowed(q):
+            return [
+                r.vec_id
+                for r in topk_search(
+                    df.filter(F.col("vec_id") % 3 == 0),
+                    [float(x) for x in pts[q]], 10, strength=0,
+                ).collect()
+            ]
+
+        paths = {}
+        plain = str(tmp_path / "ba_plain")
+        df.write.parquet(plain)
+        paths["exact"] = (plain, {})
+        assigned, cents = ivf_build(df, k_cells=8)
+        ivfp = str(tmp_path / "ba_ivf")
+        save_ivf_index(
+            assigned.select("vec_id", "embedding", "cell_id"), cents, ivfp
+        )
+        paths["ivf"] = (ivfp, {"nprobe": 2})
+        hp = str(tmp_path / "ba_hnsw")
+        save_hnsw_index(
+            hnsw_build_shards(df, num_shards=2, m=8, seed=11), hp,
+            m=8, metric="cosine",
+        )
+        paths["hnsw"] = (hp, {"ef_search": 200})
+        model = pq_train(df, m=8, ks=32, metric="cosine", max_rows=N, seed=2)
+        pqp = str(tmp_path / "ba_pq")
+        save_pq_index(pq_encode(df, model), model, pqp)
+        paths["pq"] = (pqp, {"vectors": df, "refine_factor": 16})
+
+        for kind, (path, kw) in paths.items():
+            out = search_batch(
+                spark, path, queries, 10, allowed_ids=allowed, **kw
+            ).toPandas()
+            assert (out.vec_id % 3 == 0).all(), kind
+            for q in (3, 17, 40):
+                got = set(out[out.query_id == q].vec_id)
+                want = set(exact_allowed(q))
+                assert len(got & want) >= 9, (kind, q)
+
     def test_ivf_batch(self, spark, corpus, tmp_path):
         from astro_vectordb_spark.operators.ann import ivf_build
         from astro_vectordb_spark.search import search_batch

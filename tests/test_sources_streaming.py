@@ -839,3 +839,87 @@ def test_pq_remove_batch_auto_compacts(spark, tmp_path):
     # replayed batch never re-compacts or re-removes
     rep3 = _pq_remove_batch(spark, path, ids2, 2, compact_every=2, query_name="t")
     assert rep3.get("skipped_replay") and "compaction" not in rep3
+
+
+def test_stream_hnsw_remove_deletes_ids(spark, tmp_path):
+    """foreachBatch HNSW delete (r9): streamed vec_ids are physically
+    removed from the persisted graph (edge sweep), and the shared
+    index is safe because the replay log is namespaced per op."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.hnsw import hnsw_build_shards
+    from astro_vectordb_spark.sources.vault import save_hnsw_index
+    from astro_vectordb_spark.streaming.upsert import stream_hnsw_remove
+
+    rng = np.random.RandomState(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "hnsw_rm_stream")
+    graph = hnsw_build_shards(df, num_shards=2, m=8, seed=5)
+    save_hnsw_index(graph, path, m=8, metric="cosine")
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select((F.col("value") % 50).alias("vec_id"))
+    )
+    q = stream_hnsw_remove(stream, path)
+    try:
+        deadline = time.time() + 60
+        shrunk = False
+        while time.time() < deadline:
+            time.sleep(3)
+            n = spark.read.parquet(f"{path}/graph").count()
+            if n <= 350:
+                shrunk = True
+                break
+    finally:
+        q.stop()
+    assert shrunk, "streamed removals never reached the graph"
+    live = spark.read.parquet(f"{path}/graph")
+    assert live.filter("vec_id < 50").count() == 0
+    assert live.filter("vec_id >= 50").count() == 350
+
+
+def test_stream_ivf_remove_deletes_ids(spark, tmp_path):
+    """foreachBatch IVF delete (r9): streamed vec_ids leave the
+    cell-partitioned vectors table; touched cells' stats recompute."""
+    import numpy as np
+
+    from astro_vectordb_spark.operators.ann import ivf_build, ivf_cell_stats
+    from astro_vectordb_spark.sources.vault import save_ivf_index
+    from astro_vectordb_spark.streaming.upsert import stream_ivf_remove
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = ivf_build(df, k_cells=4)
+    path = str(tmp_path / "ivf_rm_stream")
+    save_ivf_index(
+        assigned.select("vec_id", "embedding", "cell_id"), cents, path,
+        cell_stats=ivf_cell_stats(assigned, cents),
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select((F.col("value") % 50).alias("vec_id"))
+    )
+    q = stream_ivf_remove(stream, path)
+    try:
+        deadline = time.time() + 60
+        shrunk = False
+        while time.time() < deadline:
+            time.sleep(3)
+            n = spark.read.parquet(f"{path}/vectors").count()
+            if n <= 350:
+                shrunk = True
+                break
+    finally:
+        q.stop()
+    assert shrunk, "streamed removals never reached the vectors table"
+    live = spark.read.parquet(f"{path}/vectors")
+    assert live.filter("vec_id < 50").count() == 0
+    assert live.filter("vec_id >= 50").count() == 350

@@ -202,6 +202,95 @@ def bm25_append_stats(
     return merged_terms, merged_corpus
 
 
+def bm25_remove_stats(
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    removed_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strict: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Subtract a removed-document batch from existing BM25 statistics
+    — the lexical index's delete face, completing the build → append →
+    **remove** lifecycle every vector index kind already has.
+
+    BM25 statistics are exactly decrementable: document frequencies
+    subtract (``df' = df - df_removed``; terms reaching 0 drop out of
+    the vocabulary) and the corpus stats subtract from exact integer
+    totals (``n' = n - n_removed``, ``total_dl' = total_dl - batch
+    total``, avgdl re-derived) — so remove-then-query equals a full
+    rebuild over the surviving corpus bit-for-bit (pinned by test).
+    Cost is O(batch + vocabulary); the corpus is never rescanned.
+
+    The caller must pass the documents' ORIGINAL (id, text) rows — the
+    statistics store no per-document postings, so the text is the only
+    record of what each doc contributed (the corpus table is the
+    source of truth; an erasure flow reads the rows there before
+    deleting them).  ``strict=True`` (default) runs one
+    vocabulary-sized check and raises ValueError if any df would go
+    negative or the corpus totals underflow — the signature of
+    removing a document that was never appended (a double-remove to
+    exactly 0 is undetectable; the contract is the caller's).
+    """
+    rem_ts, rem_cs = bm25_term_stats(
+        removed_docs, id_col=id_col, text_col=text_col
+    )
+    decremented = (
+        term_stats.select("term", "df")
+        .join(
+            rem_ts.withColumnRenamed("df", "_df_rem"), "term", "left"
+        )
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("_df_rem"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        # terms only in the removed batch (never appended) surface as
+        # negative rows via a right-side union so strict mode sees them
+        .unionByName(
+            rem_ts.join(term_stats.select("term"), "term", "left_anti")
+            .select("term", (-F.col("df")).cast("long").alias("df"))
+        )
+    )
+    merged_corpus = (
+        corpus_stats.select("n", "total_dl")
+        .unionByName(
+            rem_cs.select(
+                (-F.col("n")).cast("long").alias("n"),
+                (-F.col("total_dl")).cast("long").alias("total_dl"),
+            )
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        .select(
+            "n",
+            "total_dl",
+            F.when(F.col("n") > 0,
+                   F.col("total_dl").cast("double") / F.col("n"))
+            .otherwise(F.lit(0.0))
+            .alias("avgdl"),
+        )
+    )
+    if strict:
+        bad = decremented.filter(F.col("df") < 0).limit(1).count()
+        if bad:
+            raise ValueError(
+                "bm25_remove_stats: a term's document frequency would go "
+                "negative — the removed batch contains documents (or text) "
+                "that were never appended to this index"
+            )
+        row = merged_corpus.first()
+        if int(row["n"]) < 0 or int(row["total_dl"]) < 0:
+            raise ValueError(
+                "bm25_remove_stats: corpus totals would underflow — "
+                "removing more documents/tokens than the index contains"
+            )
+    return decremented.filter(F.col("df") > 0), merged_corpus
+
+
 def bm25_topk_indexed(
     docs: DataFrame,
     term_stats: DataFrame,

@@ -1425,6 +1425,75 @@ def bm25_append_to_index(
     appends' side-car ``_batches`` log, which BM25 needs because
     statistics merges have no id-level anti-join fallback."""
     from astro_vectordb_spark.operators.keyword import bm25_append_stats
+
+    def _merge(ts, cs):
+        return bm25_append_stats(
+            ts, cs, new_docs, id_col=id_col, text_col=text_col
+        )
+
+    return _bm25_apply_batch(
+        spark, path, new_docs, batch_id, "append", "appended_docs", _merge
+    )
+
+
+def bm25_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    removed_docs: DataFrame,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strict: bool = True,
+) -> dict:
+    """Incremental DELETE from a persisted BM25 index — the lexical
+    counterpart of ``pq/ivf/hnsw_remove_from_index``, completing the
+    build → append → remove lifecycle for every index kind.  Subtracts
+    the batch's term/corpus statistics exactly
+    (``keyword.bm25_remove_stats`` — df decrements, exact integer
+    totals; remove-then-query == rebuild-on-survivors bit-for-bit) and
+    commits the decremented tables as a new version; the rewrite is
+    VOCABULARY-sized, never corpus-sized.
+
+    ``removed_docs`` must carry the documents' ORIGINAL (id, text)
+    rows (the statistics store no postings — read the rows from the
+    corpus table before deleting them there; the GDPR-erasure flow is
+    remove-here-then-delete-there).  ``strict`` (default) fails the
+    commit if any document frequency would go negative — see
+    ``bm25_remove_stats``.
+
+    The applied-batch log records ``(op, batch_id)`` — an ingest
+    stream and a remove stream on the SAME index number their
+    micro-batches independently from 0, so op-unaware replay detection
+    would let ingest batch N mask remove batch N (silently dropping
+    the erasure) and vice versa.  Legacy logs without the op column
+    keep their historical match-any behavior."""
+    from astro_vectordb_spark.operators.keyword import bm25_remove_stats
+
+    def _merge(ts, cs):
+        return bm25_remove_stats(
+            ts, cs, removed_docs, id_col=id_col, text_col=text_col,
+            strict=strict,
+        )
+
+    return _bm25_apply_batch(
+        spark, path, removed_docs, batch_id, "remove", "removed_docs", _merge
+    )
+
+
+def _bm25_apply_batch(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    batch_id: int | None,
+    op: str,
+    count_key: str,
+    merge_fn,
+) -> dict:
+    """Shared append/remove machinery: read the live tables (legacy
+    layouts migrate), check the op-namespaced replay log, apply the
+    statistics merge, and commit stats + log as ONE version (a single
+    pointer swap — a replayed ``(op, batch_id)`` is either fully
+    applied or not at all; there is no half-applied crash window)."""
     from astro_vectordb_spark.sources.versioned import (
         commit_version_multi,
         current_version,
@@ -1435,27 +1504,32 @@ def bm25_append_to_index(
     if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
     log = tables.get("batches")
+    if log is not None and "op" not in log.columns:
+        # legacy log rows predate op-namespacing: null op = match-any,
+        # exactly their historical behavior
+        log = log.withColumn("op", F.lit(None).cast("string"))
     if (
         batch_id is not None
         and log is not None
-        and log.filter(F.col("batch_id") == int(batch_id)).limit(1).count()
+        and log.filter(
+            (F.col("batch_id") == int(batch_id))
+            & (F.col("op").isNull() | (F.col("op") == op))
+        ).limit(1).count()
         > 0
     ):
-        return {"appended_docs": 0, "skipped_replay": True}
+        return {count_key: 0, "skipped_replay": True}
     ts, cs = tables["term_stats"], tables["corpus_stats"]
-    n_new = new_docs.count()
-    if n_new == 0 and batch_id is None:
-        return {"appended_docs": 0}
-    mts, mcs = (
-        bm25_append_stats(ts, cs, new_docs, id_col=id_col, text_col=text_col)
-        if n_new
-        else (ts, cs)
-    )
+    n_docs = docs.count()
+    if n_docs == 0 and batch_id is None:
+        return {count_key: 0}
+    mts, mcs = merge_fn(ts, cs) if n_docs else (ts, cs)
     if log is None:
-        log = spark.createDataFrame([], "batch_id long")
+        log = spark.createDataFrame([], "batch_id long, op string")
     mlog = (
         log.unionByName(
-            spark.createDataFrame([(int(batch_id),)], "batch_id long")
+            spark.createDataFrame(
+                [(int(batch_id), op)], "batch_id long, op string"
+            )
         )
         if batch_id is not None
         else log
@@ -1475,4 +1549,4 @@ def bm25_append_to_index(
     finally:
         for t in mats:
             t.unpersist()
-    return {"appended_docs": n_new}
+    return {count_key: n_docs}

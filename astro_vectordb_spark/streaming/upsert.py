@@ -386,3 +386,43 @@ def stream_ivf_remove(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_bm25_remove(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_bm25_remove",
+):
+    """Streaming DELETE face for a persisted BM25 lexical index — the
+    lifecycle symmetry partner of ``stream_bm25_ingest``: each
+    micro-batch of (doc_id, text) rows is subtracted from the
+    term/corpus statistics via ``vault.bm25_remove_from_index``
+    (exact decrements; vocabulary-sized versioned commit), so an
+    erasure/retention stream keeps lexical scores consistent with the
+    shrinking corpus.  The batch must carry the documents' ORIGINAL
+    text (read it from the corpus table before deleting there).
+    ``batch_id`` rides the op-namespaced applied-batch log
+    (op='remove') — safe beside ``stream_bm25_ingest`` on the same
+    index even though the two streams number micro-batches
+    independently; redelivery is a no-op."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from astro_vectordb_spark.sources.vault import bm25_remove_from_index
+
+        if batch_df.isEmpty():
+            return
+        rep = bm25_remove_from_index(
+            spark, index_path, batch_df, batch_id=int(batch_id)
+        )
+        print(f"{query_name} batch {batch_id}: -{rep['removed_docs']} docs")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -923,3 +923,178 @@ def test_stream_ivf_remove_deletes_ids(spark, tmp_path):
     live = spark.read.parquet(f"{path}/vectors")
     assert live.filter("vec_id < 50").count() == 0
     assert live.filter("vec_id >= 50").count() == 350
+
+
+class TestBM25Remove:
+    """bm25_remove_from_index: the lexical index's delete face —
+    exact statistic decrements, op-namespaced replay log."""
+
+    def _docs(self, spark):
+        rows = [(i, "alpha beta gamma") for i in range(6)]
+        rows += [(i, "beta delta") for i in range(6, 10)]
+        rows += [(10, "epsilon zeta epsilon")]  # unique vocab: must vanish
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_remove_equals_rebuild_on_survivors(self, spark, tmp_path):
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_remove_from_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bm25_rm")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, path)
+
+        removed = docs.filter("doc_id >= 8")  # 2 'beta delta' + the unique doc
+        rep = bm25_remove_from_index(spark, path, removed)
+        assert rep["removed_docs"] == 3
+
+        ts2, cs2 = load_bm25_index(spark, path)
+        ref_ts, ref_cs = bm25_term_stats(docs.filter("doc_id < 8"))
+        got = sorted((r["term"], r["df"]) for r in ts2.collect())
+        want = sorted((r["term"], r["df"]) for r in ref_ts.collect())
+        assert got == want  # bit-identical to rebuild on survivors
+        assert "epsilon" not in dict(got)  # fully-removed vocab dropped
+        g, w = cs2.first(), ref_cs.first()
+        assert (g["n"], g["total_dl"], g["avgdl"]) == (
+            w["n"], w["total_dl"], w["avgdl"]
+        )
+
+    def test_strict_rejects_never_appended_docs(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_remove_from_index,
+            save_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bm25_rm_strict")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, path)
+        alien = spark.createDataFrame(
+            [(99, "omicron sigma")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="negative"):
+            bm25_remove_from_index(spark, path, alien)
+
+    def test_ingest_and_remove_batches_do_not_mask(self, spark, tmp_path):
+        # an ingest stream and a remove stream each number micro-batches
+        # from 0: (op, batch_id) namespacing keeps batch 0 of one from
+        # suppressing batch 0 of the other, while each op's own replay
+        # stays a no-op
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_append_to_index,
+            bm25_remove_from_index,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bm25_ns")
+        ts, cs = bm25_term_stats(docs.filter("doc_id < 6"))
+        save_bm25_index(ts, cs, path)
+
+        new = docs.filter("doc_id >= 6 and doc_id < 10")
+        assert bm25_append_to_index(spark, path, new, batch_id=0)[
+            "appended_docs"
+        ] == 4
+        # remove stream's batch 0 must EXECUTE despite append batch 0
+        rep = bm25_remove_from_index(
+            spark, path, docs.filter("doc_id in (8, 9)"), batch_id=0
+        )
+        assert rep["removed_docs"] == 2 and not rep.get("skipped_replay")
+        # each op's own redelivery is a no-op
+        assert bm25_append_to_index(spark, path, new, batch_id=0).get(
+            "skipped_replay"
+        )
+        assert bm25_remove_from_index(
+            spark, path, docs.filter("doc_id in (8, 9)"), batch_id=0
+        ).get("skipped_replay")
+        _, cs2 = load_bm25_index(spark, path)
+        assert cs2.first()["n"] == 8  # 6 + 4 - 2, applied exactly once each
+
+    def test_legacy_oplness_log_matches_any_op(self, spark, tmp_path):
+        # rows written before op-namespacing carry only batch_id; they
+        # keep their historical match-any behavior for BOTH ops
+        import os as _os
+
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            bm25_append_to_index,
+            bm25_remove_from_index,
+            save_bm25_index,
+        )
+        from astro_vectordb_spark.sources.versioned import (
+            commit_version_multi,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bm25_legacy")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, path)
+        legacy_log = spark.createDataFrame([(5,)], "batch_id long")
+        commit_version_multi(
+            {"term_stats": ts, "corpus_stats": cs, "batches": legacy_log},
+            _os.path.join(path, "stats"), 1,
+        )
+        new = spark.createDataFrame(
+            [(50, "alpha")], "doc_id long, text string"
+        )
+        assert bm25_append_to_index(spark, path, new, batch_id=5).get(
+            "skipped_replay"
+        )
+        assert bm25_remove_from_index(
+            spark, path, docs.filter("doc_id = 0"), batch_id=5
+        ).get("skipped_replay")
+
+
+def test_stream_bm25_remove_subtracts_stats(spark, tmp_path):
+    """foreachBatch BM25 delete: streamed (doc_id, text) rows subtract
+    from the persisted term/corpus statistics — the erasure stream."""
+    from astro_vectordb_spark.operators.keyword import bm25_term_stats
+    from astro_vectordb_spark.sources.vault import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from astro_vectordb_spark.streaming.upsert import stream_bm25_remove
+
+    base = spark.createDataFrame(
+        [(i, "spark merge join") for i in range(5000)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25_rm_stream")
+    ts, cs = bm25_term_stats(base)
+    save_bm25_index(ts, cs, path)
+    n0 = cs.first()["n"]
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.lit("spark merge join").alias("text"),
+        )
+    )
+    q = stream_bm25_remove(stream, path)
+    try:
+        deadline = time.time() + 40
+        shrunk = False
+        while time.time() < deadline:
+            time.sleep(3)
+            _, cs2 = load_bm25_index(spark, path)
+            if cs2.first()["n"] < n0:
+                shrunk = True
+                break
+    finally:
+        q.stop()
+    assert shrunk, "streamed removals never left the corpus stats"
+    ts2, cs2 = load_bm25_index(spark, path)
+    row = cs2.first()
+    assert row["total_dl"] == row["n"] * 3  # exact decrements
+    dfs = {r["term"]: r["df"] for r in ts2.collect()}
+    assert dfs["spark"] == row["n"]  # df tracks the shrunken corpus

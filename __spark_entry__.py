@@ -1504,6 +1504,30 @@ def _q_line_dup_stats(spark, sf_dir):
     return line_repetition_stats(base.unionByName(planted))
 
 
+def _q_dup_spans(spark, sf_dir):
+    # substring-level duplication (the span statistic a suffix-array
+    # dedup pass would act on; dedup.duplicate_spans docstring):
+    # 8-token windows shared across documents.  The corpus's planted
+    # near-dups give organic signal (~9% of positions at sf0.01);
+    # PLANTED rows additionally pin the exact arithmetic — two docs
+    # sharing one known 9-token run (98000/98001: positions 1..2 of 5
+    # resp. 1..2 of 3 duplicated), and a doc shorter than k with
+    # n_spans = 0, frac 0.0.
+    from astro_vectordb_spark.operators.dedup import duplicate_spans
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    shared = "qq ww ee rr tt yy uu ii oo"  # 9 tokens: 2 dup 8-gram positions
+    planted = spark.createDataFrame(
+        [
+            (98_000, shared + " aa bb cc"),    # 12 toks: 5 spans, 2 dup
+            (98_001, shared + " zz"),          # 10 toks: 3 spans, 2 dup
+            (98_002, "too short for spans"),   # 4 toks: 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    return duplicate_spans(base.unionByName(planted), k=8)
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1759,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "gopher_filter": _q_gopher_filter,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "dup_spans": _q_dup_spans,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -3366,5 +3391,37 @@ SELECT source,
   count(*)::BIGINT AS n_unique,
   round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_rate
 FROM per GROUP BY source
+""",
+        "dup_spans": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES
+    (98000, 'qq ww ee rr tt yy uu ii oo aa bb cc'),
+    (98001, 'qq ww ee rr tt yy uu ii oo zz'),
+    (98002, 'too short for spans')) v(doc_id, text)
+),
+tk AS (SELECT doc_id, {_LTOKS} AS toks FROM corpus),
+spans AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - 7)) AS i
+  ) g
+  WHERE len(toks) >= 8
+),
+per AS (SELECT doc_id, gram, count(*) AS pc FROM spans GROUP BY 1, 2),
+d AS (SELECT gram FROM per GROUP BY gram HAVING count(*) >= 2),
+dup AS (
+  SELECT p.doc_id, sum(p.pc)::BIGINT AS ds
+  FROM per p JOIN d USING (gram) GROUP BY 1
+),
+base AS (
+  SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT AS n_spans FROM tk
+)
+SELECT b.doc_id, b.n_spans,
+  COALESCE(u.ds, 0)::BIGINT AS dup_spans,
+  CASE WHEN b.n_spans > 0
+    THEN floor(COALESCE(u.ds, 0)::DOUBLE / b.n_spans * 1e6 + 0.5) / 1e6
+    ELSE 0.0 END AS dup_span_frac
+FROM base b LEFT JOIN dup u USING (doc_id)
 """,
     }

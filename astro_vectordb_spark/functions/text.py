@@ -142,9 +142,11 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined), the unit for
-    Jaccard/MinHash near-dup detection."""
+def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles (space-joined): distinct by default (the
+    unit for Jaccard/MinHash near-dup detection); ``distinct=False``
+    keeps one entry PER POSITION in document order (the unit for
+    duplicate-span accounting, where each occurrence counts)."""
     toks = tokens(F.lower(text))
     m = F.size(toks) - n + 1  # number of shingles
     # n aligned slices + (n-1) zip_with concats = O(tokens) total work;
@@ -156,7 +158,8 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.slice(toks, i + 1, m),
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    out = F.array_distinct(grams) if distinct else grams
+    return F.when(F.size(toks) >= n, out).otherwise(
         F.array().cast("array<string>")
     )
 

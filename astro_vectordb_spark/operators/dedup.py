@@ -1119,6 +1119,81 @@ def dedup_groups(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication accounting (the operator behind
+    "deduplicate repeated spans, not just whole documents"): for every
+    document, count the k-token window positions whose exact k-gram
+    also appears in at least one OTHER document.
+
+    Whole-document dedup (exact/MinHash/SimHash) misses the dominant
+    duplication mode in web corpora — long spans (boilerplate,
+    licenses, quoted passages) repeated inside otherwise-distinct
+    pages.  The span-level statistic is what a substring-dedup pass
+    (suffix-array style) would remove; here it is computed exactly via
+    the same shingle inverted index the near-dup family uses.
+
+    Returns one row per input document: ``(doc_id, n_spans,
+    dup_spans, dup_span_frac)`` where ``n_spans = max(0, tokens-k+1)``
+    and ``dup_span_frac = dup_spans / n_spans`` (0.0 for docs shorter
+    than k tokens), rounded half-up at 6 decimals.
+
+    Physical shape (100 TB-safe): positional k-grams via aligned
+    slice + zip_with (O(tokens) per doc, pure codegen) -> explode ->
+    ONE groupBy (doc, gram) with map-side combine -> document
+    frequency as a WINDOW count over gram (rows are already distinct
+    (doc, gram) pairs, so df is a plain count — and the window keeps
+    it a single pass over the pre-aggregated pairs instead of a
+    vocabulary groupBy + self-join, which would recompute the explode
+    lineage per branch) -> id-keyed aggregation + join back to the
+    per-doc span counts.  Three keyed shuffles on shrinking data; no
+    driver action, no UDF, no all-pairs product anywhere.  Hot grams
+    cost one window partition each (bounded by corpus df, the same
+    exposure as the near-dup family's shingle index).
+    """
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k, distinct=False).alias("_spans"),
+    )
+    per = (
+        base.select(id_col, F.explode("_spans").alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_pos"))
+    )
+    w = Window.partitionBy("_gram")
+    dup = (
+        per.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("_nd") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum("_pos").cast("long").alias("_dup"))
+    )
+    frac = (
+        F.col("dup_spans").cast("double")
+        / F.col("n_spans").cast("double")
+    )
+    return (
+        base.select(id_col, F.size("_spans").cast("long").alias("n_spans"))
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long")
+            .alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.when(
+                F.col("n_spans") > 0,
+                F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,

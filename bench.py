@@ -113,27 +113,40 @@ def main() -> None:
     # above (and in the local artifact).
     tail_budget = 1980
 
-    def _compact_line(qmap: dict[str, float], lean: bool) -> str:
+    def _compact_line(
+        qmap: dict[str, float], lean: bool, drop_unit: bool = False
+    ) -> str:
         head = {
             "metric": "total_query_wall_sec",
             "value": round(total, 1),
             "unit": "sec",
             "sf": sf,
         }
+        if drop_unit:
+            del head["unit"]
         if not lean:
             head["n_queries"] = len(timings)
             head["cold_total_sec"] = round(cold_total, 1)
         head["queries"] = qmap
         return json.dumps(head, separators=(",", ":"))
 
+    def _lean1(v: float):
+        # leanest numeric form: 1 decimal, whole values as ints
+        # ("2" not "2.0"), >= 10 s to the nearest second
+        r = round(v) if v >= 10 else round(v, 1)
+        return int(r) if float(r).is_integer() else r
+
     rounders = [
-        (lambda v: round(v, 2), False),                      # 2 decimals
-        (lambda v: round(v, 1 if v >= 1 else 2), False),     # mixed
-        (lambda v: round(v, 1), False),                      # 1 decimal
-        (lambda v: round(v, 1), True),                       # + drop extras
+        (lambda v: round(v, 2), False, False),               # 2 decimals
+        (lambda v: round(v, 1 if v >= 1 else 2), False, False),  # mixed
+        (lambda v: round(v, 1), False, False),               # 1 decimal
+        (lambda v: round(v, 1), True, False),                # + drop extras
+        (_lean1, True, True),                                # + drop unit
     ]
-    for rnd, lean in rounders:
-        line = _compact_line({k: rnd(v) for k, v in timings.items()}, lean)
+    for rnd, lean, drop_unit in rounders:
+        line = _compact_line(
+            {k: rnd(v) for k, v in timings.items()}, lean, drop_unit
+        )
         if len(line) <= tail_budget:
             break
     print(line)

@@ -511,3 +511,44 @@ class TestCachePool:
         finally:
             dedup.CACHE_POOL_CAPACITY = old_cap
             assert dedup.release_caches() <= 1
+
+
+class TestDuplicateSpans:
+    """duplicate_spans: substring-level duplication accounting —
+    positions whose k-gram appears in >= 2 distinct documents."""
+
+    def test_hand_computed_counts(self, spark):
+        from astro_vectordb_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),        # spans: abc bcd cde
+                (2, "x a b c d y"),      # spans: xab abc bcd cdy
+                (3, "z z"),              # shorter than k: 0 spans
+                (4, "q q q q"),          # 'q q q' twice WITHIN one doc
+                (5, "A b C"),            # case-folds to 'a b c'
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_span_frac"])
+            for r in duplicate_spans(docs, k=3).collect()
+        }
+        assert out[1] == (3, 2, 0.666667)  # abc + bcd shared with doc 2
+        assert out[2] == (4, 2, 0.5)
+        assert out[3] == (0, 0, 0.0)
+        # within-doc repetition is NOT cross-doc duplication
+        assert out[4] == (2, 0, 0.0)
+        # tokenization is case-folded: 'A b C' duplicates 'a b c'
+        assert out[5] == (1, 1, 1.0)
+
+    def test_every_input_doc_present(self, spark):
+        from astro_vectordb_spark.operators.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(i, "w" + str(i)) for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = duplicate_spans(docs, k=2)
+        assert out.count() == 10  # short docs kept with zero rows
+        assert out.agg(F.sum("dup_spans")).first()[0] == 0

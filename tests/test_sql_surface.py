@@ -56,3 +56,28 @@ def test_driver_contract_ordering_and_coverage():
         f"= {oracles.symmetric_difference(qs[:n_oracled])}"
     )
     assert all(name not in oracles for name in qs[n_oracled:])
+
+
+def test_bench_tail_line_fits_driver_capture():
+    """The driver records a 2000-char stdout TAIL; bench.py's final
+    line must carry the FULL per-query map inside it.  Static check at
+    the leanest emission form (1 decimal, ints for whole values, no
+    unit field) with pessimistic 9.9-second values for every query —
+    if this fails, the next driver BENCH artifact front-truncates and
+    round-over-round regression analysis silently degrades."""
+    import json
+
+    import __spark_entry__ as m
+
+    head = {
+        "metric": "total_query_wall_sec",
+        "value": 999.9,
+        "sf": 0.1,
+        "queries": {k: 9.9 for k in m.queries()},
+    }
+    line = json.dumps(head, separators=(",", ":"))
+    assert len(line) <= 1980, (
+        f"leanest bench tail {len(line)} chars > 1980 budget for "
+        f"{len(head['queries'])} queries — shorten names or add a "
+        "leaner emission stage in bench.py"
+    )

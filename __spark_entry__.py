@@ -1528,6 +1528,28 @@ def _q_dup_spans(spark, sf_dir):
     return duplicate_spans(base.unionByName(planted), k=8)
 
 
+def _q_dup_span_removal(spark, sf_dir):
+    # the acting counterpart of dup_spans: rewrite documents dropping
+    # every cross-doc 8-gram span outside its minimum-id keeper doc
+    # (dedup.remove_duplicate_spans).  Same planted rows as dup_spans:
+    # 98000 is the keeper (stays intact), 98001 loses its shared
+    # 9-token prefix (-9 tokens), the short doc passes through.  The
+    # hash covers the full rewritten text of every document.
+    from astro_vectordb_spark.operators.dedup import remove_duplicate_spans
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    shared = "qq ww ee rr tt yy uu ii oo"
+    planted = spark.createDataFrame(
+        [
+            (98_000, shared + " aa bb cc"),
+            (98_001, shared + " zz"),
+            (98_002, "too short for spans"),
+        ],
+        "doc_id long, text string",
+    )
+    return remove_duplicate_spans(base.unionByName(planted), k=8)
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1784,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "dup_spans": _q_dup_spans,
+        "dup_span_removal": _q_dup_span_removal,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -3423,5 +3446,58 @@ SELECT b.doc_id, b.n_spans,
     THEN floor(COALESCE(u.ds, 0)::DOUBLE / b.n_spans * 1e6 + 0.5) / 1e6
     ELSE 0.0 END AS dup_span_frac
 FROM base b LEFT JOIN dup u USING (doc_id)
+""",
+        "dup_span_removal": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES
+    (98000, 'qq ww ee rr tt yy uu ii oo aa bb cc'),
+    (98001, 'qq ww ee rr tt yy uu ii oo zz'),
+    (98002, 'too short for spans')) v(doc_id, text)
+),
+tk AS (SELECT doc_id, {_LTOKS} AS toks FROM corpus),
+pos AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - 7)) AS i
+  ) g
+  WHERE len(toks) >= 8
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM pos),
+meta AS (
+  SELECT doc_id, gram,
+         count(*) OVER (PARTITION BY gram) AS nd,
+         min(doc_id) OVER (PARTITION BY gram) AS keeper
+  FROM dg
+),
+droppers AS (
+  SELECT doc_id, gram FROM meta WHERE nd >= 2 AND doc_id <> keeper
+),
+rem AS (
+  SELECT p.doc_id, p.p FROM pos p JOIN droppers d USING (doc_id, gram)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, len(toks))) AS i
+  ) u
+),
+kept AS (
+  SELECT t.doc_id, t.ti, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r
+    WHERE r.doc_id = t.doc_id AND t.ti BETWEEN r.p AND r.p + 7
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tk)
+SELECT b.doc_id, COALESCE(a.text, '') AS text, b.n_tokens,
+       (b.n_tokens - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
 """,
     }

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from astro_vectordb_spark.functions.text import fingerprint, word_shingles
+from astro_vectordb_spark.functions.text import fingerprint, tokens, word_shingles
 from astro_vectordb_spark.operators.topk import similarity_join
 
 JACCARD_DECIMALS = 6
@@ -1190,6 +1190,84 @@ def duplicate_spans(
                 F.col("n_spans") > 0,
                 F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
             ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup TRANSFORM — the acting counterpart
+    of ``duplicate_spans``: rewrite every document dropping the tokens
+    covered by k-gram spans that also appear in another document,
+    keeping the span only in its first (minimum-id) document.
+
+    Deterministic keeper policy: for every cross-document k-gram, the
+    document with the smallest id keeps ALL its occurrences; every
+    other document drops the k tokens under each occurrence (union of
+    covered positions — overlapping duplicated spans merge).  This is
+    the document-stable variant of suffix-array substring dedup
+    ("drop all but one occurrence of every long repeated substring"):
+    id-ordered instead of offset-ordered, so the result is
+    reproducible under any partitioning.
+
+    Returns ``(doc_id, text, n_tokens, n_removed)`` where ``text`` is
+    the surviving tokens joined with single spaces (note: original
+    whitespace is NOT preserved — the transform operates on the token
+    stream, like the tokenize-dedup-detokenize pipelines it models).
+
+    Physical shape: positional grams (aligned slice + zip_with) ->
+    posexplode -> distinct (doc, gram) -> window (df + keeper) over
+    gram -> position join back -> per-doc covered-position sets ->
+    token filter via higher-order functions (pure codegen, no UDF).
+    Shuffles are keyed on gram / (doc, gram) / doc — the same shapes
+    as the near-dup family; nothing is all-pairs, nothing collects.
+    """
+    toks_col = tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        toks_col.alias("_toks"),
+        word_shingles(F.col(text_col), k, distinct=False).alias("_spans"),
+    )
+    pos = base.select(
+        id_col, F.posexplode("_spans").alias("_pos", "_gram")
+    )
+    w = Window.partitionBy("_gram")
+    # (doc, gram) pairs where this doc must drop the gram's spans:
+    # the gram crosses documents and this doc is not the keeper
+    droppers = (
+        pos.select(id_col, "_gram")
+        .distinct()
+        .withColumn("_nd", F.count(F.lit(1)).over(w))
+        .withColumn("_keeper", F.min(id_col).over(w))
+        .filter((F.col("_nd") >= 2) & (F.col(id_col) != F.col("_keeper")))
+        .select(id_col, "_gram")
+    )
+    covered = (
+        pos.join(droppers, [id_col, "_gram"])
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_starts"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        # token i survives unless some removed span start s covers it
+        # (s <= i <= s + k - 1); O(tokens x removed spans) per doc,
+        # all inside codegen
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+            lambda s: (s <= i) & (i <= s + F.lit(k - 1)),
+        ),
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias(text_col),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
 

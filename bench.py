@@ -149,6 +149,22 @@ def main() -> None:
         )
         if len(line) <= tail_budget:
             break
+    else:
+        # densest form: the map as ONE space-separated "name:sec"
+        # string — saves the per-entry JSON quoting (~4 chars/query),
+        # still one parseable JSON line with the summary fields intact
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 1),
+                "unit": "sec",
+                "sf": sf,
+                "queries_packed": " ".join(
+                    f"{k}:{_lean1(v)}" for k, v in timings.items()
+                ),
+            },
+            separators=(",", ":"),
+        )
     print(line)
     spark.stop()
 

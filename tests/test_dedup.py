@@ -552,3 +552,54 @@ class TestDuplicateSpans:
         out = duplicate_spans(docs, k=2)
         assert out.count() == 10  # short docs kept with zero rows
         assert out.agg(F.sum("dup_spans")).first()[0] == 0
+
+
+class TestRemoveDuplicateSpans:
+    """remove_duplicate_spans: substring-dedup transform — every
+    cross-doc k-gram survives only in its minimum-id document."""
+
+    def test_hand_computed_rewrite(self, spark):
+        from astro_vectordb_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),    # keeper of 'a b c'/'b c d': intact
+                (2, "x a b c d y"),  # drops covered tokens 1..4 -> 'x y'
+                (3, "z z"),          # shorter than k: unchanged
+                (4, "q q q q"),      # within-doc repeat only: unchanged
+                (5, "A b C"),        # whole doc is a duplicated span
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicate_spans(docs, k=3).collect()
+        }
+        assert out[1] == ("a b c d e", 5, 0)
+        assert out[2] == ("x y", 6, 4)  # overlapping spans merge coverage
+        assert out[3] == ("z z", 2, 0)
+        assert out[4] == ("q q q q", 4, 0)
+        assert out[5] == ("", 3, 3)  # fully deduplicated away
+
+    def test_total_tokens_conserved(self, spark):
+        # removed + surviving == original, per doc and in aggregate
+        from astro_vectordb_spark.functions.text import tokens as _tk
+        from astro_vectordb_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "one two three four five six seven") for i in range(3)]
+            + [(10, "eight nine ten")],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs, k=4)
+        bad = out.filter(
+            F.size(_tk(F.col("text"))) != F.col("n_tokens") - F.col("n_removed")
+        ).count()
+        assert bad == 0
+        kept = {r["doc_id"]: r["n_removed"] for r in out.collect()}
+        assert kept[0] == 0 and kept[1] == 7 and kept[2] == 7  # doc 0 keeps
+        assert kept[10] == 0

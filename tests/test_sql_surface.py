@@ -69,15 +69,17 @@ def test_bench_tail_line_fits_driver_capture():
 
     import __spark_entry__ as m
 
+    names = list(m.queries())
     head = {
         "metric": "total_query_wall_sec",
         "value": 999.9,
+        "unit": "sec",
         "sf": 0.1,
-        "queries": {k: 9.9 for k in m.queries()},
+        "queries_packed": " ".join(f"{k}:9.9" for k in names),
     }
     line = json.dumps(head, separators=(",", ":"))
     assert len(line) <= 1980, (
-        f"leanest bench tail {len(line)} chars > 1980 budget for "
-        f"{len(head['queries'])} queries — shorten names or add a "
-        "leaner emission stage in bench.py"
+        f"densest bench tail {len(line)} chars > 1980 budget for "
+        f"{len(names)} queries — shorten names or add a leaner "
+        "emission stage in bench.py"
     )

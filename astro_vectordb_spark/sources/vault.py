@@ -945,7 +945,14 @@ def _remove_rows_by_file(
     1k removed ids rewrites a handful of files, never the table.
     Write-then-delete ordering: a crash between the two leaves
     duplicate survivor rows (never lost rows); the next remove or
-    compaction dedups them."""
+    compaction dedups them.
+
+    Concurrent-reader contract: these are PLAIN parquet dirs, so a
+    reader that planned its scan on a pre-delete file listing can hit
+    FileNotFound when the rewrite lands mid-scan — such readers must
+    retry (re-plan picks up the fresh listing).  Readers needing
+    snapshot isolation should go through a ``sources.versioned``
+    pointer table instead, which this race cannot touch."""
     table = spark.read.parquet(table_path)
     touched = [
         r["__file"]

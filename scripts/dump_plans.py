@@ -34,6 +34,10 @@ SHOW = [
     # round 9: the facade's IVF path must show the cell IN-filter as
     # PartitionFilters on the cell-partitioned vectors table
     "facade_ivf_gate",
+    # round 9 (cont.): span-level dedup — single-pass window df over
+    # gram (no self-join, no recomputed explode), codegen token filter
+    "dup_spans",
+    "dup_span_removal",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

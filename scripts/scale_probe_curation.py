@@ -66,8 +66,10 @@ def main() -> None:
         repetition_stats,
     )
     from astro_vectordb_spark.operators.dedup import (
+        duplicate_spans,
         exact_dedup,
         minhash_lsh_pairs,
+        remove_duplicate_spans,
     )
 
     def noop(df):
@@ -89,6 +91,10 @@ def main() -> None:
         ),
         "redact_pii": lambda d: redact_pii(d),
         "exact_dedup": lambda d: exact_dedup(d),
+        # span-level dedup family: per-doc output (no pair blowup);
+        # the window-over-gram partitions grow linearly with replicas
+        "dup_spans": lambda d: duplicate_spans(d, k=8),
+        "dup_span_removal": lambda d: remove_duplicate_spans(d, k=8),
         "minhash_lsh": lambda d: minhash_lsh_pairs(
             d, 0.8, num_hashes=32, bands=8
         ),

@@ -634,8 +634,8 @@ def test_stream_pq_ingest_live_index(spark, tmp_path):
         grown = False
         while time.time() < deadline:
             time.sleep(3)
-            n = spark.read.parquet(f"{path}/codes").count()
-            if n > 210:
+            n = _poll_count(spark, f"{path}/codes")
+            if n is not None and n > 210:
                 grown = True
                 break
     finally:
@@ -767,6 +767,22 @@ class TestMultiTableCommit:
         assert cs2.first()["n"] == 10  # no double count
 
 
+def _poll_count(spark, path: str) -> int | None:
+    """Row count of a PLAIN (unversioned) parquet dir that a
+    concurrent maintenance stream may be rewriting file-by-file:
+    a reader can plan on a listing whose files the write-then-delete
+    rewrite removes before the scan runs (FileNotFound mid-poll).
+    The versioned tables (sources.versioned) are immune by design;
+    for plain tables the reader contract is retry — return None and
+    let the poll loop try again."""
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        return spark.read.parquet(path).count()
+    except Py4JJavaError:
+        return None
+
+
 def test_stream_pq_remove_deletes_ids(spark, tmp_path):
     """foreachBatch PQ delete: streamed vec_ids are physically removed
     from the persisted codes table (touched-files-only rewrite)."""
@@ -795,8 +811,8 @@ def test_stream_pq_remove_deletes_ids(spark, tmp_path):
         shrunk = False
         while time.time() < deadline:
             time.sleep(3)
-            n = spark.read.parquet(f"{path}/codes").count()
-            if n <= 350:
+            n = _poll_count(spark, f"{path}/codes")
+            if n is not None and n <= 350:
                 shrunk = True
                 break
     finally:
@@ -870,8 +886,8 @@ def test_stream_hnsw_remove_deletes_ids(spark, tmp_path):
         shrunk = False
         while time.time() < deadline:
             time.sleep(3)
-            n = spark.read.parquet(f"{path}/graph").count()
-            if n <= 350:
+            n = _poll_count(spark, f"{path}/graph")
+            if n is not None and n <= 350:
                 shrunk = True
                 break
     finally:
@@ -913,8 +929,8 @@ def test_stream_ivf_remove_deletes_ids(spark, tmp_path):
         shrunk = False
         while time.time() < deadline:
             time.sleep(3)
-            n = spark.read.parquet(f"{path}/vectors").count()
-            if n <= 350:
+            n = _poll_count(spark, f"{path}/vectors")
+            if n is not None and n <= 350:
                 shrunk = True
                 break
     finally:

@@ -1550,6 +1550,81 @@ def _q_dup_span_removal(spark, sf_dir):
     return remove_duplicate_spans(base.unionByName(planted), k=8)
 
 
+_HYBRID_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def hybrid_index_paths(spark, sf_dir: str) -> tuple[str, str]:
+    """Build-once-per-session (vector_path, bm25_path) pair for the
+    hybrid facade gate.  The BM25 index is built THROUGH the full
+    statistics lifecycle — save (90% of docs) -> append (held-out
+    10%) -> REMOVE (every doc_id % 7 == 2) — so the gate's green hash
+    certifies ``bm25_remove_from_index``'s exact decrements every
+    round (remove == rebuild-on-survivors is what makes the DuckDB
+    oracle expressible).  The vector side is the hash-embedded
+    survivor corpus in the plain-parquet layout (facade kind
+    'exact': fully deterministic, oracle-able)."""
+    if sf_dir in _HYBRID_INDEX_CACHE:
+        return _HYBRID_INDEX_CACHE[sf_dir]
+    import os
+    import tempfile
+
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.operators.keyword import bm25_term_stats
+    from astro_vectordb_spark.sources.vault import (
+        bm25_append_to_index,
+        bm25_remove_from_index,
+        save_bm25_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+
+    vec_path = os.path.join(
+        tempfile.mkdtemp(prefix="astro_hyb_vec_"), "emb.parquet"
+    )
+    embed_text(survivors).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).write.mode("overwrite").parquet(vec_path)
+
+    bm25_path = tempfile.mkdtemp(prefix="astro_hyb_bm25_")
+    ts, cs = bm25_term_stats(docs.filter(F.col("doc_id") % 10 != 3))
+    save_bm25_index(ts, cs, bm25_path)
+    bm25_append_to_index(
+        spark, bm25_path, docs.filter(F.col("doc_id") % 10 == 3),
+        batch_id=0,
+    )
+    bm25_remove_from_index(
+        spark, bm25_path, docs.filter(F.col("doc_id") % 7 == 2),
+        batch_id=0,
+    )
+    _HYBRID_INDEX_CACHE[sf_dir] = (vec_path, bm25_path)
+    return vec_path, bm25_path
+
+
+def _q_facade_hybrid_gate(spark, sf_dir):
+    # one-call hybrid retrieval through BOTH persisted index families:
+    # vector list via search() kind-detection over the embedded
+    # survivor corpus, lexical list priced from BM25 statistics that
+    # went through save -> append -> REMOVE churn, RRF-fused.  A
+    # regression anywhere in that composition — facade dispatch, stats
+    # decrements, replay masking, rank/tie policy, fusion arithmetic —
+    # shifts the driver hash.
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.search import hybrid_search
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    qv = (
+        embed_text(docs.filter(F.col("doc_id") == 0))
+        .first()["embedding"]
+    )
+    return hybrid_search(
+        spark, vec_path, bm25_path, survivors, qv, _BM25_TERMS,
+        k=10, fetch_k=_RRF_C,
+    )
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1807,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
+        "facade_hybrid_gate": _q_facade_hybrid_gate,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -1892,13 +1968,14 @@ def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
     return " UNION ALL ".join(branches)
 
 
-def _embed_cte() -> str:
+def _embed_cte(table: str = "documents") -> str:
     """CTE chain reproducing functions/embed.hash_embedder bit-for-bit:
     md5 feature hashing (little-endian u64 of md5[0:8]: bucket =
     byte0 % 64, sign bit = byte7 >> 7), exact-integer bucket sums,
-    float64 L2 normalize, float32 cast."""
+    float64 L2 normalize, float32 cast.  ``table`` lets a gate embed a
+    restricted corpus (e.g. post-remove survivors)."""
     return f"""toks AS (
-  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM {table}
 ),
 hashed AS (
   SELECT doc_id,
@@ -1944,10 +2021,13 @@ sh AS (
 )"""
 
 
-def _bm25_scored_cte(terms, k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_scored_cte(
+    terms, k1: float = 1.2, b: float = 0.75, table: str = "documents"
+) -> str:
     """CTE chain ending in ``bm25(doc_id, s)`` — same per-term tf
     arrays, 1-row stats, and left-to-right term-sum as
-    operators/keyword.bm25_score_all."""
+    operators/keyword.bm25_score_all.  ``table`` lets a gate score a
+    restricted corpus (e.g. post-remove survivors)."""
     tf_exprs = ", ".join(
         f"len(list_filter(tk, x -> x = '{t}'))" for t in terms
     )
@@ -1960,7 +2040,7 @@ def _bm25_scored_cte(terms, k1: float = 1.2, b: float = 0.75) -> str:
         f" * {k1 + 1.0} / (tfs[{i + 1}] + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
         for i in range(len(terms))
     )
-    return f"""btoks AS (SELECT doc_id, {_LTOKS} AS tk FROM documents),
+    return f"""btoks AS (SELECT doc_id, {_LTOKS} AS tk FROM {table}),
 bbase AS (SELECT doc_id, len(tk)::DOUBLE AS dl,
           [{tf_exprs}]::DOUBLE[] AS tfs FROM btoks),
 bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_exprs}
@@ -3499,5 +3579,39 @@ base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tk)
 SELECT b.doc_id, COALESCE(a.text, '') AS text, b.n_tokens,
        (b.n_tokens - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
 FROM base b LEFT JOIN agg a USING (doc_id)
+""",
+        # hybrid facade over the post-remove survivor corpus: BM25
+        # statistics after save -> append -> remove equal a rebuild on
+        # survivors BIT-FOR-BIT (keyword.bm25_remove_stats), so the
+        # oracle simply scores survivors directly.  Each list selects
+        # its top-C on unrounded scores (the operators' internal
+        # ranking) and RANKS on round(s, 6) with ascending-id ties
+        # (the facade's cross-engine determinism contract); <= 2 RRF
+        # contributions per doc, so the float sum is order-free
+        # (commutativity, single addition).
+        "facade_hybrid_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_scored_cte(_BM25_TERMS, table="sdocs")},
+lex AS (SELECT doc_id, s FROM bm25 WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lex),
+{_embed_cte(table="sdocs")},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+vsc AS (SELECT emb.doc_id, {_cos("emb.e", "qv")} AS s FROM emb CROSS JOIN q),
+vtop AS (SELECT doc_id, s FROM vsc WHERE s > 0.0
+         ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

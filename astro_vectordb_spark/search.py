@@ -260,3 +260,70 @@ def search_batch(
         encoded, vectors, queries, k, model,
         refine_factor=refine_factor, strength=strength,
     ).select("query_id", "vec_id", "score")
+
+
+def hybrid_search(
+    spark: SparkSession,
+    vector_index_path: str,
+    bm25_index_path: str,
+    docs: DataFrame,
+    query_vector: Sequence[float],
+    query_terms: Sequence[str],
+    k: int = 10,
+    *,
+    fetch_k: int | None = None,
+    k_rrf: int = 60,
+    vectors: DataFrame | None = None,
+    metric: str = "cosine",
+    ef_search: int = 100,
+    nprobe: int | None = None,
+    refine_factor: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-call HYBRID retrieval — the front door of a production
+    retrieval stack: the vector list served from whatever index lives
+    at ``vector_index_path`` (:func:`search` — kind auto-detected),
+    the lexical list priced from the persisted BM25 statistics at
+    ``bm25_index_path`` (``bm25_topk_indexed`` — |terms|-row stats
+    lookup + ONE corpus scan over ``docs``), fused with
+    reciprocal-rank fusion (``rerank.rrf_fuse``).
+
+    Each list is fetched to depth ``fetch_k`` (default ``4 * k``,
+    floor 20) and ranked on its ROUNDED output scores (6 decimals,
+    ascending-id ties) — the determinism contract that makes the
+    fusion hash-reproducible across engines.  Returns ``(doc_id,
+    score)``: RRF score ``sum(1 / (k_rrf + rank))`` over the two
+    lists, rounded to 6 decimals, top ``k`` with ascending-id ties.
+
+    The document ids in the vector index (``vec_id``) and the corpus
+    (``id_col``) must agree — the usual one-embedding-per-document
+    layout.  ``vectors``/``nprobe``/``ef_search``/``refine_factor``
+    pass through to :func:`search` for the respective index kinds.
+    """
+    from pyspark.sql import Window
+
+    from astro_vectordb_spark.operators.keyword import bm25_topk_indexed
+    from astro_vectordb_spark.operators.rerank import rrf_fuse
+    from astro_vectordb_spark.sources.vault import load_bm25_index
+
+    fetch = fetch_k if fetch_k is not None else max(4 * k, 20)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+
+    vec = search(
+        spark, vector_index_path, query_vector, fetch,
+        vectors=vectors, metric=metric, ef_search=ef_search,
+        nprobe=nprobe, refine_factor=refine_factor,
+    )
+    vec_ranked = (
+        vec.select(F.col("vec_id").alias(id_col), "score")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+    term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
+    lex_ranked = bm25_topk_indexed(
+        docs, term_stats, corpus_stats, query_terms, fetch,
+        id_col=id_col, text_col=text_col,
+    ).withColumn("rank", F.row_number().over(w))
+
+    return rrf_fuse([lex_ranked, vec_ranked], k, k_rrf=k_rrf, id_col=id_col)

@@ -623,3 +623,113 @@ class TestHnswRemoveModes:
             ).collect()
         }
         assert got and not (got & {10, 20, 30})
+
+
+class TestHybridFacade:
+    """hybrid_search: one-call vector + BM25 + RRF through persisted
+    indexes of both families."""
+
+    def _build(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import save_bm25_index
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark merge join table"),
+                (1, "merge join row group"),
+                (2, "hash table scan filter"),
+                (3, "spark spark merge hash"),
+                (4, "window agg sort spill"),
+                (5, "join merge spark batch"),
+                (6, "vector index graph beam"),
+                (7, "scan filter merge spark"),
+            ],
+            "doc_id long, text string",
+        )
+        vec_path = str(tmp_path / "emb.parquet")
+        embed_text(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec_path)
+        bm25_path = str(tmp_path / "bm25")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, bm25_path)
+        return docs, vec_path, bm25_path
+
+    def test_matches_manual_composition(self, spark, tmp_path):
+        from pyspark.sql import Window
+
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.operators.keyword import bm25_topk
+        from astro_vectordb_spark.operators.rerank import rrf_fuse
+        from astro_vectordb_spark.operators.topk import topk_search
+        from astro_vectordb_spark.search import hybrid_search
+
+        docs, vec_path, bm25_path = self._build(spark, tmp_path)
+        qv = embed_text(docs.filter("doc_id = 0")).first()["embedding"]
+        terms = ["merge", "spark"]
+
+        got = hybrid_search(
+            spark, vec_path, bm25_path, docs, qv, terms, k=5, fetch_k=6
+        ).collect()
+
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        emb = spark.read.parquet(vec_path).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        vec = topk_search(
+            emb, qv, 6, strength=0.0, id_col="doc_id"
+        ).select("doc_id", "score").withColumn(
+            "rank", F.row_number().over(w)
+        )
+        lex = bm25_topk(docs, terms, 6).withColumn(
+            "rank", F.row_number().over(w)
+        )
+        want = rrf_fuse([lex, vec], 5).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_lexical_respects_removed_stats(self, spark, tmp_path):
+        # removing docs from the BM25 index changes idf exactly as if
+        # the index were rebuilt on survivors — the facade must price
+        # with the decremented stats
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_term_stats,
+            bm25_topk_indexed,
+        )
+        from astro_vectordb_spark.search import hybrid_search
+        from astro_vectordb_spark.sources.vault import (
+            bm25_remove_from_index,
+            load_bm25_index,
+        )
+
+        docs, vec_path, bm25_path = self._build(spark, tmp_path)
+        removed = docs.filter("doc_id in (6, 7)")
+        bm25_remove_from_index(spark, bm25_path, removed)
+        survivors = docs.filter("doc_id not in (6, 7)")
+        # the survivor corpus must also drop the removed vectors: use
+        # allowed_ids-free plain re-write for the vector side
+        vec2 = str(tmp_path / "emb2.parquet")
+        embed_text(survivors).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec2)
+
+        qv = embed_text(docs.filter("doc_id = 0")).first()["embedding"]
+        got = hybrid_search(
+            spark, vec2, bm25_path, survivors, qv, ["merge", "spark"],
+            k=4, fetch_k=5,
+        ).collect()
+
+        ts, cs = load_bm25_index(spark, bm25_path)
+        ref_ts, ref_cs = bm25_term_stats(survivors)
+        assert sorted((r["term"], r["df"]) for r in ts.collect()) == sorted(
+            (r["term"], r["df"]) for r in ref_ts.collect()
+        )
+        # and the fused list is non-empty, sorted, within k
+        assert 0 < len(got) <= 4
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+        # doc 0 (the query doc itself, strong on both lists) wins
+        assert got[0]["doc_id"] == 0

@@ -1625,6 +1625,67 @@ def _q_facade_hybrid_gate(spark, sf_dir):
     )
 
 
+_BM25_BATCH_CASES = [
+    (0, ["merge", "spark"]),
+    (1, ["hash", "table", "scan"]),
+    (2, ["window", "agg"]),
+    (3, ["merge", "zzz_unseen"]),  # df=0 pricing path
+]
+
+
+def _q_bm25_batch(spark, sf_dir):
+    # batch lexical serving: ONE corpus scan prices every query in the
+    # batch (explode+join only on the |Q| x terms query side; tf via a
+    # nested higher-order fold — no (doc, term) shuffle).  Per-query
+    # scores are bit-identical to bm25_topk_indexed, which the oracle
+    # replays with a per-(query,term) contribution table folded in
+    # term order.
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_batch_topk_indexed,
+        bm25_term_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    term_stats, corpus_stats = bm25_term_stats(docs)
+    qs = spark.createDataFrame(
+        _BM25_BATCH_CASES, "query_id long, terms array<string>"
+    )
+    return bm25_batch_topk_indexed(
+        docs, term_stats, corpus_stats, qs, k=8
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+_HYB_BATCH_TERMS = {0: ["merge", "spark"], 1: ["hash", "table"],
+                    4: ["window", "agg"]}
+
+
+def _q_facade_hybrid_batch_gate(spark, sf_dir):
+    # whole-batch hybrid retrieval as ONE plan: batch vector lists
+    # (search_batch over the survivor corpus), batch lexical lists
+    # (bm25_batch_topk_indexed priced from the save->append->REMOVE
+    # churned BM25 stats), grouped RRF — per-query semantics pinned to
+    # the single-call facade by construction and by the oracle.
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.search import hybrid_search_batch
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    qids = sorted(_HYB_BATCH_TERMS)
+    qv = embed_text(docs.filter(F.col("doc_id").isin(qids))).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    terms = spark.createDataFrame(
+        [(i, _HYB_BATCH_TERMS[i]) for i in qids],
+        "query_id long, terms array<string>",
+    )
+    return hybrid_search_batch(
+        spark, vec_path, bm25_path, survivors, qv.join(terms, "query_id"),
+        k=10, fetch_k=_RRF_C,
+    )
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1883,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_gate": _q_facade_hybrid_gate,
+        "bm25_batch": _q_bm25_batch,
+        "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -2047,6 +2110,52 @@ bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {df_exprs}
            FROM bbase),
 bm25 AS (SELECT doc_id, {score_terms} AS s
          FROM bbase CROSS JOIN bstats)"""
+
+
+def _bm25_batch_cte(
+    cases, k1: float = 1.2, b: float = 0.75, table: str = "documents"
+) -> str:
+    """CTE chain ending in ``branked(query_id, doc_id, s, rank)`` —
+    the batch analogue of ``_bm25_scored_cte``, replaying
+    keyword.bm25_batch_topk_indexed bit-for-bit: per-(query, term)
+    idf rows with df = 0 for unseen terms (the LEFT join), per-doc tf
+    via the same token filter, and the per-doc score folded LEFT TO
+    RIGHT in the query's term order (``list_reduce`` over a
+    pos-ordered list, 0.0 prepended = the fold's init).  ``rank`` is
+    the per-query row_number on the UNROUNDED score (desc, id asc) —
+    the operator's internal selection order."""
+    vals = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in cases
+        for pos, t in enumerate(terms)
+    )
+    return f"""qbtoks AS (SELECT doc_id, {_LTOKS} AS tk FROM {table}),
+qbase AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM qbtoks),
+qcstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM qbase),
+qt(query_id, pos, term) AS (VALUES {vals}),
+qdfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         FROM (SELECT doc_id, unnest(tk) AS term FROM qbtoks)
+         GROUP BY term),
+qpriced AS (SELECT q.query_id, q.pos, q.term,
+                   ln(1.0 + (c.n - COALESCE(d.df, 0.0) + 0.5)
+                            / (COALESCE(d.df, 0.0) + 0.5)) AS idf
+            FROM qt q CROSS JOIN qcstat c
+            LEFT JOIN qdfs d ON d.term = q.term),
+qcontrib AS (SELECT p.query_id, b.doc_id, p.pos, p.idf, b.dl,
+                    len(list_filter(b.tk, x -> x = p.term))::DOUBLE AS tf
+             FROM qbase b CROSS JOIN qpriced p),
+qsum AS (SELECT query_id, doc_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(idf * tf * {k1 + 1.0}
+                       / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl))
+                       ORDER BY pos)),
+                  (a, x) -> a + x) AS s
+         FROM qcontrib CROSS JOIN qcstat
+         GROUP BY query_id, doc_id),
+branked AS (SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, doc_id) AS rank
+            FROM qsum WHERE s > 0.0)"""
 
 
 def _mmr_oracle(query_vec_id: int, c: int, k: int, lam: float) -> str:
@@ -3613,5 +3722,56 @@ contrib AS (
 SELECT doc_id, round(sum(c), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # batch lexical serving: the batch operator's per-query scores
+        # equal the single face's (same float64 tree, same term-order
+        # fold), replayed by _bm25_batch_cte
+        "bm25_batch": f"""
+WITH {_bm25_batch_cte(_BM25_BATCH_CASES)}
+SELECT query_id::BIGINT AS query_id, doc_id, round(s, 6) AS score, rank
+FROM branked WHERE rank <= 8
+""",
+        # whole-batch hybrid retrieval over the post-remove survivor
+        # corpus: per-query top-C on unrounded scores (the operators'
+        # internal selection), ranks on round(s, 6) with ascending-id
+        # ties (the facade's determinism contract), <= 2 RRF
+        # contributions per (query, doc) so the float sum is
+        # order-free; final per-query top-10 on the unrounded RRF sum
+        # (rrf_fuse ranks unrounded, rounds for output).
+        "facade_hybrid_batch_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_batch_cte(sorted(_HYB_BATCH_TERMS.items()), table="sdocs")},
+lextop AS (SELECT query_id, doc_id, s FROM branked WHERE rank <= {_RRF_C}),
+lexr AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lextop),
+{_embed_cte(table="sdocs")},
+qv AS (SELECT doc_id AS query_id, e AS qvec FROM emb
+       WHERE doc_id IN ({", ".join(str(i) for i in sorted(_HYB_BATCH_TERMS))})),
+vsc AS (SELECT q.query_id, emb.doc_id, {_cos("emb.e", "q.qvec")} AS s
+        FROM emb CROSS JOIN qv q),
+vru AS (SELECT query_id, doc_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS ru
+        FROM vsc WHERE s > 0.0),
+vtop AS (SELECT query_id, doc_id, s FROM vru WHERE ru <= {_RRF_C}),
+vr AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+),
+fused AS (SELECT query_id, doc_id, sum(c) AS sc
+          FROM contrib GROUP BY query_id, doc_id),
+fr AS (SELECT query_id, doc_id, sc,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sc DESC, doc_id) AS rn
+       FROM fused)
+SELECT query_id::BIGINT AS query_id, doc_id, round(sc, 6) AS score
+FROM fr WHERE rn <= 10
 """,
     }

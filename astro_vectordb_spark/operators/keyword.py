@@ -353,3 +353,108 @@ def bm25_topk_indexed(
         .limit(k)
     )
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+
+
+def bm25_batch_topk_indexed(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    queries: DataFrame,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    score_col: str = "score",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Batch companion to :func:`bm25_topk_indexed`: ``queries`` is a
+    DataFrame ``(query_id long, terms array<string>)`` — the lexical
+    analogue of ``topk.batch_topk``'s query set.  One corpus scan
+    serves EVERY query; per-query scores are bit-identical to the
+    single-query face (same float64 expression tree, same
+    left-to-right accumulation in the query's term order).
+
+    Physical story (no driver-side per-query loop):
+
+    1. Explode query terms (position kept) and price them: the stats
+       scan is first restricted to the needed terms by an inner join
+       against the broadcast distinct-term set (|Q| x terms rows —
+       the scan prunes, the vocabulary never shuffles), then the
+       exploded query side LEFT-joins the restricted stats so terms
+       absent from the index price with df = 0, exactly like the
+       single face's ``df_map.get(t, 0)``.
+    2. Regroup per query into a position-sorted ``array<struct<pos,
+       term, idf>>`` — |Q| rows, broadcast.
+    3. ONE corpus scan: tokenize, cross-join the broadcast query
+       array, and fold the BM25 sum with ``F.aggregate`` over the
+       term array (tf via a nested ``filter`` on the token array —
+       pure codegen, no explode, no (doc, term) shuffle).
+    4. Per-query top-K via ``rank_topk_per_query`` (partition-local
+       prereduce, then the global per-query rank) — only
+       |Q| x partitions x K survivor rows reach the exchange.
+
+    Returns ``(query_id, doc_id, score, rank)``, score rounded to 6
+    decimals, at most ``k`` rows per query; queries none of whose
+    terms hit any document simply produce no rows (the single face's
+    ``score > 0`` convention).
+    """
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    cs = corpus_stats.first()
+    if cs is None:
+        raise ValueError("corpus_stats is empty")
+    n, avgdl = float(cs["n"]), float(cs["avgdl"])
+
+    qt = queries.select(
+        query_id_col,
+        F.posexplode(
+            F.transform(F.col(terms_col), lambda t: F.lower(t))
+        ).alias("_pos", "term"),
+    )
+    needed = qt.select("term").distinct()
+    stats_small = term_stats.join(F.broadcast(needed), "term")
+    priced = qt.join(F.broadcast(stats_small), "term", "left")
+    df_t = F.coalesce(F.col("df").cast("double"), F.lit(0.0))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    )
+    qinfo = (
+        priced.select(
+            query_id_col,
+            F.struct(
+                F.col("_pos").alias("pos"),
+                F.col("term").alias("term"),
+                idf.alias("idf"),
+            ).alias("_ti"),
+        )
+        .groupBy(query_id_col)
+        .agg(F.array_sort(F.collect_list("_ti")).alias("_tinfo"))
+    )
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(id_col, toks.alias("_tk")).withColumn(
+        "_dl", F.size("_tk")
+    )
+    dlnorm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+    )
+
+    def _step(acc, t):
+        tf = F.size(
+            F.filter(F.col("_tk"), lambda x: x == t["term"])
+        ).cast("double")
+        return acc + t["idf"] * tf * F.lit(k1 + 1.0) / (tf + dlnorm)
+
+    scored = (
+        base.join(F.broadcast(qinfo))
+        .withColumn(score_col, F.aggregate("_tinfo", F.lit(0.0), _step))
+        .filter(F.col(score_col) > 0)
+        .select(query_id_col, id_col, score_col)
+    )
+    return rank_topk_per_query(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=num_salts,
+    )

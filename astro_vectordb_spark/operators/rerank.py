@@ -41,24 +41,48 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     score_col: str = "score",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Fuse ranked lists (each: ``id_col``, 1-based ``rank_col``) into
     a top-k by reciprocal-rank score.  Ids missing from a list simply
     contribute nothing (the usual RRF convention).  Scores are exact
     rationals summed in list order, rounded to 6 decimals for output;
-    ties broken by ascending id."""
+    ties broken by ascending id.
+
+    ``group_cols`` generalizes to BATCH fusion: each list carries the
+    grouping columns (e.g. ``["query_id"]``), ranks are per-group, and
+    the top-k is taken per group via a partitioned window — the
+    distributed shape for fusing a whole query batch in one plan.
+    With the default empty grouping the plan is the original global
+    ``ORDER BY ... LIMIT k`` (``TakeOrderedAndProject``)."""
     if not ranked_lists:
         raise ValueError("ranked_lists must be non-empty")
+    gcols = list(group_cols)
     contribs = [
         df.select(
+            *gcols,
             F.col(id_col),
             (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias("_c"),
         )
         for df in ranked_lists
     ]
     unioned = reduce(lambda a, b: a.unionByName(b), contribs)
-    fused = unioned.groupBy(id_col).agg(F.sum("_c").alias(score_col))
-    out = fused.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    fused = unioned.groupBy(*gcols, id_col).agg(F.sum("_c").alias(score_col))
+    if gcols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        out = (
+            fused.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    else:
+        out = fused.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        ).limit(k)
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
 
 

@@ -327,3 +327,77 @@ def hybrid_search(
     ).withColumn("rank", F.row_number().over(w))
 
     return rrf_fuse([lex_ranked, vec_ranked], k, k_rrf=k_rrf, id_col=id_col)
+
+
+def hybrid_search_batch(
+    spark: SparkSession,
+    vector_index_path: str,
+    bm25_index_path: str,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    fetch_k: int | None = None,
+    k_rrf: int = 60,
+    vectors: DataFrame | None = None,
+    ef_search: int = 100,
+    nprobe: int | None = None,
+    refine_factor: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch companion to :func:`hybrid_search`: ``queries`` is a
+    DataFrame ``(query_id long, query_vec array<float>, terms
+    array<string>)`` and the WHOLE batch is served as one plan — the
+    vector lists via :func:`search_batch` (every kind's batch face,
+    none materializing the query set on the driver), the lexical
+    lists via ``bm25_batch_topk_indexed`` (one corpus scan for all
+    queries), fused per query with grouped RRF.
+
+    Per-query semantics are identical to :func:`hybrid_search` (same
+    fetch depth, same rank-on-rounded-scores determinism contract,
+    same RRF arithmetic); per-query ranks are partitioned windows, so
+    nothing single-partitions on the batch axis.  Returns
+    ``(query_id, doc_id, score)``, at most ``k`` rows per query.
+    """
+    from pyspark.sql import Window
+
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_batch_topk_indexed,
+    )
+    from astro_vectordb_spark.operators.rerank import rrf_fuse
+    from astro_vectordb_spark.sources.vault import load_bm25_index
+
+    fetch = fetch_k if fetch_k is not None else max(4 * k, 20)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+
+    vec_ranked = (
+        search_batch(
+            spark, vector_index_path,
+            queries.select(query_id_col, query_vec_col), fetch,
+            vectors=vectors, ef_search=ef_search, nprobe=nprobe,
+            refine_factor=refine_factor,
+        )
+        .select(query_id_col, F.col("vec_id").alias(id_col), "score")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+    term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
+    lex_ranked = bm25_batch_topk_indexed(
+        docs, term_stats, corpus_stats,
+        queries.select(query_id_col, terms_col), fetch,
+        id_col=id_col, text_col=text_col, query_id_col=query_id_col,
+        terms_col=terms_col,
+    ).select(query_id_col, id_col, "score").withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+    return rrf_fuse(
+        [lex_ranked, vec_ranked], k, k_rrf=k_rrf, id_col=id_col,
+        group_cols=[query_id_col],
+    )

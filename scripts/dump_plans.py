@@ -38,6 +38,11 @@ SHOW = [
     # gram (no self-join, no recomputed explode), codegen token filter
     "dup_spans",
     "dup_span_removal",
+    # round 9 (cont.): batch lexical serving — ONE broadcast of the
+    # priced query array into the corpus scan, the BM25 fold as a
+    # codegen higher-order aggregate (no (doc, term) explode/shuffle),
+    # prereduce before the per-query rank exchange
+    "bm25_batch",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -368,3 +368,119 @@ class TestBm25Append:
             r["term"]: r["df"] for r in full_ts.collect()
         }
         assert cs2.first()["total_dl"] == full_cs.first()["total_dl"]
+
+
+class TestBm25Batch:
+    """bm25_batch_topk_indexed: one corpus scan serving a whole query
+    batch, per-query bit-identical to the single face."""
+
+    def _stats(self, docs):
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+
+        return bm25_term_stats(docs)
+
+    def test_matches_single_face_per_query(self, tiny_docs, spark):
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_batch_topk_indexed,
+            bm25_topk_indexed,
+        )
+
+        ts, cs = self._stats(tiny_docs)
+        cases = [
+            (0, ["merge", "spark"]),
+            (1, ["spark"]),
+            (2, ["filler", "merge", "words"]),
+        ]
+        qs = spark.createDataFrame(
+            cases, "query_id long, terms array<string>"
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+            for r in bm25_batch_topk_indexed(
+                tiny_docs, ts, cs, qs, k=4
+            ).collect()
+        }
+        for qid, terms in cases:
+            want = bm25_topk_indexed(tiny_docs, ts, cs, terms, 4).collect()
+            sub = sorted(
+                (d, s) for (q, d), (s, _) in got.items() if q == qid
+            )
+            assert sub == sorted((r["doc_id"], r["score"]) for r in want)
+            # ranks follow (score desc, id asc) within the query
+            by_rank = sorted(
+                ((rk, d) for (q, d), (_, rk) in got.items() if q == qid)
+            )
+            assert [d for _, d in by_rank] == [r["doc_id"] for r in want]
+
+    def test_unknown_term_prices_df_zero(self, tiny_docs, spark):
+        # a term absent from the index stats scores exactly like the
+        # single face's df_map.get(t, 0) — and a query with no hits
+        # at all produces no rows
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_batch_topk_indexed,
+            bm25_topk_indexed,
+        )
+
+        ts, cs = self._stats(tiny_docs)
+        qs = spark.createDataFrame(
+            [(7, ["merge", "zzz_absent"]), (8, ["zzz_absent"])],
+            "query_id long, terms array<string>",
+        )
+        rows = bm25_batch_topk_indexed(tiny_docs, ts, cs, qs, k=5).collect()
+        assert {r["query_id"] for r in rows} == {7}
+        want = bm25_topk_indexed(
+            tiny_docs, ts, cs, ["merge", "zzz_absent"], 5
+        ).collect()
+        assert sorted((r["doc_id"], r["score"]) for r in rows) == sorted(
+            (r["doc_id"], r["score"]) for r in want
+        )
+
+    def test_term_order_preserved_in_accumulation(self, tiny_docs, spark):
+        # fold order = the query's term order (not sorted): both
+        # orderings must match their single-face counterpart exactly
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_batch_topk_indexed,
+            bm25_topk_indexed,
+        )
+
+        ts, cs = self._stats(tiny_docs)
+        qs = spark.createDataFrame(
+            [(0, ["spark", "merge"]), (1, ["merge", "spark"])],
+            "query_id long, terms array<string>",
+        )
+        got = bm25_batch_topk_indexed(tiny_docs, ts, cs, qs, k=5).collect()
+        for qid, terms in [(0, ["spark", "merge"]), (1, ["merge", "spark"])]:
+            want = {
+                r["doc_id"]: r["score"]
+                for r in bm25_topk_indexed(tiny_docs, ts, cs, terms, 5).collect()
+            }
+            sub = {
+                r["doc_id"]: r["score"] for r in got if r["query_id"] == qid
+            }
+            assert sub == want
+
+
+def test_rrf_fuse_grouped_matches_per_group(spark):
+    from astro_vectordb_spark.operators.rerank import rrf_fuse
+
+    la = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 12, 1), (1, 10, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    lb = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (1, 10, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = rrf_fuse([la, lb], k=2, group_cols=["query_id"]).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid in (0, 1):
+        single = rrf_fuse(
+            [la.filter(F.col("query_id") == qid).drop("query_id"),
+             lb.filter(F.col("query_id") == qid).drop("query_id")],
+            k=2,
+        ).collect()
+        assert sorted(by_q[qid]) == sorted(
+            (r["doc_id"], r["score"]) for r in single
+        )

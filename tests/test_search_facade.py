@@ -733,3 +733,67 @@ class TestHybridFacade:
         assert scores == sorted(scores, reverse=True)
         # doc 0 (the query doc itself, strong on both lists) wins
         assert got[0]["doc_id"] == 0
+
+
+class TestHybridBatchFacade:
+    """hybrid_search_batch: whole-batch hybrid retrieval, per-query
+    identical to the single-call facade."""
+
+    def test_matches_single_hybrid_per_query(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.search import (
+            hybrid_search,
+            hybrid_search_batch,
+        )
+        from astro_vectordb_spark.sources.vault import save_bm25_index
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark merge join table"),
+                (1, "merge join row group"),
+                (2, "hash table scan filter"),
+                (3, "spark spark merge hash"),
+                (4, "window agg sort spill"),
+                (5, "join merge spark batch"),
+                (6, "vector index graph beam"),
+                (7, "scan filter merge spark"),
+            ],
+            "doc_id long, text string",
+        )
+        vec_path = str(tmp_path / "emb.parquet")
+        embed_text(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec_path)
+        bm25_path = str(tmp_path / "bm25")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, bm25_path)
+
+        emb = {
+            r["doc_id"]: r["embedding"]
+            for r in embed_text(docs.filter("doc_id in (0, 2, 4)")).collect()
+        }
+        cases = [
+            (0, emb[0], ["merge", "spark"]),
+            (1, emb[2], ["hash", "scan"]),
+            (2, emb[4], ["window", "agg", "sort"]),
+        ]
+        qs = spark.createDataFrame(
+            cases, "query_id long, query_vec array<float>, terms array<string>"
+        )
+        got = hybrid_search_batch(
+            spark, vec_path, bm25_path, docs, qs, k=4, fetch_k=6
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        for qid, qv, terms in cases:
+            want = hybrid_search(
+                spark, vec_path, bm25_path, docs, qv, terms,
+                k=4, fetch_k=6,
+            ).collect()
+            assert sorted(by_q[qid]) == sorted(
+                (r["doc_id"], r["score"]) for r in want
+            ), f"query {qid} diverges from single-call hybrid"

@@ -189,6 +189,7 @@ def score_fusion(
     k: int,
     id_col: str = "doc_id",
     score_col: str = "score",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Weighted convex fusion of min-max-normalized score lists — the
     calibrated alternative to RRF when per-list score SHAPES matter
@@ -197,26 +198,54 @@ def score_fusion(
     min/max (a 1-row aggregate broadcast back — the list is already
     bounded top-C); a degenerate list whose scores are all equal
     normalizes to 1.0 for every member.  Ids missing from a list
-    contribute 0.  Output rounded to 6 decimals, ties by id."""
+    contribute 0.  Output rounded to 6 decimals, ties by id.
+
+    ``group_cols`` generalizes to BATCH fusion (e.g.
+    ``["query_id"]``): min/max normalization is computed PER GROUP
+    (a |groups|-row aggregate broadcast-joined back) and the top-k is
+    taken per group via a partitioned window — one plan for the whole
+    query batch."""
     if not scored_lists:
         raise ValueError("scored_lists must be non-empty")
     if len(scored_lists) != len(weights):
         raise ValueError("one weight per list")
+    gcols = list(group_cols)
     contribs = []
     for df, w in zip(scored_lists, weights):
-        stats = df.agg(
-            F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
-        )
         norm = F.when(
             F.col("_mx") > F.col("_mn"),
             (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
         ).otherwise(F.lit(1.0))
+        if gcols:
+            stats = df.groupBy(*gcols).agg(
+                F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+            )
+            joined = df.join(F.broadcast(stats), gcols)
+        else:
+            stats = df.agg(
+                F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+            )
+            joined = df.crossJoin(F.broadcast(stats))
         contribs.append(
-            df.crossJoin(F.broadcast(stats)).select(
-                F.col(id_col), (F.lit(float(w)) * norm).alias("_c")
+            joined.select(
+                *gcols, F.col(id_col), (F.lit(float(w)) * norm).alias("_c")
             )
         )
     unioned = reduce(lambda a, b: a.unionByName(b), contribs)
-    fused = unioned.groupBy(id_col).agg(F.sum("_c").alias(score_col))
-    out = fused.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+    fused = unioned.groupBy(*gcols, id_col).agg(F.sum("_c").alias(score_col))
+    if gcols:
+        from pyspark.sql import Window
+
+        w2 = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        out = (
+            fused.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    else:
+        out = fused.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        ).limit(k)
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))

@@ -273,6 +273,9 @@ def hybrid_search(
     *,
     fetch_k: int | None = None,
     k_rrf: int = 60,
+    fusion: str = "rrf",
+    weights: Sequence[float] = (0.5, 0.5),
+    allowed_ids: Sequence[int] | None = None,
     vectors: DataFrame | None = None,
     metric: str = "cosine",
     ef_search: int = 100,
@@ -286,15 +289,27 @@ def hybrid_search(
     at ``vector_index_path`` (:func:`search` — kind auto-detected),
     the lexical list priced from the persisted BM25 statistics at
     ``bm25_index_path`` (``bm25_topk_indexed`` — |terms|-row stats
-    lookup + ONE corpus scan over ``docs``), fused with
-    reciprocal-rank fusion (``rerank.rrf_fuse``).
+    lookup + ONE corpus scan over ``docs``), fused per ``fusion``:
+
+    - ``"rrf"`` (default): reciprocal-rank fusion — each list ranked
+      on its ROUNDED output scores (6 decimals, ascending-id ties;
+      the determinism contract that makes the fusion
+      hash-reproducible across engines), score ``sum(1 / (k_rrf +
+      rank))``.
+    - ``"weighted"``: min-max-normalized convex fusion
+      (``rerank.score_fusion``) with ``weights = (lexical, vector)``
+      — calibrated by score shape instead of rank.
 
     Each list is fetched to depth ``fetch_k`` (default ``4 * k``,
-    floor 20) and ranked on its ROUNDED output scores (6 decimals,
-    ascending-id ties) — the determinism contract that makes the
-    fusion hash-reproducible across engines.  Returns ``(doc_id,
-    score)``: RRF score ``sum(1 / (k_rrf + rank))`` over the two
-    lists, rounded to 6 decimals, top ``k`` with ascending-id ties.
+    floor 20).  Returns ``(doc_id, score)``, rounded to 6 decimals,
+    top ``k`` with ascending-id ties.
+
+    ``allowed_ids`` = metadata-filtered hybrid search: the vector
+    list filters through :func:`search`'s per-kind policy and the
+    lexical list restricts the scanned corpus to the allowed set;
+    BM25 statistics stay INDEX-level (idf prices against the whole
+    index, the standard filtered-search semantics — a filter narrows
+    the candidates, not the collection).
 
     The document ids in the vector index (``vec_id``) and the corpus
     (``id_col``) must agree — the usual one-embedding-per-document
@@ -304,29 +319,41 @@ def hybrid_search(
     from pyspark.sql import Window
 
     from astro_vectordb_spark.operators.keyword import bm25_topk_indexed
-    from astro_vectordb_spark.operators.rerank import rrf_fuse
+    from astro_vectordb_spark.operators.rerank import rrf_fuse, score_fusion
     from astro_vectordb_spark.sources.vault import load_bm25_index
 
+    if fusion not in ("rrf", "weighted"):
+        raise ValueError(f"unknown fusion: {fusion!r} (rrf | weighted)")
     fetch = fetch_k if fetch_k is not None else max(4 * k, 20)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
 
-    vec = search(
+    vec_list = search(
         spark, vector_index_path, query_vector, fetch,
         vectors=vectors, metric=metric, ef_search=ef_search,
         nprobe=nprobe, refine_factor=refine_factor,
-    )
-    vec_ranked = (
-        vec.select(F.col("vec_id").alias(id_col), "score")
-        .withColumn("rank", F.row_number().over(w))
-    )
+        allowed_ids=allowed_ids,
+    ).select(F.col("vec_id").alias(id_col), "score")
 
     term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
-    lex_ranked = bm25_topk_indexed(
-        docs, term_stats, corpus_stats, query_terms, fetch,
+    lex_docs = docs
+    if allowed_ids is not None:
+        lex_docs = docs.filter(
+            F.col(id_col).isin([int(i) for i in allowed_ids])
+        )
+    lex_list = bm25_topk_indexed(
+        lex_docs, term_stats, corpus_stats, query_terms, fetch,
         id_col=id_col, text_col=text_col,
-    ).withColumn("rank", F.row_number().over(w))
+    )
 
-    return rrf_fuse([lex_ranked, vec_ranked], k, k_rrf=k_rrf, id_col=id_col)
+    if fusion == "weighted":
+        return score_fusion(
+            [lex_list, vec_list], list(weights), k, id_col=id_col
+        )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return rrf_fuse(
+        [lex_list.withColumn("rank", F.row_number().over(w)),
+         vec_list.withColumn("rank", F.row_number().over(w))],
+        k, k_rrf=k_rrf, id_col=id_col,
+    )
 
 
 def hybrid_search_batch(
@@ -339,6 +366,9 @@ def hybrid_search_batch(
     *,
     fetch_k: int | None = None,
     k_rrf: int = 60,
+    fusion: str = "rrf",
+    weights: Sequence[float] = (0.5, 0.5),
+    allowed_ids: Sequence[int] | None = None,
     vectors: DataFrame | None = None,
     ef_search: int = 100,
     nprobe: int | None = None,
@@ -355,49 +385,59 @@ def hybrid_search_batch(
     vector lists via :func:`search_batch` (every kind's batch face,
     none materializing the query set on the driver), the lexical
     lists via ``bm25_batch_topk_indexed`` (one corpus scan for all
-    queries), fused per query with grouped RRF.
+    queries), fused per query with grouped RRF (or grouped weighted
+    ``score_fusion`` when ``fusion="weighted"`` — min/max normalized
+    PER QUERY, ``weights = (lexical, vector)``).
 
     Per-query semantics are identical to :func:`hybrid_search` (same
     fetch depth, same rank-on-rounded-scores determinism contract,
-    same RRF arithmetic); per-query ranks are partitioned windows, so
-    nothing single-partitions on the batch axis.  Returns
-    ``(query_id, doc_id, score)``, at most ``k`` rows per query.
+    same fusion arithmetic, same ``allowed_ids`` policy); per-query
+    ranks are partitioned windows, so nothing single-partitions on
+    the batch axis.  Returns ``(query_id, doc_id, score)``, at most
+    ``k`` rows per query.
     """
     from pyspark.sql import Window
 
     from astro_vectordb_spark.operators.keyword import (
         bm25_batch_topk_indexed,
     )
-    from astro_vectordb_spark.operators.rerank import rrf_fuse
+    from astro_vectordb_spark.operators.rerank import rrf_fuse, score_fusion
     from astro_vectordb_spark.sources.vault import load_bm25_index
 
+    if fusion not in ("rrf", "weighted"):
+        raise ValueError(f"unknown fusion: {fusion!r} (rrf | weighted)")
     fetch = fetch_k if fetch_k is not None else max(4 * k, 20)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
 
-    vec_ranked = (
-        search_batch(
-            spark, vector_index_path,
-            queries.select(query_id_col, query_vec_col), fetch,
-            vectors=vectors, ef_search=ef_search, nprobe=nprobe,
-            refine_factor=refine_factor,
-        )
-        .select(query_id_col, F.col("vec_id").alias(id_col), "score")
-        .withColumn("rank", F.row_number().over(w))
-    )
+    vec_list = search_batch(
+        spark, vector_index_path,
+        queries.select(query_id_col, query_vec_col), fetch,
+        vectors=vectors, ef_search=ef_search, nprobe=nprobe,
+        refine_factor=refine_factor, allowed_ids=allowed_ids,
+    ).select(query_id_col, F.col("vec_id").alias(id_col), "score")
 
     term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
-    lex_ranked = bm25_batch_topk_indexed(
-        docs, term_stats, corpus_stats,
+    lex_docs = docs
+    if allowed_ids is not None:
+        lex_docs = docs.filter(
+            F.col(id_col).isin([int(i) for i in allowed_ids])
+        )
+    lex_list = bm25_batch_topk_indexed(
+        lex_docs, term_stats, corpus_stats,
         queries.select(query_id_col, terms_col), fetch,
         id_col=id_col, text_col=text_col, query_id_col=query_id_col,
         terms_col=terms_col,
-    ).select(query_id_col, id_col, "score").withColumn(
-        "rank", F.row_number().over(w)
-    )
+    ).select(query_id_col, id_col, "score")
 
+    if fusion == "weighted":
+        return score_fusion(
+            [lex_list, vec_list], list(weights), k, id_col=id_col,
+            group_cols=[query_id_col],
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
     return rrf_fuse(
-        [lex_ranked, vec_ranked], k, k_rrf=k_rrf, id_col=id_col,
-        group_cols=[query_id_col],
+        [lex_list.withColumn("rank", F.row_number().over(w)),
+         vec_list.withColumn("rank", F.row_number().over(w))],
+        k, k_rrf=k_rrf, id_col=id_col, group_cols=[query_id_col],
     )

@@ -797,3 +797,149 @@ class TestHybridBatchFacade:
             assert sorted(by_q[qid]) == sorted(
                 (r["doc_id"], r["score"]) for r in want
             ), f"query {qid} diverges from single-call hybrid"
+
+
+class TestHybridFusionAndFilter:
+    """fusion='weighted' and allowed_ids on both hybrid faces."""
+
+    def _build(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import save_bm25_index
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark merge join table"),
+                (1, "merge join row group"),
+                (2, "hash table scan filter"),
+                (3, "spark spark merge hash"),
+                (4, "window agg sort spill"),
+                (5, "join merge spark batch"),
+                (6, "vector index graph beam"),
+                (7, "scan filter merge spark"),
+            ],
+            "doc_id long, text string",
+        )
+        vec_path = str(tmp_path / "emb.parquet")
+        embed_text(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec_path)
+        bm25_path = str(tmp_path / "bm25")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, bm25_path)
+        qv = embed_text(docs.filter("doc_id = 0")).first()["embedding"]
+        return docs, vec_path, bm25_path, qv
+
+    def test_weighted_matches_manual_score_fusion(self, spark, tmp_path):
+        from astro_vectordb_spark.operators.keyword import bm25_topk
+        from astro_vectordb_spark.operators.rerank import score_fusion
+        from astro_vectordb_spark.operators.topk import topk_search
+        from astro_vectordb_spark.search import hybrid_search
+
+        docs, vec_path, bm25_path, qv = self._build(spark, tmp_path)
+        got = hybrid_search(
+            spark, vec_path, bm25_path, docs, qv, ["merge", "spark"],
+            k=5, fetch_k=6, fusion="weighted", weights=(0.3, 0.7),
+        ).collect()
+
+        emb = spark.read.parquet(vec_path).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        vec = topk_search(
+            emb, qv, 6, strength=0.0, id_col="doc_id"
+        ).select("doc_id", "score")
+        lex = bm25_topk(docs, ["merge", "spark"], 6)
+        want = score_fusion([lex, vec], [0.3, 0.7], 5).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_unknown_fusion_raises(self, spark, tmp_path):
+        from astro_vectordb_spark.search import hybrid_search
+
+        docs, vec_path, bm25_path, qv = self._build(spark, tmp_path)
+        with pytest.raises(ValueError, match="fusion"):
+            hybrid_search(
+                spark, vec_path, bm25_path, docs, qv, ["merge"],
+                fusion="borda",
+            )
+
+    def test_allowed_ids_restricts_both_lists(self, spark, tmp_path):
+        from astro_vectordb_spark.search import hybrid_search
+
+        docs, vec_path, bm25_path, qv = self._build(spark, tmp_path)
+        allowed = [1, 2, 5, 7]
+        got = hybrid_search(
+            spark, vec_path, bm25_path, docs, qv, ["merge", "spark"],
+            k=8, fetch_k=8, allowed_ids=allowed,
+        ).collect()
+        ids = {r["doc_id"] for r in got}
+        assert ids and ids <= set(allowed)
+        # equals the unfiltered hybrid over the pre-restricted corpus
+        # (exact kind + full-index stats both ways)
+        from astro_vectordb_spark.functions.embed import embed_text
+
+        sub = docs.filter(F.col("doc_id").isin(allowed))
+        vec2 = str(tmp_path / "emb_sub.parquet")
+        embed_text(sub).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec2)
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_topk_indexed,
+        )
+        from astro_vectordb_spark.operators.rerank import rrf_fuse
+        from astro_vectordb_spark.operators.topk import topk_search
+        from astro_vectordb_spark.sources.vault import load_bm25_index
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        emb = spark.read.parquet(vec2).withColumnRenamed("vec_id", "doc_id")
+        vec = topk_search(emb, qv, 8, strength=0.0, id_col="doc_id").select(
+            "doc_id", "score"
+        ).withColumn("rank", F.row_number().over(w))
+        ts, cs = load_bm25_index(spark, bm25_path)
+        lex = bm25_topk_indexed(
+            sub, ts, cs, ["merge", "spark"], 8
+        ).withColumn("rank", F.row_number().over(w))
+        want = rrf_fuse([lex, vec], 8).collect()
+        assert sorted((r["doc_id"], r["score"]) for r in got) == sorted(
+            (r["doc_id"], r["score"]) for r in want
+        )
+
+    def test_batch_weighted_and_filtered_match_single(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import embed_text
+        from astro_vectordb_spark.search import (
+            hybrid_search,
+            hybrid_search_batch,
+        )
+
+        docs, vec_path, bm25_path, _ = self._build(spark, tmp_path)
+        emb = {
+            r["doc_id"]: r["embedding"]
+            for r in embed_text(docs.filter("doc_id in (0, 2)")).collect()
+        }
+        cases = [(0, emb[0], ["merge", "spark"]), (1, emb[2], ["hash", "scan"])]
+        qs = spark.createDataFrame(
+            cases, "query_id long, query_vec array<float>, terms array<string>"
+        )
+        for kwargs in (
+            {"fusion": "weighted", "weights": (0.4, 0.6)},
+            {"allowed_ids": [0, 2, 3, 5, 7]},
+        ):
+            got = hybrid_search_batch(
+                spark, vec_path, bm25_path, docs, qs, k=4, fetch_k=6,
+                **kwargs,
+            ).collect()
+            by_q = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], r["score"])
+                )
+            for qid, qv, terms in cases:
+                want = hybrid_search(
+                    spark, vec_path, bm25_path, docs, qv, terms,
+                    k=4, fetch_k=6, **kwargs,
+                ).collect()
+                assert sorted(by_q.get(qid, [])) == sorted(
+                    (r["doc_id"], r["score"]) for r in want
+                ), f"{kwargs} query {qid}"

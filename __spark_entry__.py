@@ -1686,6 +1686,23 @@ def _q_facade_hybrid_batch_gate(spark, sf_dir):
     )
 
 
+def _q_cross_rerank(spark, sf_dir):
+    # retrieve-wide / rerank-narrow: BM25 top-C candidates -> joint
+    # (query, doc) scoring by the registered cross-encoder
+    # (functions/crossenc; the hash_cross stub's float64 tree is the
+    # oracle's md5-hash-embedding cosine) -> top-10.  The expensive
+    # pairwise stage touches |C| rows only, by Arrow batch.
+    from astro_vectordb_spark.operators.keyword import bm25_topk
+    from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
+
+    docs = _docs(spark, sf_dir)
+    qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
+    cand = bm25_topk(docs, _BM25_TERMS, k=_RRF_C).select("doc_id").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return cross_encoder_rerank(cand, qtext, k=10)
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1946,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facade_hybrid_gate": _q_facade_hybrid_gate,
         "bm25_batch": _q_bm25_batch,
         "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
+        "cross_rerank": _q_cross_rerank,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -3773,5 +3791,21 @@ fr AS (SELECT query_id, doc_id, sc,
        FROM fused)
 SELECT query_id::BIGINT AS query_id, doc_id, round(sc, 6) AS score
 FROM fr WHERE rn <= 10
+""",
+        # cross-encoder rerank: candidates = BM25 top-C on unrounded
+        # scores; the hash_cross stub score is EXACTLY the cosine of
+        # the two texts' md5-hash embeddings (same float64 left-fold),
+        # which _embed_cte already materializes for every doc — the
+        # query text IS doc 0's text, so its embedding is emb[0]
+        "cross_rerank": f"""
+WITH {_bm25_scored_cte(_BM25_TERMS)},
+cand AS (SELECT doc_id FROM bm25 WHERE s > 0
+         ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+{_embed_cte()},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+scored AS (SELECT c.doc_id, {_cos("emb.e", "qv")} AS s
+           FROM cand c JOIN emb ON emb.doc_id = c.doc_id CROSS JOIN q)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
 """,
     }

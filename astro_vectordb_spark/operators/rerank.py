@@ -249,3 +249,73 @@ def score_fusion(
             F.col(score_col).desc(), F.col(id_col).asc()
         ).limit(k)
     return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    query_text: str | None,
+    k: int,
+    model: str = "hash_cross",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str | None = None,
+    query_text_col: str | None = None,
+    score_col: str = "score",
+    **model_config,
+) -> DataFrame:
+    """Cross-encoder rerank of a bounded candidate list — the last
+    stage of retrieve-wide / rerank-narrow: ``candidates`` is a top-C
+    set (from :func:`rrf_fuse` / a search facade, joined back to doc
+    text) and every (query, doc) pair is scored JOINTLY by the
+    registered pairwise model (``functions.crossenc``; the default
+    ``hash_cross`` stub is oracle-replayable).
+
+    ``query_text`` scores one query against every candidate;
+    ``query_id_col`` + ``query_text_col`` instead rerank a whole
+    BATCH in one plan (each row carries its query's text — the
+    explode-free layout a bounded per-query candidate set already
+    has), with the per-group top-k as a partitioned window.
+
+    Scale: the expensive pairwise model runs on |C| (or |Q| x C)
+    rows ONLY — never the corpus; batches move by Arrow; the kernel
+    lazy-loads the model once per python worker.  Pairs the model
+    scores as None (e.g. empty text under the stub) are dropped.
+    Returns ``([query_id,] id, score)``, score rounded to 6 decimals,
+    ties by ascending id.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from astro_vectordb_spark.functions.crossenc import cross_scorer_for
+
+    if (query_text is None) == (query_text_col is None):
+        raise ValueError(
+            "pass exactly one of query_text / query_text_col"
+        )
+    kernel = cross_scorer_for(model, **model_config)
+    udf = pandas_udf(kernel, "double")
+    qcol = (
+        F.col(query_text_col) if query_text_col is not None
+        else F.lit(query_text)
+    )
+    scored = (
+        candidates.withColumn(score_col, udf(qcol, F.col(text_col)))
+        .filter(F.col(score_col).isNotNull())
+    )
+    if query_id_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(query_id_col, id_col, score_col)
+        )
+    else:
+        out = (
+            scored.select(id_col, score_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    return out.withColumn(score_col, F.round(F.col(score_col), SCORE_DECIMALS))

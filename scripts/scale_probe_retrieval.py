@@ -182,6 +182,67 @@ def main() -> None:
 
     ratio_entry("hybrid_rrf", hybrid)
 
+    # batch lexical serving (bm25_batch_topk_indexed): the |Q|-row
+    # priced-terms array broadcasts into ONE corpus scan and the BM25
+    # fold is per (doc, query) codegen work — so cost is linear in
+    # docs at fixed |Q| AND linear in |Q| at fixed docs, with no
+    # per-query corpus scan and no (doc, term) shuffle.  Completeness
+    # asserted: every query (vocab terms always hit) gets k rows.
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_batch_topk_indexed,
+    )
+
+    vocab = ["merge", "hash", "spark", "window", "agg", "table",
+             "scan", "join", "row", "data"]
+
+    def _qset(nq):
+        return spark.createDataFrame(
+            [(i, [vocab[i % 10], vocab[(i * 3 + 1) % 10]])
+             for i in range(nq)],
+            "query_id long, terms array<string>",
+        )
+
+    def _run_batch(n, qs):
+        ts, cs = stats[n]
+        return (
+            bm25_batch_topk_indexed(corpora[n], ts, cs, qs, k=10)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.countDistinct("query_id").alias("nq"))
+            .first()
+        )
+
+    qs256 = _qset(256)
+
+    def bm25_batch_docs(n):
+        def f():
+            _run_batch(n, qs256)
+        return f
+
+    ratio_entry("bm25_batch_docs_axis", bm25_batch_docs)
+
+    # query-count axis at the small corpus: 4x queries -> <= cap x time
+    secs_q, complete = {}, True
+    for nq in (256, 1024):
+        qs = _qset(nq)
+
+        def f(qs=qs):
+            _run_batch(SIZES[0], qs)
+
+        secs_q[nq] = timed(f)
+        got_b = _run_batch(SIZES[0], _qset(nq))
+        complete = complete and int(got_b["nq"]) == nq
+    q_ratio = round(secs_q[1024] / max(secs_q[256], 0.01), 2)
+    q_ok = q_ratio <= RATIO_CAP and complete
+    out["bm25_batch_query_axis"] = {
+        "sec_256": secs_q[256], "sec_1024": secs_q[1024],
+        "ratio": q_ratio, "all_queries_served": complete,
+        "linear_ok": q_ok,
+    }
+    if not q_ok:
+        failures.append(f"bm25_batch query axis ratio {q_ratio} or "
+                        f"incomplete results")
+
     # MaxSim over non-overlapping 20-token chunk vectors
     def maxsim(n):
         qrows = (

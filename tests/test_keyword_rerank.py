@@ -484,3 +484,115 @@ def test_rrf_fuse_grouped_matches_per_group(spark):
         assert sorted(by_q[qid]) == sorted(
             (r["doc_id"], r["score"]) for r in single
         )
+
+
+class TestCrossEncoderRerank:
+    """cross_encoder_rerank + the crossenc registry (hash_cross stub)."""
+
+    def test_stub_matches_local_cosine(self, tiny_docs, spark):
+        import math
+
+        from astro_vectordb_spark.functions.crossenc import (
+            _fold_dot,
+            hash_cross_scorer,
+        )
+        from astro_vectordb_spark.functions.embed import hash_embedder
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+        import pandas as pd
+
+        qtext = "spark merge join"
+        got = cross_encoder_rerank(tiny_docs, qtext, k=5).collect()
+        rows = [(r["doc_id"], r["text"]) for r in tiny_docs.collect()]
+        qv = hash_embedder(pd.Series([qtext])).iloc[0]
+        want = {}
+        for d, t in rows:
+            dv = hash_embedder(pd.Series([t])).iloc[0]
+            denom = math.sqrt(_fold_dot(qv, qv)) * math.sqrt(
+                _fold_dot(dv, dv)
+            )
+            if denom > 0:
+                want[d] = round(_fold_dot(qv, dv) / denom, 6)
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [(r["doc_id"], r["score"]) for r in got] == top
+
+    def test_batch_mode_matches_per_query(self, tiny_docs, spark):
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+
+        qtexts = {0: "spark merge join", 1: "filler words"}
+        cand = None
+        for qid, qt in qtexts.items():
+            c = tiny_docs.withColumn("query_id", F.lit(qid)).withColumn(
+                "query_text", F.lit(qt)
+            )
+            cand = c if cand is None else cand.unionByName(c)
+        got = cross_encoder_rerank(
+            cand, None, k=3, query_id_col="query_id",
+            query_text_col="query_text",
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        for qid, qt in qtexts.items():
+            want = cross_encoder_rerank(tiny_docs, qt, k=3).collect()
+            assert sorted(by_q[qid]) == sorted(
+                (r["doc_id"], r["score"]) for r in want
+            )
+
+    def test_null_scores_dropped_and_arg_validation(self, spark):
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "spark merge"), (1, "")],  # empty text -> zero norm
+            "doc_id long, text string",
+        )
+        got = cross_encoder_rerank(docs, "spark", k=5).collect()
+        assert [r["doc_id"] for r in got] == [0]
+        with pytest.raises(ValueError, match="exactly one"):
+            cross_encoder_rerank(docs, "q", 5, query_text_col="text")
+        with pytest.raises(ValueError, match="exactly one"):
+            cross_encoder_rerank(docs, None, 5)
+
+    def test_unknown_model_raises(self, tiny_docs):
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+
+        with pytest.raises(ValueError, match="unknown cross-encoder"):
+            cross_encoder_rerank(tiny_docs, "q", 5, model="nope")
+
+    def test_injected_model_is_used(self, tiny_docs, spark):
+        # the registry contract: a custom factory's kernel drives the
+        # ranking (here: longer doc text = higher score)
+        import pandas as pd
+
+        from astro_vectordb_spark.functions.crossenc import (
+            register_cross_scorer,
+        )
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+
+        register_cross_scorer(
+            "lenscore",
+            lambda **_: (
+                lambda q, d: pd.Series(
+                    [float(len(x or "")) for x in d], dtype="float64"
+                )
+            ),
+        )
+        got = cross_encoder_rerank(
+            tiny_docs, "whatever", k=2, model="lenscore"
+        ).collect()
+        texts = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+        want = sorted(
+            texts, key=lambda d: (-len(texts[d]), d)
+        )[:2]
+        assert [r["doc_id"] for r in got] == want

@@ -128,6 +128,44 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     fused_w = score_fusion([lex_top, vec_docs], [0.4, 0.6], k=10)
     print("hybrid (weighted):", fused_w.collect())
 
+    # the same stack as ONE call: persisted BM25 index + kind-detected
+    # vector index, fused facade-side; then a whole batch in one plan
+    from astro_vectordb_spark.search import hybrid_search, hybrid_search_batch
+    from astro_vectordb_spark.sources.vault import save_bm25_index
+
+    bm25_path = tempfile.mkdtemp(prefix="ex_bm25_")
+    ts0, cs0 = bm25_term_stats(docs)
+    save_bm25_index(ts0, cs0, bm25_path)
+    vec_path = tempfile.mkdtemp(prefix="ex_vec_") + "/emb.parquet"
+    embed_text(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).write.parquet(vec_path)
+    one_call = hybrid_search(
+        spark, vec_path, bm25_path, docs, qv, TERMS, k=10
+    )
+    print("hybrid facade (one call):", one_call.collect())
+    qbatch = spark.createDataFrame(
+        [(0, list(map(float, qv)), TERMS),
+         (1, list(map(float, qv)), ["window", "agg"])],
+        "query_id long, query_vec array<float>, terms array<string>",
+    )
+    batch_out = hybrid_search_batch(
+        spark, vec_path, bm25_path, docs, qbatch, k=5
+    )
+    print("hybrid facade (batch):", batch_out.orderBy("query_id").collect())
+
+    # retrieve wide, rerank narrow: joint (query, doc) scoring of the
+    # fused candidates by the registered cross-encoder (stub here;
+    # register_cross_scorer swaps in a real model)
+    from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
+
+    qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
+    cand_txt = fused.select("doc_id").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    reranked = cross_encoder_rerank(cand_txt, qtext, k=5)
+    print("cross-encoder rerank:", reranked.collect())
+
     # diversified final context: MMR over doc-level embeddings
     doc_vecs = embed_text(docs).select("doc_id", "embedding")
     cand = (

@@ -1703,6 +1703,33 @@ def _q_cross_rerank(spark, sf_dir):
     return cross_encoder_rerank(cand, qtext, k=10)
 
 
+def _q_snippets(spark, sf_dir):
+    # search highlighting: best window-of-8 query-term span per doc —
+    # candidate starts / per-start hit counts / argmax all as codegen
+    # higher-order expressions on the token array; narrow projection,
+    # zero shuffles, scan-linear.
+    from astro_vectordb_spark.operators.keyword import snippet_extract
+
+    return snippet_extract(_docs(spark, sf_dir), _BM25_TERMS, window=8)
+
+
+def _q_prf_expand(spark, sf_dir):
+    # pseudo-relevance-feedback expansion: top-10 BM25 docs as the
+    # relevance sample, every sample term scored df_feedback x
+    # corpus idf (exact integer x the index's float64 idf), original
+    # terms excluded; the explode/groupBy runs on the 10-row sample.
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_term_stats,
+        prf_expand_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts, cs = bm25_term_stats(docs)
+    return prf_expand_terms(
+        docs, ts, cs, _BM25_TERMS, n_feedback=10, n_expand=8
+    )
+
+
 def _q_curation_e2e(spark, sf_dir):
     # the composite training-data pipeline, oracled END TO END as one
     # hash: quality gate (gopher rules) -> exact dedup (min-id
@@ -1964,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": _q_bm25_batch,
         "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
         "cross_rerank": _q_cross_rerank,
+        "snippets": _q_snippets,
+        "prf_expand": _q_prf_expand,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -3807,5 +3836,47 @@ scored AS (SELECT c.doc_id, {_cos("emb.e", "qv")} AS s
            FROM cand c JOIN emb ON emb.doc_id = c.doc_id CROSS JOIN q)
 SELECT doc_id, round(s, 6) AS score FROM scored
 ORDER BY s DESC, doc_id LIMIT 10
+""",
+        # best window-of-8: per-start hit counts over 1-based
+        # inclusive list slices; list_position = FIRST maximal start
+        # (the operator's array_position), so earliest-span ties match
+        "snippets": f"""
+WITH tkt AS (SELECT doc_id, {_LTOKS} AS tk FROM documents),
+sc AS (SELECT doc_id, tk,
+              list_transform(generate_series(1, greatest(1, len(tk) - 7)),
+                s -> len(list_filter(tk[s : s + 7],
+                         x -> list_contains({_BM25_TERMS!r}, x)))) AS scores
+       FROM tkt),
+pick AS (SELECT doc_id, tk,
+                list_aggregate(scores, 'max') AS best,
+                list_position(scores, list_aggregate(scores, 'max')) AS pos
+         FROM sc)
+SELECT doc_id, best::BIGINT AS n_hits, pos::BIGINT AS start,
+       array_to_string(tk[pos : pos + 7], ' ') AS snippet
+FROM pick WHERE best > 0
+""",
+        # PRF expansion: feedback = BM25 top-10 on unrounded scores;
+        # score = (distinct-doc count within feedback) x corpus idf
+        "prf_expand": f"""
+WITH {_bm25_scored_cte(_BM25_TERMS)},
+fb AS (SELECT doc_id FROM bm25 WHERE s > 0
+       ORDER BY s DESC, doc_id LIMIT 10),
+ftk AS (SELECT doc_id, {_LTOKS} AS tk
+        FROM fb JOIN documents USING (doc_id)),
+fdf AS (SELECT term, count(*)::DOUBLE AS dffb
+        FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM ftk)
+        WHERE term NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY term),
+cdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM (SELECT doc_id, unnest(tk) AS term
+              FROM (SELECT doc_id, {_LTOKS} AS tk FROM documents))
+        GROUP BY term),
+cst AS (SELECT count(*)::DOUBLE AS n FROM documents),
+priced AS (SELECT f.term,
+                  f.dffb * ln(1.0 + (n - COALESCE(c.df, 0.0) + 0.5)
+                                    / (COALESCE(c.df, 0.0) + 0.5)) AS score
+           FROM fdf f CROSS JOIN cst LEFT JOIN cdf c USING (term))
+SELECT term, round(score, 6) AS score FROM priced
+ORDER BY score DESC, term LIMIT 8
 """,
     }

@@ -458,3 +458,138 @@ def bm25_batch_topk_indexed(
         scored, k, id_col=id_col, query_id_col=query_id_col,
         score_col=score_col, num_salts=num_salts,
     )
+
+
+def snippet_extract(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-window snippet (search highlighting) per document: the
+    contiguous ``window``-token span containing the most query-term
+    occurrences, earliest span on ties — what a search UI shows under
+    each hit.
+
+    Pure codegen higher-order expressions over the token array
+    (candidate starts via ``sequence``, per-start hit counts via
+    ``slice`` + ``filter``, argmax via ``array_position``): per-doc
+    work is O(positions x window), the plan is a narrow projection
+    with NO shuffle, so it composes with a bounded candidate list or
+    runs corpus-wide, scan-linear.
+
+    Returns ``(id, n_hits, start, snippet)``: ``start`` is the
+    1-based token offset of the window, ``snippet`` the space-joined
+    tokens, ``n_hits`` the query-term occurrences inside it.  Docs
+    with zero hits anywhere are dropped.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    terms = [str(t).lower() for t in query_terms]
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(id_col, toks.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.col("_n") - F.lit(window - 1))
+    )
+    scores = F.transform(
+        starts,
+        lambda s: F.size(
+            F.filter(
+                F.slice(F.col("_tk"), s, F.lit(window)),
+                lambda x: F.array_contains(term_arr, x),
+            )
+        ),
+    )
+    scored = (
+        base.withColumn("_scores", scores)
+        .withColumn("n_hits", F.array_max("_scores"))
+        .filter(F.col("n_hits") > 0)
+        .withColumn(
+            "start", F.array_position(F.col("_scores"), F.col("n_hits"))
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("start").cast("long").alias("start"),
+        F.array_join(
+            F.slice(F.col("_tk"), F.col("start"), F.lit(window)), " "
+        ).alias("snippet"),
+    )
+
+
+def prf_expand_terms(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    query_terms: Sequence[str],
+    n_feedback: int = 10,
+    n_expand: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion: run the indexed
+    BM25 query, take the top ``n_feedback`` documents as a relevance
+    sample, and score every term they contain by ``df_feedback *
+    idf_corpus`` — how characteristic of the feedback set a term is,
+    discounted by how common it is corpus-wide (the classic
+    RM/Rocchio-style tf-idf selection, made deterministic: integer
+    feedback df x the index's float64 idf, no sampling).  Original
+    query terms are excluded.
+
+    Scale: the feedback set is ``n_feedback`` rows by construction —
+    the explode/groupBy runs on a BOUNDED slice, never the corpus;
+    the corpus-scale work is the one indexed BM25 scan that produced
+    the feedback.  Returns ``(term, score)``, top ``n_expand`` by
+    (score desc, term asc), score rounded to 6 decimals — feed the
+    terms back into ``bm25_topk_indexed`` for the expanded query.
+    """
+    terms = [str(t).lower() for t in query_terms]
+    cs = corpus_stats.first()
+    if cs is None:
+        raise ValueError("corpus_stats is empty")
+    n = float(cs["n"])
+
+    fb = bm25_topk_indexed(
+        docs, term_stats, corpus_stats, terms, n_feedback,
+        k1=k1, b=b, id_col=id_col, text_col=text_col,
+    ).select(id_col)
+    fb_docs = fb.join(docs.select(id_col, text_col), id_col)
+    fb_df = (
+        fb_docs.select(
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_dffb"))
+        .filter(~F.col("term").isin(terms))
+    )
+    # restrict the vocabulary scan to the feedback terms (broadcast
+    # semi-style inner join), then LEFT join back so terms outside the
+    # index price with df = 0 — the bm25_batch_topk_indexed pattern
+    stats_small = term_stats.join(
+        F.broadcast(fb_df.select("term")), "term"
+    )
+    priced = fb_df.join(F.broadcast(stats_small), "term", "left")
+    df_t = F.coalesce(F.col("df").cast("double"), F.lit(0.0))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    )
+    out = (
+        priced.select(
+            "term", (F.col("_dffb") * idf).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(n_expand)
+    )
+    return out.withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))

@@ -202,40 +202,44 @@ def main() -> None:
             "query_id long, terms array<string>",
         )
 
-    def _run_batch(n, qs):
+    seen_nq: dict[tuple[int, int], int] = {}
+
+    def _run_batch(n, qs, nq):
         ts, cs = stats[n]
-        return (
+        got_b = (
             bm25_batch_topk_indexed(corpora[n], ts, cs, qs, k=10)
             .groupBy()
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.countDistinct("query_id").alias("nq"))
             .first()
         )
+        seen_nq[(n, nq)] = int(got_b["nq"])
 
-    qs256 = _qset(256)
+    qs32 = _qset(32)
 
     def bm25_batch_docs(n):
         def f():
-            _run_batch(n, qs256)
+            _run_batch(n, qs32, 32)
         return f
 
     ratio_entry("bm25_batch_docs_axis", bm25_batch_docs)
 
     # query-count axis at the small corpus: 4x queries -> <= cap x time
-    secs_q, complete = {}, True
-    for nq in (256, 1024):
+    secs_q = {}
+    for nq in (32, 128):
         qs = _qset(nq)
 
-        def f(qs=qs):
-            _run_batch(SIZES[0], qs)
+        def f(qs=qs, nq=nq):
+            _run_batch(SIZES[0], qs, nq)
 
         secs_q[nq] = timed(f)
-        got_b = _run_batch(SIZES[0], _qset(nq))
-        complete = complete and int(got_b["nq"]) == nq
-    q_ratio = round(secs_q[1024] / max(secs_q[256], 0.01), 2)
+    complete = all(
+        seen_nq[(SIZES[0], nq)] == nq for nq in (32, 128)
+    ) and all(seen_nq[(n, 32)] == 32 for n in SIZES)
+    q_ratio = round(secs_q[128] / max(secs_q[32], 0.01), 2)
     q_ok = q_ratio <= RATIO_CAP and complete
     out["bm25_batch_query_axis"] = {
-        "sec_256": secs_q[256], "sec_1024": secs_q[1024],
+        "sec_32": secs_q[32], "sec_128": secs_q[128],
         "ratio": q_ratio, "all_queries_served": complete,
         "linear_ok": q_ok,
     }

@@ -596,3 +596,112 @@ class TestCrossEncoderRerank:
             texts, key=lambda d: (-len(texts[d]), d)
         )[:2]
         assert [r["doc_id"] for r in got] == want
+
+
+class TestSnippetExtract:
+    def test_best_window_known_values(self, spark):
+        from astro_vectordb_spark.operators.keyword import snippet_extract
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b merge c d hash merge x y z"),
+                (1, "no query words at all here"),
+                (2, "merge a"),  # shorter than the window
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_hits"], r["start"], r["snippet"])
+            for r in snippet_extract(docs, ["merge", "hash"], window=4).collect()
+        }
+        # doc 0: windows of 4; first window with 2 hits starts at token 3
+        assert got[0] == (2, 3, "merge c d hash")
+        # doc 1 has no hits anywhere -> dropped
+        assert 1 not in got
+        # doc 2: single whole-doc window
+        assert got[2] == (1, 1, "merge a")
+
+    def test_window_one_is_term_occurrence(self, spark):
+        from astro_vectordb_spark.operators.keyword import snippet_extract
+
+        docs = spark.createDataFrame(
+            [(0, "x merge y merge")], "doc_id long, text string"
+        )
+        got = snippet_extract(docs, ["merge"], window=1).collect()[0]
+        assert (got["n_hits"], got["start"], got["snippet"]) == (1, 2, "merge")
+
+    def test_validation(self, spark):
+        from astro_vectordb_spark.operators.keyword import snippet_extract
+
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            snippet_extract(docs, [])
+        with pytest.raises(ValueError):
+            snippet_extract(docs, ["a"], window=0)
+
+
+class TestPrfExpand:
+    def test_expansion_scores_and_exclusion(self, spark):
+        import math
+
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_term_stats,
+            bm25_topk_indexed,
+            prf_expand_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "merge rare1 rare1 shared"),
+                (1, "merge rare2 shared"),
+                (2, "merge rare3"),
+                (3, "common common common"),
+                (4, "common shared"),
+            ],
+            "doc_id long, text string",
+        )
+        ts, cs = bm25_term_stats(docs)
+        got = prf_expand_terms(
+            docs, ts, cs, ["merge"], n_feedback=3, n_expand=10
+        ).collect()
+        terms = [r["term"] for r in got]
+        # original query term excluded
+        assert "merge" not in terms
+        # feedback = the 3 merge docs; every feedback term scored
+        fb_ids = [
+            r["doc_id"]
+            for r in bm25_topk_indexed(docs, ts, cs, ["merge"], 3).collect()
+        ]
+        assert set(fb_ids) == {0, 1, 2}
+        # manual score for 'shared': dffb=2 (docs 0,1), corpus df=3, n=5
+        idf = math.log(1.0 + (5.0 - 3.0 + 0.5) / (3.0 + 0.5))
+        want = round(2.0 * idf, 6)
+        by_term = {r["term"]: r["score"] for r in got}
+        assert by_term["shared"] == want
+        # rare terms (dffb=1, df=1): higher idf, lower dffb
+        idf1 = math.log(1.0 + (5.0 - 1.0 + 0.5) / (1.0 + 0.5))
+        assert by_term["rare1"] == round(1.0 * idf1, 6)
+        # 'common' never in feedback docs -> absent
+        assert "common" not in by_term
+        # ordering: score desc, term asc
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_feedback_is_bounded_slice(self, spark):
+        # n_feedback caps the sample even when more docs match
+        from astro_vectordb_spark.operators.keyword import (
+            bm25_term_stats,
+            prf_expand_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"merge tag{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        ts, cs = bm25_term_stats(docs)
+        got = prf_expand_terms(
+            docs, ts, cs, ["merge"], n_feedback=5, n_expand=50
+        ).collect()
+        # only the 5 feedback docs' tags appear
+        assert len(got) == 5
+        assert {r["term"] for r in got} <= {f"tag{i}" for i in range(20)}

@@ -1703,6 +1703,25 @@ def _q_cross_rerank(spark, sf_dir):
     return cross_encoder_rerank(cand, qtext, k=10)
 
 
+def _q_facade_hybrid_text_gate(spark, sf_dir):
+    # the text-in front door as ONE hash: a raw query STRING (mixed
+    # case, irregular whitespace) is normalized/tokenized driver-side,
+    # embedded through the encoder registry (driver-side kernel must
+    # equal the distributed kernel and the md5 CTE), and drives both
+    # hybrid lists over the churned indexes.  The oracle embeds the
+    # canonical literal through the same CTE by unioning a -1 row
+    # into the embedded corpus.
+    from astro_vectordb_spark.search import hybrid_search_text
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    return hybrid_search_text(
+        spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
+        k=10, fetch_k=_RRF_C,
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -1993,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_rerank": _q_cross_rerank,
         "snippets": _q_snippets,
         "prf_expand": _q_prf_expand,
+        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -2097,7 +2117,7 @@ hashed AS (
 buckets AS (SELECT doc_id, idx, sum(sign) AS v FROM hashed GROUP BY 1, 2),
 grid AS (
   SELECT d.doc_id, g.i AS idx, coalesce(b.v, 0.0) AS v
-  FROM (SELECT doc_id FROM documents) d
+  FROM (SELECT doc_id FROM {table}) d
   CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
   LEFT JOIN buckets b ON b.doc_id = d.doc_id AND b.idx = g.i
 ),
@@ -3878,5 +3898,37 @@ priced AS (SELECT f.term,
            FROM fdf f CROSS JOIN cst LEFT JOIN cdf c USING (term))
 SELECT term, round(score, 6) AS score FROM priced
 ORDER BY score DESC, term LIMIT 8
+""",
+        # text-in hybrid: the raw string 'Merge  HASH spark' tokenizes
+        # to exactly _BM25_TERMS and its hash embedding equals the
+        # canonical literal's (lowercase + \\s+ split inside the
+        # embedder), replayed by unioning a -1 row into the embed CTE
+        "facade_hybrid_text_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_scored_cte(_BM25_TERMS, table="sdocs")},
+lex AS (SELECT doc_id, s FROM bm25 WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lex),
+aug AS (SELECT doc_id, text FROM sdocs
+        UNION ALL SELECT -1, 'merge hash spark'),
+{_embed_cte(table="aug")},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = -1),
+vsc AS (SELECT emb.doc_id, {_cos("emb.e", "qv")} AS s
+        FROM emb CROSS JOIN q WHERE emb.doc_id >= 0),
+vtop AS (SELECT doc_id, s FROM vsc WHERE s > 0.0
+         ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

@@ -157,3 +157,24 @@ def embed_text(
         return fn(texts)
 
     return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+def embed_query_text(
+    text: str,
+    dim: int = DEFAULT_DIM,
+    embed_fn: Callable[[pd.Series], pd.Series] | None = None,
+    model: str | None = None,
+    **model_config,
+) -> list[float]:
+    """Embed ONE query string driver-side with the same kernel
+    resolution as :func:`embed_text` — the query vector is bounded
+    control plane (one row), so no Spark job is the right cost.
+    Returns a plain float list ready for the search faces."""
+    if embed_fn is not None:
+        fn = embed_fn
+    elif model is not None:
+        fn = encoder_for(model, dim=dim, **model_config)
+    else:
+        fn = lambda s: hash_embedder(s, dim)  # noqa: E731
+    vec = fn(pd.Series([text])).iloc[0]
+    return [float(x) for x in vec]

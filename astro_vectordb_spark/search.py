@@ -441,3 +441,71 @@ def hybrid_search_batch(
          vec_list.withColumn("rank", F.row_number().over(w))],
         k, k_rrf=k_rrf, id_col=id_col, group_cols=[query_id_col],
     )
+
+
+def _query_tokens(text: str) -> list[str]:
+    """The repo-wide tokenization contract (functions/text.tokens)
+    applied driver-side to one query string."""
+    import re
+
+    return [t for t in re.split(r"\s+", str(text).strip().lower()) if t]
+
+
+def search_text(
+    spark: SparkSession,
+    path: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    model: str | None = None,
+    embed_fn=None,
+    **search_kwargs,
+) -> DataFrame:
+    """Text-in front door for :func:`search`: embed ``query_text``
+    driver-side through the encoder registry (``model=`` /
+    ``embed_fn=``; hash stub default — swap in the registered
+    production encoder) and serve from whatever index lives at
+    ``path``.  All :func:`search` options pass through."""
+    from astro_vectordb_spark.functions.embed import embed_query_text
+
+    qv = embed_query_text(
+        query_text, dim=dim, model=model, embed_fn=embed_fn
+    )
+    return search(spark, path, qv, k, **search_kwargs)
+
+
+def hybrid_search_text(
+    spark: SparkSession,
+    vector_index_path: str,
+    bm25_index_path: str,
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    model: str | None = None,
+    embed_fn=None,
+    terms: Sequence[str] | None = None,
+    **hybrid_kwargs,
+) -> DataFrame:
+    """Text-in front door for :func:`hybrid_search`: ONE query string
+    drives both lists — the vector side embeds it through the encoder
+    registry, the lexical side prices its whitespace tokens (the
+    repo-wide tokenization contract; repeated tokens count twice, the
+    usual bag-of-words semantics).  ``terms=`` overrides the derived
+    token list (e.g. after stopword removal or PRF expansion via
+    ``keyword.prf_expand_terms``).  All :func:`hybrid_search` options
+    pass through."""
+    from astro_vectordb_spark.functions.embed import embed_query_text
+
+    qv = embed_query_text(
+        query_text, dim=dim, model=model, embed_fn=embed_fn
+    )
+    qterms = list(terms) if terms is not None else _query_tokens(query_text)
+    if not qterms:
+        raise ValueError("query_text has no tokens and no terms given")
+    return hybrid_search(
+        spark, vector_index_path, bm25_index_path, docs, qv, qterms, k,
+        **hybrid_kwargs,
+    )

@@ -943,3 +943,113 @@ class TestHybridFusionAndFilter:
                 assert sorted(by_q.get(qid, [])) == sorted(
                     (r["doc_id"], r["score"]) for r in want
                 ), f"{kwargs} query {qid}"
+
+
+class TestTextQueryFaces:
+    """search_text / hybrid_search_text: text-in front doors through
+    the encoder registry."""
+
+    def test_search_text_equals_embedded_vector(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import embed_query_text
+        from astro_vectordb_spark.search import search, search_text
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} merge spark") for i in range(6)],
+            "doc_id long, text string",
+        )
+        from astro_vectordb_spark.functions.embed import embed_text
+
+        vec_path = str(tmp_path / "emb.parquet")
+        embed_text(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec_path)
+
+        got = search_text(spark, vec_path, "merge spark", k=3).collect()
+        qv = embed_query_text("merge spark")
+        want = search(spark, vec_path, qv, 3).collect()
+        assert [(r["vec_id"], r["score"]) for r in got] == [
+            (r["vec_id"], r["score"]) for r in want
+        ]
+
+    def test_hybrid_text_tokenizes_and_matches_explicit(self, spark, tmp_path):
+        from astro_vectordb_spark.functions.embed import (
+            embed_query_text,
+            embed_text,
+        )
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.search import (
+            hybrid_search,
+            hybrid_search_text,
+        )
+        from astro_vectordb_spark.sources.vault import save_bm25_index
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark merge join table"),
+                (1, "merge join row group"),
+                (2, "hash table scan filter"),
+                (3, "window agg sort spill"),
+            ],
+            "doc_id long, text string",
+        )
+        vec_path = str(tmp_path / "emb.parquet")
+        embed_text(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.parquet(vec_path)
+        bm25_path = str(tmp_path / "bm25")
+        ts, cs = bm25_term_stats(docs)
+        save_bm25_index(ts, cs, bm25_path)
+
+        got = hybrid_search_text(
+            spark, vec_path, bm25_path, docs, "  Merge   SPARK ", k=3,
+        ).collect()
+        qv = embed_query_text("  Merge   SPARK ")
+        want = hybrid_search(
+            spark, vec_path, bm25_path, docs, qv, ["merge", "spark"], k=3,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_hybrid_text_empty_query_raises(self, spark, tmp_path):
+        from astro_vectordb_spark.search import hybrid_search_text
+
+        docs = spark.createDataFrame(
+            [(0, "a")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="no tokens"):
+            hybrid_search_text(
+                spark, str(tmp_path), str(tmp_path), docs, "   ", k=3
+            )
+
+    def test_injected_encoder_drives_search_text(self, spark, tmp_path):
+        # registry contract end to end: a custom model name changes
+        # the query vector the facade searches with
+        import numpy as np
+        import pandas as pd
+
+        from astro_vectordb_spark.functions.embed import register_encoder
+        from astro_vectordb_spark.search import search_text
+
+        def one_hot_factory(dim=4, **_):
+            def kernel(texts: pd.Series) -> pd.Series:
+                out = []
+                for t in texts:
+                    v = np.zeros(dim, dtype=np.float32)
+                    v[len(str(t)) % dim] = 1.0
+                    out.append(v)
+                return pd.Series(out)
+            return kernel
+
+        register_encoder("onehot4", one_hot_factory)
+        vecs = spark.createDataFrame(
+            [(i, [1.0 if j == i else 0.0 for j in range(4)])
+             for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        vec_path = str(tmp_path / "oh.parquet")
+        vecs.write.parquet(vec_path)
+        got = search_text(
+            spark, vec_path, "ab", k=1, dim=4, model="onehot4"
+        ).collect()
+        assert got[0]["vec_id"] == 2  # len("ab") % 4

@@ -664,6 +664,71 @@ def brp_lsh_topk(
     )
 
 
+def probe_table_batch(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int | None,
+    metric: str = "cosine",
+    widen: int = 1,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Distributed per-query probe-cell table ``(query_id, query_vec,
+    cell_id)`` — the (|Q| x k_cells) centroid ranking with the fixed
+    (``nprobe``) or ADAPTIVE (``nprobe=None``;
+    ``choose_probe_cells_adaptive``'s profile rule as per-query
+    windows) cutoff, optionally widened by an integer factor
+    (selectivity widening for filtered search).  No driver-side
+    per-query loop; shared by ``ivf_batch_search`` and the
+    cell-probed IVF-PQ batch face."""
+    from pyspark.sql import Window
+
+    from astro_vectordb_spark.functions.vector import similarity
+
+    ranked = (
+        queries.join(F.broadcast(centroids))
+        .withColumn(
+            "_s", similarity(F.col("centroid"), F.col(query_vec_col), metric)
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_s").desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    if nprobe is None:
+        wq = Window.partitionBy(query_id_col)
+        ranked = (
+            ranked.withColumn("_mu", F.avg("_s").over(wq))
+            .withColumn("_sd", F.stddev_pop("_s").over(wq))
+            .withColumn("_mx", F.max("_s").over(wq))
+            .withColumn(
+                "_keep",
+                # no standout cell -> probe all; else z_i >= 1 or the
+                # top-2 floor (same constants as the driver-side rule)
+                (F.col("_sd") <= F.lit(1e-12))
+                | ((F.col("_mx") - F.col("_mu")) / F.col("_sd") < F.lit(3.0))
+                | ((F.col("_s") - F.col("_mu")) / F.col("_sd") >= F.lit(1.0))
+                | (F.col("_r") <= F.lit(2)),
+            )
+        )
+        if widen > 1:
+            # widen each query's adaptive count by the selectivity
+            # factor: rank cutoff = widen x the query's base count
+            ranked = ranked.withColumn(
+                "_base",
+                F.sum(F.col("_keep").cast("int")).over(wq),
+            ).filter(F.col("_r") <= F.col("_base") * F.lit(widen))
+        else:
+            ranked = ranked.filter(F.col("_keep"))
+    else:
+        ranked = ranked.filter(F.col("_r") <= nprobe * widen)
+    return ranked.select(query_id_col, query_vec_col, "cell_id")
+
+
 def ivf_batch_search(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -706,20 +771,6 @@ def ivf_batch_search(
     from astro_vectordb_spark.functions.vector import similarity
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
-    ranked = (
-        queries.join(F.broadcast(centroids))
-        .withColumn(
-            "_s", similarity(F.col("centroid"), F.col(query_vec_col), metric)
-        )
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("_s").desc(), F.col("cell_id")
-                )
-            ),
-        )
-    )
     widen = 1
     if allowed_ids is not None:
         # selectivity-widened probing, batch form: the same
@@ -731,34 +782,10 @@ def ivf_batch_search(
             n_total = assigned.dropDuplicates([id_col]).count()
         sel = max(len(allowed) / max(n_total, 1), 1e-9)
         widen = max(1, math.ceil(1.0 / sel))
-    if nprobe is None:
-        wq = Window.partitionBy(query_id_col)
-        ranked = (
-            ranked.withColumn("_mu", F.avg("_s").over(wq))
-            .withColumn("_sd", F.stddev_pop("_s").over(wq))
-            .withColumn("_mx", F.max("_s").over(wq))
-            .withColumn(
-                "_keep",
-                # no standout cell -> probe all; else z_i >= 1 or the
-                # top-2 floor (same constants as the driver-side rule)
-                (F.col("_sd") <= F.lit(1e-12))
-                | ((F.col("_mx") - F.col("_mu")) / F.col("_sd") < F.lit(3.0))
-                | ((F.col("_s") - F.col("_mu")) / F.col("_sd") >= F.lit(1.0))
-                | (F.col("_r") <= F.lit(2)),
-            )
-        )
-        if widen > 1:
-            # widen each query's adaptive count by the selectivity
-            # factor: rank cutoff = widen x the query's base count
-            ranked = ranked.withColumn(
-                "_base",
-                F.sum(F.col("_keep").cast("int")).over(wq),
-            ).filter(F.col("_r") <= F.col("_base") * F.lit(widen))
-        else:
-            ranked = ranked.filter(F.col("_keep"))
-    else:
-        ranked = ranked.filter(F.col("_r") <= nprobe * widen)
-    ranked = ranked.select(query_id_col, query_vec_col, "cell_id")
+    ranked = probe_table_batch(
+        queries, centroids, nprobe, metric=metric, widen=widen,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
     # drop spill duplicates per query: with redundant assignment a
     # vector sits in several cells and can be probed more than once by
     # the same query — dedupe before scoring so copies never occupy

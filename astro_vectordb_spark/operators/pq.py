@@ -585,6 +585,59 @@ def _adc_luts(
     return lut
 
 
+def _make_cogroup_adc_kernel(
+    bc, n_local: int, id_col: str, query_id_col: str, query_vec_col: str
+):
+    """Cogroup serve kernel shared by the hash-blocked PQ batch face
+    and the cell-probed IVF-PQ batch face: one side is a codes slice,
+    the other the query rows paired with it; builds the slice's ADC
+    LUTs worker-side and emits the block-local top ``n_local`` per
+    query.  Query-sliced scoring: a (|Q|, |block|) float64 matrix at
+    large |Q| is multi-GB of temporaries per j-gather (measured: 18
+    workers at 4 GB RES each, >50% SYSTEM cpu = allocator churn, at
+    50k x 6k); 512-query slices cap the temp at ~25 MB with identical
+    float64 math (per-query sums are independent)."""
+
+    def _serve(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "adc_score": []}
+            ).astype(
+                {query_id_col: "int64", id_col: "int64", "adc_score": "float64"}
+            )
+        codebooks, metric, dsub = bc.value
+        m = len(codebooks)
+        codes = np.stack(cpdf["pq_code"].to_numpy()).astype(np.int32) + 128
+        ids = cpdf[id_col].to_numpy()
+        qids_all = qpdf[query_id_col].to_numpy()
+        qmat_all = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+        out_q, out_i, out_s = [], [], []
+        q_slice = 512
+        for lo in range(0, len(qids_all), q_slice):
+            qids = qids_all[lo : lo + q_slice]
+            luts = _adc_luts(codebooks, metric, dsub, qmat_all[lo : lo + q_slice])
+            s = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                s += luts[:, j, codes[:, j]]
+            if s.shape[1] > n_local:
+                keep2d = np.argpartition(-s, n_local - 1, axis=1)[:, :n_local]
+            else:
+                keep2d = np.tile(np.arange(s.shape[1]), (len(qids), 1))
+            k_eff = keep2d.shape[1]
+            out_q.append(np.repeat(qids, k_eff))
+            out_i.append(ids[keep2d.ravel()])
+            out_s.append(np.take_along_axis(s, keep2d, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "adc_score": np.concatenate(out_s),
+            }
+        )
+
+    return _serve
+
+
 def pq_batch_topk_cogrouped(
     encoded: DataFrame,
     original: DataFrame,
@@ -636,48 +689,10 @@ def pq_batch_topk_cogrouped(
         )
     )
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
-
-    def _serve(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cpdf) == 0 or len(qpdf) == 0:
-            return pd.DataFrame(
-                {query_id_col: [], id_col: [], "adc_score": []}
-            ).astype(
-                {query_id_col: "int64", id_col: "int64", "adc_score": "float64"}
-            )
-        codebooks, metric, dsub = bc.value
-        m = len(codebooks)
-        codes = np.stack(cpdf["pq_code"].to_numpy()).astype(np.int32) + 128
-        ids = cpdf[id_col].to_numpy()
-        qids_all = qpdf[query_id_col].to_numpy()
-        qmat_all = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
-        out_q, out_i, out_s = [], [], []
-        # query-sliced scoring: a (|Q|, |block|) float64 matrix at large
-        # |Q| is multi-GB of temporaries per j-gather (measured: 18
-        # workers at 4 GB RES each, >50% SYSTEM cpu = allocator churn,
-        # at 50k x 6k); 512-query slices cap the temp at ~25 MB with
-        # identical float64 math (per-query sums are independent)
-        q_slice = 512
-        for lo in range(0, len(qids_all), q_slice):
-            qids = qids_all[lo : lo + q_slice]
-            luts = _adc_luts(codebooks, metric, dsub, qmat_all[lo : lo + q_slice])
-            s = np.zeros((len(qids), len(ids)), dtype=np.float64)
-            for j in range(m):
-                s += luts[:, j, codes[:, j]]
-            if s.shape[1] > n_local:
-                keep2d = np.argpartition(-s, n_local - 1, axis=1)[:, :n_local]
-            else:
-                keep2d = np.tile(np.arange(s.shape[1]), (len(qids), 1))
-            k_eff = keep2d.shape[1]
-            out_q.append(np.repeat(qids, k_eff))
-            out_i.append(ids[keep2d.ravel()])
-            out_s.append(np.take_along_axis(s, keep2d, axis=1).ravel())
-        return pd.DataFrame(
-            {
-                query_id_col: np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "adc_score": np.concatenate(out_s),
-            }
-        )
+    _serve = _make_cogroup_adc_kernel(
+        bc, n_local, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
 
     hits = (
         codes_b.groupBy("__blk")
@@ -688,6 +703,88 @@ def pq_batch_topk_cogrouped(
     # pq_batch_candidates -> identical candidate sets to the broadcast
     # face; prereduce (num_salts) keeps the exchange at
     # |partitions| x |Q| x n rows
+    cand = rank_topk_per_query(
+        hits, n_local, id_col=id_col, query_id_col=query_id_col,
+        score_col="adc_score", num_salts=8,
+    ).select(query_id_col, id_col).distinct()
+    exact = (
+        original.join(cand, id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
+        .withColumn(
+            score_col,
+            similarity(F.col(vec_col), F.col(query_vec_col), model.metric),
+        )
+        .filter(F.col(score_col) > threshold_from_strength(strength))
+    )
+    return rank_topk_per_query(
+        exact, k, id_col=id_col, query_id_col=query_id_col,
+        score_col=score_col, num_salts=8,
+    )
+
+
+def ivf_pq_batch_topk_cogrouped(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    original: DataFrame,
+    queries: DataFrame,
+    k: int,
+    model: PQModel,
+    nprobe: int | None = 4,
+    refine_factor: int = 32,
+    strength: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cell-probed batch IVF-PQ — the batch face of ``ivf_pq_topk``:
+    every query ADC-scans ONLY its probed cells' codes instead of the
+    whole table, cutting the ADC flops to the probed fraction
+    (nprobe / k_cells) at any |Q|.
+
+    Shape: the distributed probe table (``ann.probe_table_batch`` —
+    fixed ``nprobe`` or the adaptive ``nprobe=None`` profile rule, as
+    per-query windows) pairs each query with its cells; a cogroup on
+    ``cell_id`` serves each cell's codes against exactly the queries
+    probing it (the same worker-side LUT kernel as the hash-blocked
+    face — nothing materializes on the driver, |Q| unbounded); the
+    global candidate cut and exact re-rank are identical to the other
+    batch faces.  With spill-redundant assignment a copy probed via
+    two cells scores identically in both, and the post-cut
+    ``distinct()`` collapses it.
+
+    Skew note: a cell probed by many queries concentrates its work in
+    one cogroup task — at heavy |Q| skew prefer more/smaller cells
+    (the build-side dial) or the hash-blocked ``pq_batch_topk_cogrouped``
+    whose blocks are uniform by construction.
+
+    Returns ``(query_id, vec_id, score, rank)``, exact scores, at
+    most ``k`` rows per query.
+    """
+    from astro_vectordb_spark.operators.ann import probe_table_batch
+    from astro_vectordb_spark.operators.topk import rank_topk_per_query
+
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+    )
+    n_local = k * refine_factor
+    q_cells = probe_table_batch(
+        queries, centroids, nprobe, metric=model.metric,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
+    _serve = _make_cogroup_adc_kernel(
+        bc, n_local, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    hits = (
+        encoded.select(id_col, "pq_code", "cell_id")
+        .groupBy("cell_id")
+        .cogroup(q_cells.groupBy("cell_id"))
+        .applyInPandas(lambda left, right: _serve(left, right), out_schema)
+    )
     cand = rank_topk_per_query(
         hits, n_local, id_col=id_col, query_id_col=query_id_col,
         score_col="adc_score", num_salts=8,

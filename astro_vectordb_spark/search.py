@@ -195,10 +195,12 @@ def search_batch(
     count by 1/selectivity.
 
     Returns ``(query_id, vec_id, score)``, at most ``k`` rows per
-    query.  IVF-PQ batch scans all cells' codes (ADC is already the
-    compressed fast path; per-query cell probing is a single-query
-    optimization) — use the PQ kind for identical behavior with a
-    simpler layout.
+    query.  IVF-PQ batch serves CELL-PROBED (``ivf_pq_batch_topk_cogrouped``):
+    each query ADC-scans only its probed cells — ``nprobe`` fixed or
+    ``None`` for the per-query adaptive rule — so batch ADC work drops
+    to the probed fraction; ``allowed_ids`` restricts the codes and
+    widens every query's probe count by 1/selectivity (the IVF
+    policy).
     """
     kind = detect_index_kind(spark, path)
     allowed = (
@@ -240,24 +242,47 @@ def search_batch(
             f"index at {path} is {kind}: pass vectors= (the full-precision "
             "table) for the exact stage-2 re-rank"
         )
-    from astro_vectordb_spark.operators.pq import pq_batch_topk_cogrouped
-
     if kind == "pq":
+        from astro_vectordb_spark.operators.pq import pq_batch_topk_cogrouped
         from astro_vectordb_spark.sources.vault import load_pq_index
 
         encoded, model, _ = load_pq_index(spark, path)
-    else:  # ivf_pq: serve ADC over all cells' codes
-        from astro_vectordb_spark.sources.vault import load_ivf_pq_index
+        if allowed is not None:
+            # no cell structure to prune — restricting the scanned
+            # codes to the allowed set IS the exact filtered search
+            # (stage 2 re-ranks the allowed candidates exactly)
+            encoded = encoded.filter(F.col("vec_id").isin(allowed))
+        return pq_batch_topk_cogrouped(
+            encoded, vectors, queries, k, model,
+            refine_factor=refine_factor, strength=strength,
+        ).select("query_id", "vec_id", "score")
 
-        encoded, _, model, _ = load_ivf_pq_index(spark, path)
-        encoded = encoded.select("vec_id", "pq_code")
-    if allowed is not None:
-        # the cogrouped batch face has no cell pruning — restricting
-        # the scanned codes to the allowed set IS the exact filtered
-        # search (stage 2 re-ranks the allowed candidates exactly)
-        encoded = encoded.filter(F.col("vec_id").isin(allowed))
-    return pq_batch_topk_cogrouped(
-        encoded, vectors, queries, k, model,
+    # ivf_pq: cell-probed batch ADC — each query scans only its
+    # probed cells; filtered search restricts the codes and widens
+    # every query's probe count by 1/selectivity (the IVF policy)
+    import math
+
+    from astro_vectordb_spark.operators.pq import (
+        ivf_pq_batch_topk_cogrouped,
+    )
+    from astro_vectordb_spark.sources.vault import load_ivf_pq_index
+
+    encoded, centroids, model, _ = load_ivf_pq_index(spark, path)
+    if allowed is None:
+        return ivf_pq_batch_topk_cogrouped(
+            encoded, centroids, vectors, queries, k, model,
+            nprobe=nprobe, refine_factor=refine_factor,
+            strength=strength,
+        ).select("query_id", "vec_id", "score")
+    n_total = encoded.dropDuplicates(["vec_id"]).count()
+    sel = max(len(allowed) / max(n_total, 1), 1e-9)
+    widen = max(1, math.ceil(1.0 / sel))
+    base = nprobe if nprobe is not None else 4
+    k_cells = centroids.count()
+    eff_nprobe = min(int(k_cells), base * widen)
+    return ivf_pq_batch_topk_cogrouped(
+        encoded.filter(F.col("vec_id").isin(allowed)), centroids,
+        vectors, queries, k, model, nprobe=eff_nprobe,
         refine_factor=refine_factor, strength=strength,
     ).select("query_id", "vec_id", "score")
 

@@ -765,3 +765,96 @@ class TestPqRemove:
         save_pq_index(pq_encode(df.coalesce(1), model), model, path)
         rep = pq_compact_index(spark, path, target_rows_per_file=10_000_000)
         assert rep["compacted"] is False
+
+
+class TestIvfPqBatchCogrouped:
+    """ivf_pq_batch_topk_cogrouped: cell-probed batch ADC."""
+
+    def _build(self, corpus):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+
+        df, pts = corpus
+        encoded, centroids, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=32, max_rows=N
+        )
+        return df, pts, encoded, centroids, model
+
+    def test_matches_single_query_face(self, corpus):
+        # fixed nprobe: per-query results equal the single-query
+        # ivf_pq_topk (same cell ranking rule, same ADC, same re-rank)
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_batch_topk_cogrouped,
+            ivf_pq_topk,
+        )
+
+        df, pts, encoded, centroids, model = self._build(corpus)
+        qids = [0, 123, 777]
+        queries = df.sparkSession.createDataFrame(
+            [(qi, [float(x) for x in pts[qi]]) for qi in qids],
+            "query_id long, query_vec array<float>",
+        )
+        got = ivf_pq_batch_topk_cogrouped(
+            encoded, centroids, df, queries, k=10, model=model, nprobe=4
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["score"])
+            )
+        for qi in qids:
+            want = ivf_pq_topk(
+                encoded, centroids, df, [float(x) for x in pts[qi]],
+                10, model, nprobe=4,
+            ).collect()
+            assert sorted(by_q[qi]) == sorted(
+                (r["vec_id"], r["score"]) for r in want
+            ), f"query {qi} diverges from single-query ivf_pq_topk"
+
+    def test_full_probe_equals_all_cells_face(self, corpus):
+        # nprobe = k_cells scans everything -> identical to the
+        # hash-blocked all-codes face
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_batch_topk_cogrouped,
+            pq_batch_topk_cogrouped,
+        )
+
+        df, pts, encoded, centroids, model = self._build(corpus)
+        queries = df.sparkSession.createDataFrame(
+            [(qi, [float(x) for x in pts[qi]]) for qi in (5, 900)],
+            "query_id long, query_vec array<float>",
+        )
+        got = ivf_pq_batch_topk_cogrouped(
+            encoded, centroids, df, queries, k=5, model=model, nprobe=8
+        ).collect()
+        want = pq_batch_topk_cogrouped(
+            encoded.select("vec_id", "pq_code"), df, queries, k=5,
+            model=model,
+        ).collect()
+        assert sorted(
+            (r["query_id"], r["vec_id"], r["score"]) for r in got
+        ) == sorted((r["query_id"], r["vec_id"], r["score"]) for r in want)
+
+    def test_adaptive_probe_serves_all_queries(self, corpus):
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_batch_topk_cogrouped,
+        )
+
+        df, pts, encoded, centroids, model = self._build(corpus)
+        qids = [1, 2, 3, 4]
+        queries = df.sparkSession.createDataFrame(
+            [(qi, [float(x) for x in pts[qi]]) for qi in qids],
+            "query_id long, query_vec array<float>",
+        )
+        got = ivf_pq_batch_topk_cogrouped(
+            encoded, centroids, df, queries, k=5, model=model, nprobe=None
+        ).collect()
+        seen = {r["query_id"] for r in got}
+        assert seen == set(qids)
+        # the probed query must find itself (exact duplicate corpus row)
+        best = {}
+        for r in got:
+            cur = best.get(r["query_id"])
+            if cur is None or r["score"] > cur[1]:
+                best[r["query_id"]] = (r["vec_id"], r["score"])
+        for qi in qids:
+            assert best[qi][0] == qi

@@ -472,10 +472,15 @@ def snippet_extract(
     occurrences, earliest span on ties — what a search UI shows under
     each hit.
 
-    Pure codegen higher-order expressions over the token array
-    (candidate starts via ``sequence``, per-start hit counts via
-    ``slice`` + ``filter``, argmax via ``array_position``): per-doc
-    work is O(positions x window), the plan is a narrow projection
+    Pure higher-order expressions over the token array, with the
+    scan restricted to CANDIDATE starts: a window's hit count only
+    increases where a hit token ENTERS at its right edge, so the
+    earliest maximal window starts at 1 or at ``p - window + 1`` for
+    some hit position ``p`` — |hits|+1 candidates instead of every
+    position (identical result to the full scan, which the oracle
+    replays).  Hit tests run ONCE per token (an int 0/1 array);
+    per-candidate scoring sums a ``window``-slice of ints.  Per-doc
+    work is O(n + hits x window); the plan is a narrow projection
     with NO shuffle, so it composes with a bounded candidate list or
     runs corpus-wide, scan-linear.
 
@@ -491,36 +496,78 @@ def snippet_extract(
     terms = [str(t).lower() for t in query_terms]
     term_arr = F.array(*[F.lit(t) for t in terms])
 
-    toks = tokens(F.lower(F.col(text_col)))
-    base = docs.select(id_col, toks.alias("_tk")).withColumn(
-        "_n", F.size("_tk")
+    def _bind(expr, fn):
+        # evaluate `expr` ONCE per row by binding it as a lambda
+        # variable: ProjectCollapse inlines withColumn temporaries
+        # into every consumer, and higher-order functions run
+        # interpreted — without the binding, the hits/starts/scores
+        # arrays would each be recomputed per reference (measured 2x
+        # slower than even the naive full scan)
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    hits_of = lambda tk: F.transform(  # noqa: E731
+        tk, lambda x: F.array_contains(term_arr, x).cast("int")
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.col("_n") - F.lit(window - 1))
-    )
-    scores = F.transform(
-        starts,
-        lambda s: F.size(
-            F.filter(
-                F.slice(F.col("_tk"), s, F.lit(window)),
-                lambda x: F.array_contains(term_arr, x),
+
+    def pick(tk):
+        def with_hits(h):
+            hitpos = F.when(
+                F.size(tk) < 1, F.array().cast("array<int>")
+            ).otherwise(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(tk)),
+                    lambda i: F.element_at(h, i) == 1,
+                )
             )
-        ),
-    )
+            starts = F.array_distinct(
+                F.concat(
+                    F.array(F.lit(1)),
+                    F.transform(
+                        hitpos,
+                        lambda p: F.greatest(
+                            F.lit(1), p - F.lit(window - 1)
+                        ),
+                    ),
+                )
+            )
+
+            def with_starts(st):
+                scores = F.transform(
+                    st,
+                    lambda s: F.aggregate(
+                        F.slice(h, s, F.lit(window)),
+                        F.lit(0),
+                        lambda a, x: a + x,
+                    ),
+                )
+
+                def with_scores(sc):
+                    mx = F.array_max(sc)
+                    return F.struct(
+                        mx.alias("nh"),
+                        F.element_at(
+                            st, F.array_position(sc, mx).cast("int")
+                        ).alias("st"),
+                    )
+
+                return _bind(scores, lambda sc: with_scores(sc))
+
+            return _bind(starts, lambda st: with_starts(st))
+
+        return _bind(hits_of(tk), lambda h: with_hits(h))
+
+    toks = tokens(F.lower(F.col(text_col)))
     scored = (
-        base.withColumn("_scores", scores)
-        .withColumn("n_hits", F.array_max("_scores"))
-        .filter(F.col("n_hits") > 0)
-        .withColumn(
-            "start", F.array_position(F.col("_scores"), F.col("n_hits"))
-        )
+        docs.select(id_col, toks.alias("_tk"))
+        .withColumn("_pick", pick(F.col("_tk")))
+        .filter(F.col("_pick.nh") > 0)
     )
     return scored.select(
         id_col,
-        F.col("n_hits").cast("long").alias("n_hits"),
-        F.col("start").cast("long").alias("start"),
+        F.col("_pick.nh").cast("long").alias("n_hits"),
+        F.col("_pick.st").cast("long").alias("start"),
         F.array_join(
-            F.slice(F.col("_tk"), F.col("start"), F.lit(window)), " "
+            F.slice(F.col("_tk"), F.col("_pick.st"), F.lit(window)), " "
         ).alias("snippet"),
     )
 

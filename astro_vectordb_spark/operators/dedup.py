@@ -1251,15 +1251,32 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("_pos").alias("_starts"))
     )
+    starts_arr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     kept = F.filter(
         F.col("_toks"),
         # token i survives unless some removed span start s covers it
         # (s <= i <= s + k - 1); O(tokens x removed spans) per doc,
-        # all inside codegen
+        # interpreted HOF — referenced exactly ONCE below (a second
+        # reference would re-evaluate it: ProjectCollapse + no codegen
+        # for higher-order functions)
         lambda t, i: ~F.exists(
-            F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+            starts_arr,
             lambda s: (s <= i) & (i <= s + F.lit(k - 1)),
         ),
+    )
+    # n_removed = |union of covered positions|: every span start s
+    # satisfies 0 <= s <= n-k (positional grams), so sequences never
+    # clip and the distinct-flatten count equals size(_toks)-size(kept)
+    # at O(spans x k) instead of re-running the token filter
+    n_removed = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    starts_arr,
+                    lambda s: F.sequence(s, s + F.lit(k - 1)),
+                )
+            )
+        )
     )
     return (
         base.join(covered, id_col, "left")
@@ -1267,7 +1284,7 @@ def remove_duplicate_spans(
             id_col,
             F.array_join(kept, " ").alias(text_col),
             F.size("_toks").cast("long").alias("n_tokens"),
-            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            n_removed.cast("long").alias("n_removed"),
         )
     )
 

@@ -50,17 +50,24 @@ def ngrams(toks: Column, n: int) -> Column:
     explode over 5k docs at sf0.1."""
     if n == 1:
         return toks
-    m = F.size(toks) - n + 1
-    grams = F.slice(toks, 1, m)
-    for i in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, i + 1, m),
-            lambda x, y: F.concat(x, F.lit(" "), y),
+
+    def build(tk: Column) -> Column:
+        m = F.size(tk) - n + 1
+        grams = F.slice(tk, 1, m)
+        for i in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(tk, i + 1, m),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # callers pass the raw tokenization EXPRESSION; the n slices +
+    # 2 size() checks would re-evaluate it per reference (interpreted
+    # HOFs + ProjectCollapse) — bind it once per row
+    return T.bind_once(toks, build)
 
 
 def repetition_stats(

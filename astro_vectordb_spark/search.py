@@ -534,3 +534,45 @@ def hybrid_search_text(
         spark, vector_index_path, bm25_index_path, docs, qv, qterms, k,
         **hybrid_kwargs,
     )
+
+
+def hybrid_search_text_batch(
+    spark: SparkSession,
+    vector_index_path: str,
+    bm25_index_path: str,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    model: str | None = None,
+    embed_fn=None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    **hybrid_kwargs,
+) -> DataFrame:
+    """Batch text-in front door: ``queries`` is ``(query_id long,
+    query_text string)`` of UNBOUNDED size — every query string is
+    embedded DISTRIBUTED through the encoder registry
+    (``embed.embed_text``: Arrow-batched pandas_udf, lazy per-worker
+    model load) and tokenized in codegen (the repo contract), then the
+    whole batch serves through :func:`hybrid_search_batch` as one
+    plan.  Per-query semantics equal
+    ``hybrid_search_text(query_text)`` (pinned by test).  All
+    :func:`hybrid_search_batch` options pass through."""
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.functions.text import tokens
+
+    prepared = embed_text(
+        queries.select(query_id_col, query_text_col),
+        text_col=query_text_col, out_col="query_vec", dim=dim,
+        model=model, embed_fn=embed_fn,
+    ).select(
+        query_id_col,
+        "query_vec",
+        tokens(F.lower(F.col(query_text_col))).alias("terms"),
+    )
+    return hybrid_search_batch(
+        spark, vector_index_path, bm25_index_path, docs, prepared, k,
+        query_id_col=query_id_col, **hybrid_kwargs,
+    )

@@ -1053,3 +1053,49 @@ class TestTextQueryFaces:
             spark, vec_path, "ab", k=1, dim=4, model="onehot4"
         ).collect()
         assert got[0]["vec_id"] == 2  # len("ab") % 4
+
+
+def test_hybrid_text_batch_matches_single_text_face(spark, tmp_path):
+    from astro_vectordb_spark.functions.embed import embed_text
+    from astro_vectordb_spark.operators.keyword import bm25_term_stats
+    from astro_vectordb_spark.search import (
+        hybrid_search_text,
+        hybrid_search_text_batch,
+    )
+    from astro_vectordb_spark.sources.vault import save_bm25_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge join table"),
+            (1, "merge join row group"),
+            (2, "hash table scan filter"),
+            (3, "window agg sort spill"),
+            (4, "join merge spark batch"),
+        ],
+        "doc_id long, text string",
+    )
+    vec_path = str(tmp_path / "emb.parquet")
+    embed_text(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).write.parquet(vec_path)
+    bm25_path = str(tmp_path / "bm25")
+    ts, cs = bm25_term_stats(docs)
+    save_bm25_index(ts, cs, bm25_path)
+
+    texts = {0: "Merge  SPARK", 1: "hash table scan", 2: "window agg"}
+    qs = spark.createDataFrame(
+        list(texts.items()), "query_id long, query_text string"
+    )
+    got = hybrid_search_text_batch(
+        spark, vec_path, bm25_path, docs, qs, k=3, fetch_k=6
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qt in texts.items():
+        want = hybrid_search_text(
+            spark, vec_path, bm25_path, docs, qt, k=3, fetch_k=6
+        ).collect()
+        assert sorted(by_q.get(qid, [])) == sorted(
+            (r["doc_id"], r["score"]) for r in want
+        ), f"query {qid}"

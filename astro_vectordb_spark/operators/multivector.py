@@ -59,15 +59,22 @@ def chunk_documents(
     """
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = tokens(F.lower(F.col(text_col)))
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size(toks) - F.lit(chunk_tokens), F.lit(0)),
-        F.lit(stride),
-    )
-    chunks = F.transform(
-        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
-    )
+    from astro_vectordb_spark.functions.text import bind_once
+
+    def _windows(tk):
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(tk) - F.lit(chunk_tokens), F.lit(0)),
+            F.lit(stride),
+        )
+        return F.transform(
+            starts, lambda s: F.slice(tk, s + 1, chunk_tokens)
+        )
+
+    # bind the token array once: the slice inside the transform lambda
+    # would otherwise re-tokenize the text per window (interpreted
+    # HOFs re-evaluate outer expressions per reference)
+    chunks = bind_once(tokens(F.lower(F.col(text_col))), _windows)
     out = docs.select(
         id_col,
         F.posexplode(chunks).alias("chunk_id", "_ctoks"),

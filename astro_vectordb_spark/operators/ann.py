@@ -344,7 +344,7 @@ def ivf_search(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     n_total: int | None = None,
 ) -> DataFrame:
     """Approximate top-K: prune to the probed cells, exact within.
@@ -374,21 +374,25 @@ def ivf_search(
     else:
         cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
     if allowed_ids is not None:
-        allowed = [int(i) for i in allowed_ids]
+        from astro_vectordb_spark.operators.filtering import (
+            allowed_count,
+            restrict_to_allowed,
+        )
+
+        n_allowed = allowed_count(allowed_ids)
         if n_total is None:
             n_total = assigned.dropDuplicates([id_col]).count()
-        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        sel = max(n_allowed / max(n_total, 1), 1e-9)
         k_cells = centroids.count()
         widened = min(int(k_cells), math.ceil(len(cells) / sel))
         if widened > len(cells):
             cells = choose_probe_cells(
                 centroids, query_vector, widened, metric
             )
-        pruned = (
-            assigned.filter(F.col("cell_id").isin(cells))
-            .filter(F.col(id_col).isin(allowed))
-            .dropDuplicates([id_col])
-        )
+        pruned = restrict_to_allowed(
+            assigned.filter(F.col("cell_id").isin(cells)),
+            allowed_ids, id_col=id_col,
+        ).dropDuplicates([id_col])
     else:
         # drop spill duplicates: with redundant assignment a vector can
         # sit in several probed cells
@@ -740,7 +744,7 @@ def ivf_batch_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     n_total: int | None = None,
 ) -> DataFrame:
     """Batch IVF: each query joins only its probed cells.
@@ -777,10 +781,11 @@ def ivf_batch_search(
         # 1/selectivity factor the single-query path applies, as a
         # MULTIPLIER on each query's probe count (adaptive keeps its
         # per-query shape: the z-selected count widens uniformly)
-        allowed = [int(i) for i in allowed_ids]
+        from astro_vectordb_spark.operators.filtering import allowed_count
+
         if n_total is None:
             n_total = assigned.dropDuplicates([id_col]).count()
-        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        sel = max(allowed_count(allowed_ids) / max(n_total, 1), 1e-9)
         widen = max(1, math.ceil(1.0 / sel))
     ranked = probe_table_batch(
         queries, centroids, nprobe, metric=metric, widen=widen,
@@ -791,9 +796,11 @@ def ivf_batch_search(
     # the same query — dedupe before scoring so copies never occupy
     # multiple top-K slots
     if allowed_ids is not None:
-        assigned = assigned.filter(
-            F.col(id_col).isin([int(i) for i in allowed_ids])
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
         )
+
+        assigned = restrict_to_allowed(assigned, allowed_ids, id_col=id_col)
     probed = assigned.join(F.broadcast(ranked), on="cell_id").dropDuplicates(
         [query_id_col, id_col]
     )

@@ -307,7 +307,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC candidates (k*refine, compressed scan
     only) -> broadcast id join into the full-precision table -> exact
@@ -317,12 +317,15 @@ def pq_topk(
 
     ``allowed_ids`` = metadata-filtered search (parity with
     ``filtered_topk`` / ``hnsw_query_shards(allowed_ids=)``): the id
-    set filters the COMPRESSED scan before ADC scoring — an isin
-    predicate the scanner can push — so the candidate budget is spent
-    entirely inside the filter."""
+    set filters the COMPRESSED scan before ADC scoring — a pushable
+    isin predicate for a sequence, a broadcast semi-join for a
+    DataFrame allow-list (``operators.filtering``) — so the candidate
+    budget is spent entirely inside the filter."""
+    from astro_vectordb_spark.operators.filtering import restrict_to_allowed
+
     scan = encoded
     if allowed_ids is not None:
-        scan = scan.filter(F.col(id_col).isin([int(i) for i in allowed_ids]))
+        scan = restrict_to_allowed(scan, allowed_ids, id_col=id_col)
     # .distinct(): the codes table may hold duplicate vec_id rows (a
     # re-appended batch, an at-least-once streaming retry); without the
     # dedup the broadcast join below would emit the id twice into the
@@ -428,13 +431,13 @@ def ivf_pq_topk(
     query_vector: Sequence[float],
     k: int,
     model: PQModel,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     refine_factor: int = 32,
     strength: float = 0.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     n_total: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: rank cells driver-side (k_cells rows — it
@@ -442,25 +445,49 @@ def ivf_pq_topk(
     codes (``cell_id IN (...)`` = PartitionFilters on a
     cell-partitioned table), exact-rerank the survivors.
 
+    ``nprobe=None`` selects the probe cells ADAPTIVELY from the
+    query's centroid-similarity profile
+    (``ann.choose_probe_cells_adaptive`` — the same rule the IVF path
+    uses; centroid distances carry the identical signal here, the
+    codes just quantize the members): a query with no standout cell
+    ADC-scans every cell (graceful degeneration, stage 2 still
+    re-ranks exactly), a structured profile scans only its
+    clearly-better-than-average cells.  An integer keeps the classic
+    fixed-count ranking.
+
     ``allowed_ids`` = metadata-filtered search (parity with
     ``pq_topk``/``ivf_search``): the probed cells' codes are
-    restricted to the allowed set BEFORE the ADC ranking, with the
-    probe count widened by 1/selectivity (same policy as
-    ``ivf_search``) so the expected allowed candidate pool stays at
-    the unfiltered level; ``n_total`` skips the corpus count when the
-    caller knows it."""
-    from astro_vectordb_spark.operators.ann import choose_probe_cells
-
-    cells = choose_probe_cells(
-        centroids, query_vector, nprobe, metric=model.metric
+    restricted to the allowed set (sequence -> isin; DataFrame ->
+    broadcast semi-join, see ``operators.filtering``) BEFORE the ADC
+    ranking, with the probe count widened by 1/selectivity (same
+    policy as ``ivf_search``; the adaptive form widens its OWN
+    profile-derived count) so the expected allowed candidate pool
+    stays at the unfiltered level; ``n_total`` skips the corpus count
+    when the caller knows it (the facade reads it from ``_meta``)."""
+    from astro_vectordb_spark.operators.ann import (
+        choose_probe_cells,
+        choose_probe_cells_adaptive,
     )
+    from astro_vectordb_spark.operators.filtering import (
+        allowed_count,
+        restrict_to_allowed,
+    )
+
+    if nprobe is None:
+        cells = choose_probe_cells_adaptive(
+            centroids, query_vector, metric=model.metric
+        )
+    else:
+        cells = choose_probe_cells(
+            centroids, query_vector, nprobe, metric=model.metric
+        )
     if allowed_ids is not None:
         import math
 
-        allowed = [int(i) for i in allowed_ids]
+        n_allowed = allowed_count(allowed_ids)
         if n_total is None:
             n_total = encoded.dropDuplicates([id_col]).count()
-        sel = max(len(allowed) / max(n_total, 1), 1e-9)
+        sel = max(n_allowed / max(n_total, 1), 1e-9)
         k_cells = centroids.count()
         widened = min(int(k_cells), math.ceil(len(cells) / sel))
         if widened > len(cells):
@@ -469,9 +496,7 @@ def ivf_pq_topk(
             )
     probed = encoded.filter(F.col("cell_id").isin(cells))
     if allowed_ids is not None:
-        probed = probed.filter(
-            F.col(id_col).isin([int(i) for i in allowed_ids])
-        )
+        probed = restrict_to_allowed(probed, allowed_ids, id_col=id_col)
     # .distinct(): spill-redundant IVF assignment (SPANN-style) stores
     # a vector in several cells, so two probed copies of one id must
     # not both reach the re-rank (bounded rows — cheap)
@@ -737,11 +762,22 @@ def ivf_pq_batch_topk_cogrouped(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     score_col: str = "score",
+    allowed_ids=None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Cell-probed batch IVF-PQ — the batch face of ``ivf_pq_topk``:
     every query ADC-scans ONLY its probed cells' codes instead of the
     whole table, cutting the ADC flops to the probed fraction
     (nprobe / k_cells) at any |Q|.
+
+    ``allowed_ids`` = metadata-filtered batch search (the
+    ``ivf_batch_search`` policy): the codes are restricted to the
+    allowed set (sequence -> isin, DataFrame -> broadcast semi-join)
+    and every query's probe count widens by 1/selectivity — fixed
+    ``nprobe`` multiplies, the adaptive rule's per-query count
+    multiplies keeping its shape (``probe_table_batch(widen=...)``).
+    ``n_total`` (distinct corpus ids) skips the corpus count when the
+    caller knows it — the facade reads it from the index ``_meta``.
 
     Shape: the distributed probe table (``ann.probe_table_batch`` —
     fixed ``nprobe`` or the adaptive ``nprobe=None`` profile rule, as
@@ -763,15 +799,29 @@ def ivf_pq_batch_topk_cogrouped(
     most ``k`` rows per query.
     """
     from astro_vectordb_spark.operators.ann import probe_table_batch
+    from astro_vectordb_spark.operators.filtering import (
+        allowed_count,
+        restrict_to_allowed,
+    )
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
     spark = encoded.sparkSession
+    widen = 1
+    if allowed_ids is not None:
+        import math
+
+        n_allowed = allowed_count(allowed_ids)
+        if n_total is None:
+            n_total = encoded.dropDuplicates([id_col]).count()
+        sel = max(n_allowed / max(n_total, 1), 1e-9)
+        widen = max(1, math.ceil(1.0 / sel))
+        encoded = restrict_to_allowed(encoded, allowed_ids, id_col=id_col)
     bc = spark.sparkContext.broadcast(
         (model.codebooks.astype(np.float64), model.metric, model.dsub)
     )
     n_local = k * refine_factor
     q_cells = probe_table_batch(
-        queries, centroids, nprobe, metric=model.metric,
+        queries, centroids, nprobe, metric=model.metric, widen=widen,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"

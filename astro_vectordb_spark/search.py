@@ -66,7 +66,7 @@ def search(
     *,
     vectors: DataFrame | None = None,
     strength: float = 0.0,
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     metric: str = "cosine",
     ef_search: int = 100,
     nprobe: int | None = None,
@@ -79,23 +79,34 @@ def search(
       exact scores).
     - ``metric`` applies only to the exact path; every index kind
       reads its metric from its own persisted ``_meta``.
-    - ``nprobe=None`` on the IVF path selects probe cells adaptively
-      from the query's centroid-similarity profile.
+    - ``nprobe=None`` on the IVF *and IVF-PQ* paths selects probe
+      cells adaptively from the query's centroid-similarity profile
+      (``ann.choose_probe_cells_adaptive`` — same rule, same
+      constants, on both kinds).
     - ``allowed_ids`` = metadata-filtered search on EVERY kind: exact
       and PQ pre-filter the scan; HNSW filters the beam's result set
       with selectivity-widened ef; IVF and IVF-PQ restrict candidates
       inside the probed cells with the probe count widened by
-      1/selectivity (the same policy as the HNSW beam).
+      1/selectivity (the same policy as the HNSW beam).  A small
+      Python sequence routes as an isin literal; a one-column
+      DataFrame allow-list routes as a broadcast semi-join
+      (``operators.filtering``), so large allow-lists never inflate
+      the plan (HNSW's beam filter is inherently a broadcast set and
+      collects a DataFrame allow-list — keep those bounded).
+      Selectivity widening reads the corpus size from the index's
+      persisted ``_meta`` ``n_rows`` counter (maintained by every
+      save/append/remove); only legacy indexes without it count once.
     """
     kind = detect_index_kind(spark, path)
     if kind == "exact":
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
+        )
         from astro_vectordb_spark.operators.topk import topk_search
 
         corpus = spark.read.parquet(path)
         if allowed_ids is not None:
-            corpus = corpus.filter(
-                F.col("vec_id").isin([int(i) for i in allowed_ids])
-            )
+            corpus = restrict_to_allowed(corpus, allowed_ids)
         out = topk_search(corpus, query_vector, k, strength=strength, metric=metric)
         return out.select("vec_id", "score")
 
@@ -107,13 +118,15 @@ def search(
         out = ivf_search(
             assigned, centroids, query_vector, k, nprobe=nprobe,
             strength=strength, metric=meta["metric"],
-            allowed_ids=allowed_ids,
+            allowed_ids=allowed_ids, n_total=meta.get("n_rows"),
         )
         return out.select("vec_id", "score")
 
     if kind == "hnsw":
         from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
         from astro_vectordb_spark.sources.vault import load_hnsw_index
+
+        from astro_vectordb_spark.operators.filtering import allowed_as_list
 
         graph, meta = load_hnsw_index(spark, path)
         queries = spark.createDataFrame(
@@ -125,7 +138,7 @@ def search(
             ef_search=ef_search, clustered=meta["clustered_safe"],
             index_cache_token=meta["cache_token"],
             allowed_ids=(
-                [int(i) for i in allowed_ids] if allowed_ids is not None else None
+                allowed_as_list(allowed_ids) if allowed_ids is not None else None
             ),
         )
         return (
@@ -157,9 +170,9 @@ def search(
     encoded, centroids, model, meta = load_ivf_pq_index(spark, path)
     return ivf_pq_topk(
         encoded, centroids, vectors, query_vector, k, model,
-        nprobe=(nprobe if nprobe is not None else 4),
+        nprobe=nprobe,
         refine_factor=refine_factor, strength=strength,
-        allowed_ids=allowed_ids,
+        allowed_ids=allowed_ids, n_total=meta.get("n_rows"),
     ).select("vec_id", "score")
 
 
@@ -189,29 +202,30 @@ def search_batch(
     classic fixed count.
 
     ``allowed_ids`` = metadata-filtered batch search on every kind
-    (parity with :func:`search`): exact/PQ/IVF-PQ restrict the scanned
-    corpus to the allowed set; HNSW filters each beam's result set
-    with the selectivity-widened ef; IVF widens every query's probe
-    count by 1/selectivity.
+    (parity with :func:`search`, including the sequence-vs-DataFrame
+    routing): exact/PQ/IVF-PQ restrict the scanned corpus to the
+    allowed set; HNSW filters each beam's result set with the
+    selectivity-widened ef; IVF and IVF-PQ widen every query's probe
+    count by 1/selectivity, reading the corpus size from the index's
+    ``_meta`` ``n_rows`` counter (no per-call count job; legacy
+    indexes without the counter count once).
 
     Returns ``(query_id, vec_id, score)``, at most ``k`` rows per
     query.  IVF-PQ batch serves CELL-PROBED (``ivf_pq_batch_topk_cogrouped``):
     each query ADC-scans only its probed cells — ``nprobe`` fixed or
     ``None`` for the per-query adaptive rule — so batch ADC work drops
-    to the probed fraction; ``allowed_ids`` restricts the codes and
-    widens every query's probe count by 1/selectivity (the IVF
-    policy).
+    to the probed fraction.
     """
     kind = detect_index_kind(spark, path)
-    allowed = (
-        [int(i) for i in allowed_ids] if allowed_ids is not None else None
-    )
     if kind == "exact":
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
+        )
         from astro_vectordb_spark.operators.topk import batch_topk
 
         corpus = spark.read.parquet(path)
-        if allowed is not None:
-            corpus = corpus.filter(F.col("vec_id").isin(allowed))
+        if allowed_ids is not None:
+            corpus = restrict_to_allowed(corpus, allowed_ids)
         return batch_topk(corpus, queries, k, strength=strength).select(
             "query_id", "vec_id", "score"
         )
@@ -223,10 +237,12 @@ def search_batch(
         assigned, centroids, _, meta = load_ivf_index(spark, path)
         return ivf_batch_search(
             assigned, centroids, queries, k, nprobe=nprobe,
-            metric=meta["metric"], allowed_ids=allowed,
+            metric=meta["metric"], allowed_ids=allowed_ids,
+            n_total=meta.get("n_rows"),
         ).select("query_id", "vec_id", "score")
 
     if kind == "hnsw":
+        from astro_vectordb_spark.operators.filtering import allowed_as_list
         from astro_vectordb_spark.operators.hnsw import hnsw_query_shards
         from astro_vectordb_spark.sources.vault import load_hnsw_index
 
@@ -234,7 +250,10 @@ def search_batch(
         return hnsw_query_shards(
             graph, queries, k=k, m=meta["m"], metric=meta["metric"],
             ef_search=ef_search, clustered=meta["clustered_safe"],
-            index_cache_token=meta["cache_token"], allowed_ids=allowed,
+            index_cache_token=meta["cache_token"],
+            allowed_ids=(
+                allowed_as_list(allowed_ids) if allowed_ids is not None else None
+            ),
         ).select("query_id", "vec_id", "score")
 
     if vectors is None:
@@ -243,47 +262,38 @@ def search_batch(
             "table) for the exact stage-2 re-rank"
         )
     if kind == "pq":
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
+        )
         from astro_vectordb_spark.operators.pq import pq_batch_topk_cogrouped
         from astro_vectordb_spark.sources.vault import load_pq_index
 
         encoded, model, _ = load_pq_index(spark, path)
-        if allowed is not None:
+        if allowed_ids is not None:
             # no cell structure to prune — restricting the scanned
             # codes to the allowed set IS the exact filtered search
             # (stage 2 re-ranks the allowed candidates exactly)
-            encoded = encoded.filter(F.col("vec_id").isin(allowed))
+            encoded = restrict_to_allowed(encoded, allowed_ids)
         return pq_batch_topk_cogrouped(
             encoded, vectors, queries, k, model,
             refine_factor=refine_factor, strength=strength,
         ).select("query_id", "vec_id", "score")
 
     # ivf_pq: cell-probed batch ADC — each query scans only its
-    # probed cells; filtered search restricts the codes and widens
-    # every query's probe count by 1/selectivity (the IVF policy)
-    import math
-
+    # probed cells; the operator owns the filtered-search policy
+    # (codes restricted, per-query probe counts widened by
+    # 1/selectivity) with the corpus size from _meta
     from astro_vectordb_spark.operators.pq import (
         ivf_pq_batch_topk_cogrouped,
     )
     from astro_vectordb_spark.sources.vault import load_ivf_pq_index
 
-    encoded, centroids, model, _ = load_ivf_pq_index(spark, path)
-    if allowed is None:
-        return ivf_pq_batch_topk_cogrouped(
-            encoded, centroids, vectors, queries, k, model,
-            nprobe=nprobe, refine_factor=refine_factor,
-            strength=strength,
-        ).select("query_id", "vec_id", "score")
-    n_total = encoded.dropDuplicates(["vec_id"]).count()
-    sel = max(len(allowed) / max(n_total, 1), 1e-9)
-    widen = max(1, math.ceil(1.0 / sel))
-    base = nprobe if nprobe is not None else 4
-    k_cells = centroids.count()
-    eff_nprobe = min(int(k_cells), base * widen)
+    encoded, centroids, model, meta = load_ivf_pq_index(spark, path)
     return ivf_pq_batch_topk_cogrouped(
-        encoded.filter(F.col("vec_id").isin(allowed)), centroids,
-        vectors, queries, k, model, nprobe=eff_nprobe,
-        refine_factor=refine_factor, strength=strength,
+        encoded, centroids, vectors, queries, k, model,
+        nprobe=nprobe, refine_factor=refine_factor,
+        strength=strength, allowed_ids=allowed_ids,
+        n_total=meta.get("n_rows"),
     ).select("query_id", "vec_id", "score")
 
 
@@ -300,7 +310,7 @@ def hybrid_search(
     k_rrf: int = 60,
     fusion: str = "rrf",
     weights: Sequence[float] = (0.5, 0.5),
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     vectors: DataFrame | None = None,
     metric: str = "cosine",
     ef_search: int = 100,
@@ -361,9 +371,11 @@ def hybrid_search(
     term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
     lex_docs = docs
     if allowed_ids is not None:
-        lex_docs = docs.filter(
-            F.col(id_col).isin([int(i) for i in allowed_ids])
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
         )
+
+        lex_docs = restrict_to_allowed(docs, allowed_ids, id_col=id_col)
     lex_list = bm25_topk_indexed(
         lex_docs, term_stats, corpus_stats, query_terms, fetch,
         id_col=id_col, text_col=text_col,
@@ -393,7 +405,7 @@ def hybrid_search_batch(
     k_rrf: int = 60,
     fusion: str = "rrf",
     weights: Sequence[float] = (0.5, 0.5),
-    allowed_ids: Sequence[int] | None = None,
+    allowed_ids=None,
     vectors: DataFrame | None = None,
     ef_search: int = 100,
     nprobe: int | None = None,
@@ -443,9 +455,11 @@ def hybrid_search_batch(
     term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
     lex_docs = docs
     if allowed_ids is not None:
-        lex_docs = docs.filter(
-            F.col(id_col).isin([int(i) for i in allowed_ids])
+        from astro_vectordb_spark.operators.filtering import (
+            restrict_to_allowed,
         )
+
+        lex_docs = restrict_to_allowed(docs, allowed_ids, id_col=id_col)
     lex_list = bm25_batch_topk_indexed(
         lex_docs, term_stats, corpus_stats,
         queries.select(query_id_col, terms_col), fetch,
@@ -512,6 +526,11 @@ def hybrid_search_text(
     model: str | None = None,
     embed_fn=None,
     terms: Sequence[str] | None = None,
+    prf: bool = False,
+    n_feedback: int = 10,
+    n_expand: int = 5,
+    snippets: bool = False,
+    snippet_window: int = 16,
     **hybrid_kwargs,
 ) -> DataFrame:
     """Text-in front door for :func:`hybrid_search`: ONE query string
@@ -519,9 +538,34 @@ def hybrid_search_text(
     registry, the lexical side prices its whitespace tokens (the
     repo-wide tokenization contract; repeated tokens count twice, the
     usual bag-of-words semantics).  ``terms=`` overrides the derived
-    token list (e.g. after stopword removal or PRF expansion via
-    ``keyword.prf_expand_terms``).  All :func:`hybrid_search` options
-    pass through."""
+    token list (e.g. after stopword removal).  All
+    :func:`hybrid_search` options pass through.
+
+    This is the full retrieve -> expand -> fuse -> highlight loop in
+    one call:
+
+    - ``prf=True`` runs pseudo-relevance-feedback expansion first
+      (``keyword.prf_expand_terms``: top ``n_feedback`` BM25 docs ->
+      top ``n_expand`` characteristic terms) and prices the LEXICAL
+      leg with the expanded term list (original + expansion; the
+      vector leg keeps the raw query embedding — expansion is a
+      lexical-recall device).  The expansion's corpus-scale work is
+      one extra indexed BM25 scan; the term selection runs on the
+      bounded feedback slice.  ``allowed_ids`` (if given) restricts
+      the feedback pool too, so expansion can't learn terms from
+      filtered-out documents.
+    - ``snippets=True`` appends search-highlighting columns: the
+      best ``snippet_window``-token span per fused hit
+      (``keyword.snippet_extract`` over ONLY the k result docs —
+      a bounded semi-join, never a second corpus scan), as
+      ``(start, snippet)`` with ``start=0, snippet=''`` for hits
+      whose text contains no query term (pure vector hits).
+      Snippets are highlighted against the FINAL term list (after
+      PRF expansion) — what the lexical leg actually matched.
+
+    Returns ``(doc_id, score)``, plus ``(start, snippet)`` when
+    ``snippets=True``; top ``k`` by (score desc, id asc) unchanged
+    by the extra columns."""
     from astro_vectordb_spark.functions.embed import embed_query_text
 
     qv = embed_query_text(
@@ -530,9 +574,58 @@ def hybrid_search_text(
     qterms = list(terms) if terms is not None else _query_tokens(query_text)
     if not qterms:
         raise ValueError("query_text has no tokens and no terms given")
-    return hybrid_search(
+    id_col = hybrid_kwargs.get("id_col", "doc_id")
+    text_col = hybrid_kwargs.get("text_col", "text")
+    if prf:
+        from astro_vectordb_spark.operators.keyword import prf_expand_terms
+        from astro_vectordb_spark.sources.vault import load_bm25_index
+
+        term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
+        fb_docs = docs
+        if hybrid_kwargs.get("allowed_ids") is not None:
+            from astro_vectordb_spark.operators.filtering import (
+                restrict_to_allowed,
+            )
+
+            fb_docs = restrict_to_allowed(
+                docs, hybrid_kwargs["allowed_ids"], id_col=id_col
+            )
+        expanded = prf_expand_terms(
+            fb_docs, term_stats, corpus_stats, qterms,
+            n_feedback=n_feedback, n_expand=n_expand,
+            id_col=id_col, text_col=text_col,
+        )
+        # bounded collect: n_expand rows by construction
+        qterms = qterms + [r["term"] for r in expanded.collect()]
+    fused = hybrid_search(
         spark, vector_index_path, bm25_index_path, docs, qv, qterms, k,
         **hybrid_kwargs,
+    )
+    if not snippets:
+        return fused
+    from astro_vectordb_spark.operators.keyword import snippet_extract
+
+    # k rows — materialize once so the snippet semi-join doesn't
+    # re-execute the whole fused retrieval plan
+    fused = fused.localCheckpoint(eager=True)
+    hit_docs = docs.join(
+        F.broadcast(fused.select(id_col)), id_col, "left_semi"
+    )
+    snips = snippet_extract(
+        hit_docs, qterms, window=snippet_window,
+        id_col=id_col, text_col=text_col,
+    )
+    return (
+        fused.join(
+            F.broadcast(snips.select(id_col, "start", "snippet")),
+            id_col, "left",
+        )
+        .select(
+            id_col, "score",
+            F.coalesce(F.col("start"), F.lit(0)).alias("start"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
 
 

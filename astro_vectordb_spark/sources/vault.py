@@ -114,8 +114,14 @@ def save_ivf_index(
         cell_stats.write.mode("overwrite").parquet(os.path.join(path, "cell_stats"))
     k_cells = centroids.count()
     dim = centroids.select(F.size("centroid").alias("d")).first()["d"]
+    # n_rows: exact distinct-id corpus count at commit time — read back
+    # by the filtered serving faces for selectivity widening, so no
+    # per-call count job (spill-redundant assignment duplicates rows,
+    # hence the distinct)
+    n_rows = assigned.select("vec_id").distinct().count()
     spark.createDataFrame(
-        [(metric, int(k_cells), int(dim))], "metric string, k_cells int, dim int"
+        [(metric, int(k_cells), int(dim), int(n_rows))],
+        "metric string, k_cells int, dim int, n_rows long",
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
@@ -201,6 +207,11 @@ def ivf_append_to_index(
             lambda staging: merged.write.mode("overwrite").parquet(staging),
             stats_path,
         )
+    # corpus counter for the filtered faces (insert-new-only contract:
+    # distinct new ids == ids added; see _update_meta_n_rows)
+    _update_meta_n_rows(
+        spark, path, delta=new_rows.select("vec_id").distinct().count()
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -686,9 +697,11 @@ def save_pq_index(
     spark.createDataFrame(
         model.to_rows(), "subspace int, code int, centroid array<float>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    n_rows = encoded.select("vec_id").distinct().count()
     spark.createDataFrame(
-        [(model.metric, int(model.m), int(model.ks), int(model.dim))],
-        "metric string, m int, ks int, dim int",
+        [(model.metric, int(model.m), int(model.ks), int(model.dim),
+          int(n_rows))],
+        "metric string, m int, ks int, dim int, n_rows long",
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
@@ -735,10 +748,11 @@ def save_ivf_pq_index(
         model.to_rows(), "subspace int, code int, centroid array<float>"
     ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
     k_cells = centroids.count()
+    n_rows = encoded.select("vec_id").distinct().count()
     spark.createDataFrame(
         [(model.metric, int(model.m), int(model.ks), int(model.dim),
-          int(k_cells))],
-        "metric string, m int, ks int, dim int, k_cells int",
+          int(k_cells), int(n_rows))],
+        "metric string, m int, ks int, dim int, k_cells int, n_rows long",
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
@@ -756,6 +770,52 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
     meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
     model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
     return encoded, centroids, model, meta
+
+
+def _update_meta_n_rows(
+    spark: SparkSession,
+    path: str,
+    delta: int | None = None,
+    absolute: int | None = None,
+) -> None:
+    """Maintain the ``n_rows`` corpus counter (DISTINCT vec_ids) in an
+    index's one-row ``_meta`` table.
+
+    The filtered serving faces widen their probe counts by
+    1/selectivity = n_rows / |allowed| — without the persisted counter
+    every filtered call would re-count the corpus (a full pass over
+    the codes/vectors table per query).  Each save records the exact
+    count; every append/remove adjusts it by the ids it actually
+    added/deleted, so serving reads it back for free.  Indexes saved
+    by older versions have no ``n_rows`` column; a delta update on
+    them is a no-op (loaders fall back to counting once — the legacy
+    path), and the next full ``save_*_index`` upgrades them.
+
+    The one-row _meta is collected BEFORE the overwrite, so the write
+    never reads the directory it replaces.  The counter is exact under
+    the index family's insert-new-only append contract
+    (``dedup_ids=True`` anti-joins appends; removes count distinct
+    matched ids); appending an id that already exists outside that
+    contract drifts the counter conservatively (widening then
+    over-probes, never under-probes recall away).
+    """
+    from pyspark.sql.types import LongType
+
+    mp = os.path.join(path, "_meta")
+    df = spark.read.parquet(mp)
+    row = df.first()
+    d = row.asDict()
+    if absolute is None:
+        if d.get("n_rows") is None:
+            return  # legacy meta: no counter to maintain
+        absolute = int(d["n_rows"]) + int(delta)
+    d["n_rows"] = max(int(absolute), 0)
+    schema = df.schema
+    if "n_rows" not in df.columns:
+        schema = schema.add("n_rows", LongType())
+    spark.createDataFrame(
+        [tuple(d[f.name] for f in schema.fields)], schema
+    ).write.mode("overwrite").parquet(mp)
 
 
 def _batch_already_committed(
@@ -852,6 +912,7 @@ def pq_append_to_index(
         pq_encode(new_rows, model).write.mode("append").parquet(
             os.path.join(path, "codes")
         )
+        _update_meta_n_rows(spark, path, delta=n_appended)
     _record_batch(spark, path, batch_id, op="pq_append")
     return {
         "appended_rows": n_appended,
@@ -911,6 +972,7 @@ def ivf_pq_append_to_index(
         out.write.mode("append").partitionBy("cell_id").parquet(
             os.path.join(path, "codes")
         )
+        _update_meta_n_rows(spark, path, delta=n_appended)
     _record_batch(spark, path, batch_id, op="ivf_pq_append")
     return {
         "appended_rows": n_appended,
@@ -934,12 +996,15 @@ def _remove_rows_by_file(
     table_path: str,
     ids: DataFrame,
     id_col: str = "vec_id",
-) -> tuple[int, list[str]]:
+) -> tuple[int, list[str], int]:
     """File-granular physical delete from a parquet table (flat or
     directory-partitioned): locate the files containing the ids via
     the hidden ``_metadata.file_path`` column (bounded by |ids|),
     rewrite ONLY those files' survivors as fresh appended files, then
-    delete the old files.  Returns (rows removed, touched file paths).
+    delete the old files.  Returns (rows removed, touched file paths,
+    DISTINCT ids removed) — the id count feeds the ``n_rows`` corpus
+    counter in ``_meta`` (spill-redundant IVF assignment makes
+    physical rows > ids) and is computed over the touched files only.
 
     Shared core of the PQ and IVF remove faces — a 100-TB table with
     1k removed ids rewrites a handful of files, never the table.
@@ -965,11 +1030,17 @@ def _remove_rows_by_file(
         .collect()
     ]
     if not touched:
-        return 0, []
+        return 0, [], 0
     partition_cols = [c for c in table.columns if f"/{c}=" in touched[0]]
     reader = spark.read.option("basePath", table_path)
     touched_df = reader.parquet(*touched)
     n_before = touched_df.count()
+    n_ids_removed = (
+        touched_df.join(ids, id_col, "left_semi")
+        .select(id_col)
+        .dropDuplicates()
+        .count()
+    )
     survivors = (
         touched_df.join(ids, id_col, "left_anti")
         .dropDuplicates([id_col, *partition_cols])
@@ -985,7 +1056,7 @@ def _remove_rows_by_file(
     jvm = spark._jvm
     for f in touched:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    return n_before - n_after, touched
+    return n_before - n_after, touched, n_ids_removed
 
 
 def ivf_remove_from_index(
@@ -1013,7 +1084,9 @@ def ivf_remove_from_index(
     _recover_swap(spark, os.path.join(path, "cell_stats"))
     ids = _as_ids_df(spark, vec_ids)
     vectors_path = os.path.join(path, "vectors")
-    removed, touched = _remove_rows_by_file(spark, vectors_path, ids)
+    removed, touched, n_ids_removed = _remove_rows_by_file(
+        spark, vectors_path, ids
+    )
     touched_cells = sorted({
         int(seg.split("=", 1)[1])
         for f in touched
@@ -1039,6 +1112,8 @@ def ivf_remove_from_index(
             lambda staging: merged.write.mode("overwrite").parquet(staging),
             stats_path,
         )
+    if n_ids_removed:
+        _update_meta_n_rows(spark, path, delta=-n_ids_removed)
     _record_batch(spark, path, batch_id, op="ivf_remove")
     return {"removed_rows": removed, "touched_files": len(touched),
             "touched_cells": touched_cells}
@@ -1284,9 +1359,11 @@ def pq_remove_from_index(
                 "skipped_replay": True}
     _recover_swap(spark, os.path.join(path, "codes"))
     ids = _as_ids_df(spark, vec_ids)
-    removed, touched = _remove_rows_by_file(
+    removed, touched, n_ids_removed = _remove_rows_by_file(
         spark, os.path.join(path, "codes"), ids
     )
+    if n_ids_removed:
+        _update_meta_n_rows(spark, path, delta=-n_ids_removed)
     _record_batch(spark, path, batch_id, op="pq_remove")
     return {"removed_rows": removed, "touched_files": len(touched)}
 

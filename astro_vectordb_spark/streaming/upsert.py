@@ -302,6 +302,8 @@ def stream_hnsw_remove(
     mode: str = "auto",
     min_degree_frac: float = 0.5,
     auto_repair: bool = False,
+    repair_every: int | None = None,
+    health_threshold: float | None = None,
 ):
     """Streaming DELETE face for a persisted sharded HNSW index — the
     graph-side partner of ``stream_pq_remove``: each micro-batch of
@@ -315,10 +317,33 @@ def stream_hnsw_remove(
     (GDPR erasure, retention expiry) keeps its recall without a
     scheduled maintenance job.  ``batch_id`` rides the namespaced
     ``_batches`` log (op='hnsw_remove'), so sharing the index with an
-    ingest stream is safe and at-least-once redelivery is a no-op."""
-    from astro_vectordb_spark.sources.vault import hnsw_remove_from_index
+    ingest stream is safe and at-least-once redelivery is a no-op.
+
+    ``repair_every=N`` adds a PERIODIC full-index maintenance pass:
+    after every N batches this stream applies (replay-skipped batches
+    don't count), ``vault.hnsw_rebalance`` sweeps ALL shards and
+    rebuilds any whose mean live level-0 degree has fallen below
+    ``health_threshold * m`` (default: ``min_degree_frac``) — the
+    belt to per-batch ``auto_repair``'s suspenders: per-batch repair
+    only examines the shards the batch touched at that batch's
+    health, so erosion that accrues BELOW the threshold per batch but
+    ABOVE it across many batches (the long-running erasure stream) is
+    caught here instead of waiting for a manual maintenance run.
+    The pass costs one graph-wide degree aggregation every N batches;
+    size N to the erosion rate (a stream deleting ~1%% of a shard per
+    batch is safe with N ~ 10)."""
+    from astro_vectordb_spark.sources.vault import (
+        hnsw_rebalance,
+        hnsw_remove_from_index,
+    )
 
     spark = stream_df.sparkSession
+    applied = {"n": 0}
+    floor = (
+        float(health_threshold)
+        if health_threshold is not None
+        else float(min_degree_frac)
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -337,6 +362,19 @@ def stream_hnsw_remove(
             + (", repaired" if rep.get("repaired") else "")
             + ")"
         )
+        if rep.get("skipped_replay"):
+            return
+        applied["n"] += 1
+        if repair_every and applied["n"] % int(repair_every) == 0:
+            repaired = hnsw_rebalance(
+                spark, index_path, min_degree_frac=floor
+            )
+            print(
+                f"{query_name}: periodic health pass after "
+                f"{applied['n']} batches -> "
+                + (f"rebuilt shards {sorted(repaired)}" if repaired
+                   else "all shards healthy")
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

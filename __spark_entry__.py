@@ -1722,6 +1722,32 @@ def _q_facade_hybrid_text_gate(spark, sf_dir):
     )
 
 
+def _q_facade_hybrid_prf_gate(spark, sf_dir):
+    # round 10: the FULL retrieve -> expand -> fuse -> highlight loop
+    # as ONE driver hash.  The raw query string is embedded and
+    # tokenized; PRF expansion runs against the save->append->REMOVE
+    # churned BM25 statistics (feedback = top-10 survivors, expansion
+    # = top-5 terms by feedback-df x corpus idf); the LEXICAL leg is
+    # priced with the expanded term list (dynamic — the oracle
+    # recomputes the expansion in SQL and folds the per-term BM25
+    # contributions in the same position order); the vector leg keeps
+    # the raw query embedding; RRF fusion; and every fused hit gets
+    # its best window-of-8 snippet highlighted against the FINAL
+    # (expanded) terms, '' for pure-vector hits.  A drift anywhere —
+    # expansion selection, fold order, fusion, snippet argmax — shifts
+    # the (doc_id, score, start, snippet) hash.
+    from astro_vectordb_spark.search import hybrid_search_text
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    return hybrid_search_text(
+        spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
+        k=10, fetch_k=_RRF_C, prf=True, n_feedback=10, n_expand=5,
+        snippets=True, snippet_window=8,
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -1890,89 +1916,30 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 9 (the driver checks the FIRST 50
+    # Driver-window rotation, round 10 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in: the 24 relational/scalar + round-6 family queries rotated
-    #     out in round 8, RETURNING ON SCHEDULE as promised (round-8
-    #     verdict item 1 / NOTES_r8);
-    #   - in: the 4 ANN recall gates (the HNSW index is now built
-    #     THROUGH sweep-remove + append churn, mirroring the PQ gate)
-    #     and the 2 round-8 facade gates, retained as promised;
-    #   - in (new): facade_ivf_gate + facade_pq_gate (hash coverage of
-    #     facade dispatch for the remaining kinds) and retrieval_e2e
-    #     (embed -> build -> append -> remove -> serve as ONE hash);
-    #   - in: curation_e2e + line_dup_stats (round-8 additions, first
-    #     window appearance) and the 9 heaviest round-5 core queries
-    #     (never rotated) + pack_strict/decontaminate_fuzzy;
-    #   - in: 4 family representatives (lexical lifecycle, fusion,
-    #     late interaction, temporal);
-    #   - out: the 24 round-5 core queries green in round 8 (back in
-    #     round 10) and 7 family representatives with 2+ consecutive
-    #     green driver rounds (back in round 10).
+    #   - in: the 24 round-5 core queries + 7 family representatives
+    #     rotated out in round 9, RETURNING ON SCHEDULE as promised
+    #     (round-9 verdict item 1 / NOTES_r9) — every query is
+    #     driver-signed at most 2 rounds stale;
+    #   - in: the 10 round-9 additions that have NEVER had a driver
+    #     hash (they landed outside the r9 window: dup_spans,
+    #     dup_span_removal, the hybrid/bm25-batch/cross-rerank/
+    #     snippet/PRF family, facade_hybrid_text_gate) plus
+    #     facade_ivfpq_gate — first driver signing for the IVF-PQ
+    #     facade, now with the ADAPTIVE default probing (verdict
+    #     item 2);
+    #   - in (new): facade_hybrid_prf_gate — retrieve -> PRF-expand ->
+    #     fuse -> highlight as ONE hash (verdict item 8);
+    #   - in: the 8 heaviest round-5 core queries (never rotated);
+    #   - out (all driver-signed green in round 9, back in round 11):
+    #     the 18 relational/scalar queries, 7 round-6 family queries,
+    #     4 ANN recall gates, 4 facade kind gates, 3 composite gates,
+    #     pack_strict/decontaminate_fuzzy, and 4 family reps
+    #     (bm25_indexed, hybrid_rrf, chunk_maxsim, asof_join).
     return {
-        # -- returning relational/scalar (out exactly one round)
-        "events_hourly": _q_events_hourly,
-        "session_stats": _q_session_stats,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_topn": _q_revenue_topn,
-        "events_sliding": _q_events_sliding,
-        "supplier_balance": _q_supplier_balance,
-        "part_brand_stats": _q_part_brand_stats,
-        "event_rates": _q_event_rates,
-        "customer_rank": _q_customer_rank,
-        "order_priority": _q_order_priority,
-        "nation_revenue": _q_nation_revenue,
-        "token_counts": _q_token_counts,
-        "events_json": _q_events_json,
-        "split_counts": _q_split_counts,
-        "segment_no_orders": _q_segment_no_orders,
-        "revenue_rollup": _q_revenue_rollup,
-        "status_pivot": _q_status_pivot,
-        "profile_lineitem": _q_profile_lineitem,
-        # -- returning round-6 family queries (out exactly one round)
-        "hybrid_weighted": _q_hybrid_weighted,
-        "mmr_rerank": _q_mmr_rerank,
-        "doc_chunks": _q_doc_chunks,
-        "repetition_stats": _q_repetition_stats,
-        "redact_pii": _q_redact_pii,
-        "corpus_summary": _q_corpus_summary,
-        "mixture_weights": _q_mixture_weights,
-        # -- ANN recall gates (HNSW now served from a SWEPT index) +
-        # facade gates, retained + extended to all kinds (round 9)
-        "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
-        "ann_pq_recall_gate": _q_ann_pq_recall_gate,
-        "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
-        "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
-        "facade_exact_topk": _q_facade_exact_topk,
-        "facade_hnsw_gate": _q_facade_hnsw_gate,
-        "facade_ivf_gate": _q_facade_ivf_gate,
-        "facade_pq_gate": _q_facade_pq_gate,
-        # -- composite end-to-end gates (one hash per pipeline)
-        "retrieval_e2e": _q_retrieval_e2e,
-        "curation_e2e": _q_curation_e2e,
-        "line_dup_stats": _q_line_dup_stats,
-        # -- heaviest round-5 core (never rotated)
-        "upsert_keep_latest": _q_upsert_keep_latest,
-        "sync_merge": _q_sync_merge,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_dedup_groups": _q_embedding_dedup_groups,
-        "dedup_groups": _q_dedup_groups,
-        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
-        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
-        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # -- round-7 additions (retained)
-        "pack_strict": _q_pack_strict,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        # -- family representatives
-        "bm25_indexed": _q_bm25_indexed,
-        "hybrid_rrf": _q_hybrid_rrf,
-        "chunk_maxsim": _q_chunk_maxsim,
-        "asof_join": _q_asof_join,
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window this round (full gate still verifies them;
-        # they rotate back in round 10)
-        "facade_ivfpq_gate": _q_facade_ivfpq_gate,
+        # -- returning round-5 core (out exactly one round)
         "topk_exact": _q_topk_exact,
         "topk_euclidean": _q_topk_euclidean,
         "threshold_cap": _q_threshold_cap,
@@ -1997,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_topk_quantized": _q_batch_topk_quantized,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
+        # -- returning family representatives (out exactly one round)
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
         "decontaminate": _q_decontaminate,
@@ -2004,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "gopher_filter": _q_gopher_filter,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        # -- round-9 additions, FIRST driver-window appearance
         "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_gate": _q_facade_hybrid_gate,
@@ -2013,6 +1982,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": _q_snippets,
         "prf_expand": _q_prf_expand,
         "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
+        "facade_ivfpq_gate": _q_facade_ivfpq_gate,
+        # -- NEW this round (verdict item 8)
+        "facade_hybrid_prf_gate": _q_facade_hybrid_prf_gate,
+        # -- heaviest round-5 core (never rotated)
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "sync_merge": _q_sync_merge,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_dedup_groups": _q_embedding_dedup_groups,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_minhash_sql": _q_near_dup_minhash_sql,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
+        "near_dup_native_exactdup": _q_near_dup_native_exactdup,
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window this round (full gate still verifies them;
+        # all were driver-signed green in round 9, back in round 11)
+        "events_hourly": _q_events_hourly,
+        "session_stats": _q_session_stats,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_topn": _q_revenue_topn,
+        "events_sliding": _q_events_sliding,
+        "supplier_balance": _q_supplier_balance,
+        "part_brand_stats": _q_part_brand_stats,
+        "event_rates": _q_event_rates,
+        "customer_rank": _q_customer_rank,
+        "order_priority": _q_order_priority,
+        "nation_revenue": _q_nation_revenue,
+        "token_counts": _q_token_counts,
+        "events_json": _q_events_json,
+        "split_counts": _q_split_counts,
+        "segment_no_orders": _q_segment_no_orders,
+        "revenue_rollup": _q_revenue_rollup,
+        "status_pivot": _q_status_pivot,
+        "profile_lineitem": _q_profile_lineitem,
+        "hybrid_weighted": _q_hybrid_weighted,
+        "mmr_rerank": _q_mmr_rerank,
+        "doc_chunks": _q_doc_chunks,
+        "repetition_stats": _q_repetition_stats,
+        "redact_pii": _q_redact_pii,
+        "corpus_summary": _q_corpus_summary,
+        "mixture_weights": _q_mixture_weights,
+        "ann_hnsw_recall_gate": _q_ann_hnsw_recall_gate,
+        "ann_pq_recall_gate": _q_ann_pq_recall_gate,
+        "ann_ivf_recall_gate": _q_ann_ivf_recall_gate,
+        "ann_hnsw_filtered_recall_gate": _q_ann_hnsw_filtered_recall_gate,
+        "facade_exact_topk": _q_facade_exact_topk,
+        "facade_hnsw_gate": _q_facade_hnsw_gate,
+        "facade_ivf_gate": _q_facade_ivf_gate,
+        "facade_pq_gate": _q_facade_pq_gate,
+        "retrieval_e2e": _q_retrieval_e2e,
+        "curation_e2e": _q_curation_e2e,
+        "line_dup_stats": _q_line_dup_stats,
+        "pack_strict": _q_pack_strict,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "bm25_indexed": _q_bm25_indexed,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "chunk_maxsim": _q_chunk_maxsim,
+        "asof_join": _q_asof_join,
         # -- no_oracle entries LAST (native-xxhash dedup variants and
         # the recall-tested approximate ANN paths; their hash-checked
         # companions are the recall gates above)
@@ -3930,5 +3956,101 @@ contrib AS (
 SELECT doc_id, round(sum(c), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # retrieve -> PRF-expand -> fuse -> highlight, end to end:
+        # expansion recomputed in SQL (feedback = churned-stats BM25
+        # top-10 over survivors; terms scored dffb x corpus idf, top-5
+        # unrounded), the lexical leg refolds per-term contributions
+        # LEFT TO RIGHT in [original..expanded] position order (the
+        # indexed operator's + chain == the 0.0-init fold for
+        # non-negative contributions), vector leg = raw query
+        # embedding via the -1 aug row, RRF as the single facade, and
+        # snippets = earliest maximal window-of-8 against the FINAL
+        # term list ('' / 0 for hits with no term anywhere)
+        "facade_hybrid_prf_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_scored_cte(_BM25_TERMS, table="sdocs")},
+fb AS (SELECT doc_id FROM bm25 WHERE s > 0
+       ORDER BY s DESC, doc_id LIMIT 10),
+ftk AS (SELECT doc_id, {_LTOKS} AS tk FROM fb JOIN sdocs USING (doc_id)),
+fdf AS (SELECT term, count(*)::DOUBLE AS dffb
+        FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM ftk)
+        WHERE term NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY term),
+dtoks AS (SELECT doc_id, {_LTOKS} AS tk FROM sdocs),
+cdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM (SELECT doc_id, unnest(tk) AS term FROM dtoks)
+        GROUP BY term),
+cst AS (SELECT count(*)::DOUBLE AS n FROM sdocs),
+expt AS (SELECT f.term,
+                f.dffb * ln(1.0 + (n - COALESCE(c.df, 0.0) + 0.5)
+                                  / (COALESCE(c.df, 0.0) + 0.5)) AS score
+         FROM fdf f CROSS JOIN cst LEFT JOIN cdf c USING (term)
+         ORDER BY score DESC, term LIMIT 5),
+qt AS (
+  {" UNION ALL ".join(f"SELECT {i} AS pos, '{t}' AS term"
+                      for i, t in enumerate(_BM25_TERMS))}
+  UNION ALL
+  SELECT {len(_BM25_TERMS) - 1} + row_number()
+           OVER (ORDER BY score DESC, term) AS pos, term
+  FROM expt
+),
+dbase AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM dtoks),
+dstat AS (SELECT count(*)::DOUBLE AS n2, avg(dl) AS avgdl FROM dbase),
+dpriced AS (SELECT q.pos, q.term,
+                   ln(1.0 + (s.n2 - COALESCE(c.df, 0.0) + 0.5)
+                            / (COALESCE(c.df, 0.0) + 0.5)) AS idf
+            FROM qt q CROSS JOIN dstat s LEFT JOIN cdf c USING (term)),
+dcontrib AS (SELECT b.doc_id, p.pos, p.idf, b.dl,
+                    len(list_filter(b.tk, x -> x = p.term))::DOUBLE AS tf
+             FROM dbase b CROSS JOIN dpriced p),
+dsum AS (SELECT doc_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(idf * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       ORDER BY pos)),
+                  (a, x) -> a + x) AS s
+         FROM dcontrib CROSS JOIN dstat GROUP BY doc_id),
+lex AS (SELECT doc_id, s FROM dsum WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lex),
+aug AS (SELECT doc_id, text FROM sdocs
+        UNION ALL SELECT -1, 'merge hash spark'),
+{_embed_cte(table="aug")},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = -1),
+vsc AS (SELECT emb.doc_id, {_cos("emb.e", "qv")} AS s
+        FROM emb CROSS JOIN q WHERE emb.doc_id >= 0),
+vtop AS (SELECT doc_id, s FROM vsc WHERE s > 0.0
+         ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+),
+fused AS (SELECT doc_id, round(sum(c), 6) AS score
+          FROM contrib GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 10),
+tlist AS (SELECT list(term ORDER BY pos) AS tl FROM qt),
+stoks AS (SELECT f.doc_id, f.score, d.tk
+          FROM fused f JOIN dtoks d USING (doc_id)),
+ssc AS (SELECT doc_id, score, tk,
+               list_transform(generate_series(1, greatest(1, len(tk) - 7)),
+                 w -> len(list_filter(tk[w : w + 7],
+                          x -> list_contains(tl, x)))) AS scores
+        FROM stoks CROSS JOIN tlist),
+pick AS (SELECT doc_id, score, tk,
+                list_aggregate(scores, 'max') AS best,
+                list_position(scores, list_aggregate(scores, 'max')) AS pos
+         FROM ssc)
+SELECT doc_id, score,
+       (CASE WHEN best > 0 THEN pos ELSE 0 END)::BIGINT AS start,
+       CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
+            ELSE '' END AS snippet
+FROM pick
 """,
     }

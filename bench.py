@@ -152,13 +152,14 @@ def main() -> None:
     else:
         # densest form: the map as ONE space-separated "name:sec"
         # string — saves the per-entry JSON quoting (~4 chars/query),
-        # still one parseable JSON line with the summary fields intact
+        # still one parseable JSON line.  unit/sf are dropped here
+        # (they live on the full-fidelity first line and in the local
+        # artifact); only metric/value/queries_packed survive, buying
+        # ~22 chars — the margin the 98-query window needs
         line = json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(total, 1),
-                "unit": "sec",
-                "sf": sf,
                 "queries_packed": " ".join(
                     f"{k}:{_lean1(v)}" for k, v in timings.items()
                 ),

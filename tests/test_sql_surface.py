@@ -70,11 +70,12 @@ def test_bench_tail_line_fits_driver_capture():
     import __spark_entry__ as m
 
     names = list(m.queries())
+    # bench.py's last-resort packed stage: metric + value +
+    # queries_packed only (unit/sf live on the full-fidelity first
+    # line and in the local artifact)
     head = {
         "metric": "total_query_wall_sec",
         "value": 999.9,
-        "unit": "sec",
-        "sf": 0.1,
         "queries_packed": " ".join(f"{k}:9.9" for k in names),
     }
     line = json.dumps(head, separators=(",", ":"))

@@ -247,6 +247,140 @@ def main() -> None:
         failures.append(f"bm25_batch query axis ratio {q_ratio} or "
                         f"incomplete results")
 
+    # hybrid FACADE batch composition (r9 verdict item 5): the whole
+    # retrieve stack through hybrid_search_batch — vector lists via
+    # search_batch (kind auto-detect over the persisted vector table),
+    # lexical lists priced from the PERSISTED BM25 index (one corpus
+    # scan for the whole batch), grouped RRF — timed on BOTH axes.
+    # Completeness asserted (every query served k rows) and the fused
+    # plan dump must contain NO single-partition stage (per-query
+    # ranks are partitioned windows).
+    from astro_vectordb_spark.plans.explain import executed_plan
+    from astro_vectordb_spark.search import (
+        hybrid_search_batch,
+        hybrid_search_text_batch,
+    )
+    from astro_vectordb_spark.sources.vault import save_bm25_index
+
+    rng_q = __import__("numpy").random.RandomState(7)
+    bm25_paths = {}
+    for n in SIZES:
+        bp = f"/tmp/scale_ret/bm25idx{n}"
+        save_bm25_index(stats[n][0], stats[n][1], bp)
+        bm25_paths[n] = bp
+
+    def _hyb_qset(nq):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    [float(x) for x in rng_q.normal(size=DIM)],
+                    [vocab[i % 10], vocab[(i * 3 + 1) % 10]],
+                )
+                for i in range(nq)
+            ],
+            "query_id long, query_vec array<float>, terms array<string>",
+        )
+
+    hyb_seen: dict[tuple[int, int], int] = {}
+
+    def _run_hybrid_batch(n, qs, nq):
+        got_h = (
+            hybrid_search_batch(
+                spark, f"/tmp/scale_ret/vecs{n}", bm25_paths[n],
+                corpora[n], qs, k=10, fetch_k=20,
+            )
+            .groupBy()
+            .agg(F.countDistinct("query_id").alias("nq"))
+            .first()
+        )
+        hyb_seen[(n, nq)] = int(got_h["nq"])
+
+    hqs32 = _hyb_qset(32)
+
+    def hybrid_batch_docs(n):
+        def f():
+            _run_hybrid_batch(n, hqs32, 32)
+        return f
+
+    ratio_entry("hybrid_batch_docs_axis", hybrid_batch_docs)
+
+    hsecs_q = {}
+    for nq in (32, 128):
+        hqs = _hyb_qset(nq)
+
+        def f(hqs=hqs, nq=nq):
+            _run_hybrid_batch(SIZES[0], hqs, nq)
+
+        hsecs_q[nq] = timed(f)
+    hyb_complete = all(
+        hyb_seen[(SIZES[0], nq)] == nq for nq in (32, 128)
+    ) and all(hyb_seen[(n, 32)] == 32 for n in SIZES)
+    fused_plan = executed_plan(
+        hybrid_search_batch(
+            spark, f"/tmp/scale_ret/vecs{SIZES[0]}", bm25_paths[SIZES[0]],
+            corpora[SIZES[0]], hqs32, k=10, fetch_k=20,
+        )
+    )
+    no_single = "SinglePartition" not in fused_plan
+    hq_ratio = round(hsecs_q[128] / max(hsecs_q[32], 0.01), 2)
+    hq_ok = hq_ratio <= RATIO_CAP and hyb_complete and no_single
+    out["hybrid_batch_query_axis"] = {
+        "sec_32": hsecs_q[32], "sec_128": hsecs_q[128],
+        "ratio": hq_ratio, "all_queries_served": hyb_complete,
+        "no_single_partition_stage": no_single,
+        "linear_ok": hq_ok,
+    }
+    if not hq_ok:
+        failures.append(
+            f"hybrid batch query axis ratio {hq_ratio}, complete "
+            f"{hyb_complete}, no_single_partition {no_single}"
+        )
+
+    # text-in batch face: raw query strings -> distributed encoder
+    # (bounded |Q| rows through the registry stub — the corpus side
+    # stays the pre-materialized codegen table) -> tokenize ->
+    # hybrid_search_batch as one plan.  dim pinned to the corpus
+    # vector width.
+    def _txt_qset(nq):
+        return spark.createDataFrame(
+            [(i, f"{vocab[i % 10]} {vocab[(i * 3 + 1) % 10]}")
+             for i in range(nq)],
+            "query_id long, query_text string",
+        )
+
+    tqs = {nq: _txt_qset(nq) for nq in (32, 128)}
+    tsecs = {}
+    tseen = {}
+    for nq in (32, 128):
+        def f(nq=nq):
+            got_t = (
+                hybrid_search_text_batch(
+                    spark, f"/tmp/scale_ret/vecs{SIZES[0]}",
+                    bm25_paths[SIZES[0]], corpora[SIZES[0]], tqs[nq],
+                    k=10, fetch_k=20, dim=DIM,
+                )
+                .groupBy()
+                .agg(F.countDistinct("query_id").alias("nq"))
+                .first()
+            )
+            tseen[nq] = int(got_t["nq"])
+
+        tsecs[nq] = timed(f)
+    t_ratio = round(tsecs[128] / max(tsecs[32], 0.01), 2)
+    t_complete = all(tseen[nq] == nq for nq in (32, 128))
+    t_ok = t_ratio <= RATIO_CAP and t_complete
+    out["hybrid_text_batch_query_axis"] = {
+        "sec_32": tsecs[32], "sec_128": tsecs[128],
+        "ratio": t_ratio, "all_queries_served": t_complete,
+        "linear_ok": t_ok,
+    }
+    if not t_ok:
+        failures.append(
+            f"hybrid text batch query axis ratio {t_ratio}, "
+            f"complete {t_complete}"
+        )
+
     # MaxSim over non-overlapping 20-token chunk vectors
     def maxsim(n):
         qrows = (

@@ -177,19 +177,22 @@ def ivfpq_index_path(spark, sf_dir: str) -> str:
 
 
 def _q_facade_ivfpq_gate(spark, sf_dir):
-    # facade over the PERSISTED IVF-PQ index — the LAST kind to gain a
-    # driver hash gate (its operators were pytest-only at driver
-    # level): nprobe = k_cells probes every cell and refine 64*k >=
-    # corpus at the oracle scales, so stage 2 exact-re-ranks the whole
-    # corpus and the output provably equals brute force.  Facade kind
-    # detection (codebooks + centroids), cell-partitioned code reload,
-    # and the two-stage dispatch all sit on the hash path; with this,
-    # all FIVE index kinds are facade-hash-gated.
+    # facade over the PERSISTED IVF-PQ index — serving with the
+    # ADAPTIVE DEFAULT (nprobe unset -> None, round-10 verdict item
+    # 2): at k_cells=8 the profile rule's standout test (s_max-mean)/
+    # std >= 3 can NEVER fire (max attainable z over k values is
+    # sqrt(k-1) = sqrt(7) ~ 2.65), so the adaptive path probes EVERY
+    # cell by construction — the hash gate stays provably exact while
+    # the default code path (profile computation, all-cells fallback,
+    # two-stage dispatch) sits on the hash.  refine 64*k >= corpus at
+    # the oracle scales, so stage 2 exact-re-ranks the whole corpus
+    # and the output equals brute force.  With this, all FIVE index
+    # kinds are facade-hash-gated.
     from astro_vectordb_spark.search import search
 
     return search(
         spark, ivfpq_index_path(spark, sf_dir), _qvec(spark, sf_dir, 13),
-        k=10, vectors=_emb(spark, sf_dir), nprobe=8, refine_factor=64,
+        k=10, vectors=_emb(spark, sf_dir), refine_factor=64,
     )
 
 

@@ -1751,6 +1751,53 @@ def _q_facade_hybrid_prf_gate(spark, sf_dir):
     )
 
 
+def _q_facade_hybrid_rerank_gate(spark, sf_dir):
+    # round 10: retrieve -> fuse -> CROSS-ENCODER RERANK -> highlight
+    # as ONE driver hash.  Fusion (over the churned BM25 stats +
+    # survivor vectors) decides WHO gets reranked — the fused top-30,
+    # wider than the final k so the rerank stage provably reorders a
+    # set fusion alone would cut differently; the registered pairwise
+    # model (hash_cross stub = the oracle's md5-hash-embedding cosine,
+    # same float64 left-fold) scores every (query, doc) pair jointly
+    # and decides the FINAL order; snippets highlight the reranked
+    # winners.  A drift in depth selection, the Arrow rerank kernel,
+    # the top-k cut on cross scores, or the snippet join shifts the
+    # (doc_id, score, start, snippet) hash.
+    from astro_vectordb_spark.search import hybrid_search_text
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    return hybrid_search_text(
+        spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
+        k=10, fetch_k=_RRF_C, rerank=True, rerank_depth=30,
+        snippets=True, snippet_window=8,
+    )
+
+
+def _q_ann_ivfpq_salted_exact(spark, sf_dir):
+    # round 10: the SKEW-BOUNDED cogroup face, hash-gated at a
+    # provably-exact budget.  max_group_rows=32 forces every cell to
+    # salt into multiple sub-groups (cells hold ~corpus/8 rows at the
+    # oracle scales), the adaptive default probes every cell (k_cells=8
+    # keeps the standout z below 3 by construction), and refine 64*k
+    # >= corpus makes stage 2 an exact re-rank of everything — so the
+    # salted plan (per-cell salt counts, id-hash splitting, query
+    # replication across salts, the per-sub-group local cut and the
+    # shared global cut) must reproduce brute force bit-for-bit.
+    from astro_vectordb_spark.search import search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return search_batch(
+        spark, ivfpq_index_path(spark, sf_dir), queries, k=10,
+        vectors=emb, refine_factor=64, max_group_rows=32,
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -2000,6 +2047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window this round (full gate still verifies them;
         # all were driver-signed green in round 9, back in round 11)
+        # -- NEW this round, full-gate-oracled (window is full with
+        # the round-9 rotation promise): the skew-bounded salted
+        # cogroup at a provably-exact budget, and the full
+        # retrieve -> fuse -> rerank -> highlight loop
+        "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
+        "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -4051,6 +4104,79 @@ pick AS (SELECT doc_id, score, tk,
                 list_position(scores, list_aggregate(scores, 'max')) AS pos
          FROM ssc)
 SELECT doc_id, score,
+       (CASE WHEN best > 0 THEN pos ELSE 0 END)::BIGINT AS start,
+       CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
+            ELSE '' END AS snippet
+FROM pick
+""",
+        # salted-cogroup IVF-PQ at the provably-exact budget: adaptive
+        # probes every cell (k_cells=8), refine 64*k >= corpus, so the
+        # salted face must equal brute-force batch top-10 exactly
+        "ann_ivfpq_salted_exact": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS s
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored WHERE s > 0.0
+)
+SELECT query_id, vec_id, round(s, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+        # retrieve -> fuse -> cross-encoder rerank -> highlight: the
+        # fused top-30 (unrounded fused score — the facade's cut) is
+        # rescored by the stub cross-encoder (= cosine of the two
+        # texts' md5-hash embeddings; the query's embedding is the -1
+        # aug row), final order = cross score, snippets against the
+        # raw query terms
+        "facade_hybrid_rerank_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_scored_cte(_BM25_TERMS, table="sdocs")},
+lex AS (SELECT doc_id, s FROM bm25 WHERE s > 0
+        ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lex),
+aug AS (SELECT doc_id, text FROM sdocs
+        UNION ALL SELECT -1, 'merge hash spark'),
+{_embed_cte(table="aug")},
+q AS (SELECT e AS qv FROM emb WHERE doc_id = -1),
+vsc AS (SELECT emb.doc_id, {_cos("emb.e", "qv")} AS s
+        FROM emb CROSS JOIN q WHERE emb.doc_id >= 0),
+vtop AS (SELECT doc_id, s FROM vsc WHERE s > 0.0
+         ORDER BY s DESC, doc_id LIMIT {_RRF_C}),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+),
+fused AS (SELECT doc_id, sum(c) AS fsc FROM contrib GROUP BY doc_id
+          ORDER BY fsc DESC, doc_id LIMIT 30),
+xsc AS (SELECT f.doc_id, {_cos("emb.e", "qv")} AS s
+        FROM fused f JOIN emb ON emb.doc_id = f.doc_id CROSS JOIN q),
+xtop AS (SELECT doc_id, s FROM xsc WHERE s IS NOT NULL
+         ORDER BY s DESC, doc_id LIMIT 10),
+stoks AS (SELECT t.doc_id, t.s, d.tk
+          FROM xtop t
+          JOIN (SELECT doc_id, {_LTOKS} AS tk FROM sdocs) d USING (doc_id)),
+ssc AS (SELECT doc_id, s, tk,
+               list_transform(generate_series(1, greatest(1, len(tk) - 7)),
+                 w -> len(list_filter(tk[w : w + 7],
+                          x -> list_contains({_BM25_TERMS!r}, x)))) AS scores
+        FROM stoks),
+pick AS (SELECT doc_id, s, tk,
+                list_aggregate(scores, 'max') AS best,
+                list_position(scores, list_aggregate(scores, 'max')) AS pos
+         FROM ssc)
+SELECT doc_id, round(s, 6) AS score,
        (CASE WHEN best > 0 THEN pos ELSE 0 END)::BIGINT AS start,
        CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
             ELSE '' END AS snippet

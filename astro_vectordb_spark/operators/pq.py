@@ -634,6 +634,16 @@ def _make_cogroup_adc_kernel(
         m = len(codebooks)
         codes = np.stack(cpdf["pq_code"].to_numpy()).astype(np.int32) + 128
         ids = cpdf[id_col].to_numpy()
+        # id-ascending column order: with it, every boundary-tie pick
+        # below is "first by id", making the local cut a deterministic
+        # (score desc, id asc) total order — required for the salted
+        # and unsalted groupings to yield identical global candidates
+        # (a subgroup's top-n is then provably a superset restriction
+        # of the cell's top-n), and for run-to-run stability under ADC
+        # ties regardless of shuffle arrival order
+        idorder = np.argsort(ids, kind="stable")
+        ids = ids[idorder]
+        codes = codes[idorder]
         qids_all = qpdf[query_id_col].to_numpy()
         qmat_all = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
         out_q, out_i, out_s = [], [], []
@@ -645,7 +655,19 @@ def _make_cogroup_adc_kernel(
             for j in range(m):
                 s += luts[:, j, codes[:, j]]
             if s.shape[1] > n_local:
-                keep2d = np.argpartition(-s, n_local - 1, axis=1)[:, :n_local]
+                # O(B) partition for the threshold, then exact
+                # boundary-tie resolution by id (columns are
+                # id-ascending, so nonzero order IS id order) — same
+                # asymptotics as bare argpartition, deterministic cut
+                part = np.argpartition(-s, n_local - 1, axis=1)
+                keep_rows = []
+                for r in range(s.shape[0]):
+                    sr = s[r]
+                    thr = sr[part[r, n_local - 1]]
+                    better = np.nonzero(sr > thr)[0]
+                    ties = np.nonzero(sr == thr)[0][: n_local - better.size]
+                    keep_rows.append(np.concatenate([better, ties]))
+                keep2d = np.stack(keep_rows)
             else:
                 keep2d = np.tile(np.arange(s.shape[1]), (len(qids), 1))
             k_eff = keep2d.shape[1]
@@ -764,6 +786,8 @@ def ivf_pq_batch_topk_cogrouped(
     score_col: str = "score",
     allowed_ids=None,
     n_total: int | None = None,
+    max_group_rows: int | None = None,
+    cell_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-probed batch IVF-PQ — the batch face of ``ivf_pq_topk``:
     every query ADC-scans ONLY its probed cells' codes instead of the
@@ -790,10 +814,22 @@ def ivf_pq_batch_topk_cogrouped(
     two cells scores identically in both, and the post-cut
     ``distinct()`` collapses it.
 
-    Skew note: a cell probed by many queries concentrates its work in
-    one cogroup task — at heavy |Q| skew prefer more/smaller cells
-    (the build-side dial) or the hash-blocked ``pq_batch_topk_cogrouped``
-    whose blocks are uniform by construction.
+    ``max_group_rows`` = SKEW-BOUNDED cogroups: without it, one giant
+    cell (a skewed corpus) or one hot cell (every query probing it)
+    concentrates that cell's whole ADC scan in ONE cogroup task — the
+    straggler/OOM shape that kills a 1000-executor run.  With it, each
+    cell is salted into ``ceil(cell_rows / max_group_rows)`` sub-groups
+    (codes by id hash; each probing query replicated across the cell's
+    salts), so no task ever materializes more than ~``max_group_rows``
+    codes AND a hot cell's ADC work spreads over its salt count.
+    Results are IDENTICAL to the unsalted face: each sub-group emits
+    its local top ``k*refine_factor``, a superset of the per-cell top
+    (any per-cell top row is also top within its own sub-group), and
+    both unions contain the true global ADC top — the shared global
+    cut then picks the same candidate set, ties and all.  Salt counts
+    come from ``cell_counts`` ``(cell_id, _cn)`` when the caller has
+    them (k_cells rows — control-plane metadata) or one column-pruned
+    count over the codes otherwise.
 
     Returns ``(query_id, vec_id, score, rank)``, exact scores, at
     most ``k`` rows per query.
@@ -829,12 +865,46 @@ def ivf_pq_batch_topk_cogrouped(
         bc, n_local, id_col=id_col, query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     )
-    hits = (
-        encoded.select(id_col, "pq_code", "cell_id")
-        .groupBy("cell_id")
-        .cogroup(q_cells.groupBy("cell_id"))
-        .applyInPandas(lambda left, right: _serve(left, right), out_schema)
-    )
+    codes = encoded.select(id_col, "pq_code", "cell_id")
+    if max_group_rows is not None:
+        counts = cell_counts
+        if counts is None:
+            counts = codes.groupBy("cell_id").agg(
+                F.count(F.lit(1)).alias("_cn")
+            )
+        # k_cells rows — broadcastable control plane; ceil split keeps
+        # every sub-group at ~max_group_rows (id-hash uniformity)
+        salts = counts.select(
+            "cell_id",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_cn") / F.lit(int(max_group_rows))),
+            ).cast("int").alias("_nsalt"),
+        )
+        codes_s = codes.join(F.broadcast(salts), "cell_id").withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsalt")).cast("int"),
+        )
+        # distinct column name on the query side — both sides join the
+        # same salts frame and the analyzer rejects the self-join
+        # lineage otherwise
+        salts_q = salts.select(
+            "cell_id", F.col("_nsalt").alias("_nsalt_q")
+        )
+        q_cells_s = q_cells.join(F.broadcast(salts_q), "cell_id").withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt_q") - 1))
+        )
+        hits = (
+            codes_s.groupBy("cell_id", "_salt")
+            .cogroup(q_cells_s.groupBy("cell_id", "_salt"))
+            .applyInPandas(lambda left, right: _serve(left, right), out_schema)
+        )
+    else:
+        hits = (
+            codes.groupBy("cell_id")
+            .cogroup(q_cells.groupBy("cell_id"))
+            .applyInPandas(lambda left, right: _serve(left, right), out_schema)
+        )
     cand = rank_topk_per_query(
         hits, n_local, id_col=id_col, query_id_col=query_id_col,
         score_col="adc_score", num_salts=8,

@@ -188,6 +188,7 @@ def search_batch(
     ef_search: int = 100,
     nprobe: int | None = None,
     refine_factor: int = 32,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Batch companion to :func:`search`: ``queries`` is a DataFrame
     ``(query_id long, query_vec array<float>)`` of UNBOUNDED size —
@@ -215,6 +216,12 @@ def search_batch(
     each query ADC-scans only its probed cells — ``nprobe`` fixed or
     ``None`` for the per-query adaptive rule — so batch ADC work drops
     to the probed fraction.
+
+    ``max_group_rows`` (IVF-PQ kind) = skew-bounded serving: salts
+    each cell's cogroup into ``ceil(cell_rows / max_group_rows)``
+    sub-tasks so a giant or hot cell can never become one straggler
+    task; results identical to the unsalted face (see
+    ``ivf_pq_batch_topk_cogrouped``).
     """
     kind = detect_index_kind(spark, path)
     if kind == "exact":
@@ -293,7 +300,7 @@ def search_batch(
         encoded, centroids, vectors, queries, k, model,
         nprobe=nprobe, refine_factor=refine_factor,
         strength=strength, allowed_ids=allowed_ids,
-        n_total=meta.get("n_rows"),
+        n_total=meta.get("n_rows"), max_group_rows=max_group_rows,
     ).select("query_id", "vec_id", "score")
 
 
@@ -529,6 +536,10 @@ def hybrid_search_text(
     prf: bool = False,
     n_feedback: int = 10,
     n_expand: int = 5,
+    rerank: bool = False,
+    rerank_model: str = "hash_cross",
+    rerank_depth: int | None = None,
+    rerank_config: dict | None = None,
     snippets: bool = False,
     snippet_window: int = 16,
     **hybrid_kwargs,
@@ -554,6 +565,18 @@ def hybrid_search_text(
       bounded feedback slice.  ``allowed_ids`` (if given) restricts
       the feedback pool too, so expansion can't learn terms from
       filtered-out documents.
+    - ``rerank=True`` inserts the cross-encoder stage between fuse
+      and highlight (retrieve-wide / rerank-narrow): the fused top
+      ``rerank_depth`` (default ``3*k``) joins back its doc text —
+      a bounded broadcast semi-join, never a second corpus scan —
+      and every (query, doc) pair is scored JOINTLY by the
+      registered pairwise model (``rerank_model`` /
+      ``rerank_config`` through ``functions.crossenc``; Arrow
+      batches, lazy per-worker model load).  The RAW query string is
+      the cross-encoder's query side (PRF expansion is a
+      lexical-recall device, not a semantic rewrite), and the
+      returned ``score`` becomes the CROSS score — fusion decided
+      who gets reranked, the cross-encoder decides the final order.
     - ``snippets=True`` appends search-highlighting columns: the
       best ``snippet_window``-token span per fused hit
       (``keyword.snippet_extract`` over ONLY the k result docs —
@@ -598,9 +621,23 @@ def hybrid_search_text(
         # bounded collect: n_expand rows by construction
         qterms = qterms + [r["term"] for r in expanded.collect()]
     fused = hybrid_search(
-        spark, vector_index_path, bm25_index_path, docs, qv, qterms, k,
+        spark, vector_index_path, bm25_index_path, docs, qv, qterms,
+        (rerank_depth if rerank_depth is not None else 3 * k) if rerank else k,
         **hybrid_kwargs,
     )
+    if rerank:
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
+
+        cand = docs.select(id_col, text_col).join(
+            F.broadcast(fused.select(id_col)), id_col, "left_semi"
+        )
+        fused = cross_encoder_rerank(
+            cand, query_text, k, model=rerank_model,
+            id_col=id_col, text_col=text_col,
+            **(rerank_config or {}),
+        )
     if not snippets:
         return fused
     from astro_vectordb_spark.operators.keyword import snippet_extract

@@ -156,16 +156,34 @@ def main() -> None:
         # (they live on the full-fidelity first line and in the local
         # artifact); only metric/value/queries_packed survive, buying
         # ~22 chars — the margin the 98-query window needs
-        line = json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 1),
-                "queries_packed": " ".join(
-                    f"{k}:{_lean1(v)}" for k, v in timings.items()
-                ),
-            },
-            separators=(",", ":"),
-        )
+        def _packed_line(fmt) -> str:
+            return json.dumps(
+                {
+                    "metric": "total_query_wall_sec",
+                    "value": round(total, 1),
+                    "queries_packed": " ".join(
+                        f"{k}:{fmt(v)}" for k, v in timings.items()
+                    ),
+                },
+                separators=(",", ":"),
+            )
+
+        line = _packed_line(_lean1)
+        if len(line) > tail_budget:
+            # next notch: strip the leading zero from sub-1 s entries
+            # ("name:.6" — float('.6') still parses) — one char per
+            # sub-second query, the margin the 100-query window needs
+            line = _packed_line(
+                lambda v: str(_lean1(v)).removeprefix("0")
+                if 0 < v < 1 else _lean1(v)
+            )
+        if len(line) > tail_budget:
+            # final notch (pathological all-single-digit-seconds mix):
+            # whole seconds for everything >= 2 s
+            line = _packed_line(
+                lambda v: str(_lean1(v)).removeprefix("0")
+                if 0 < v < 1 else (round(v) if v >= 2 else _lean1(v))
+            )
     print(line)
     spark.stop()
 

@@ -679,6 +679,10 @@ def hybrid_search_text_batch(
     embed_fn=None,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    rerank: bool = False,
+    rerank_model: str = "hash_cross",
+    rerank_depth: int | None = None,
+    rerank_config: dict | None = None,
     **hybrid_kwargs,
 ) -> DataFrame:
     """Batch text-in front door: ``queries`` is ``(query_id long,
@@ -689,7 +693,18 @@ def hybrid_search_text_batch(
     whole batch serves through :func:`hybrid_search_batch` as one
     plan.  Per-query semantics equal
     ``hybrid_search_text(query_text)`` (pinned by test).  All
-    :func:`hybrid_search_batch` options pass through."""
+    :func:`hybrid_search_batch` options pass through.
+
+    ``rerank=True`` = the batch face of the single call's
+    cross-encoder stage: each query's fused top ``rerank_depth``
+    (default ``3*k``) joins back its doc text AND its raw query text
+    (plain keyed joins — the candidate set is |Q| x depth rows, so
+    nothing is broadcast or driver-materialized at unbounded |Q|),
+    and ``rerank.cross_encoder_rerank``'s batch face scores every
+    (query, doc) pair jointly with the per-query top-k as one
+    partitioned window.  Per-query results equal the single call's
+    ``rerank=True`` (pinned by test); ``score`` becomes the cross
+    score."""
     from astro_vectordb_spark.functions.embed import embed_text
     from astro_vectordb_spark.functions.text import tokens
 
@@ -702,7 +717,25 @@ def hybrid_search_text_batch(
         "query_vec",
         tokens(F.lower(F.col(query_text_col))).alias("terms"),
     )
-    return hybrid_search_batch(
-        spark, vector_index_path, bm25_index_path, docs, prepared, k,
+    fused = hybrid_search_batch(
+        spark, vector_index_path, bm25_index_path, docs, prepared,
+        (rerank_depth if rerank_depth is not None else 3 * k)
+        if rerank else k,
         query_id_col=query_id_col, **hybrid_kwargs,
+    )
+    if not rerank:
+        return fused
+    from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
+
+    id_col = hybrid_kwargs.get("id_col", "doc_id")
+    text_col = hybrid_kwargs.get("text_col", "text")
+    cand = (
+        fused.select(query_id_col, id_col)
+        .join(docs.select(id_col, text_col), id_col)
+        .join(queries.select(query_id_col, query_text_col), query_id_col)
+    )
+    return cross_encoder_rerank(
+        cand, None, k, model=rerank_model, id_col=id_col,
+        text_col=text_col, query_id_col=query_id_col,
+        query_text_col=query_text_col, **(rerank_config or {}),
     )

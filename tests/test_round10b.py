@@ -251,6 +251,35 @@ class TestHybridRerankFacade:
             float(r.score) for r in plain
         )
 
+    def test_batch_rerank_equals_single(self, spark, hybrid_paths):
+        """The batch face's rerank stage must match the single call's
+        per query — embed + fuse + cross-score + per-query cut."""
+        from astro_vectordb_spark.search import (
+            hybrid_search_text,
+            hybrid_search_text_batch,
+        )
+
+        vec_path, bm25_path, docs = hybrid_paths
+        texts = ["merge hash", "join scan row", "sort spark"]
+        qdf = spark.createDataFrame(
+            list(enumerate(texts)), "query_id long, query_text string"
+        )
+        got = {
+            (int(r.query_id), int(r.doc_id), round(float(r.score), 6))
+            for r in hybrid_search_text_batch(
+                spark, vec_path, bm25_path, docs, qdf,
+                k=4, fetch_k=20, rerank=True, rerank_depth=12,
+            ).collect()
+        }
+        want = set()
+        for qid, t in enumerate(texts):
+            for r in hybrid_search_text(
+                spark, vec_path, bm25_path, docs, t,
+                k=4, fetch_k=20, rerank=True, rerank_depth=12,
+            ).collect():
+                want.add((qid, int(r.doc_id), round(float(r.score), 6)))
+        assert got == want
+
     def test_rerank_with_snippets_schema(self, spark, hybrid_paths):
         from astro_vectordb_spark.search import hybrid_search_text
 

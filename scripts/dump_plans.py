@@ -43,6 +43,12 @@ SHOW = [
     # codegen higher-order aggregate (no (doc, term) explode/shuffle),
     # prereduce before the per-query rank exchange
     "bm25_batch",
+    # round 10: the salted cogroup must show BOTH cogroup legs keyed
+    # (cell_id, _salt) with the salt table as a BroadcastHashJoin on
+    # each, and the rerank facade must keep the cross-encoder's
+    # ArrowEvalPython on the bounded candidate set only
+    "ann_ivfpq_salted_exact",
+    "facade_hybrid_rerank_gate",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

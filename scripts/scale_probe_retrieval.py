@@ -263,11 +263,18 @@ def main() -> None:
     from astro_vectordb_spark.sources.vault import save_bm25_index
 
     rng_q = __import__("numpy").random.RandomState(7)
-    bm25_paths = {}
+    bm25_paths, fvec_paths = {}, {}
     for n in SIZES:
         bp = f"/tmp/scale_ret/bm25idx{n}"
         save_bm25_index(stats[n][0], stats[n][1], bp)
         bm25_paths[n] = bp
+        # facade-shaped vector table (vec_id column = the exact-kind
+        # contract), materialized outside the timed region
+        fp = f"/tmp/scale_ret/fvecs{n}"
+        doc_vecs[n].select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).write.mode("overwrite").parquet(fp)
+        fvec_paths[n] = fp
 
     def _hyb_qset(nq):
         return spark.createDataFrame(
@@ -287,7 +294,7 @@ def main() -> None:
     def _run_hybrid_batch(n, qs, nq):
         got_h = (
             hybrid_search_batch(
-                spark, f"/tmp/scale_ret/vecs{n}", bm25_paths[n],
+                spark, fvec_paths[n], bm25_paths[n],
                 corpora[n], qs, k=10, fetch_k=20,
             )
             .groupBy()
@@ -318,7 +325,7 @@ def main() -> None:
     ) and all(hyb_seen[(n, 32)] == 32 for n in SIZES)
     fused_plan = executed_plan(
         hybrid_search_batch(
-            spark, f"/tmp/scale_ret/vecs{SIZES[0]}", bm25_paths[SIZES[0]],
+            spark, fvec_paths[SIZES[0]], bm25_paths[SIZES[0]],
             corpora[SIZES[0]], hqs32, k=10, fetch_k=20,
         )
     )
@@ -356,7 +363,7 @@ def main() -> None:
         def f(nq=nq):
             got_t = (
                 hybrid_search_text_batch(
-                    spark, f"/tmp/scale_ret/vecs{SIZES[0]}",
+                    spark, fvec_paths[SIZES[0]],
                     bm25_paths[SIZES[0]], corpora[SIZES[0]], tqs[nq],
                     k=10, fetch_k=20, dim=DIM,
                 )

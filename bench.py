@@ -179,10 +179,11 @@ def main() -> None:
             )
         if len(line) > tail_budget:
             # final notch (pathological all-single-digit-seconds mix):
-            # whole seconds for everything >= 2 s
+            # whole seconds for everything >= 1 s — guaranteed to fit
+            # at the current name lengths (static test pins it)
             line = _packed_line(
                 lambda v: str(_lean1(v)).removeprefix("0")
-                if 0 < v < 1 else (round(v) if v >= 2 else _lean1(v))
+                if 0 < v < 1 else max(1, round(v))
             )
     print(line)
     spark.stop()

@@ -1798,6 +1798,61 @@ def _q_ann_ivfpq_salted_exact(spark, sf_dir):
     )
 
 
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def minhash_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted MinHash-LSH near-dup index
+    over the HISTORICAL corpus slice (doc_id % 5 != 4), built THROUGH
+    the incremental lifecycle — save on 90%, APPEND the held-out 10%
+    (exercising the replay log and the sigs->bands self-healing sync)
+    — so the gate's green hash certifies the append path every
+    round."""
+    if sf_dir in _MINHASH_INDEX_CACHE:
+        return _MINHASH_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.vault import (
+        minhash_append_to_index,
+        save_minhash_index,
+    )
+
+    hist = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 5 != 4
+    )
+    path = tempfile.mkdtemp(prefix="astro_mh_idx_")
+    save_minhash_index(hist.filter(F.col("doc_id") % 10 != 7), path)
+    minhash_append_to_index(
+        spark, path, hist.filter(F.col("doc_id") % 10 == 7), batch_id=0
+    )
+    _MINHASH_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_minhash_index_incremental(spark, sf_dir):
+    # round 10: INCREMENTAL near-dup — a new batch matched against the
+    # persisted fingerprint index (signatures + LSH band buckets; the
+    # historical text is never re-read) as ONE driver hash.  The new
+    # batch = the held-out corpus slice PLUS planted copies of 16
+    # historical docs (ids shifted +100000), which must surface at
+    # est_jaccard exactly 1.0; verification is signature agreement
+    # k/32, exact rationals end to end.  The index is built through
+    # save -> APPEND churn, so a drift in the stored hash family, the
+    # band fold, the append's bands-sync, or the estimate arithmetic
+    # shifts the (new_id, hist_id, est_jaccard) hash.
+    from astro_vectordb_spark.sources.vault import minhash_match_index
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 4).unionAll(
+        docs.filter(
+            (F.col("doc_id") < 20) & (F.col("doc_id") % 5 != 4)
+        ).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return minhash_match_index(
+        spark, minhash_index_path(spark, sf_dir), new, threshold=0.5
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -2053,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieve -> fuse -> rerank -> highlight loop
         "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
         "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
+        "minhash_index_incremental": _q_minhash_index_incremental,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -2218,10 +2274,10 @@ emb AS (
 )"""
 
 
-def _shingle_cte() -> str:
+def _shingle_cte(table: str = "documents") -> str:
     """Distinct word-3-gram shingles per doc, matching word_shingles()."""
     return f"""
-toks AS (SELECT doc_id, {_LTOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, {_LTOKS} AS tk FROM {table}),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(tk) >= 3
@@ -4181,5 +4237,60 @@ SELECT doc_id, round(s, 6) AS score,
        CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
             ELSE '' END AS snippet
 FROM pick
+""",
+        # incremental near-dup vs the PERSISTED fingerprint index:
+        # signatures/bands recomputed from text for BOTH sides (the
+        # index stores exactly the text-derived SQL-safe family, so a
+        # storage/append drift breaks equality), candidates = band
+        # bucket join new-side x hist-side, verification = signature
+        # agreement k/32 (exact rationals)
+        "minhash_index_incremental": f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+newd AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id < 20 AND doc_id % 5 <> 4
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+),
+alln AS (SELECT * FROM hist UNION ALL SELECT * FROM newd),
+{_shingle_cte(table="alln")},
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s ->
+      list_reduce(
+        list_transform(generate_series(1, len(s)), i -> ord(s[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 31), i ->
+      list_min(list_transform(h, x -> ((2*i+1) * x + 7919*i) % 2147483647))) AS s
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+    list_reduce(
+      list_prepend(0::BIGINT, s[b.b*4+1 : b.b*4+4]),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, h2.doc_id AS hist_id
+  FROM bands a JOIN bands h2
+    ON a.band_idx = h2.band_idx AND a.band_sig = h2.band_sig
+  WHERE a.doc_id IN (SELECT doc_id FROM newd)
+    AND h2.doc_id IN (SELECT doc_id FROM hist)
+),
+est AS (
+  SELECT c.new_id, c.hist_id,
+    round(len(list_filter(generate_series(1, 32),
+                          i -> sn.s[i] = sh2.s[i]))::DOUBLE / 32, 6)
+      AS est_jaccard
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.new_id
+  JOIN sig sh2 ON sh2.doc_id = c.hist_id
+)
+SELECT new_id, hist_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """,
     }

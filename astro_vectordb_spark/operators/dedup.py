@@ -414,6 +414,71 @@ def minhash_signature(
     )
 
 
+def minhash_signatures_sql_safe(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, sig array<long>)`` under the SQL-expressible hash
+    family of :func:`minhash_lsh_pairs_sql_safe` (hash_i(s) = ((2i+1)
+    * polyhash(s) + 7919 i) mod (2^31-1)) — the signature form the
+    PERSISTED near-dup index stores, so index matching is replayable
+    by the DuckDB oracle bit-for-bit.  Same one-explode / partial-MIN
+    plan shape as :func:`minhash_signature`.  Docs with fewer than
+    ``n`` tokens have no shingles and are dropped (they cannot
+    near-dup under this family)."""
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    ex = base.select(
+        F.col(id_col), F.explode("_sh").alias("_s")
+    ).withColumn("_h", _char_poly_hash(F.col("_s")))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i))
+                % F.lit(POLY_MOD)
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_band_table(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """``(id_col, band_idx, band_sig)`` from array-form signatures:
+    band_sig = left fold of the band's r = num_hashes/bands member
+    minhashes base ``BAND_BASE`` mod ``POLY_MOD`` — identical
+    arithmetic to :func:`minhash_lsh_pairs_sql_safe`'s inline band
+    exprs and the oracle's list_reduce, so bands computed from STORED
+    signatures equal bands computed from text."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    band_exprs = [
+        F.aggregate(
+            F.slice(F.col(sig_col), b * r + 1, r),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(BAND_BASE) + x) % F.lit(POLY_MOD),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,

@@ -1634,3 +1634,200 @@ def _bm25_apply_batch(
         for t in mats:
             t.unpersist()
     return {count_key: n_docs}
+
+
+# --------------------------------------------------------------------------
+# persisted near-dup fingerprint index (MinHash-LSH vault face)
+#
+# The batch dedup operators (operators/dedup.py) re-shingle the WHOLE
+# corpus per run — fine for a one-shot sweep, wrong for the steady
+# state of a 100 TB training-data pipeline where each day's batch must
+# be deduped against everything already ingested.  This face persists
+# the corpus's minhash SIGNATURES (num_hashes longs per doc) and its
+# LSH band-bucket table, so matching a new batch costs: shingle the
+# BATCH + one keyed join against the compact bands table + signature
+# verification on the candidates — the historical TEXT is never read
+# again.  The SQL-safe hash family (minhash_lsh_pairs_sql_safe) makes
+# the whole incremental path DuckDB-replayable, i.e. driver-hashable.
+
+
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build + persist the near-dup fingerprint index: ``sigs/``
+    (id, sig array<long>), ``bands/`` (id, band_idx, band_sig;
+    partitioned by band_idx), one-row ``_meta`` carrying the hash
+    family parameters and the exact indexed-doc count.  The band
+    table is derived from the WRITTEN signature files (one
+    computation of the expensive shingle/min pass; bands are a cheap
+    fold over stored arrays)."""
+    from astro_vectordb_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_sql_safe,
+    )
+
+    spark = docs.sparkSession
+    sigs = minhash_signatures_sql_safe(
+        docs, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+    )
+    sp = os.path.join(path, "sigs")
+    sigs.write.mode("overwrite").parquet(sp)
+    stored = spark.read.parquet(sp)
+    minhash_band_table(
+        stored, num_hashes=num_hashes, bands=bands, id_col=id_col
+    ).write.partitionBy("band_idx").mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+    n_rows = stored.select(id_col).distinct().count()
+    spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(n), str(id_col), int(n_rows))],
+        "num_hashes int, bands int, n int, id_col string, n_rows long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def load_minhash_index(spark: SparkSession, path: str):
+    """-> (sigs df, bands df, meta dict)."""
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    return sigs, bands, meta
+
+
+def minhash_match_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Match a NEW batch against the persisted index without touching
+    the historical text: shingle/sign the batch under the index's
+    stored hash family, bucket-join its bands against the persisted
+    band table (keyed join on (band_idx, band_sig) — the only
+    corpus-sized input is the compact bands table), and verify every
+    candidate by SIGNATURE AGREEMENT: est_jaccard = |{i : sig_new[i]
+    == sig_hist[i]}| / num_hashes, the standard unbiased minhash
+    estimate (E[est] = true Jaccard).  Exact-set verification is
+    impossible by design — the index deliberately does not store
+    shingle sets (that would be the corpus text again).
+
+    Returns ``(new_id, hist_id, est_jaccard)``, est rounded to 6 and
+    filtered at ``threshold``.  Deterministic end to end (integer
+    hashes; est is the exact rational k/num_hashes), so the whole
+    incremental path is oracle-hashable."""
+    from astro_vectordb_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_sql_safe,
+    )
+
+    sigs, bands, meta = load_minhash_index(spark, path)
+    id_col = meta["id_col"]
+    nh = int(meta["num_hashes"])
+    nsigs = minhash_signatures_sql_safe(
+        new_docs, num_hashes=nh, n=int(meta["n"]),
+        text_col=text_col, id_col=id_col,
+    ).localCheckpoint(eager=False)
+    nbands = minhash_band_table(
+        nsigs, num_hashes=nh, bands=int(meta["bands"]), id_col=id_col
+    )
+    cands = (
+        nbands.select(
+            F.col(id_col).alias("new_id"), "band_idx", "band_sig"
+        )
+        .join(
+            bands.select(
+                F.col(id_col).alias("hist_id"), "band_idx", "band_sig"
+            ),
+            ["band_idx", "band_sig"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig_n", "_sig_h", lambda a, b: a == b),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(nh))
+    )
+    return (
+        cands.join(
+            nsigs.select(
+                F.col(id_col).alias("new_id"), F.col("sig").alias("_sig_n")
+            ),
+            "new_id",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("hist_id"), F.col("sig").alias("_sig_h")
+            ),
+            "hist_id",
+        )
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("new_id", "hist_id", "est_jaccard")
+    )
+
+
+def minhash_append_to_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+    dedup_ids: bool = True,
+    text_col: str = "text",
+) -> dict:
+    """Incremental insert: sign the new docs under the stored hash
+    family and append their signature + band files — touched-files-
+    only, (op, batch_id)-namespaced replay log, ``n_rows`` delta.
+
+    Crash consistency: signatures append BEFORE bands, and the band
+    append is derived from the SIGS-vs-BANDS id diff rather than the
+    batch — so a crash between the two appends (sigs present, bands
+    missing: those docs would silently never match) is REPAIRED by
+    the next append, and a replayed batch whose sigs already landed
+    still completes its missing bands."""
+    from astro_vectordb_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_sql_safe,
+    )
+
+    if _batch_already_committed(spark, path, batch_id, op="minhash_append"):
+        return {"appended_rows": 0, "skipped_replay": True}
+    sigs, bands, meta = load_minhash_index(spark, path)
+    id_col = meta["id_col"]
+    nh = int(meta["num_hashes"])
+    fresh = minhash_signatures_sql_safe(
+        new_docs, num_hashes=nh, n=int(meta["n"]),
+        text_col=text_col, id_col=id_col,
+    )
+    if dedup_ids:
+        fresh = fresh.join(sigs.select(id_col), id_col, "left_anti")
+    fresh.write.mode("append").parquet(os.path.join(path, "sigs"))
+    # bands sync from the stored diff (self-healing, see docstring)
+    all_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    missing = all_sigs.join(
+        bands.select(id_col).distinct(), id_col, "left_anti"
+    )
+    minhash_band_table(
+        missing, num_hashes=nh, bands=int(meta["bands"]), id_col=id_col
+    ).write.partitionBy("band_idx").mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+    appended = missing.select(id_col).distinct().count()
+    # absolute recount over the compact sigs table (not the corpus):
+    # exact even when this append also repaired a crashed predecessor
+    _update_meta_n_rows(
+        spark, path,
+        absolute=all_sigs.select(id_col).distinct().count(),
+    )
+    _record_batch(spark, path, batch_id, op="minhash_append")
+    return {"appended_rows": int(appended), "skipped_replay": False}

@@ -5,6 +5,7 @@ from astro_vectordb_spark.streaming.dedup import (
 from astro_vectordb_spark.streaming.upsert import (
     foreach_batch_upsert,
     stream_bm25_ingest,
+    stream_minhash_ingest,
     stream_bm25_remove,
     stream_hnsw_remove,
     stream_ivf_remove,
@@ -17,6 +18,7 @@ __all__ = [
     "first_seen_filter",
     "foreach_batch_upsert",
     "stream_bm25_ingest",
+    "stream_minhash_ingest",
     "stream_bm25_remove",
     "stream_dedup_exact",
     "stream_hnsw_remove",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from astro_vectordb_spark.operators.crud import sync_merge, upsert_latest
 from astro_vectordb_spark.sources.versioned import commit_version, read_current
@@ -455,6 +456,92 @@ def stream_bm25_remove(
             spark, index_path, batch_df, batch_id=int(batch_id)
         )
         print(f"{query_name} batch {batch_id}: -{rep['removed_docs']} docs")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def _minhash_ingest_batch(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    drop_dups: bool,
+    threshold: float,
+    query_name: str,
+) -> dict:
+    """One micro-batch of the streaming near-dup-index ingest
+    (module-level so the per-batch semantics are directly
+    unit-testable): optionally MATCH the batch against the persisted
+    fingerprint index first and append only the novel docs — the
+    steady-state dedup-at-ingest shape (new data dedups against
+    everything ever ingested without re-reading any of it) — then
+    append through the replayable ``minhash_append_to_index``."""
+    from astro_vectordb_spark.sources.vault import (
+        load_minhash_index,
+        minhash_append_to_index,
+        minhash_match_index,
+    )
+
+    n_dups = 0
+    keep = batch_df
+    if drop_dups:
+        _, _, meta = load_minhash_index(spark, index_path)
+        id_col = meta["id_col"]
+        dup_ids = (
+            minhash_match_index(
+                spark, index_path, batch_df, threshold=threshold
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        n_dups = dup_ids.count()
+        if n_dups:
+            keep = batch_df.join(dup_ids, id_col, "left_anti")
+    rep = minhash_append_to_index(
+        spark, index_path, keep, batch_id=int(batch_id)
+    )
+    rep["dropped_dups"] = int(n_dups)
+    print(
+        f"{query_name} batch {batch_id}: +{rep['appended_rows']} docs, "
+        f"{n_dups} dups dropped"
+    )
+    return rep
+
+
+def stream_minhash_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_minhash_ingest",
+    drop_dups: bool = True,
+    threshold: float = 0.8,
+):
+    """Streaming ingest into the persisted near-dup fingerprint index:
+    each micro-batch of (doc_id, text) rows is matched against
+    EVERYTHING already ingested (compact sigs/bands tables — the
+    historical text is never read) and, with ``drop_dups``, only the
+    novel docs are appended; redelivered batches are no-ops via the
+    (op, batch_id) replay log.  This is continuous corpus dedup as an
+    index maintenance loop — the shape a 100 TB ingest pipeline runs
+    daily — in the same foreachBatch one-batch-at-a-time form as the
+    other index ingests."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _minhash_ingest_batch(
+            spark, index_path, batch_df, batch_id,
+            drop_dups=drop_dups, threshold=threshold,
+            query_name=query_name,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -202,3 +202,76 @@ class TestParityWithBatchOperator:
             ).collect()
         }
         assert batch <= idx  # exact-Jaccard-1.0 pairs all surface at est 1.0
+
+
+class TestStreamingIngest:
+    def test_batch_kernel_drops_dups_and_appends_novel(
+        self, spark, corpus_rows, tmp_path
+    ):
+        """The per-batch kernel (what foreachBatch runs): duplicates of
+        indexed docs are dropped, novel docs append and become
+        matchable; a replayed batch is a no-op."""
+        from astro_vectordb_spark.streaming.upsert import (
+            _minhash_ingest_batch,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        batch = _mkdocs(
+            spark,
+            [(100000, corpus_rows[3][1])]  # exact dup of indexed doc 3
+            + [(100001, "novel one two three four five six seven")],
+        )
+        rep = _minhash_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.9,
+            query_name="t",
+        )
+        assert rep["dropped_dups"] == 1 and rep["appended_rows"] == 1
+        probe = _mkdocs(
+            spark, [(200000, "novel one two three four five six seven")]
+        )
+        got = minhash_match_index(spark, path, probe, threshold=0.9)
+        assert any(int(r.hist_id) == 100001 for r in got.collect())
+        rep2 = _minhash_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.9,
+            query_name="t",
+        )
+        assert rep2["skipped_replay"]
+
+    def test_stream_ingest_end_to_end(self, spark, corpus_rows, tmp_path):
+        """Rate-stream integration: streamed docs become matchable in
+        the persisted index while the query runs."""
+        import time
+
+        from astro_vectordb_spark.streaming.upsert import (
+            stream_minhash_ingest,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .select(
+                (F.col("value") + 500_000).alias("doc_id"),
+                F.lit("streamed body of fresh unseen words").alias("text"),
+            )
+        )
+        q = stream_minhash_ingest(stream, path, drop_dups=True)
+        probe = _mkdocs(
+            spark, [(900000, "streamed body of fresh unseen words")]
+        )
+        try:
+            deadline = time.time() + 40
+            seen = False
+            while time.time() < deadline:
+                time.sleep(3)
+                if minhash_match_index(
+                    spark, path, probe, threshold=0.9
+                ).limit(1).count():
+                    seen = True
+                    break
+        finally:
+            q.stop()
+        assert seen, "streamed docs never became matchable"

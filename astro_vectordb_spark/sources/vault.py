@@ -1831,3 +1831,59 @@ def minhash_append_to_index(
     )
     _record_batch(spark, path, batch_id, op="minhash_append")
     return {"appended_rows": int(appended), "skipped_replay": False}
+
+
+def minhash_compact_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    min_file_ratio: float = 2.0,
+) -> dict:
+    """Churn-aware compaction for the near-dup fingerprint index —
+    the maintenance op completing its lifecycle (save -> match ->
+    append/stream -> COMPACT): every streamed micro-batch appends at
+    least one sig file and one band file per touched band partition,
+    and file-count growth degrades the match join's scan granularity.
+
+    Same contract as ``pq_compact_index``: a no-op below
+    ``min_file_ratio`` x the ideal file count; otherwise both tables
+    rewrite through the crash-safe staged swap (``_replace_dir`` —
+    an interrupted prior swap is repaired first), dropping duplicate
+    ids (crashed-append leftovers).  Sigs are num_hashes longs and
+    bands three longs per row — compaction never touches text."""
+    sp, bp = os.path.join(path, "sigs"), os.path.join(path, "bands")
+    _recover_swap(spark, sp)
+    _recover_swap(spark, bp)
+    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    id_col = meta["id_col"]
+    sigs = spark.read.parquet(sp)
+    n_files = sigs.select(F.col("_metadata.file_path")).distinct().count()
+    n_rows = sigs.count()
+    ideal = max(1, -(-n_rows // target_rows_per_file))
+    if n_files <= min_file_ratio * ideal:
+        return {"compacted": False, "files": n_files, "rows": n_rows}
+    sig_rows = sigs.dropDuplicates([id_col])
+
+    def _write_sigs(staging: str) -> None:
+        sig_rows.repartition(ideal).write.mode("overwrite").parquet(staging)
+
+    _replace_dir(spark, _write_sigs, sp)
+    # bands rebuild FROM the compacted sigs (never from the old band
+    # files): dedups band rows and re-syncs any sig/band drift in one
+    # pass, preserving the partitioned layout
+    from astro_vectordb_spark.operators.dedup import minhash_band_table
+
+    compacted = spark.read.parquet(sp)
+    bands = minhash_band_table(
+        compacted, num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]), id_col=id_col,
+    )
+
+    def _write_bands(staging: str) -> None:
+        bands.repartition(ideal, "band_idx").write.mode(
+            "overwrite"
+        ).partitionBy("band_idx").parquet(staging)
+
+    _replace_dir(spark, _write_bands, bp)
+    return {"compacted": True, "files_before": n_files, "rows": n_rows,
+            "target_files": ideal}

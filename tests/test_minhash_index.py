@@ -275,3 +275,55 @@ class TestStreamingIngest:
         finally:
             q.stop()
         assert seen, "streamed docs never became matchable"
+
+
+class TestCompact:
+    def test_compact_after_churn(self, spark, corpus_rows, tmp_path):
+        """Many single-doc appends -> many small files; compaction
+        coalesces both tables, drops duplicate ids, and matching is
+        unchanged."""
+        import os
+
+        from astro_vectordb_spark.operators.dedup import (
+            minhash_signatures_sql_safe,
+        )
+        from astro_vectordb_spark.sources.vault import minhash_compact_index
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:30]), path)
+        for b, i in enumerate(range(30, 40)):
+            minhash_append_to_index(
+                spark, path, _mkdocs(spark, [corpus_rows[i]]), batch_id=b + 1
+            )
+        # plant a duplicate-id sig row (crashed-append leftover shape)
+        minhash_signatures_sql_safe(
+            _mkdocs(spark, [corpus_rows[5]])
+        ).write.mode("append").parquet(os.path.join(path, "sigs"))
+        before = {
+            (int(r.new_id), int(r.hist_id))
+            for r in minhash_match_index(
+                spark, path,
+                _mkdocs(spark, [(100000, corpus_rows[35][1])]),
+                threshold=0.9,
+            ).collect()
+        }
+        rep = minhash_compact_index(
+            spark, path, target_rows_per_file=1_000_000, min_file_ratio=1.0
+        )
+        assert rep["compacted"] and rep["target_files"] == 1
+        sigs, _, _ = load_minhash_index(spark, path)
+        assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
+        after = {
+            (int(r.new_id), int(r.hist_id))
+            for r in minhash_match_index(
+                spark, path,
+                _mkdocs(spark, [(100000, corpus_rows[35][1])]),
+                threshold=0.9,
+            ).collect()
+        }
+        assert after == before
+        # well-sized table -> no-op
+        rep2 = minhash_compact_index(
+            spark, path, target_rows_per_file=1_000_000, min_file_ratio=2.0
+        )
+        assert not rep2["compacted"]

@@ -1853,6 +1853,22 @@ def _q_minhash_index_incremental(spark, sf_dir):
     )
 
 
+def _q_minhash_index_groups(spark, sf_dir):
+    # round 10: retroactive corpus-wide dedup FROM THE INDEX ALONE —
+    # band self-join candidates, signature-agreement verification at
+    # 0.8, connected components, min-id representative + singletons;
+    # no document text is read.  Served from the save -> APPEND
+    # churned index; the oracle recomputes signatures from text and
+    # closes the components with a recursive CTE, so index storage,
+    # the est arithmetic, and the label propagation all sit on one
+    # hash.
+    from astro_vectordb_spark.sources.vault import minhash_index_groups
+
+    return minhash_index_groups(
+        spark, minhash_index_path(spark, sf_dir), threshold=0.8
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -2109,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
         "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
         "minhash_index_incremental": _q_minhash_index_incremental,
+        "minhash_index_groups": _q_minhash_index_groups,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -4292,5 +4309,68 @@ est AS (
   JOIN sig sh2 ON sh2.doc_id = c.hist_id
 )
 SELECT new_id, hist_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+        # retroactive index-only dedup: same signature/band CTEs over
+        # the HISTORICAL slice, candidate pairs verified by signature
+        # agreement >= 0.8, transitive closure as a recursive CTE,
+        # min-id representative per component + singletons (docs with
+        # no shingles were never indexable and are out of scope on
+        # both sides)
+        "minhash_index_groups": f"""
+WITH RECURSIVE hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+),
+{_shingle_cte(table="hist").lstrip()},
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s ->
+      list_reduce(
+        list_transform(generate_series(1, len(s)), i -> ord(s[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 31), i ->
+      list_min(list_transform(h, x -> ((2*i+1) * x + 7919*i) % 2147483647))) AS s
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+    list_reduce(
+      list_prepend(0::BIGINT, s[b.b*4+1 : b.b*4+4]),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
+  FROM bands a JOIN bands bb
+    ON a.band_idx = bb.band_idx AND a.band_sig = bb.band_sig
+   AND a.doc_id < bb.doc_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  WHERE round(len(list_filter(generate_series(1, 32),
+                              i -> sa.s[i] = sb.s[i]))::DOUBLE / 32, 6)
+        >= 0.8
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS doc_id FROM comp WHERE id = component
+UNION ALL
+SELECT doc_id FROM sig
+WHERE doc_id NOT IN (SELECT id FROM comp)
 """,
     }

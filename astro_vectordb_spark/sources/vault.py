@@ -1887,3 +1887,70 @@ def minhash_compact_index(
     _replace_dir(spark, _write_bands, bp)
     return {"compacted": True, "files_before": n_files, "rows": n_rows,
             "target_files": ideal}
+
+
+def minhash_index_groups(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Corpus-wide dedup of the ALREADY-INGESTED corpus from its
+    fingerprint index alone — no text is read: LSH band self-join
+    (a_id < b_id) proposes candidates, signature agreement verifies
+    them at ``threshold``, connected components collapse transitive
+    groups, and one representative (min id) per component survives —
+    singletons keep themselves.  The retroactive sweep companion to
+    :func:`minhash_match_index`'s per-batch face (run it when the
+    threshold policy changes or after a backfill that skipped
+    at-ingest dedup).
+
+    Returns the KEEP set: one ``(id_col)`` row per surviving doc,
+    over the indexed ids (docs with fewer than n tokens were never
+    indexable and are not in scope)."""
+    from astro_vectordb_spark.operators.dedup import connected_components
+
+    sigs, bands, meta = load_minhash_index(spark, path)
+    id_col = meta["id_col"]
+    nh = int(meta["num_hashes"])
+    a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
+    b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig")
+    cands = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(nh))
+    )
+    pairs = (
+        cands.join(
+            sigs.select(
+                F.col(id_col).alias("a_id"), F.col("sig").alias("_sig_a")
+            ),
+            "a_id",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("b_id"), F.col("sig").alias("_sig_b")
+            ),
+            "b_id",
+        )
+        .withColumn("_est", F.round(est, 6))
+        .filter(F.col("_est") >= F.lit(float(threshold)))
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    keep = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    singletons = sigs.select(id_col).join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return keep.unionByName(singletons)

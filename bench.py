@@ -156,12 +156,12 @@ def main() -> None:
         # (they live on the full-fidelity first line and in the local
         # artifact); only metric/value/queries_packed survive, buying
         # ~22 chars — the margin the 98-query window needs
-        def _packed_line(fmt) -> str:
+        def _packed_line(fmt, key: str = "queries_packed") -> str:
             return json.dumps(
                 {
                     "metric": "total_query_wall_sec",
                     "value": round(total, 1),
-                    "queries_packed": " ".join(
+                    key: " ".join(
                         f"{k}:{fmt(v)}" for k, v in timings.items()
                     ),
                 },
@@ -178,12 +178,14 @@ def main() -> None:
                 if 0 < v < 1 else _lean1(v)
             )
         if len(line) > tail_budget:
-            # final notch (pathological all-single-digit-seconds mix):
-            # whole seconds for everything >= 1 s — guaranteed to fit
-            # at the current name lengths (static test pins it)
+            # final notch (pathological all-multi-second mix): whole
+            # seconds for everything >= 1 s and the short "qp" map key
+            # (bench_compare reads both) — guaranteed to fit at the
+            # current name lengths (static test pins it)
             line = _packed_line(
                 lambda v: str(_lean1(v)).removeprefix("0")
-                if 0 < v < 1 else max(1, round(v))
+                if 0 < v < 1 else max(1, round(v)),
+                key="qp",
             )
     print(line)
     spark.stop()

@@ -43,7 +43,7 @@ def _parse_bench_line(line: str) -> dict[str, float] | None:
         return None
     if isinstance(obj.get("queries"), dict):
         return {k: float(v) for k, v in obj["queries"].items()}
-    packed = obj.get("queries_packed")
+    packed = obj.get("queries_packed", obj.get("qp"))
     if isinstance(packed, str):
         out = {}
         for item in packed.split():

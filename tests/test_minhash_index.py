@@ -327,3 +327,25 @@ class TestCompact:
             spark, path, target_rows_per_file=1_000_000, min_file_ratio=2.0
         )
         assert not rep2["compacted"]
+
+
+class TestIndexGroups:
+    def test_groups_keep_min_id_and_singletons(self, spark, tmp_path):
+        from astro_vectordb_spark.sources.vault import minhash_index_groups
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+            (9, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+            (5, "one two three four five six seven"),
+            (6, "totally different body of words here now"),
+        ]
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, rows), path)
+        keep = sorted(
+            int(r.doc_id)
+            for r in minhash_index_groups(
+                spark, path, threshold=0.9
+            ).collect()
+        )
+        assert keep == [1, 5, 6]  # min id of {1,2,9} + the singletons

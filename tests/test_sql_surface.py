@@ -70,16 +70,16 @@ def test_bench_tail_line_fits_driver_capture():
     import __spark_entry__ as m
 
     names = list(m.queries())
-    # bench.py's last-resort packed stage: metric + value +
-    # queries_packed only (unit/sf live on the full-fidelity first
-    # line and in the local artifact), values at the FINAL compaction
-    # notch: leading zero stripped below 1 s (":.9", 2 chars), whole
-    # seconds for everything >= 1 s — worst remaining case is every
-    # query at two-digit whole seconds (":99")
+    # bench.py's last-resort packed stage: metric + value + the short
+    # "qp" map key (unit/sf live on the full-fidelity first line and
+    # in the local artifact), values at the FINAL compaction notch:
+    # leading zero stripped below 1 s (":.9", 2 chars), whole seconds
+    # for everything >= 1 s — worst remaining case is every query at
+    # two-digit whole seconds (":99")
     head = {
         "metric": "total_query_wall_sec",
         "value": 999.9,
-        "queries_packed": " ".join(f"{k}:99" for k in names),
+        "qp": " ".join(f"{k}:99" for k in names),
     }
     line = json.dumps(head, separators=(",", ":"))
     assert len(line) <= 1980, (

@@ -49,6 +49,10 @@ SHOW = [
     # ArrowEvalPython on the bounded candidate set only
     "ann_ivfpq_salted_exact",
     "facade_hybrid_rerank_gate",
+    # round 10 (cont.): incremental near-dup — the batch's shingle
+    # explode + keyed band join against the persisted compact tables;
+    # no scan of the historical documents table anywhere in the plan
+    "minhash_index_incremental",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -1706,6 +1706,44 @@ def _q_cross_rerank(spark, sf_dir):
     return cross_encoder_rerank(cand, qtext, k=10)
 
 
+def _q_cross_rerank_batch(spark, sf_dir):
+    # round 10: the BATCH face of retrieve-wide / rerank-narrow as one
+    # hash — batch BM25 candidates (ONE corpus scan prices all three
+    # queries), each query's candidate list joined to its doc text and
+    # its QUERY text (query ids are doc ids, so the oracle's md5 embed
+    # CTE covers both sides), then the batch pairwise kernel scores
+    # every (query, doc) pair in one Arrow plan with the per-query
+    # top-10 as a partitioned window.  Pins the query_text_col path of
+    # cross_encoder_rerank, which was pytest-only at driver level.
+    from astro_vectordb_spark.operators.keyword import (
+        bm25_batch_topk_indexed,
+        bm25_term_stats,
+    )
+    from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
+
+    docs = _docs(spark, sf_dir)
+    term_stats, corpus_stats = bm25_term_stats(docs)
+    qids = sorted(_HYB_BATCH_TERMS)
+    qs = spark.createDataFrame(
+        [(i, _HYB_BATCH_TERMS[i]) for i in qids],
+        "query_id long, terms array<string>",
+    )
+    cand = bm25_batch_topk_indexed(
+        docs, term_stats, corpus_stats, qs, k=_RRF_C
+    ).select("query_id", "doc_id")
+    qtext = docs.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    pairs = cand.join(docs.select("doc_id", "text"), "doc_id").join(
+        qtext, "query_id"
+    )
+    return cross_encoder_rerank(
+        pairs, None, k=10, query_id_col="query_id",
+        query_text_col="query_text",
+    )
+
+
 def _q_facade_hybrid_text_gate(spark, sf_dir):
     # the text-in front door as ONE hash: a raw query STRING (mixed
     # case, irregular whitespace) is normalized/tokenized driver-side,
@@ -2126,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
         "minhash_index_incremental": _q_minhash_index_incremental,
         "minhash_index_groups": _q_minhash_index_groups,
+        "cross_rerank_batch": _q_cross_rerank_batch,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -4372,5 +4411,26 @@ SELECT id AS doc_id FROM comp WHERE id = component
 UNION ALL
 SELECT doc_id FROM sig
 WHERE doc_id NOT IN (SELECT id FROM comp)
+""",
+        # batch cross-encoder rerank: batch BM25 candidate lists cut
+        # at the operator's internal rank (unrounded score, id-asc
+        # ties), pairwise stub scores = cosine of the md5-hash
+        # embeddings of (query doc's text, candidate doc's text),
+        # per-query top-10 on the unrounded cross score
+        "cross_rerank_batch": f"""
+WITH {_bm25_batch_cte(sorted(_HYB_BATCH_TERMS.items()))},
+cand AS (SELECT query_id, doc_id FROM branked WHERE rank <= {_RRF_C}),
+{_embed_cte()},
+qv AS (SELECT doc_id AS query_id, e AS qvec FROM emb
+       WHERE doc_id IN ({", ".join(str(i) for i in sorted(_HYB_BATCH_TERMS))})),
+scored AS (SELECT c.query_id, c.doc_id, {_cos("emb.e", "q.qvec")} AS s
+           FROM cand c
+           JOIN emb ON emb.doc_id = c.doc_id
+           JOIN qv q ON q.query_id = c.query_id),
+rr AS (SELECT query_id, doc_id, s,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id) AS rn
+       FROM scored)
+SELECT query_id, doc_id, round(s, 6) AS score FROM rr WHERE rn <= 10
 """,
     }

@@ -156,17 +156,15 @@ def main() -> None:
         # (they live on the full-fidelity first line and in the local
         # artifact); only metric/value/queries_packed survive, buying
         # ~22 chars — the margin the 98-query window needs
-        def _packed_line(fmt, key: str = "queries_packed") -> str:
-            return json.dumps(
-                {
-                    "metric": "total_query_wall_sec",
-                    "value": round(total, 1),
-                    key: " ".join(
-                        f"{k}:{fmt(v)}" for k, v in timings.items()
-                    ),
-                },
-                separators=(",", ":"),
+        def _packed_line(
+            fmt, key: str = "queries_packed", with_metric: bool = True
+        ) -> str:
+            head = {"metric": "total_query_wall_sec"} if with_metric else {}
+            head["value"] = round(total, 1)
+            head[key] = " ".join(
+                f"{k}:{fmt(v)}" for k, v in timings.items()
             )
+            return json.dumps(head, separators=(",", ":"))
 
         line = _packed_line(_lean1)
         if len(line) > tail_budget:
@@ -179,13 +177,14 @@ def main() -> None:
             )
         if len(line) > tail_budget:
             # final notch (pathological all-multi-second mix): whole
-            # seconds for everything >= 1 s and the short "qp" map key
-            # (bench_compare reads both) — guaranteed to fit at the
-            # current name lengths (static test pins it)
+            # seconds for everything >= 1 s, the short "qp" map key
+            # (bench_compare reads both), and no metric field (it
+            # lives on the full-fidelity first line) — guaranteed to
+            # fit at the current name lengths (static test pins it)
             line = _packed_line(
                 lambda v: str(_lean1(v)).removeprefix("0")
                 if 0 < v < 1 else max(1, round(v)),
-                key="qp",
+                key="qp", with_metric=False,
             )
     print(line)
     spark.stop()

@@ -77,7 +77,6 @@ def test_bench_tail_line_fits_driver_capture():
     # for everything >= 1 s — worst remaining case is every query at
     # two-digit whole seconds (":99")
     head = {
-        "metric": "total_query_wall_sec",
         "value": 999.9,
         "qp": " ".join(f"{k}:99" for k in names),
     }

@@ -316,6 +316,42 @@ def _char_poly_hash(s):
     )
 
 
+def _collapse_exact_texts(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Hot-bucket guard shared by the LSH pair operators: collapse
+    exact-text duplicates to a min-id representative BEFORE banding.
+
+    Identical text yields an identical shingle array, hence identical
+    minhash signature, identical band buckets, and identical Jaccard
+    against any third doc — so a cluster of d boilerplate copies puts
+    d rows into every one of its band buckets and the candidate
+    self-join emits O(d^2 x bands) rows through one hot key before
+    ``distinct()`` even runs.  Collapsing to one representative makes
+    that O(1) per bucket; the members re-attach as a linear STAR of
+    (rep, member) edges — O(d), jaccard exactly 1.0 — which preserves
+    connected-component connectivity for dedup grouping (same
+    contract as ``rp_block_pairs``'s over-cap chain).
+
+    Returns ``(rep_rows, star)``: the representative subset of ``df``
+    and the (a_id, b_id) star edges (a_id = rep < b_id = member,
+    restricted to shingleable docs — sub-n-token texts never pair in
+    the exact pipeline and must not pair here)."""
+    reps_ids = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    rep_rows = df.join(reps_ids, [text_col, id_col], "left_semi")
+    star = (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.size(word_shingles(F.col(text_col), n)) > 0)
+        .join(
+            reps_ids.withColumnRenamed(id_col, "_rep"), text_col
+        )
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+    return rep_rows, star
+
+
 def minhash_lsh_pairs_sql_safe(
     df: DataFrame,
     threshold: float = 0.8,
@@ -324,6 +360,7 @@ def minhash_lsh_pairs_sql_safe(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH with a fully SQL-expressible hash family —
     the ENTIRE approximate pipeline (signatures -> bands -> candidate
@@ -335,10 +372,21 @@ def minhash_lsh_pairs_sql_safe(
     signature = left fold of its r member minhashes base 1000003.
     Same plan shape as minhash_lsh_pairs (explode once, partial-MIN
     aggs, band-bucket join, candidate-only verification).
+
+    ``collapse_exact`` (opt-in, the boilerplate-cluster guard): exact
+    text duplicates are collapsed to a min-id representative before
+    banding and re-attached as (rep, member, 1.0) star edges — the
+    candidate stage drops from O(d^2) to O(d) for a d-copy cluster
+    while connected-component grouping sees the same components.  The
+    default (False) keeps the exact all-pairs contract the DuckDB
+    oracle replays (member-member edges included).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     t = float(threshold)
+    star = None
+    if collapse_exact:
+        df, star = _collapse_exact_texts(df, id_col, text_col, n)
     base = _scoped_cache(df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
     ))
@@ -374,7 +422,7 @@ def minhash_lsh_pairs_sql_safe(
     b_sets = base.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
-    return (
+    out = (
         cands.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .withColumn(
@@ -383,6 +431,13 @@ def minhash_lsh_pairs_sql_safe(
         .filter(F.col("jaccard") >= F.lit(t))
         .select("a_id", "b_id", "jaccard")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.withColumn("jaccard", F.lit(1.0)).filter(
+                F.lit(1.0) >= F.lit(t)
+            )
+        )
+    return out
 
 
 def minhash_signature(
@@ -488,6 +543,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH.
 
@@ -497,9 +553,18 @@ def minhash_lsh_pairs(
     with exact n-gram Jaccard, so output = exact pairs *restricted to
     LSH candidates*: same schema as ngram_jaccard_pairs, recall < 1 by
     design, cost ~linear.  Scale: band buckets are the join key —
-    O(docs x bands) rows shuffle, never O(n^2)."""
+    O(docs x bands) rows shuffle, never O(n^2).
+
+    ``collapse_exact`` (opt-in): collapse exact-text duplicates to a
+    min-id representative before banding and re-attach them as
+    (rep, member) star edges — O(d) instead of O(d^2) candidates for
+    a d-copy boilerplate cluster, connectivity-equivalent for dedup
+    grouping (see :func:`_collapse_exact_texts`)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
+    star = None
+    if collapse_exact:
+        df, star = _collapse_exact_texts(df, id_col, text_col, n)
     sigs = minhash_signature(df, num_hashes, n, text_col, id_col)
     banded = sigs.select(
         id_col,
@@ -519,7 +584,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        return cands
+        return cands if star is None else cands.unionByName(star).distinct()
     # Verify ONLY the candidates: join each side's shingle set in and
     # compute exact Jaccard per pair with array intersection — work is
     # O(candidates), not O(co-shingled pairs).  Cached (generation-
@@ -531,7 +596,7 @@ def minhash_lsh_pairs(
     b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
-    return (
+    out = (
         cands.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .withColumn(
@@ -541,6 +606,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("a_id", "b_id", "jaccard")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.withColumn("jaccard", F.lit(1.0)).filter(
+                F.lit(1.0) >= F.lit(float(threshold))
+            )
+        )
+    return out
 
 
 def _mask(j: int) -> int:

@@ -143,8 +143,7 @@ def load_ivf_index(
     cell_stats = (
         spark.read.parquet(stats_path) if _fs_exists(spark, stats_path) else None
     )
-    meta_row = spark.read.parquet(os.path.join(path, "_meta")).first()
-    return assigned, centroids, cell_stats, meta_row.asDict()
+    return assigned, centroids, cell_stats, _read_meta(spark, path)
 
 
 def ivf_append_to_index(
@@ -166,7 +165,7 @@ def ivf_append_to_index(
 
     assigned_path = os.path.join(path, "vectors")
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     metric = meta["metric"]
 
     cents = centroids.orderBy("cell_id").collect()
@@ -410,7 +409,7 @@ def load_hnsw_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     indexes never serve stale graphs."""
     graph_path = os.path.join(path, "graph")
     graph = spark.read.parquet(graph_path)
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     shard_ids, max_bytes, n_files, max_mtime_ms, total_bytes = _scan_graph_files(
         spark, graph_path
     )
@@ -718,6 +717,15 @@ def _read_maybe_swapped(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path)
 
 
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    """Read an index's one-row ``_meta`` table, tolerating a crashed
+    :func:`_update_meta_n_rows` swap: if the live dir is missing, the
+    retired sibling (intact pre-update copy) is read instead, so the
+    index never becomes unloadable; the next meta update's
+    ``_recover_swap`` restores the live path."""
+    return _read_maybe_swapped(spark, os.path.join(path, "_meta")).first().asDict()
+
+
 def load_pq_index(spark: SparkSession, path: str):
     """Load (encoded, model, meta) — the codebooks collect to the
     driver (bounded: m*ks rows) and rebuild the PQModel; the code table
@@ -729,7 +737,7 @@ def load_pq_index(spark: SparkSession, path: str):
         (r["subspace"], r["code"], r["centroid"])
         for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
     ]
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
     return encoded, model, meta
 
@@ -767,7 +775,7 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
         (r["subspace"], r["code"], r["centroid"])
         for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
     ]
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
     return encoded, centroids, model, meta
 
@@ -791,9 +799,14 @@ def _update_meta_n_rows(
     them is a no-op (loaders fall back to counting once — the legacy
     path), and the next full ``save_*_index`` upgrades them.
 
-    The one-row _meta is collected BEFORE the overwrite, so the write
-    never reads the directory it replaces.  The counter is exact under
-    the index family's insert-new-only append contract
+    The rewrite is a crash-safe staged swap (:func:`_replace_dir`):
+    the one-row replacement materializes into a staging sibling and two
+    renames promote it, so a crash mid-update can never leave ``_meta``
+    missing or partial (a plain ``mode('overwrite')`` clears the live
+    files before the new commit — one crash there and every subsequent
+    ``load_*_index`` fails).  Readers go through :func:`_read_meta`,
+    which repairs/falls back on an interrupted swap.  The counter is
+    exact under the index family's insert-new-only append contract
     (``dedup_ids=True`` anti-joins appends; removes count distinct
     matched ids); appending an id that already exists outside that
     contract drifts the counter conservatively (widening then
@@ -802,7 +815,7 @@ def _update_meta_n_rows(
     from pyspark.sql.types import LongType
 
     mp = os.path.join(path, "_meta")
-    df = spark.read.parquet(mp)
+    df = _read_maybe_swapped(spark, mp)
     row = df.first()
     d = row.asDict()
     if absolute is None:
@@ -813,9 +826,13 @@ def _update_meta_n_rows(
     schema = df.schema
     if "n_rows" not in df.columns:
         schema = schema.add("n_rows", LongType())
-    spark.createDataFrame(
-        [tuple(d[f.name] for f in schema.fields)], schema
-    ).write.mode("overwrite").parquet(mp)
+    _replace_dir(
+        spark,
+        lambda staging: spark.createDataFrame(
+            [tuple(d[f.name] for f in schema.fields)], schema
+        ).write.mode("overwrite").parquet(staging),
+        mp,
+    )
 
 
 def _batch_already_committed(
@@ -900,11 +917,21 @@ def pq_append_to_index(
     if dedup_ids:
         # insert-new-only contract: an id already in the codes table
         # is skipped (updates go through rebuild), so an at-least-once
-        # redelivery without a batch_id is still idempotent
-        new_rows = new_rows.join(
+        # redelivery without a batch_id is still idempotent; intra-batch
+        # duplicate ids collapse too — otherwise the duplicate code rows
+        # land in the table and the physical count inflates the _meta
+        # n_rows counter (defined as DISTINCT vec_ids) with no
+        # reconciliation path
+        new_rows = new_rows.dropDuplicates(["vec_id"]).join(
             existing.select("vec_id"), on="vec_id", how="left_anti"
         )
-    n_appended = new_rows.count()
+    # meta delta is DISTINCT ids; with dedup_ids the physical count IS
+    # distinct (one job), without it the distinct is computed explicitly
+    n_appended = (
+        new_rows.count()
+        if dedup_ids
+        else new_rows.select("vec_id").distinct().count()
+    )
     batch_mse = (
         pq_reconstruction_mse(new_rows, model) if n_appended else None
     )
@@ -946,7 +973,10 @@ def ivf_pq_append_to_index(
         return {"appended_rows": 0, "touched_cells": [], "skipped_replay": True}
     existing, centroids, model, meta = load_ivf_pq_index(spark, path)
     if dedup_ids:
-        new_rows = new_rows.join(
+        # anti-join vs the table AND intra-batch id collapse — keeps the
+        # codes table duplicate-free and the _meta distinct-id counter
+        # exact (see pq_append_to_index)
+        new_rows = new_rows.dropDuplicates(["vec_id"]).join(
             existing.select("vec_id"), on="vec_id", how="left_anti"
         )
     cents = centroids.orderBy("cell_id").collect()
@@ -958,7 +988,11 @@ def ivf_pq_append_to_index(
     assigned = new_rows.withColumn(
         "cell_id", F.explode(assign(F.col("embedding")))
     )
-    n_appended = new_rows.count()
+    n_appended = (
+        new_rows.count()
+        if dedup_ids
+        else new_rows.select("vec_id").distinct().count()
+    )
     batch_mse = (
         pq_reconstruction_mse(new_rows, model) if n_appended else None
     )
@@ -1096,7 +1130,7 @@ def ivf_remove_from_index(
     stats_path = os.path.join(path, "cell_stats")
     if touched_cells and _fs_exists(spark, stats_path):
         centroids = spark.read.parquet(os.path.join(path, "centroids"))
-        meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+        meta = _read_meta(spark, path)
         survivors = spark.read.parquet(vectors_path).filter(
             F.col("cell_id").isin(touched_cells)
         )
@@ -1693,7 +1727,7 @@ def save_minhash_index(
 
 def load_minhash_index(spark: SparkSession, path: str):
     """-> (sigs df, bands df, meta dict)."""
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     sigs = spark.read.parquet(os.path.join(path, "sigs"))
     bands = spark.read.parquet(os.path.join(path, "bands"))
     return sigs, bands, meta
@@ -1705,6 +1739,7 @@ def minhash_match_index(
     new_docs: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Match a NEW batch against the persisted index without touching
     the historical text: shingle/sign the batch under the index's
@@ -1720,7 +1755,22 @@ def minhash_match_index(
     Returns ``(new_id, hist_id, est_jaccard)``, est rounded to 6 and
     filtered at ``threshold``.  Deterministic end to end (integer
     hashes; est is the exact rational k/num_hashes), so the whole
-    incremental path is oracle-hashable."""
+    incremental path is oracle-hashable.
+
+    Hot-bucket guard (``max_bucket_size``, opt-in): a cluster of d
+    identical boilerplate docs in the corpus puts d rows into each of
+    its band buckets, so one probing copy joins d historical witnesses
+    per bucket — O(d x batch) candidate rows through one hot key.
+    When set, the historical side is first pruned to the buckets the
+    batch actually touches (a keyed semi-join — the corpus bands table
+    is never shuffled wholesale) and then capped at ``max_bucket_size``
+    witnesses per bucket, id-ascending (deterministic).  For exact-dup
+    clusters the cap is decision-lossless: every member of the cluster
+    carries the identical signature, so the surviving witnesses give
+    the same est as any dropped one.  For diverse hot buckets it is the
+    standard LSH recall trade (mirrors ``rp_block_pairs``'s
+    ``max_bucket_size``).  Default None = exact contract (every
+    witness), which is what the oracle replays."""
     from astro_vectordb_spark.operators.dedup import (
         minhash_band_table,
         minhash_signatures_sql_safe,
@@ -1736,16 +1786,27 @@ def minhash_match_index(
     nbands = minhash_band_table(
         nsigs, num_hashes=nh, bands=int(meta["bands"]), id_col=id_col
     )
+    hist_bands = bands.select(
+        F.col(id_col).alias("hist_id"), "band_idx", "band_sig"
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        touched = nbands.select("band_idx", "band_sig").distinct()
+        hist_bands = hist_bands.join(
+            touched, ["band_idx", "band_sig"], "left_semi"
+        )
+        w = Window.partitionBy("band_idx", "band_sig").orderBy("hist_id")
+        hist_bands = (
+            hist_bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_bucket_size))
+            .drop("_rn")
+        )
     cands = (
         nbands.select(
             F.col(id_col).alias("new_id"), "band_idx", "band_sig"
         )
-        .join(
-            bands.select(
-                F.col(id_col).alias("hist_id"), "band_idx", "band_sig"
-            ),
-            ["band_idx", "band_sig"],
-        )
+        .join(hist_bands, ["band_idx", "band_sig"])
         .select("new_id", "hist_id")
         .distinct()
     )
@@ -1811,6 +1872,16 @@ def minhash_append_to_index(
     )
     if dedup_ids:
         fresh = fresh.join(sigs.select(id_col), id_col, "left_anti")
+    # repair backlog measured BEFORE this batch lands: sig ids a prior
+    # crashed append left without bands (cheap — both tables are
+    # compact fingerprints, no text), so the report can separate the
+    # batch's own contribution from the self-heal
+    backlog = (
+        sigs.join(bands.select(id_col).distinct(), id_col, "left_anti")
+        .select(id_col)
+        .distinct()
+        .count()
+    )
     fresh.write.mode("append").parquet(os.path.join(path, "sigs"))
     # bands sync from the stored diff (self-healing, see docstring)
     all_sigs = spark.read.parquet(os.path.join(path, "sigs"))
@@ -1822,7 +1893,7 @@ def minhash_append_to_index(
     ).write.partitionBy("band_idx").mode("append").parquet(
         os.path.join(path, "bands")
     )
-    appended = missing.select(id_col).distinct().count()
+    synced = missing.select(id_col).distinct().count()
     # absolute recount over the compact sigs table (not the corpus):
     # exact even when this append also repaired a crashed predecessor
     _update_meta_n_rows(
@@ -1830,7 +1901,14 @@ def minhash_append_to_index(
         absolute=all_sigs.select(id_col).distinct().count(),
     )
     _record_batch(spark, path, batch_id, op="minhash_append")
-    return {"appended_rows": int(appended), "skipped_replay": False}
+    # appended_rows = the batch's OWN novel ids; repaired_rows = the
+    # predecessor's leftovers this append also banded (previously the
+    # two were conflated, overstating the batch's contribution)
+    return {
+        "appended_rows": int(max(synced - backlog, 0)),
+        "repaired_rows": int(backlog),
+        "skipped_replay": False,
+    }
 
 
 def minhash_compact_index(
@@ -1854,7 +1932,7 @@ def minhash_compact_index(
     sp, bp = os.path.join(path, "sigs"), os.path.join(path, "bands")
     _recover_swap(spark, sp)
     _recover_swap(spark, bp)
-    meta = spark.read.parquet(os.path.join(path, "_meta")).first().asDict()
+    meta = _read_meta(spark, path)
     id_col = meta["id_col"]
     sigs = spark.read.parquet(sp)
     n_files = sigs.select(F.col("_metadata.file_path")).distinct().count()
@@ -1889,6 +1967,76 @@ def minhash_compact_index(
             "target_files": ideal}
 
 
+def minhash_sig_self_pairs(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Signature-table self-pairs under the index's hash family, with
+    the exact-duplicate hot-bucket collapse built in.
+
+    Groups docs by their FULL signature and keeps the min-id
+    representative per distinct sig (exact duplicates share every band
+    bucket, so a d-copy cluster would otherwise push O(d^2 x bands)
+    rows through one join key); bands are re-derived from the rep
+    signatures (cheap stored-array fold, identical arithmetic to the
+    persisted band table); candidates (a_id < b_id) are verified by
+    signature agreement est = |matching positions| / num_hashes >=
+    ``threshold``.
+
+    Returns ``(reps, pairs)``: reps = (sig, id_col) one row per
+    distinct signature; pairs = (a_id, b_id) verified rep-level pairs.
+    Same-signature members est at exactly 1.0 against their rep, so
+    rep-level connectivity is equivalent to doc-level connectivity for
+    grouping, and a member can never head its component (the rep is
+    the group minimum).  Shared by :func:`minhash_index_groups` (the
+    retroactive sweep) and the streaming ingest's intra-batch dedup."""
+    from astro_vectordb_spark.operators.dedup import minhash_band_table
+
+    reps = sigs.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    rep_bands = minhash_band_table(
+        reps, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, sig_col="sig",
+    )
+    a = rep_bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
+    b = rep_bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig")
+    cands = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    pairs = (
+        cands.join(
+            reps.select(
+                F.col(id_col).alias("a_id"), F.col("sig").alias("_sig_a")
+            ),
+            "a_id",
+        )
+        .join(
+            reps.select(
+                F.col(id_col).alias("b_id"), F.col("sig").alias("_sig_b")
+            ),
+            "b_id",
+        )
+        .withColumn("_est", F.round(est, 6))
+        .filter(F.col("_est") >= F.lit(float(threshold)))
+        .select("a_id", "b_id")
+    )
+    return reps, pairs
+
+
 def minhash_index_groups(
     spark: SparkSession,
     path: str,
@@ -1906,51 +2054,45 @@ def minhash_index_groups(
 
     Returns the KEEP set: one ``(id_col)`` row per surviving doc,
     over the indexed ids (docs with fewer than n tokens were never
-    indexable and are not in scope)."""
+    indexable and are not in scope).
+
+    Hot-bucket guard (exact-duplicate collapse, always on, LOSSLESS):
+    exact duplicates share their ENTIRE signature and therefore ALL
+    band buckets, so a cluster of d identical boilerplate docs would
+    put d rows into every one of its buckets and the self-join would
+    emit O(d^2 x bands) candidate rows in one straggler task — the
+    quadratic blowup :func:`rp_block_pairs`'s ``max_bucket_size``
+    already guards against.  Here the collapse is exact, not lossy:
+    the sweep first groups docs by their full signature (one shuffle
+    of the compact sigs table), keeps the min-id REPRESENTATIVE per
+    distinct signature, and runs banding/self-join/verify/CC over
+    representatives only.  Same-signature members estimate at exactly
+    1.0 >= any threshold, so in the uncollapsed algorithm every member
+    joins its representative's component and can never win it (the rep
+    IS the group minimum) — dropping them up front provably preserves
+    the keep set while the candidate stage shrinks from O(d^2) to
+    O(d).  Bands are re-derived from the representative signatures (a
+    cheap stored-array fold — identical arithmetic to the persisted
+    table), which also makes the sweep immune to sig/band drift."""
     from astro_vectordb_spark.operators.dedup import connected_components
 
-    sigs, bands, meta = load_minhash_index(spark, path)
+    sigs, _, meta = load_minhash_index(spark, path)
     id_col = meta["id_col"]
-    nh = int(meta["num_hashes"])
-    a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_sig")
-    b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_sig")
-    cands = (
-        a.join(b, ["band_idx", "band_sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
-                lambda v: v,
-            )
-        ).cast("double")
-        / F.lit(float(nh))
-    )
-    pairs = (
-        cands.join(
-            sigs.select(
-                F.col(id_col).alias("a_id"), F.col("sig").alias("_sig_a")
-            ),
-            "a_id",
-        )
-        .join(
-            sigs.select(
-                F.col(id_col).alias("b_id"), F.col("sig").alias("_sig_b")
-            ),
-            "b_id",
-        )
-        .withColumn("_est", F.round(est, 6))
-        .filter(F.col("_est") >= F.lit(float(threshold)))
-        .select("a_id", "b_id")
+    reps, pairs = minhash_sig_self_pairs(
+        sigs,
+        num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]),
+        threshold=threshold,
+        id_col=id_col,
     )
     comp = connected_components(pairs)
+    # a rep survives unless it joined a component it doesn't head;
+    # same-signature members never survive (their rep is the group
+    # minimum), so the keep set over reps IS the keep set over docs
     keep = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    singletons = sigs.select(id_col).join(
+    singletons = reps.select(id_col).join(
         comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
     return keep.unionByName(singletons)

@@ -475,42 +475,96 @@ def _minhash_ingest_batch(
     drop_dups: bool,
     threshold: float,
     query_name: str,
+    max_bucket_size: int | None = 1000,
 ) -> dict:
     """One micro-batch of the streaming near-dup-index ingest
     (module-level so the per-batch semantics are directly
-    unit-testable): optionally MATCH the batch against the persisted
-    fingerprint index first and append only the novel docs — the
-    steady-state dedup-at-ingest shape (new data dedups against
-    everything ever ingested without re-reading any of it) — then
-    append through the replayable ``minhash_append_to_index``."""
+    unit-testable): with ``drop_dups``, the batch first dedups
+    AGAINST ITSELF (two near-copies of a brand-new doc arriving in
+    one micro-batch — neither is in the historical index, so the
+    historical match alone would append both), then MATCHES against
+    the persisted fingerprint index and appends only the novel docs —
+    the steady-state dedup-at-ingest shape (new data dedups against
+    everything ever ingested without re-reading any of it) — through
+    the replayable ``minhash_append_to_index``.
+
+    The intra-batch pass is one keyed self-join over batch-sized
+    input: batch signatures under the index's stored hash family,
+    rep-collapsed band self-join, signature-agreement verify at the
+    SAME ``threshold`` as the historical match, connected components,
+    min-id survivor per group.  Deterministic, so a replayed batch
+    keeps the same survivors and the (op, batch_id) replay log stays
+    sufficient.  ``max_bucket_size`` caps the historical match's
+    per-bucket witness count (boilerplate clusters; decision-lossless
+    for exact dups — see ``minhash_match_index``)."""
+    from astro_vectordb_spark.operators.dedup import (
+        connected_components,
+        minhash_signatures_sql_safe,
+    )
     from astro_vectordb_spark.sources.vault import (
         load_minhash_index,
         minhash_append_to_index,
         minhash_match_index,
+        minhash_sig_self_pairs,
     )
 
     n_dups = 0
+    n_intra = 0
     keep = batch_df
     if drop_dups:
         _, _, meta = load_minhash_index(spark, index_path)
         id_col = meta["id_col"]
+        # 1) intra-batch: min-id survivor per near-dup group within
+        #    the batch itself (docs with < n tokens have no signature
+        #    and pass through — they cannot near-dup under the family)
+        bsigs = minhash_signatures_sql_safe(
+            batch_df,
+            num_hashes=int(meta["num_hashes"]),
+            n=int(meta["n"]),
+            text_col="text",
+            id_col=id_col,
+        ).localCheckpoint(eager=False)
+        reps, pairs = minhash_sig_self_pairs(
+            bsigs,
+            num_hashes=int(meta["num_hashes"]),
+            bands=int(meta["bands"]),
+            threshold=threshold,
+            id_col=id_col,
+        )
+        comp = connected_components(pairs)
+        survivors = reps.select(id_col).join(
+            comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+        intra_losers = bsigs.select(id_col).distinct().join(
+            survivors, id_col, "left_anti"
+        )
+        n_intra = intra_losers.count()
+        if n_intra:
+            keep = keep.join(intra_losers, id_col, "left_anti")
+        # 2) historical: anything near-duplicating the ingested corpus
         dup_ids = (
             minhash_match_index(
-                spark, index_path, batch_df, threshold=threshold
+                spark, index_path, keep, threshold=threshold,
+                max_bucket_size=max_bucket_size,
             )
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
         n_dups = dup_ids.count()
         if n_dups:
-            keep = batch_df.join(dup_ids, id_col, "left_anti")
+            keep = keep.join(dup_ids, id_col, "left_anti")
     rep = minhash_append_to_index(
         spark, index_path, keep, batch_id=int(batch_id)
     )
     rep["dropped_dups"] = int(n_dups)
+    rep["dropped_intra_batch"] = int(n_intra)
     print(
         f"{query_name} batch {batch_id}: +{rep['appended_rows']} docs, "
-        f"{n_dups} dups dropped"
+        f"{n_dups} hist dups + {n_intra} intra-batch dups dropped"
     )
     return rep
 
@@ -522,6 +576,7 @@ def stream_minhash_ingest(
     query_name: str = "astro_minhash_ingest",
     drop_dups: bool = True,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ):
     """Streaming ingest into the persisted near-dup fingerprint index:
     each micro-batch of (doc_id, text) rows is matched against
@@ -540,7 +595,7 @@ def stream_minhash_ingest(
         _minhash_ingest_batch(
             spark, index_path, batch_df, batch_id,
             drop_dups=drop_dups, threshold=threshold,
-            query_name=query_name,
+            query_name=query_name, max_bucket_size=max_bucket_size,
         )
 
     writer = (

@@ -168,7 +168,11 @@ class TestAppend:
         rep = minhash_append_to_index(
             spark, path, _mkdocs(spark, [corpus_rows[56]]), batch_id=2
         )
-        assert rep["appended_rows"] == 2  # the new doc + the repaired one
+        # the batch's OWN contribution and the predecessor's repaired
+        # leftover are reported separately (conflating them overstated
+        # the batch's contribution)
+        assert rep["appended_rows"] == 1
+        assert rep["repaired_rows"] == 1
         got = minhash_match_index(spark, path, probe, threshold=0.9).collect()
         assert any(int(r.hist_id) == 55 for r in got)
         _, _, meta = load_minhash_index(spark, path)
@@ -349,3 +353,214 @@ class TestIndexGroups:
             ).collect()
         )
         assert keep == [1, 5, 6]  # min id of {1,2,9} + the singletons
+
+
+class TestHotBucketGuard:
+    """Round-11: exact duplicates share ALL band buckets, so a d-copy
+    boilerplate cluster used to push O(d^2 x bands) candidate rows
+    through one join key.  The guard collapses exact-signature dups to
+    a min-id representative before banding (lossless for the keep set)
+    and caps the match face's per-bucket witnesses (opt-in)."""
+
+    BOILER = "the same boilerplate footer text appears everywhere verbatim"
+
+    def _planted(self, spark, d, n_unique=20):
+        rows = [(i, self.BOILER) for i in range(d)] + [
+            (
+                100_000 + i,
+                f"unique doc number {i} carrying words w{i}a w{i}b w{i}c",
+            )
+            for i in range(n_unique)
+        ]
+        return _mkdocs(spark, rows)
+
+    def test_planted_cluster_candidates_linear_not_quadratic(
+        self, spark, tmp_path
+    ):
+        """10k identical copies: the sweep's candidate stage sees ONE
+        representative for the whole cluster — rep count and rep-level
+        pair count are O(distinct sigs), independent of d — and the
+        keep set is exactly {min id} plus the unique docs."""
+        from astro_vectordb_spark.sources.vault import (
+            minhash_index_groups,
+            minhash_sig_self_pairs,
+        )
+
+        d = 10_000
+        path = str(tmp_path / "idx")
+        save_minhash_index(self._planted(spark, d), path)
+        sigs, _, meta = load_minhash_index(spark, path)
+        reps, pairs = minhash_sig_self_pairs(
+            sigs,
+            num_hashes=int(meta["num_hashes"]),
+            bands=int(meta["bands"]),
+            threshold=0.8,
+            id_col="doc_id",
+        )
+        n_reps = reps.count()
+        assert n_reps <= 21  # 1 boilerplate rep + 20 uniques
+        assert pairs.count() < 50  # never scales with d
+        keep = {
+            int(r.doc_id)
+            for r in minhash_index_groups(spark, path, threshold=0.8).collect()
+        }
+        assert 0 in keep
+        assert not any(0 < k < d for k in keep)  # all copies collapsed
+        assert all(100_000 + i in keep for i in range(20))
+
+    def test_groups_unchanged_by_collapse_on_mixed_corpus(
+        self, spark, corpus_rows, tmp_path
+    ):
+        """The collapse is exact: on a corpus with near-dups (not just
+        exact dups) the keep set equals the brute-force reference
+        (pairwise est + CC over ALL docs, no collapse)."""
+        from astro_vectordb_spark.operators.dedup import (
+            connected_components,
+            minhash_signatures_sql_safe,
+        )
+        from astro_vectordb_spark.sources.vault import minhash_index_groups
+
+        rows = corpus_rows[:30] + [
+            (500 + i, corpus_rows[i][1]) for i in range(6)  # exact dups
+        ]
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, rows), path)
+        got = sorted(
+            int(r.doc_id)
+            for r in minhash_index_groups(spark, path, threshold=0.9).collect()
+        )
+        # brute-force reference: all-pairs est over the signatures
+        sigs = minhash_signatures_sql_safe(_mkdocs(spark, rows)).collect()
+        ids = [int(r.doc_id) for r in sigs]
+        sig = {int(r.doc_id): list(r.sig) for r in sigs}
+        edges = []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                est = sum(
+                    1 for u, v in zip(sig[a], sig[b]) if u == v
+                ) / len(sig[a])
+                if round(est, 6) >= 0.9:
+                    edges.append((min(a, b), max(a, b)))
+        pairs_df = spark.createDataFrame(
+            edges or [(None, None)], "a_id long, b_id long"
+        ).filter(F.col("a_id").isNotNull())
+        comp = {
+            int(r.id): int(r.component)
+            for r in connected_components(pairs_df).collect()
+        }
+        expect = sorted(
+            i for i in ids if comp.get(i, i) == i
+        )
+        assert got == expect
+
+    def test_match_bucket_cap_deterministic_and_decision_lossless(
+        self, spark, tmp_path
+    ):
+        """A probe against a 500-copy boilerplate cluster: uncapped
+        returns every witness; capped returns the id-ascending first
+        max_bucket_size witnesses with identical est and the SAME
+        new_id decision."""
+        d = 500
+        path = str(tmp_path / "idx")
+        save_minhash_index(self._planted(spark, d, n_unique=5), path)
+        probe = _mkdocs(spark, [(999_999, self.BOILER)])
+        full = minhash_match_index(spark, path, probe, threshold=0.9)
+        assert full.count() == d
+        capped = minhash_match_index(
+            spark, path, probe, threshold=0.9, max_bucket_size=5
+        ).collect()
+        assert 0 < len(capped) <= 5
+        assert {int(r.new_id) for r in capped} == {999_999}
+        assert all(float(r.est_jaccard) == 1.0 for r in capped)
+        assert sorted(int(r.hist_id) for r in capped) == [0, 1, 2, 3, 4]
+
+
+class TestCollapseExactPairs:
+    def test_sql_safe_star_edges_preserve_groups(self, spark):
+        from astro_vectordb_spark.operators.dedup import (
+            dedup_groups,
+            minhash_lsh_pairs_sql_safe,
+        )
+
+        d = 30
+        rows = (
+            [(i, "repeated boilerplate body of words here") for i in range(d)]
+            + [
+                (100, "alpha beta gamma delta epsilon zeta eta theta"),
+                (101, "alpha beta gamma delta epsilon zeta eta iota"),
+                (200, "completely unrelated set of tokens entirely"),
+            ]
+        )
+        df = _mkdocs(spark, rows)
+        full = minhash_lsh_pairs_sql_safe(df, threshold=0.5)
+        coll = minhash_lsh_pairs_sql_safe(df, threshold=0.5, collapse_exact=True)
+        n_full, n_coll = full.count(), coll.count()
+        assert n_full >= d * (d - 1) // 2  # quadratic within the cluster
+        assert n_coll < d + 10  # star edges + cross-group pairs
+        # connectivity-equivalent: identical surviving representatives
+        g_full = {int(r.doc_id) for r in dedup_groups(df, full).collect()}
+        g_coll = {int(r.doc_id) for r in dedup_groups(df, coll).collect()}
+        assert g_full == g_coll
+        # star edges carry the exact-dup jaccard
+        star = coll.filter((F.col("a_id") == 0) & (F.col("b_id") < d))
+        assert all(float(r.jaccard) == 1.0 for r in star.collect())
+
+    def test_xxhash_variant_collapse(self, spark):
+        from astro_vectordb_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = [(i, "same text body across every copy present") for i in range(12)] + [
+            (50, "an unrelated document body with other words")
+        ]
+        df = _mkdocs(spark, rows)
+        coll = minhash_lsh_pairs(df, threshold=0.8, collapse_exact=True)
+        got = {(int(r.a_id), int(r.b_id)) for r in coll.collect()}
+        assert got == {(0, i) for i in range(1, 12)}  # pure star
+        cands = minhash_lsh_pairs(
+            df, threshold=0.8, collapse_exact=True, verify=False
+        )
+        assert {(int(r.a_id), int(r.b_id)) for r in cands.collect()} == got
+
+
+class TestIntraBatchDedup:
+    def test_intra_batch_near_dups_single_survivor(
+        self, spark, corpus_rows, tmp_path
+    ):
+        """Two copies of the same NEW doc arriving in one micro-batch:
+        neither is in the historical index, so the historical match
+        alone appended both — the intra-batch pass keeps only the
+        min-id copy.  Replay stays a no-op."""
+        from astro_vectordb_spark.streaming.upsert import (
+            _minhash_ingest_batch,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        novel = "fresh unseen body of words arriving twice at once"
+        batch = _mkdocs(
+            spark,
+            [
+                (100_001, novel),
+                (100_000, novel),  # same new doc, smaller id -> survivor
+                (100_002, "another distinct novel body of words"),
+                (100_003, corpus_rows[3][1]),  # historical dup
+            ],
+        )
+        rep = _minhash_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.9,
+            query_name="t",
+        )
+        assert rep["dropped_intra_batch"] == 1
+        assert rep["dropped_dups"] == 1
+        assert rep["appended_rows"] == 2
+        sigs, _, _ = load_minhash_index(spark, path)
+        landed = {
+            int(r.doc_id)
+            for r in sigs.filter(F.col("doc_id") >= 100_000).collect()
+        }
+        assert landed == {100_000, 100_002}
+        rep2 = _minhash_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.9,
+            query_name="t",
+        )
+        assert rep2["skipped_replay"]

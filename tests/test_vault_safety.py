@@ -172,6 +172,110 @@ class TestReplaceDirSwap:
         assert live.select("vec_id").distinct().count() == N
 
 
+class TestMetaCrashSafety:
+    """Round-11 ADVICE: the one-row ``_meta`` rewrite goes through the
+    crash-safe staged swap, and append deltas count DISTINCT ids."""
+
+    def test_meta_readable_through_crashed_swap_and_repaired(
+        self, spark, vecs, tmp_path
+    ):
+        """A crash between _update_meta_n_rows' two renames used to
+        leave _meta missing, making every subsequent load fail.  Now:
+        readers fall back to the retired copy; the next meta-writing op
+        repairs the live path."""
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            pq_remove_from_index,
+        )
+
+        path = str(tmp_path / "pqm")
+        _mk_pq(spark, vecs, path)
+        mp = os.path.join(path, "_meta")
+        os.rename(mp, mp + ".__swap_old")  # simulated mid-swap crash
+        _, _, meta = load_pq_index(spark, path)  # still loadable
+        assert int(meta["n_rows"]) == N
+        rep = pq_remove_from_index(spark, path, [0, 1], batch_id=0)
+        assert rep["removed_rows"] == 2
+        assert os.path.exists(mp)  # live path repaired by the update
+        assert not os.path.exists(mp + ".__swap_old")
+        _, _, meta = load_pq_index(spark, path)
+        assert int(meta["n_rows"]) == N - 2
+
+    def test_meta_update_is_staged_not_in_place(self, spark, vecs, tmp_path):
+        """The rewrite must never clear the live _meta before the new
+        copy commits: poison the staged write and check the original
+        row survives intact."""
+        import astro_vectordb_spark.sources.vault as vault
+
+        path = str(tmp_path / "pqs")
+        _mk_pq(spark, vecs, path)
+        mp = os.path.join(path, "_meta")
+
+        orig = vault._replace_dir
+
+        def _boom(spark_, write_fn, p):
+            if p == mp:
+                raise RuntimeError("injected staging failure")
+            return orig(spark_, write_fn, p)
+
+        vault._replace_dir, real = _boom, vault._replace_dir
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                vault._update_meta_n_rows(spark, path, delta=-5)
+        finally:
+            vault._replace_dir = real
+        _, _, meta = vault.load_pq_index(spark, path)
+        assert int(meta["n_rows"]) == N  # untouched by the failed update
+
+    def test_intra_batch_duplicate_ids_do_not_inflate_counter(
+        self, spark, vecs, tmp_path
+    ):
+        """pq_append fed a batch carrying each id twice: the duplicate
+        rows collapse before encoding, so neither the codes table nor
+        the DISTINCT-id n_rows counter inflates."""
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            pq_append_to_index,
+        )
+
+        path = str(tmp_path / "pqd")
+        _mk_pq(spark, vecs.filter(F.col("vec_id") < 300), path)
+        extra = vecs.filter(F.col("vec_id") >= 300)
+        doubled = extra.unionAll(extra)
+        rep = pq_append_to_index(spark, path, doubled, batch_id=7)
+        assert rep["appended_rows"] == 100
+        encoded, _, meta = load_pq_index(spark, path)
+        assert int(meta["n_rows"]) == N
+        assert encoded.count() == N  # no duplicate code rows landed
+        assert encoded.select("vec_id").distinct().count() == N
+
+    def test_ivf_pq_intra_batch_duplicates_collapse(
+        self, spark, vecs, tmp_path
+    ):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.sources.vault import (
+            ivf_pq_append_to_index,
+            load_ivf_pq_index,
+            save_ivf_pq_index,
+        )
+
+        path = str(tmp_path / "ivfpqd")
+        encoded, centroids, model = ivf_pq_build(
+            vecs.filter(F.col("vec_id") < 300),
+            k_cells=4, m=4, ks=16, metric="cosine", seed=3,
+        )
+        save_ivf_pq_index(encoded, centroids, model, path)
+        extra = vecs.filter(F.col("vec_id") >= 300)
+        rep = ivf_pq_append_to_index(
+            spark, path, extra.unionAll(extra), batch_id=1
+        )
+        assert rep["appended_rows"] == 100
+        codes, _, _, meta = load_ivf_pq_index(spark, path)
+        assert int(meta["n_rows"]) == N
+        assert codes.select("vec_id").distinct().count() == N
+        assert codes.count() == N
+
+
 class TestHnswSweepGuard:
     def test_oversized_id_set_forces_rebuild(self, spark, vecs, tmp_path):
         from astro_vectordb_spark.operators.hnsw import hnsw_build_shards

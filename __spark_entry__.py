@@ -1907,6 +1907,44 @@ def _q_minhash_index_groups(spark, sf_dir):
     )
 
 
+_MH_SWEEP_CACHE: dict[str, str] = {}
+
+
+def _q_minhash_apply_sweep(spark, sf_dir):
+    # round 11: APPLY the retroactive sweep (verdict item 7) — build a
+    # fresh fingerprint index, minhash_apply_groups removes every
+    # near-dup loser through the replay-logged file-granular remove
+    # path (sigs AND bands), then a probe batch of planted historical
+    # copies is matched against the POST-SWEEP index.  The hash pins
+    # the whole loop: a loser left behind emits extra witness rows; a
+    # wrongly-removed keeper drops its pair; the est arithmetic rides
+    # along.  Matching serves one witness per boilerplate group — the
+    # deduplicated-history steady state.  Build+sweep are
+    # once-per-session (same pattern as minhash_index_path); the swept
+    # index is a fixpoint, so repeated calls serve the identical match.
+    import tempfile
+
+    from astro_vectordb_spark.sources.vault import (
+        minhash_apply_groups,
+        minhash_match_index,
+        save_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if sf_dir not in _MH_SWEEP_CACHE:
+        hist = docs.filter(F.col("doc_id") % 7 == 0)
+        path = tempfile.mkdtemp(prefix="astro_mh_sweep_")
+        save_minhash_index(hist, path)
+        minhash_apply_groups(spark, path, threshold=0.8, batch_id=0)
+        _MH_SWEEP_CACHE[sf_dir] = path
+    probe = docs.filter(
+        (F.col("doc_id") < 70) & (F.col("doc_id") % 7 == 0)
+    ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return minhash_match_index(
+        spark, _MH_SWEEP_CACHE[sf_dir], probe, threshold=0.5
+    )
+
+
 def _q_snippets(spark, sf_dir):
     # search highlighting: best window-of-8 query-term span per doc —
     # candidate starts / per-start hit counts / argmax all as codegen
@@ -2075,28 +2113,25 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 10 (the driver checks the FIRST 50
+    # Driver-window rotation, round 11 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in: the 24 round-5 core queries + 7 family representatives
-    #     rotated out in round 9, RETURNING ON SCHEDULE as promised
-    #     (round-9 verdict item 1 / NOTES_r9) — every query is
-    #     driver-signed at most 2 rounds stale;
-    #   - in: the 10 round-9 additions that have NEVER had a driver
-    #     hash (they landed outside the r9 window: dup_spans,
-    #     dup_span_removal, the hybrid/bm25-batch/cross-rerank/
-    #     snippet/PRF family, facade_hybrid_text_gate) plus
-    #     facade_ivfpq_gate — first driver signing for the IVF-PQ
-    #     facade, now with the ADAPTIVE default probing (verdict
-    #     item 2);
-    #   - in (new): facade_hybrid_prf_gate — retrieve -> PRF-expand ->
-    #     fuse -> highlight as ONE hash (verdict item 8);
-    #   - in: the 8 heaviest round-5 core queries (never rotated);
-    #   - out (all driver-signed green in round 9, back in round 11):
-    #     the 18 relational/scalar queries, 7 round-6 family queries,
-    #     4 ANN recall gates, 4 facade kind gates, 3 composite gates,
-    #     pack_strict/decontaminate_fuzzy, and 4 family reps
-    #     (bm25_indexed, hybrid_rrf, chunk_maxsim, asof_join).
+    #   - in (round-10 verdict item 1): the 5 round-10 queries that
+    #     landed past the full window get their first driver signing —
+    #     ann_ivfpq_salted_exact, facade_hybrid_rerank_gate,
+    #     minhash_index_incremental, minhash_index_groups,
+    #     cross_rerank_batch;
+    #   - in (new): minhash_apply_sweep — build -> sweep-remove ->
+    #     match-post-sweep as ONE hash (verdict item 7);
+    #   - out (the only 2-round-green entries — driver-signed in BOTH
+    #     r9 and r10; back in round 12, listed in NOTES_r11):
+    #     upsert_keep_latest, sync_merge, embedding_near_dup_blocked,
+    #     embedding_dedup_groups, dedup_groups, near_dup_simhash_sql;
+    #   - held in-window: near_dup_minhash_sql and
+    #     near_dup_native_exactdup (the minhash family whose band-join
+    #     internals changed this round keeps a driver-signed hash);
+    #   - everything else keeps its round-10 slot (signed last round,
+    #     at most 1 round stale).
     return {
         # -- returning round-5 core (out exactly one round)
         "topk_exact": _q_topk_exact,
@@ -2142,29 +2177,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expand": _q_prf_expand,
         "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
         "facade_ivfpq_gate": _q_facade_ivfpq_gate,
-        # -- NEW this round (verdict item 8)
+        # -- round-10 gate (signed last round)
         "facade_hybrid_prf_gate": _q_facade_hybrid_prf_gate,
-        # -- heaviest round-5 core (never rotated)
-        "upsert_keep_latest": _q_upsert_keep_latest,
-        "sync_merge": _q_sync_merge,
-        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
-        "embedding_dedup_groups": _q_embedding_dedup_groups,
-        "dedup_groups": _q_dedup_groups,
+        # -- minhash family reps held in-window (band-join internals
+        # changed this round — keep a driver-signed hash on them)
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
-        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
         "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window this round (full gate still verifies them;
-        # all were driver-signed green in round 9, back in round 11)
-        # -- NEW this round, full-gate-oracled (window is full with
-        # the round-9 rotation promise): the skew-bounded salted
-        # cogroup at a provably-exact budget, and the full
-        # retrieve -> fuse -> rerank -> highlight loop
+        # -- round-10 queries, FIRST driver-window appearance
+        # (round-10 verdict item 1)
         "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
         "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
         "minhash_index_incremental": _q_minhash_index_incremental,
         "minhash_index_groups": _q_minhash_index_groups,
         "cross_rerank_batch": _q_cross_rerank_batch,
+        # -- NEW this round: apply-the-sweep (verdict item 7)
+        "minhash_apply_sweep": _q_minhash_apply_sweep,
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window this round (full gate still verifies them)
+        # -- rotated out this round: the 2-round-green (r9+r10) heavy
+        # core, back in round 12
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "sync_merge": _q_sync_merge,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
+        "embedding_dedup_groups": _q_embedding_dedup_groups,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,
@@ -4411,6 +4448,94 @@ SELECT id AS doc_id FROM comp WHERE id = component
 UNION ALL
 SELECT doc_id FROM sig
 WHERE doc_id NOT IN (SELECT id FROM comp)
+""",
+        # apply-the-sweep: keep set over the historical slice (same
+        # signature/band/closure CTEs), then the probe batch matched
+        # against ONLY the keepers — replays
+        # save -> minhash_apply_groups -> minhash_match_index
+        "minhash_apply_sweep": f"""
+WITH RECURSIVE hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+newd AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id < 70 AND doc_id % 7 = 0
+),
+alln AS (SELECT * FROM hist UNION ALL SELECT * FROM newd),
+{_shingle_cte(table="alln").lstrip()},
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s ->
+      list_reduce(
+        list_transform(generate_series(1, len(s)), i -> ord(s[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 31), i ->
+      list_min(list_transform(h, x -> ((2*i+1) * x + 7919*i) % 2147483647))) AS s
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+    list_reduce(
+      list_prepend(0::BIGINT, s[b.b*4+1 : b.b*4+4]),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+hcand AS (
+  SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
+  FROM bands a JOIN bands bb
+    ON a.band_idx = bb.band_idx AND a.band_sig = bb.band_sig
+   AND a.doc_id < bb.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM hist)
+    AND bb.doc_id IN (SELECT doc_id FROM hist)
+),
+hpairs AS (
+  SELECT c.a_id, c.b_id
+  FROM hcand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  WHERE round(len(list_filter(generate_series(1, 32),
+                              i -> sa.s[i] = sb.s[i]))::DOUBLE / 32, 6)
+        >= 0.8
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM hpairs
+  UNION SELECT b_id, a_id FROM hpairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+keep AS (
+  SELECT id AS doc_id FROM comp WHERE id = component
+  UNION ALL
+  SELECT doc_id FROM sig
+  WHERE doc_id NOT IN (SELECT id FROM comp)
+    AND doc_id IN (SELECT doc_id FROM hist)
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS new_id, h2.doc_id AS hist_id
+  FROM bands a JOIN bands h2
+    ON a.band_idx = h2.band_idx AND a.band_sig = h2.band_sig
+  WHERE a.doc_id IN (SELECT doc_id FROM newd)
+    AND h2.doc_id IN (SELECT doc_id FROM keep)
+),
+est AS (
+  SELECT c.new_id, c.hist_id,
+    round(len(list_filter(generate_series(1, 32),
+                          i -> sn.s[i] = sh2.s[i]))::DOUBLE / 32, 6)
+      AS est_jaccard
+  FROM mcand c
+  JOIN sig sn ON sn.doc_id = c.new_id
+  JOIN sig sh2 ON sh2.doc_id = c.hist_id
+)
+SELECT new_id, hist_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """,
         # batch cross-encoder rerank: batch BM25 candidate lists cut
         # at the operator's internal rank (unrounded score, id-asc

@@ -2096,3 +2096,83 @@ def minhash_index_groups(
         comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
     return keep.unionByName(singletons)
+
+
+def minhash_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    batch_id: int | None = None,
+) -> dict:
+    """Physical delete from the near-dup fingerprint index — the
+    remove face completing its lifecycle (save -> match -> append ->
+    REMOVE -> compact), mirroring ``pq_remove_from_index``:
+    file-granular on BOTH tables (flat ``sigs/``; ``bands/`` keeps its
+    band_idx partitioning via ``basePath``), touched-files-only, so a
+    100 TB index with 1k removed docs rewrites a handful of files.
+    The ``n_rows`` counter decrements by the DISTINCT sig ids actually
+    removed; the (op='minhash_remove', batch_id) replay log makes
+    redelivery a no-op.  ``doc_ids`` is an iterable of ids or a
+    one-column DataFrame (it is pinned with an eager localCheckpoint
+    first — a lazy plan reading THIS index would otherwise re-evaluate
+    mid-rewrite and see its own deletions)."""
+    if _batch_already_committed(spark, path, batch_id, op="minhash_remove"):
+        return {"removed_docs": 0, "skipped_replay": True}
+    meta = _read_meta(spark, path)
+    id_col = meta["id_col"]
+    sp, bp = os.path.join(path, "sigs"), os.path.join(path, "bands")
+    _recover_swap(spark, sp)
+    _recover_swap(spark, bp)
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(
+            F.col(doc_ids.columns[0]).alias(id_col)
+        ).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(v),) for v in doc_ids], f"{id_col} long"
+        ).distinct()
+    ids = ids.localCheckpoint(eager=True)
+    _, _, n_removed = _remove_rows_by_file(spark, sp, ids, id_col=id_col)
+    _remove_rows_by_file(spark, bp, ids, id_col=id_col)
+    if n_removed:
+        _update_meta_n_rows(spark, path, delta=-n_removed)
+    _record_batch(spark, path, batch_id, op="minhash_remove")
+    return {"removed_docs": int(n_removed), "skipped_replay": False}
+
+
+def minhash_apply_groups(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.8,
+    batch_id: int | None = None,
+) -> dict:
+    """Apply the retroactive sweep in one call: compute the keep set
+    (:func:`minhash_index_groups`) and REMOVE every other indexed doc
+    from the index through the replay-logged
+    :func:`minhash_remove_from_index` path — after it, matching a new
+    batch serves against deduplicated history only (one witness per
+    boilerplate cluster), and the dropped ids stop paying storage and
+    join traffic.  The sweep's keep set is deterministic, so a
+    replayed ``batch_id`` is a no-op even though the removal happened.
+
+    Returns ``{"kept": n, "removed_docs": n, ...}``.  Note this drops
+    near-dup LOSERS by policy; :func:`minhash_compact_index` (file
+    compaction) is orthogonal and still applies after heavy churn."""
+    if _batch_already_committed(spark, path, batch_id, op="minhash_remove"):
+        return {"kept": 0, "removed_docs": 0, "skipped_replay": True}
+    keep = minhash_index_groups(spark, path, threshold=threshold)
+    meta = _read_meta(spark, path)
+    id_col = meta["id_col"]
+    losers = (
+        spark.read.parquet(os.path.join(path, "sigs"))
+        .select(id_col)
+        .distinct()
+        .join(keep, id_col, "left_anti")
+    )
+    rep = minhash_remove_from_index(spark, path, losers, batch_id=batch_id)
+    n_kept = int(_read_meta(spark, path)["n_rows"])
+    return {
+        "kept": n_kept,
+        "removed_docs": rep["removed_docs"],
+        "skipped_replay": rep.get("skipped_replay", False),
+    }

@@ -53,6 +53,34 @@ def _parse_bench_line(line: str) -> dict[str, float] | None:
             except ValueError:
                 return None
         return out or None
+    # values-only last resort ("qv" + "qh"): zip names back from the
+    # current __spark_entry__.queries() order, but ONLY if the md5
+    # prefix proves the order matches (window rotation reorders the
+    # dict between rounds — silently zipping a stale order would
+    # attribute times to the wrong queries)
+    vals = obj.get("qv")
+    if isinstance(vals, str):
+        import hashlib
+
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            import __spark_entry__ as entrymod
+
+            names = list(entrymod.queries())
+        except Exception:  # noqa: BLE001
+            return None
+        if hashlib.md5(
+            ",".join(names).encode()
+        ).hexdigest()[:8] != obj.get("qh"):
+            return None
+        parts = vals.split()
+        if len(parts) != len(names):
+            return None
+        try:
+            return {n: float(v) for n, v in zip(names, parts)}
+        except ValueError:
+            return None
     return None
 
 

@@ -564,3 +564,57 @@ class TestIntraBatchDedup:
             query_name="t",
         )
         assert rep2["skipped_replay"]
+
+
+class TestRemoveAndApply:
+    def test_remove_physically_deletes_both_tables(
+        self, spark, corpus_rows, tmp_path
+    ):
+        from astro_vectordb_spark.sources.vault import (
+            minhash_remove_from_index,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        rep = minhash_remove_from_index(spark, path, [3, 5], batch_id=0)
+        assert rep["removed_docs"] == 2
+        sigs, bands, meta = load_minhash_index(spark, path)
+        assert sigs.filter(F.col("doc_id").isin([3, 5])).count() == 0
+        assert bands.filter(F.col("doc_id").isin([3, 5])).count() == 0
+        assert int(meta["n_rows"]) == 38
+        # removed docs stop matching
+        probe = _mkdocs(spark, [(100000, corpus_rows[3][1])])
+        got = minhash_match_index(spark, path, probe, threshold=0.9)
+        assert not any(int(r.hist_id) == 3 for r in got.collect())
+        # replay is a no-op
+        rep2 = minhash_remove_from_index(spark, path, [3, 5], batch_id=0)
+        assert rep2["skipped_replay"]
+
+    def test_apply_groups_removes_losers_and_serves_post_sweep(
+        self, spark, tmp_path
+    ):
+        from astro_vectordb_spark.sources.vault import (
+            minhash_apply_groups,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+            (9, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+            (5, "one two three four five six seven"),
+            (6, "totally different body of words here now"),
+        ]
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, rows), path)
+        rep = minhash_apply_groups(spark, path, threshold=0.9, batch_id=0)
+        assert rep["removed_docs"] == 2 and rep["kept"] == 3
+        sigs, _, _ = load_minhash_index(spark, path)
+        assert sorted(int(r.doc_id) for r in sigs.collect()) == [1, 5, 6]
+        # post-sweep serving: a copy of the boilerplate matches ONLY
+        # the surviving representative
+        probe = _mkdocs(spark, [(100, rows[0][1])])
+        got = minhash_match_index(spark, path, probe, threshold=0.9)
+        assert sorted(int(r.hist_id) for r in got.collect()) == [1]
+        # replayed sweep is a no-op
+        rep2 = minhash_apply_groups(spark, path, threshold=0.9, batch_id=0)
+        assert rep2["skipped_replay"]

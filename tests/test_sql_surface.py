@@ -60,29 +60,45 @@ def test_driver_contract_ordering_and_coverage():
 
 def test_bench_tail_line_fits_driver_capture():
     """The driver records a 2000-char stdout TAIL; bench.py's final
-    line must carry the FULL per-query map inside it.  Static check at
-    the leanest emission form (1 decimal, ints for whole values, no
-    unit field) with pessimistic 9.9-second values for every query —
-    if this fails, the next driver BENCH artifact front-truncates and
-    round-over-round regression analysis silently degrades."""
+    line must carry the FULL per-query information inside it.  The
+    last-resort notch is now values-only ("qv" in queries() order +
+    "qh" order checksum, 2-decimal precision kept): check it fits at
+    pessimistic 99.99-second values for every query AND that
+    bench_compare decodes it back to the right names — if either
+    fails, the next driver BENCH artifact front-truncates or
+    mis-attributes times and regression analysis silently degrades."""
+    import hashlib
     import json
 
     import __spark_entry__ as m
 
     names = list(m.queries())
-    # bench.py's last-resort packed stage: metric + value + the short
-    # "qp" map key (unit/sf live on the full-fidelity first line and
-    # in the local artifact), values at the FINAL compaction notch:
-    # leading zero stripped below 1 s (":.9", 2 chars), whole seconds
-    # for everything >= 1 s — worst remaining case is every query at
-    # two-digit whole seconds (":99")
     head = {
-        "value": 999.9,
-        "qp": " ".join(f"{k}:99" for k in names),
+        "value": 9999.9,
+        "qh": hashlib.md5(",".join(names).encode()).hexdigest()[:8],
+        "qv": " ".join("99.99" for _ in names),
     }
     line = json.dumps(head, separators=(",", ":"))
     assert len(line) <= 1980, (
-        f"densest bench tail {len(line)} chars > 1980 budget for "
-        f"{len(names)} queries — shorten names or add a leaner "
-        "emission stage in bench.py"
+        f"values-only bench tail {len(line)} chars > 1980 budget for "
+        f"{len(names)} queries"
     )
+    # round-trip: bench_compare zips names back (and refuses on an
+    # order mismatch)
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    got = bc._parse_bench_line(line)
+    assert got is not None and list(got) == names
+    assert all(v == 99.99 for v in got.values())
+    bad = dict(head, qh="00000000")
+    assert bc._parse_bench_line(
+        json.dumps(bad, separators=(",", ":"))
+    ) is None

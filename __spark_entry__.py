@@ -1789,6 +1789,33 @@ def _q_facade_hybrid_prf_gate(spark, sf_dir):
     )
 
 
+def _q_facade_hybrid_prf_batch_gate(spark, sf_dir):
+    # round 11: the BATCH face of the full retrieve -> expand -> fuse
+    # -> highlight loop as ONE driver hash (verdict item 8).  Three
+    # query STRINGS are embedded distributed and tokenized in codegen;
+    # per-query PRF expansion runs as one plan (batch BM25 feedback ->
+    # per-query top-5 characteristic terms, partitioned-window cut);
+    # each query's LEXICAL leg refolds with ITS expanded term list in
+    # selection order; RRF fusion per query; snippets highlight each
+    # hit against its own query's FINAL terms.  Per-query semantics ==
+    # hybrid_search_text(prf=True, snippets=True) (pinned by pytest
+    # parity); the oracle replays the whole batch loop in SQL.
+    from astro_vectordb_spark.search import hybrid_search_text_batch
+
+    vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    qdf = spark.createDataFrame(
+        [(i, " ".join(_HYB_BATCH_TERMS[i])) for i in sorted(_HYB_BATCH_TERMS)],
+        "query_id long, query_text string",
+    )
+    return hybrid_search_text_batch(
+        spark, vec_path, bm25_path, survivors, qdf,
+        k=10, fetch_k=_RRF_C, prf=True, n_feedback=10, n_expand=5,
+        snippets=True, snippet_window=8,
+    )
+
+
 def _q_facade_hybrid_rerank_gate(spark, sf_dir):
     # round 10: retrieve -> fuse -> CROSS-ENCODER RERANK -> highlight
     # as ONE driver hash.  Fusion (over the churned BM25 stats +
@@ -2192,8 +2219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_rerank_batch": _q_cross_rerank_batch,
         # -- NEW this round: apply-the-sweep (verdict item 7)
         "minhash_apply_sweep": _q_minhash_apply_sweep,
+        # (window boundary: 50 entries above this line)
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window this round (full gate still verifies them)
+        # -- NEW this round, full-gate-oracled (rotate in next round):
+        # the batch face of the full PRF loop (verdict item 8)
+        "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
         # -- rotated out this round: the 2-round-green (r9+r10) heavy
         # core, back in round 12
         "upsert_keep_latest": _q_upsert_keep_latest,
@@ -4253,6 +4284,121 @@ pick AS (SELECT doc_id, score, tk,
                 list_position(scores, list_aggregate(scores, 'max')) AS pos
          FROM ssc)
 SELECT doc_id, score,
+       (CASE WHEN best > 0 THEN pos ELSE 0 END)::BIGINT AS start,
+       CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
+            ELSE '' END AS snippet
+FROM pick
+""",
+        # batch PRF loop: per-query feedback from the batch BM25 CTE
+        # (branked, rank <= 10), per-query top-5 expansion terms
+        # (feedback-df x corpus idf), each query's lexical leg refolded
+        # with its ORIGINAL + expansion terms in position order, vector
+        # leg = md5-hash embedding of each raw query string (aug rows),
+        # RRF per query, snippets against each query's final term list
+        "facade_hybrid_prf_batch_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+{_bm25_batch_cte(sorted(_HYB_BATCH_TERMS.items()), table="sdocs")},
+fb AS (SELECT query_id, doc_id FROM branked WHERE rank <= 10),
+ftk AS (SELECT f.query_id, f.doc_id, b.tk
+        FROM fb f JOIN qbtoks b USING (doc_id)),
+fdf AS (SELECT query_id, term, count(*)::DOUBLE AS dffb
+        FROM (SELECT query_id, doc_id,
+                     unnest(list_distinct(tk)) AS term FROM ftk) u
+        WHERE NOT EXISTS (SELECT 1 FROM qt o
+                          WHERE o.query_id = u.query_id
+                            AND o.term = u.term)
+        GROUP BY query_id, term),
+expt AS (
+  SELECT query_id, term, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term) AS rn
+  FROM (SELECT f.query_id, f.term,
+               f.dffb * ln(1.0 + (c.n - COALESCE(d.df, 0.0) + 0.5)
+                                 / (COALESCE(d.df, 0.0) + 0.5)) AS score
+        FROM fdf f CROSS JOIN qcstat c LEFT JOIN qdfs d USING (term))
+  QUALIFY rn <= 5
+),
+qorig(query_id, npos) AS (VALUES {", ".join(
+    f"({qid}, {len(terms)})"
+    for qid, terms in sorted(_HYB_BATCH_TERMS.items())
+)}),
+qt2 AS (
+  SELECT query_id, pos, term FROM qt
+  UNION ALL
+  SELECT e.query_id, o.npos - 1 + e.rn AS pos, e.term
+  FROM expt e JOIN qorig o USING (query_id)
+),
+dpriced AS (SELECT q.query_id, q.pos, q.term,
+                   ln(1.0 + (c.n - COALESCE(d.df, 0.0) + 0.5)
+                            / (COALESCE(d.df, 0.0) + 0.5)) AS idf
+            FROM qt2 q CROSS JOIN qcstat c
+            LEFT JOIN qdfs d ON d.term = q.term),
+dcontrib AS (SELECT p.query_id, b.doc_id, p.pos, p.idf, b.dl,
+                    len(list_filter(b.tk, x -> x = p.term))::DOUBLE AS tf
+             FROM qbase b CROSS JOIN dpriced p),
+dsum AS (SELECT query_id, doc_id,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list(idf * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       ORDER BY pos)),
+                  (a, x) -> a + x) AS s
+         FROM dcontrib CROSS JOIN qcstat GROUP BY query_id, doc_id),
+lex AS (SELECT query_id, doc_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS r
+        FROM dsum WHERE s > 0.0 QUALIFY r <= {_RRF_C}),
+lexr AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(s, 6) DESC, doc_id) AS rank
+         FROM lex),
+aug AS (SELECT doc_id, text FROM sdocs
+        {" ".join(
+            f"UNION ALL SELECT {-(i + 1)}, '{' '.join(terms)}'"
+            for i, (qid, terms) in enumerate(sorted(_HYB_BATCH_TERMS.items()))
+        )}),
+{_embed_cte(table="aug")},
+qmapv(query_id, aug_id) AS (VALUES {", ".join(
+    f"({qid}, {-(i + 1)})"
+    for i, (qid, terms) in enumerate(sorted(_HYB_BATCH_TERMS.items()))
+)}),
+qvec AS (SELECT m.query_id, e.e AS qe
+         FROM qmapv m JOIN emb e ON e.doc_id = m.aug_id),
+vsc AS (SELECT q.query_id, emb.doc_id, {_cos("emb.e", "q.qe")} AS s
+        FROM emb CROSS JOIN qvec q WHERE emb.doc_id >= 0),
+vru AS (SELECT query_id, doc_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS ru
+        FROM vsc WHERE s > 0.0),
+vtop AS (SELECT query_id, doc_id, s FROM vru WHERE ru <= {_RRF_C}),
+vr AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(s, 6) DESC, doc_id) AS rank
+       FROM vtop),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM vr
+),
+fused0 AS (SELECT query_id, doc_id, sum(c) AS sc
+           FROM contrib GROUP BY query_id, doc_id),
+fused AS (SELECT query_id, doc_id, round(sc, 6) AS score
+          FROM fused0
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, doc_id) <= 10),
+tlist AS (SELECT query_id, list(term ORDER BY pos) AS tl
+          FROM qt2 GROUP BY query_id),
+stoks AS (SELECT f.query_id, f.doc_id, f.score, d.tk
+          FROM fused f JOIN qbtoks d USING (doc_id)),
+ssc AS (SELECT s.query_id, s.doc_id, s.score, s.tk,
+               list_transform(generate_series(1, greatest(1, len(s.tk) - 7)),
+                 w -> len(list_filter(s.tk[w : w + 7],
+                          x -> list_contains(t.tl, x)))) AS scores
+        FROM stoks s JOIN tlist t USING (query_id)),
+pick AS (SELECT query_id, doc_id, score, tk,
+                list_aggregate(scores, 'max') AS best,
+                list_position(scores, list_aggregate(scores, 'max')) AS pos
+         FROM ssc)
+SELECT query_id::BIGINT AS query_id, doc_id, score,
        (CASE WHEN best > 0 THEN pos ELSE 0 END)::BIGINT AS start,
        CASE WHEN best > 0 THEN array_to_string(tk[pos : pos + 7], ' ')
             ELSE '' END AS snippet

@@ -491,10 +491,66 @@ def snippet_extract(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    if window < 1:
-        raise ValueError("window must be >= 1")
     terms = [str(t).lower() for t in query_terms]
     term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(F.lower(F.col(text_col)))
+    scored = (
+        docs.select(id_col, toks.alias("_tk"))
+        .withColumn("_pick", _snippet_pick(F.col("_tk"), term_arr, window))
+        .filter(F.col("_pick.nh") > 0)
+    )
+    return scored.select(
+        id_col,
+        F.col("_pick.nh").cast("long").alias("n_hits"),
+        F.col("_pick.st").cast("long").alias("start"),
+        F.array_join(
+            F.slice(F.col("_tk"), F.col("_pick.st"), F.lit(window)), " "
+        ).alias("snippet"),
+    )
+
+
+def snippet_extract_batch(
+    hits: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch companion to :func:`snippet_extract`: ``hits`` carries
+    ``(query_id, doc_id, terms array<string>, text)`` — each row is
+    highlighted against ITS OWN query's term list (per-query lists
+    diverge under PRF expansion), same candidate-starts scan and the
+    same earliest-maximal-window tie rule, as one narrow no-shuffle
+    projection over the (|Q| x k)-bounded hit set.  Returns
+    ``(query_id, doc_id, n_hits, start, snippet)``; zero-hit rows are
+    dropped (the caller left-joins and coalesces, exactly like the
+    single face)."""
+    term_arr = F.transform(F.col(terms_col), lambda t: F.lower(t))
+    toks = tokens(F.lower(F.col(text_col)))
+    scored = (
+        hits.select(query_id_col, id_col, toks.alias("_tk"), terms_col)
+        .withColumn("_pick", _snippet_pick(F.col("_tk"), term_arr, window))
+        .filter(F.col("_pick.nh") > 0)
+    )
+    return scored.select(
+        query_id_col,
+        id_col,
+        F.col("_pick.nh").cast("long").alias("n_hits"),
+        F.col("_pick.st").cast("long").alias("start"),
+        F.array_join(
+            F.slice(F.col("_tk"), F.col("_pick.st"), F.lit(window)), " "
+        ).alias("snippet"),
+    )
+
+
+def _snippet_pick(tk, term_arr, window: int):
+    """The best-window picker shared by the single and batch snippet
+    faces: struct(nh, st) of the max-hit ``window``-token span of
+    ``tk`` against ``term_arr`` (a literal array or a per-row terms
+    column), earliest span on ties."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
 
     def _bind(expr, fn):
         # evaluate `expr` ONCE per row by binding it as a lambda
@@ -556,19 +612,88 @@ def snippet_extract(
 
         return _bind(hits_of(tk), lambda h: with_hits(h))
 
-    toks = tokens(F.lower(F.col(text_col)))
-    scored = (
-        docs.select(id_col, toks.alias("_tk"))
-        .withColumn("_pick", pick(F.col("_tk")))
-        .filter(F.col("_pick.nh") > 0)
+    return pick(tk)
+
+
+def prf_expand_terms_batch(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    queries: DataFrame,
+    n_feedback: int = 10,
+    n_expand: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batch companion to :func:`prf_expand_terms`: ``queries`` is
+    ``(query_id, terms array<string>)`` of unbounded size; every
+    query's pseudo-relevance feedback runs in ONE plan — the batch
+    indexed BM25 scan produces all feedback sets together, the
+    explode/groupBy runs on the |Q| x n_feedback bounded slice, term
+    pricing restricts the vocabulary scan to the union of feedback
+    terms (broadcast), and the per-query top-``n_expand`` cut is a
+    partitioned window.  Per-query results are bit-identical to the
+    single face (same integer feedback df x float64 corpus idf, same
+    (score desc, term asc) order; pinned by test).
+
+    Returns ``(query_id, term, score, rank)`` with rank 1..n_expand in
+    selection order (the order the single face appends expansion
+    terms)."""
+    from pyspark.sql import Window
+
+    cs = corpus_stats.first()
+    if cs is None:
+        raise ValueError("corpus_stats is empty")
+    n = float(cs["n"])
+
+    fb = bm25_batch_topk_indexed(
+        docs, term_stats, corpus_stats, queries, n_feedback,
+        k1=k1, b=b, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, terms_col=terms_col,
+    ).select(query_id_col, id_col)
+    fb_docs = fb.join(docs.select(id_col, text_col), id_col)
+    fb_df = (
+        fb_docs.select(
+            query_id_col,
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_dffb"))
     )
-    return scored.select(
-        id_col,
-        F.col("_pick.nh").cast("long").alias("n_hits"),
-        F.col("_pick.st").cast("long").alias("start"),
-        F.array_join(
-            F.slice(F.col("_tk"), F.col("_pick.st"), F.lit(window)), " "
-        ).alias("snippet"),
+    # exclude each query's OWN terms (the single face's isin filter,
+    # keyed per query)
+    own = queries.select(
+        query_id_col,
+        F.explode(
+            F.transform(F.col(terms_col), lambda t: F.lower(t))
+        ).alias("term"),
+    ).distinct()
+    fb_df = fb_df.join(own, [query_id_col, "term"], "left_anti")
+    stats_small = term_stats.join(
+        F.broadcast(fb_df.select("term").distinct()), "term"
+    )
+    priced = fb_df.join(F.broadcast(stats_small), "term", "left")
+    df_t = F.coalesce(F.col("df").cast("double"), F.lit(0.0))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    )
+    scored = priced.select(
+        query_id_col, "term", (F.col("_dffb") * idf).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n_expand))
+        .withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))
+        .select(query_id_col, "term", "score", "rank")
     )
 
 

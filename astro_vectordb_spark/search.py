@@ -679,10 +679,15 @@ def hybrid_search_text_batch(
     embed_fn=None,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    prf: bool = False,
+    n_feedback: int = 10,
+    n_expand: int = 5,
     rerank: bool = False,
     rerank_model: str = "hash_cross",
     rerank_depth: int | None = None,
     rerank_config: dict | None = None,
+    snippets: bool = False,
+    snippet_window: int = 16,
     **hybrid_kwargs,
 ) -> DataFrame:
     """Batch text-in front door: ``queries`` is ``(query_id long,
@@ -692,22 +697,37 @@ def hybrid_search_text_batch(
     model load) and tokenized in codegen (the repo contract), then the
     whole batch serves through :func:`hybrid_search_batch` as one
     plan.  Per-query semantics equal
-    ``hybrid_search_text(query_text)`` (pinned by test).  All
-    :func:`hybrid_search_batch` options pass through.
+    ``hybrid_search_text(query_text)`` (pinned by test, per option).
+    All :func:`hybrid_search_batch` options pass through.
 
-    ``rerank=True`` = the batch face of the single call's
-    cross-encoder stage: each query's fused top ``rerank_depth``
-    (default ``3*k``) joins back its doc text AND its raw query text
-    (plain keyed joins — the candidate set is |Q| x depth rows, so
-    nothing is broadcast or driver-materialized at unbounded |Q|),
-    and ``rerank.cross_encoder_rerank``'s batch face scores every
-    (query, doc) pair jointly with the per-query top-k as one
-    partitioned window.  Per-query results equal the single call's
-    ``rerank=True`` (pinned by test); ``score`` becomes the cross
-    score."""
+    The single face's full option set is mirrored:
+
+    - ``prf=True``: per-query pseudo-relevance-feedback expansion as
+      ONE plan (``keyword.prf_expand_terms_batch`` — the batch BM25
+      scan feeds every query's feedback set together; the per-query
+      top-``n_expand`` term cut is a partitioned window).  Expansion
+      terms append to each query's LEXICAL term list in the single
+      face's selection order; the vector leg keeps the raw query
+      embedding; ``allowed_ids`` restricts the feedback pool.
+    - ``rerank=True`` = the batch face of the single call's
+      cross-encoder stage: each query's fused top ``rerank_depth``
+      (default ``3*k``) joins back its doc text AND its raw query
+      text (plain keyed joins — the candidate set is |Q| x depth
+      rows, so nothing is broadcast or driver-materialized at
+      unbounded |Q|), and ``rerank.cross_encoder_rerank``'s batch
+      face scores every (query, doc) pair jointly with the per-query
+      top-k as one partitioned window; ``score`` becomes the cross
+      score.
+    - ``snippets=True``: each hit highlighted against ITS query's
+      FINAL term list (after PRF) via
+      ``keyword.snippet_extract_batch`` over only the |Q| x k result
+      rows, with ``(start, snippet)`` defaulting to ``(0, '')`` for
+      pure vector hits — exactly the single face's contract."""
     from astro_vectordb_spark.functions.embed import embed_text
     from astro_vectordb_spark.functions.text import tokens
 
+    id_col = hybrid_kwargs.get("id_col", "doc_id")
+    text_col = hybrid_kwargs.get("text_col", "text")
     prepared = embed_text(
         queries.select(query_id_col, query_text_col),
         text_col=query_text_col, out_col="query_vec", dim=dim,
@@ -717,25 +737,105 @@ def hybrid_search_text_batch(
         "query_vec",
         tokens(F.lower(F.col(query_text_col))).alias("terms"),
     )
+    if prf:
+        from astro_vectordb_spark.operators.keyword import (
+            prf_expand_terms_batch,
+        )
+        from astro_vectordb_spark.sources.vault import load_bm25_index
+
+        term_stats, corpus_stats = load_bm25_index(spark, bm25_index_path)
+        fb_docs = docs
+        if hybrid_kwargs.get("allowed_ids") is not None:
+            from astro_vectordb_spark.operators.filtering import (
+                restrict_to_allowed,
+            )
+
+            fb_docs = restrict_to_allowed(
+                docs, hybrid_kwargs["allowed_ids"], id_col=id_col
+            )
+        expanded = prf_expand_terms_batch(
+            fb_docs, term_stats, corpus_stats,
+            prepared.select(query_id_col, "terms"),
+            n_feedback=n_feedback, n_expand=n_expand,
+            id_col=id_col, text_col=text_col,
+            query_id_col=query_id_col,
+        )
+        # regroup per query in SELECTION order (rank asc = the order
+        # the single face appends expansion terms — the BM25 fold is
+        # order-sensitive)
+        exp_arr = expanded.groupBy(query_id_col).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "term"))
+                ),
+                lambda s: s["term"],
+            ).alias("_exp")
+        )
+        prepared = (
+            prepared.join(exp_arr, query_id_col, "left")
+            .withColumn(
+                "terms",
+                F.concat(
+                    "terms",
+                    F.coalesce(
+                        F.col("_exp"), F.array().cast("array<string>")
+                    ),
+                ),
+            )
+            .drop("_exp")
+        )
     fused = hybrid_search_batch(
         spark, vector_index_path, bm25_index_path, docs, prepared,
         (rerank_depth if rerank_depth is not None else 3 * k)
         if rerank else k,
         query_id_col=query_id_col, **hybrid_kwargs,
     )
-    if not rerank:
-        return fused
-    from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
+    if rerank:
+        from astro_vectordb_spark.operators.rerank import (
+            cross_encoder_rerank,
+        )
 
-    id_col = hybrid_kwargs.get("id_col", "doc_id")
-    text_col = hybrid_kwargs.get("text_col", "text")
-    cand = (
+        cand = (
+            fused.select(query_id_col, id_col)
+            .join(docs.select(id_col, text_col), id_col)
+            .join(
+                queries.select(query_id_col, query_text_col), query_id_col
+            )
+        )
+        fused = cross_encoder_rerank(
+            cand, None, k, model=rerank_model, id_col=id_col,
+            text_col=text_col, query_id_col=query_id_col,
+            query_text_col=query_text_col, **(rerank_config or {}),
+        )
+    if not snippets:
+        return fused
+    from astro_vectordb_spark.operators.keyword import snippet_extract_batch
+
+    # |Q| x k rows — materialize once so the snippet joins don't
+    # re-execute the whole fused (and possibly reranked) plan
+    fused = fused.localCheckpoint(eager=True)
+    hits = (
         fused.select(query_id_col, id_col)
         .join(docs.select(id_col, text_col), id_col)
-        .join(queries.select(query_id_col, query_text_col), query_id_col)
+        .join(prepared.select(query_id_col, "terms"), query_id_col)
     )
-    return cross_encoder_rerank(
-        cand, None, k, model=rerank_model, id_col=id_col,
-        text_col=text_col, query_id_col=query_id_col,
-        query_text_col=query_text_col, **(rerank_config or {}),
+    snips = snippet_extract_batch(
+        hits, window=snippet_window, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col,
+    )
+    return (
+        fused.join(
+            snips.select(query_id_col, id_col, "start", "snippet"),
+            [query_id_col, id_col], "left",
+        )
+        .select(
+            query_id_col, id_col, "score",
+            F.coalesce(F.col("start"), F.lit(0)).alias("start"),
+            F.coalesce(F.col("snippet"), F.lit("")).alias("snippet"),
+        )
+        .orderBy(
+            F.col(query_id_col).asc(),
+            F.col("score").desc(),
+            F.col(id_col).asc(),
+        )
     )

@@ -287,6 +287,7 @@ def choose_probe_cells_adaptive(
     structure_z: float = 3.0,
     member_z: float = 1.0,
     min_probe: int = 2,
+    max_probe_frac: float | None = None,
 ) -> list[int]:
     """Profile-adaptive probe-cell selection — replaces the fixed
     ``nprobe`` knob whose right value depends on cluster structure the
@@ -310,7 +311,23 @@ def choose_probe_cells_adaptive(
       stay reachable.  On clustered corpora this is a handful of
       cells — the candidate reduction fixed nprobe was buying, now
       derived per query.
+
+    COST NOTE (the round-10 default change, called out loud): the
+    serving facades default the IVF and IVF-PQ kinds to this rule
+    (``nprobe=None``), replacing the old fixed ``nprobe=4``.  On a
+    corpus whose profile has no standout cell — guaranteed at small
+    ``k_cells`` (with k cells the max attainable z is sqrt(k-1), so
+    k <= 9 can never clear structure_z=3) — the fallback probes
+    EVERY cell: maximal recall, full-corpus cost.  Callers who need
+    a predictable cost ceiling instead set ``max_probe_frac`` (e.g.
+    0.25): the fallback (and the structured selection) is then capped
+    at ``ceil(max_probe_frac * k_cells)`` top-similarity cells,
+    floored at ``min_probe`` — the standard bounded-recall LSH-style
+    trade, OFF by default because the uncapped fallback is what makes
+    the small-k exactness gates provably exact.
     """
+    import math
+
     import numpy as np
 
     from astro_vectordb_spark.functions.vector import similarity
@@ -325,12 +342,19 @@ def choose_probe_cells_adaptive(
     ids = [r["cell_id"] for r in rows]
     if len(ids) <= min_probe:
         return ids
+    cap = (
+        len(ids)
+        if max_probe_frac is None
+        else max(min_probe, math.ceil(float(max_probe_frac) * len(ids)))
+    )
     mean, std = sims.mean(), sims.std()
-    if std <= 1e-12 or (sims.max() - mean) / std < structure_z:
-        return ids
     order = np.argsort(-sims)
+    if std <= 1e-12 or (sims.max() - mean) / std < structure_z:
+        if cap >= len(ids):
+            return ids
+        return [ids[i] for i in order[:cap]]
     zscores = (sims - mean) / std
-    n_take = max(min_probe, int((zscores >= member_z).sum()))
+    n_take = min(cap, max(min_probe, int((zscores >= member_z).sum())))
     return [ids[i] for i in order[:n_take]]
 
 
@@ -346,6 +370,7 @@ def ivf_search(
     vec_col: str = "embedding",
     allowed_ids=None,
     n_total: int | None = None,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Approximate top-K: prune to the probed cells, exact within.
 
@@ -370,7 +395,9 @@ def ivf_search(
     subsequent plan is identical to the exact path (codegen score ->
     TakeOrderedAndProject)."""
     if nprobe is None:
-        cells = choose_probe_cells_adaptive(centroids, query_vector, metric)
+        cells = choose_probe_cells_adaptive(
+            centroids, query_vector, metric, max_probe_frac=max_probe_frac
+        )
     else:
         cells = choose_probe_cells(centroids, query_vector, nprobe, metric)
     if allowed_ids is not None:
@@ -676,15 +703,19 @@ def probe_table_batch(
     widen: int = 1,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Distributed per-query probe-cell table ``(query_id, query_vec,
     cell_id)`` — the (|Q| x k_cells) centroid ranking with the fixed
     (``nprobe``) or ADAPTIVE (``nprobe=None``;
     ``choose_probe_cells_adaptive``'s profile rule as per-query
     windows) cutoff, optionally widened by an integer factor
-    (selectivity widening for filtered search).  No driver-side
-    per-query loop; shared by ``ivf_batch_search`` and the
-    cell-probed IVF-PQ batch face."""
+    (selectivity widening for filtered search).  ``max_probe_frac``
+    is the adaptive rule's optional cost ceiling (same semantics as
+    the driver-side rule: cap at ceil(frac x k_cells) top-similarity
+    cells, floored at 2; None = uncapped, the recall-first default).
+    No driver-side per-query loop; shared by ``ivf_batch_search`` and
+    the cell-probed IVF-PQ batch face."""
     from pyspark.sql import Window
 
     from astro_vectordb_spark.functions.vector import similarity
@@ -719,6 +750,25 @@ def probe_table_batch(
                 | (F.col("_r") <= F.lit(2)),
             )
         )
+        if max_probe_frac is not None:
+            # optional cost ceiling on the adaptive selection (incl.
+            # the all-cells fallback): rank cutoff at ceil(frac x
+            # k_cells), floored at the min_probe=2 floor
+            ranked = ranked.withColumn(
+                "_nc", F.count(F.lit(1)).over(wq)
+            ).withColumn(
+                "_keep",
+                F.col("_keep")
+                & (
+                    F.col("_r")
+                    <= F.greatest(
+                        F.lit(2),
+                        F.ceil(
+                            F.col("_nc") * F.lit(float(max_probe_frac))
+                        ),
+                    )
+                ),
+            )
         if widen > 1:
             # widen each query's adaptive count by the selectivity
             # factor: rank cutoff = widen x the query's base count
@@ -746,6 +796,7 @@ def ivf_batch_search(
     query_vec_col: str = "query_vec",
     allowed_ids=None,
     n_total: int | None = None,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Batch IVF: each query joins only its probed cells.
 
@@ -790,6 +841,7 @@ def ivf_batch_search(
     ranked = probe_table_batch(
         queries, centroids, nprobe, metric=metric, widen=widen,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        max_probe_frac=max_probe_frac,
     )
     # drop spill duplicates per query: with redundant assignment a
     # vector sits in several cells and can be probed more than once by

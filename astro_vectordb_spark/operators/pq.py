@@ -439,6 +439,7 @@ def ivf_pq_topk(
     score_col: str = "score",
     allowed_ids=None,
     n_total: int | None = None,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """IVF-PQ search: rank cells driver-side (k_cells rows — it
     parameterizes scan pruning), ADC-scan ONLY the probed cells'
@@ -475,7 +476,8 @@ def ivf_pq_topk(
 
     if nprobe is None:
         cells = choose_probe_cells_adaptive(
-            centroids, query_vector, metric=model.metric
+            centroids, query_vector, metric=model.metric,
+            max_probe_frac=max_probe_frac,
         )
     else:
         cells = choose_probe_cells(
@@ -788,6 +790,7 @@ def ivf_pq_batch_topk_cogrouped(
     n_total: int | None = None,
     max_group_rows: int | None = None,
     cell_counts: DataFrame | None = None,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Cell-probed batch IVF-PQ — the batch face of ``ivf_pq_topk``:
     every query ADC-scans ONLY its probed cells' codes instead of the
@@ -859,6 +862,7 @@ def ivf_pq_batch_topk_cogrouped(
     q_cells = probe_table_batch(
         queries, centroids, nprobe, metric=model.metric, widen=widen,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        max_probe_frac=max_probe_frac,
     )
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
     _serve = _make_cogroup_adc_kernel(

@@ -71,6 +71,7 @@ def search(
     ef_search: int = 100,
     nprobe: int | None = None,
     refine_factor: int = 32,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Serve a top-``k`` query from whatever index lives at ``path``.
 
@@ -82,7 +83,15 @@ def search(
     - ``nprobe=None`` on the IVF *and IVF-PQ* paths selects probe
       cells adaptively from the query's centroid-similarity profile
       (``ann.choose_probe_cells_adaptive`` — same rule, same
-      constants, on both kinds).
+      constants, on both kinds).  DEFAULT-CHANGE NOTE (round 10): the
+      default moved from fixed ``nprobe=4`` to adaptive; when the
+      profile has NO standout cell (guaranteed at k_cells <= 9, where
+      the max attainable z is sqrt(k_cells-1) < 3) the adaptive rule
+      probes EVERY cell — recall-first, full-corpus ADC/scan cost.
+      Callers needing a predictable cost ceiling pass
+      ``max_probe_frac`` (e.g. 0.25) to cap the selection at
+      ceil(frac x k_cells) top-similarity cells, or pin an integer
+      ``nprobe`` for the old behavior.
     - ``allowed_ids`` = metadata-filtered search on EVERY kind: exact
       and PQ pre-filter the scan; HNSW filters the beam's result set
       with selectivity-widened ef; IVF and IVF-PQ restrict candidates
@@ -119,6 +128,7 @@ def search(
             assigned, centroids, query_vector, k, nprobe=nprobe,
             strength=strength, metric=meta["metric"],
             allowed_ids=allowed_ids, n_total=meta.get("n_rows"),
+            max_probe_frac=max_probe_frac,
         )
         return out.select("vec_id", "score")
 
@@ -173,6 +183,7 @@ def search(
         nprobe=nprobe,
         refine_factor=refine_factor, strength=strength,
         allowed_ids=allowed_ids, n_total=meta.get("n_rows"),
+        max_probe_frac=max_probe_frac,
     ).select("vec_id", "score")
 
 
@@ -189,6 +200,7 @@ def search_batch(
     nprobe: int | None = None,
     refine_factor: int = 32,
     max_group_rows: int | None = None,
+    max_probe_frac: float | None = None,
 ) -> DataFrame:
     """Batch companion to :func:`search`: ``queries`` is a DataFrame
     ``(query_id long, query_vec array<float>)`` of UNBOUNDED size —
@@ -200,7 +212,10 @@ def search_batch(
     ``nprobe=None`` (default — parity with :func:`search`) selects IVF
     probe cells adaptively PER QUERY, computed as one distributed
     window over the (|Q| x k_cells) ranking table; an integer pins the
-    classic fixed count.
+    classic fixed count.  Same DEFAULT-CHANGE NOTE as :func:`search`:
+    a query with no standout cell probes every cell under the
+    adaptive default — cap with ``max_probe_frac`` or pin ``nprobe``
+    for a cost ceiling.
 
     ``allowed_ids`` = metadata-filtered batch search on every kind
     (parity with :func:`search`, including the sequence-vs-DataFrame
@@ -245,7 +260,7 @@ def search_batch(
         return ivf_batch_search(
             assigned, centroids, queries, k, nprobe=nprobe,
             metric=meta["metric"], allowed_ids=allowed_ids,
-            n_total=meta.get("n_rows"),
+            n_total=meta.get("n_rows"), max_probe_frac=max_probe_frac,
         ).select("query_id", "vec_id", "score")
 
     if kind == "hnsw":
@@ -301,6 +316,7 @@ def search_batch(
         nprobe=nprobe, refine_factor=refine_factor,
         strength=strength, allowed_ids=allowed_ids,
         n_total=meta.get("n_rows"), max_group_rows=max_group_rows,
+        max_probe_frac=max_probe_frac,
     ).select("query_id", "vec_id", "score")
 
 

@@ -523,3 +523,83 @@ class TestAdaptiveBatchNprobe:
             )
             # uniform corpus -> the rule probes all cells -> exact
             assert got == exact, q
+
+
+class TestAdaptiveProbeCap:
+    """Round-11 ADVICE: the adaptive default's all-cells fallback is
+    recall-first (and load-bearing for the small-k exactness gates);
+    max_probe_frac is the opt-in cost ceiling for serving."""
+
+    def test_cap_bounds_fallback_on_uniform_corpus(self, spark, embeddings):
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        _, cents = ivf_build(embeddings, k_cells=8)
+        qv = embeddings.filter(F.col("vec_id") == 3).first()["embedding"]
+        # uncapped: no standout -> all 8 cells (the default contract)
+        assert len(choose_probe_cells_adaptive(cents, qv)) == 8
+        capped = choose_probe_cells_adaptive(cents, qv, max_probe_frac=0.25)
+        assert len(capped) == 2  # ceil(0.25 * 8), >= min_probe floor
+        # the cap keeps the TOP-similarity cells: they must be a prefix
+        # of the similarity-ordered uncapped ranking
+        from astro_vectordb_spark.operators.ann import choose_probe_cells
+
+        assert capped == choose_probe_cells(cents, qv, 2)
+
+    def test_cap_does_not_loosen_structured_selection(self, spark):
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+        )
+
+        df, pts = TestAdaptiveNprobe._clustered(
+            TestAdaptiveNprobe(), spark
+        )
+        _, cents = ivf_build(df, k_cells=16)
+        qv = pts[0][1]
+        base = choose_probe_cells_adaptive(cents, qv)
+        wide = choose_probe_cells_adaptive(cents, qv, max_probe_frac=1.0)
+        assert sorted(base) == sorted(wide)  # frac=1.0 is a no-op
+        tight = choose_probe_cells_adaptive(cents, qv, max_probe_frac=0.125)
+        assert len(tight) <= max(2, -(-16 // 8))
+        assert set(tight) <= set(base) or len(tight) == 2
+
+    def test_batch_cap_matches_driver_rule(self, spark, embeddings):
+        """The distributed window cap == the driver-side rule's cap,
+        per query."""
+        from astro_vectordb_spark.operators.ann import (
+            choose_probe_cells_adaptive,
+            probe_table_batch,
+        )
+
+        _, cents = ivf_build(embeddings, k_cells=8)
+        qrows = [
+            (int(r["vec_id"]), r["embedding"])
+            for r in embeddings.filter(F.col("vec_id") < 4).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "query_id long, query_vec array<float>"
+        )
+        got = {}
+        for r in probe_table_batch(
+            queries, cents, None, max_probe_frac=0.25
+        ).collect():
+            got.setdefault(int(r["query_id"]), set()).add(int(r["cell_id"]))
+        for qid, qv in qrows:
+            want = set(
+                choose_probe_cells_adaptive(cents, qv, max_probe_frac=0.25)
+            )
+            assert got[qid] == want, qid
+
+    def test_facade_cap_passthrough_serves(self, spark, embeddings, tmp_path):
+        """search(max_probe_frac=) reaches the IVF path and still
+        returns k well-formed rows."""
+        from astro_vectordb_spark.search import search
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        assigned, cents = ivf_build(embeddings, k_cells=8)
+        path = str(tmp_path / "ivf")
+        save_ivf_index(assigned, cents, path)
+        qv = embeddings.filter(F.col("vec_id") == 3).first()["embedding"]
+        out = search(spark, path, qv, k=5, max_probe_frac=0.25).collect()
+        assert len(out) == 5

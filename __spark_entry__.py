@@ -1863,6 +1863,53 @@ def _q_ann_ivfpq_salted_exact(spark, sf_dir):
     )
 
 
+_IVFPQ_RES_INDEX_CACHE: dict[str, str] = {}
+
+
+def ivfpq_residual_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted RESIDUAL IVF-PQ index — codes
+    quantize prep(v) - centroid[cell] (round-11 verdict item 4); the
+    residual flag persists in _meta and the facade reads it back."""
+    if sf_dir in _IVFPQ_RES_INDEX_CACHE:
+        return _IVFPQ_RES_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.operators.pq import ivf_pq_build
+    from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+    encoded, cents, model = ivf_pq_build(
+        _emb(spark, sf_dir), k_cells=8, m=8, ks=64, max_rows=20_000,
+        residual=True,
+    )
+    path = tempfile.mkdtemp(prefix="astro_ivfpq_res_idx_")
+    save_ivf_pq_index(encoded, cents, model, path)
+    _IVFPQ_RES_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_ann_ivfpq_residual_exact(spark, sf_dir):
+    # round 11: RESIDUAL-encoded IVF-PQ, hash-gated at a provably-exact
+    # budget (the ann_ivfpq_salted_exact recipe: adaptive probes all 8
+    # cells by construction, refine 64*k >= corpus -> stage 2 re-ranks
+    # everything exactly).  The residual plumbing — per-(query, cell)
+    # ADC tables against the probed centroid, the cross-cell score
+    # constants, the residual encode/persist/load round trip through
+    # the facade's _meta flag — must reproduce brute force bit-for-bit;
+    # salting rides along so the residual kernel's salted cut is gated
+    # too.
+    from astro_vectordb_spark.search import search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return search_batch(
+        spark, ivfpq_residual_index_path(spark, sf_dir), queries, k=10,
+        vectors=emb, refine_factor=64, max_group_rows=32,
+    )
+
+
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2223,8 +2270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window this round (full gate still verifies them)
         # -- NEW this round, full-gate-oracled (rotate in next round):
-        # the batch face of the full PRF loop (verdict item 8)
+        # the batch face of the full PRF loop (verdict item 8) and the
+        # residual IVF-PQ exactness gate (verdict item 4)
         "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
+        "ann_ivfpq_residual_exact": _q_ann_ivfpq_residual_exact,
         # -- rotated out this round: the 2-round-green (r9+r10) heavy
         # core, back in round 12
         "upsert_keep_latest": _q_upsert_keep_latest,
@@ -4408,6 +4457,25 @@ FROM pick
         # probes every cell (k_cells=8), refine 64*k >= corpus, so the
         # salted face must equal brute-force batch top-10 exactly
         "ann_ivfpq_salted_exact": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS s
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored WHERE s > 0.0
+)
+SELECT query_id, vec_id, round(s, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+        # residual IVF-PQ at the provably-exact budget: identical
+        # brute-force oracle — the residual encode/serve path must be
+        # indistinguishable from exact at full probe + full refine
+        "ann_ivfpq_residual_exact": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
 ),

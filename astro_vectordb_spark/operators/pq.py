@@ -57,10 +57,20 @@ class PQModel:
     """Trained product quantizer: ``codebooks[j]`` is the (ks_eff,
     dsub) centroid matrix of subspace ``j``.  Plain-NumPy state so it
     broadcasts/pickles cheaply and persists as a small parquet table
-    (`to_rows`/`from_rows`)."""
+    (`to_rows`/`from_rows`).
+
+    ``residual=True`` marks an IVF-PQ model whose codes quantize CELL
+    RESIDUALS (prep(v) - centroid[cell]) instead of raw vectors — the
+    standard fidelity win (residuals have far less variance than the
+    vectors, so the same m x ks budget spends its codewords on the
+    fine structure), which lets the stage-2 ``refine_factor`` drop —
+    the term whose join traffic grows at 100 TB.  Serving builds its
+    ADC LUT per (query, probed cell) against that cell's centroid;
+    see ``_adc_lut_residual``."""
 
     def __init__(
-        self, codebooks: np.ndarray, metric: str, dim: int
+        self, codebooks: np.ndarray, metric: str, dim: int,
+        residual: bool = False,
     ) -> None:
         self.codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
         self.metric = metric
@@ -68,6 +78,7 @@ class PQModel:
         self.m = codebooks.shape[0]
         self.ks = codebooks.shape[1]
         self.dsub = codebooks.shape[2]
+        self.residual = bool(residual)
 
     # -- persistence (tiny: m * ks * dsub floats) ----------------------
     def to_rows(self) -> list[tuple[int, int, list[float]]]:
@@ -79,7 +90,7 @@ class PQModel:
 
     @classmethod
     def from_rows(
-        cls, rows: Sequence, metric: str, dim: int
+        cls, rows: Sequence, metric: str, dim: int, residual: bool = False
     ) -> "PQModel":
         m = max(r[0] for r in rows) + 1
         ks = max(r[1] for r in rows) + 1
@@ -87,7 +98,7 @@ class PQModel:
         cb = np.zeros((m, ks, dsub), dtype=np.float32)
         for j, c, vec in rows:
             cb[j, c] = vec
-        return cls(cb, metric=metric, dim=dim)
+        return cls(cb, metric=metric, dim=dim, residual=residual)
 
 
 def _prep(mat: np.ndarray, metric: str) -> np.ndarray:
@@ -253,6 +264,163 @@ def _adc_lut(model: PQModel, query: np.ndarray) -> np.ndarray:
     return lut
 
 
+def _adc_lut_residual(
+    model: PQModel, query: np.ndarray, centroid: np.ndarray
+) -> tuple[np.ndarray, float]:
+    """Per-(query, cell) ADC table for RESIDUAL codes: ``(lut, const)``
+    with score(row) = const + sum_j lut[j, code_j], exactly the raw
+    ADC's contract once the cell identity v_hat = centroid + residual
+    is substituted:
+
+    - cosine/dot: q_hat . v_hat = q_hat . c  +  q_hat . r
+      -> lut[j, w] = q_hat_j . w (CELL-INDEPENDENT), const = q_hat . c
+      (the per-cell part is one scalar offset — cheap).
+    - euclidean: -||q - c - r||^2
+      = -||q - c||^2 + 2 (q - c) . r - ||r||^2
+      -> lut[j, w] = 2 (q - c)_j . w - ||w||^2 (a TRUE per-cell
+      table), const = -||q - c||^2.  The constants matter: candidates
+      from different cells compete in one global cut, so scores must
+      be comparable ACROSS cells, not just within one.
+    """
+    q = _prep(query[None, :], model.metric)[0]
+    c = np.asarray(centroid, dtype=np.float64)
+    lut = np.empty((model.m, model.ks), dtype=np.float64)
+    if model.metric in ("cosine", "dot"):
+        for j in range(model.m):
+            cb = model.codebooks[j].astype(np.float64)
+            lut[j] = cb @ q[j * model.dsub : (j + 1) * model.dsub]
+        const = float(q @ c)
+    elif model.metric == "euclidean":
+        qc = q - c
+        for j in range(model.m):
+            cb = model.codebooks[j].astype(np.float64)
+            lut[j] = 2.0 * (cb @ qc[j * model.dsub : (j + 1) * model.dsub]) - (
+                cb * cb
+            ).sum(axis=1)
+        const = -float(qc @ qc)
+    else:
+        raise ValueError(f"unknown metric: {model.metric}")
+    return lut, const
+
+
+def ivf_pq_encode_residual(
+    assigned: DataFrame,
+    model: PQModel,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, pq_code) with codes quantizing the CELL RESIDUAL
+    prep(v) - centroid[cell_id].  Same Arrow-batched shuffle-free
+    shape as ``pq_encode``; the k_cells centroid matrix rides the same
+    broadcast as the codebooks.  Residuals are never re-normalized —
+    prep applies to the VECTOR (cosine's unit sphere), the residual is
+    a plain difference in that space, so centroid + decode(code)
+    reconstructs v_hat additively."""
+    spark = assigned.sparkSession
+    cents = centroids.orderBy("cell_id").collect()
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cid = np.array([int(r["cell_id"]) for r in cents], dtype=np.int64)
+    pos = {int(c): i for i, c in enumerate(cid)}
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         C, pos)
+    )
+    m = model.m
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codebooks, metric, dsub, C_, pos_ = bc.value
+        cnorms = [
+            (codebooks[j] ** 2).sum(axis=1) for j in range(len(codebooks))
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
+            rows_c = np.array(
+                [pos_[int(c)] for c in pdf["cell_id"].to_numpy()],
+                dtype=np.int64,
+            )
+            R = X - C_[rows_c]
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ codebooks[j].T) + cnorms[j]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell_id": pdf["cell_id"].to_numpy(),
+                    "pq_code": list((codes - 128).astype(np.int8)),
+                }
+            )
+
+    return assigned.select(id_col, "cell_id", vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, cell_id int, pq_code array<tinyint>"
+    )
+
+
+def _residual_pq_candidates(
+    probed: DataFrame,
+    model: PQModel,
+    query_vector: Sequence[float],
+    cells: Sequence[int],
+    centroids: DataFrame,
+    n_candidates: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scan over residual codes: one (lut, const) per probed cell
+    (bounded — |cells| <= k_cells tables of m x ks floats ride one
+    broadcast), each row scored with ITS cell's table, global top
+    ``n_candidates`` comparable across cells by construction."""
+    spark = probed.sparkSession
+    cset = {int(c) for c in cells}
+    cent_rows = {
+        int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.float64)
+        for r in centroids.collect()
+        if int(r["cell_id"]) in cset
+    }
+    q = np.asarray(query_vector, dtype=np.float64)
+    tables = {
+        c: _adc_lut_residual(model, q, cent) for c, cent in cent_rows.items()
+    }
+    bc = spark.sparkContext.broadcast(tables)
+    n_local = n_candidates
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int32) + 128
+            cells_ = pdf["cell_id"].to_numpy()
+            s = np.empty(len(pdf), dtype=np.float64)
+            for c in np.unique(cells_):
+                lut, const = tabs[int(c)]
+                sel = cells_ == c
+                sub = codes[sel]
+                acc = np.full(sub.shape[0], const, dtype=np.float64)
+                for j in range(lut.shape[0]):
+                    acc += lut[j][sub[:, j]]
+                s[sel] = acc
+            if len(s) > n_local:
+                keep = np.argpartition(-s, n_local - 1)[:n_local]
+            else:
+                keep = np.arange(len(s))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "adc_score": s[keep]}
+            )
+
+    scored = probed.select(id_col, "cell_id", "pq_code").mapInPandas(
+        score, schema=f"{id_col} long, adc_score double"
+    )
+    return (
+        scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+        .select(id_col)
+    )
+
+
 def pq_candidates(
     encoded: DataFrame,
     model: PQModel,
@@ -402,19 +570,75 @@ def ivf_pq_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_rows: int = 50_000,
+    residual: bool = False,
 ):
     """Fit IVF cells + PQ codebooks and encode the corpus.
 
     Returns ``(encoded, centroids, model)`` where encoded =
     (id, cell_id, pq_code) — write it ``partitionBy("cell_id")`` (or
     via ``vault.save_ivf_pq_index``) so cell probes become file-level
-    partition pruning."""
+    partition pruning.
+
+    ``residual=True`` = residual encoding (the standard IVF-PQ
+    fidelity win): the codebooks train on and the codes quantize
+    prep(v) - centroid[cell] instead of the raw vector.  Residual
+    variance is a fraction of vector variance, so the same m x ks
+    code budget resolves much finer structure — ADC ordering gets
+    sharper and the stage-2 ``refine_factor`` (whose exact-re-rank
+    join traffic is the term that grows at 100 TB) can drop.  Serving
+    reads ``model.residual`` and builds its ADC tables per (query,
+    probed cell); raw and residual indexes coexist (the flag persists
+    in the vault ``_meta``)."""
     from astro_vectordb_spark.operators.ann import ivf_build_sampled
 
     assigned, centroids = ivf_build_sampled(
         df, k_cells=k_cells, metric=metric, id_col=id_col,
         vec_col=vec_col, seed=seed,
     )
+    if residual:
+        # residual sample for training: prep(v) - centroid[cell], a
+        # bounded mapInPandas over the assigned rows (pq_train's
+        # hash-sample then bounds the driver transfer); trained with
+        # identity prep — residuals must NOT be re-normalized
+        spark = df.sparkSession
+        cents = centroids.orderBy("cell_id").collect()
+        C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+        pos = {int(r["cell_id"]): i for i, r in enumerate(cents)}
+        bcr = spark.sparkContext.broadcast((C, pos, metric))
+
+        def _resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C_, pos_, met = bcr.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = _prep(np.stack(pdf[vec_col].to_numpy()), met)
+                rows_c = np.array(
+                    [pos_[int(c)] for c in pdf["cell_id"].to_numpy()],
+                    dtype=np.int64,
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: list(
+                            (X - C_[rows_c]).astype(np.float64)
+                        ),
+                    }
+                )
+
+        resid_df = assigned.select(id_col, "cell_id", vec_col).mapInPandas(
+            _resid, schema=f"{id_col} long, {vec_col} array<double>"
+        )
+        base = pq_train(
+            resid_df, m=m, ks=ks, metric="dot", vec_col=vec_col,
+            id_col=id_col, max_rows=max_rows, seed=seed,
+        )
+        model = PQModel(
+            base.codebooks, metric=metric, dim=base.dim, residual=True
+        )
+        encoded = ivf_pq_encode_residual(
+            assigned, model, centroids, id_col=id_col, vec_col=vec_col
+        )
+        return encoded, centroids, model
     model = pq_train(
         df, m=m, ks=ks, metric=metric, vec_col=vec_col, id_col=id_col,
         max_rows=max_rows, seed=seed,
@@ -502,9 +726,17 @@ def ivf_pq_topk(
     # .distinct(): spill-redundant IVF assignment (SPANN-style) stores
     # a vector in several cells, so two probed copies of one id must
     # not both reach the re-rank (bounded rows — cheap)
-    cand = pq_candidates(
-        probed, model, query_vector, k * refine_factor, id_col=id_col
-    ).distinct()
+    if model.residual:
+        # residual codes: one ADC table per (query, probed cell)
+        # against that cell's centroid — see _adc_lut_residual
+        cand = _residual_pq_candidates(
+            probed, model, query_vector, cells, centroids,
+            k * refine_factor, id_col=id_col,
+        ).distinct()
+    else:
+        cand = pq_candidates(
+            probed, model, query_vector, k * refine_factor, id_col=id_col
+        ).distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (
         original.join(F.broadcast(cand), id_col)
@@ -612,8 +844,45 @@ def _adc_luts(
     return lut
 
 
+def _adc_luts_residual(
+    codebooks: np.ndarray,
+    metric: str,
+    dsub: int,
+    Q: np.ndarray,
+    centroid: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of ``_adc_lut_residual`` for one cell: ``(luts,
+    consts)`` with luts (nq, m, ks) and consts (nq,) such that
+    score(q, row) = consts[q] + sum_j luts[q, j, code_j] equals the
+    raw ADC on v_hat = centroid + residual."""
+    m = len(codebooks)
+    Qp = _prep(Q, metric)
+    nq = Qp.shape[0]
+    ks = codebooks[0].shape[0]
+    c = np.asarray(centroid, dtype=np.float64)
+    lut = np.empty((nq, m, ks), dtype=np.float64)
+    if metric in ("cosine", "dot"):
+        for j in range(m):
+            cb = codebooks[j].astype(np.float64)
+            lut[:, j, :] = Qp[:, j * dsub : (j + 1) * dsub] @ cb.T
+        const = Qp @ c
+    elif metric == "euclidean":
+        QC = Qp - c[None, :]
+        for j in range(m):
+            cb = codebooks[j].astype(np.float64)
+            lut[:, j, :] = (
+                2.0 * (QC[:, j * dsub : (j + 1) * dsub] @ cb.T)
+                - (cb * cb).sum(axis=1)[None, :]
+            )
+        const = -(QC * QC).sum(axis=1)
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return lut, const
+
+
 def _make_cogroup_adc_kernel(
-    bc, n_local: int, id_col: str, query_id_col: str, query_vec_col: str
+    bc, n_local: int, id_col: str, query_id_col: str, query_vec_col: str,
+    residual: bool = False, centroid_col: str = "centroid",
 ):
     """Cogroup serve kernel shared by the hash-blocked PQ batch face
     and the cell-probed IVF-PQ batch face: one side is a codes slice,
@@ -623,7 +892,14 @@ def _make_cogroup_adc_kernel(
     large |Q| is multi-GB of temporaries per j-gather (measured: 18
     workers at 4 GB RES each, >50% SYSTEM cpu = allocator churn, at
     50k x 6k); 512-query slices cap the temp at ~25 MB with identical
-    float64 math (per-query sums are independent)."""
+    float64 math (per-query sums are independent).
+
+    ``residual=True`` (IVF-PQ residual codes): the query side carries
+    the group's cell centroid in ``centroid_col`` (a cogroup is one
+    cell, or one salt of one cell, so the column is constant within
+    the group) and the LUTs build per (query, cell) via
+    ``_adc_luts_residual`` — scores stay comparable across cells
+    because every group adds its own exact constant."""
 
     def _serve(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         if len(cpdf) == 0 or len(qpdf) == 0:
@@ -648,12 +924,28 @@ def _make_cogroup_adc_kernel(
         codes = codes[idorder]
         qids_all = qpdf[query_id_col].to_numpy()
         qmat_all = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+        cent = (
+            np.asarray(qpdf[centroid_col].iloc[0], dtype=np.float64)
+            if residual
+            else None
+        )
         out_q, out_i, out_s = [], [], []
         q_slice = 512
         for lo in range(0, len(qids_all), q_slice):
             qids = qids_all[lo : lo + q_slice]
-            luts = _adc_luts(codebooks, metric, dsub, qmat_all[lo : lo + q_slice])
-            s = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            if residual:
+                luts, consts = _adc_luts_residual(
+                    codebooks, metric, dsub,
+                    qmat_all[lo : lo + q_slice], cent,
+                )
+                s = np.broadcast_to(
+                    consts[:, None], (len(qids), len(ids))
+                ).copy()
+            else:
+                luts = _adc_luts(
+                    codebooks, metric, dsub, qmat_all[lo : lo + q_slice]
+                )
+                s = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for j in range(m):
                 s += luts[:, j, codes[:, j]]
             if s.shape[1] > n_local:
@@ -865,9 +1157,16 @@ def ivf_pq_batch_topk_cogrouped(
         max_probe_frac=max_probe_frac,
     )
     out_schema = f"{query_id_col} long, {id_col} long, adc_score double"
+    if model.residual:
+        # each cogroup is one cell (or one salt of one cell): ride the
+        # cell's centroid on the query side (k_cells-row broadcast) so
+        # the kernel can build its per-(query, cell) residual tables
+        q_cells = q_cells.join(
+            F.broadcast(centroids.select("cell_id", "centroid")), "cell_id"
+        )
     _serve = _make_cogroup_adc_kernel(
         bc, n_local, id_col=id_col, query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
+        query_vec_col=query_vec_col, residual=model.residual,
     )
     codes = encoded.select(id_col, "pq_code", "cell_id")
     if max_group_rows is not None:

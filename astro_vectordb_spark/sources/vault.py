@@ -759,8 +759,9 @@ def save_ivf_pq_index(
     n_rows = encoded.select("vec_id").distinct().count()
     spark.createDataFrame(
         [(model.metric, int(model.m), int(model.ks), int(model.dim),
-          int(k_cells), int(n_rows))],
-        "metric string, m int, ks int, dim int, k_cells int, n_rows long",
+          int(k_cells), int(n_rows), bool(getattr(model, "residual", False)))],
+        "metric string, m int, ks int, dim int, k_cells int, n_rows long, "
+        "residual boolean",
     ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
@@ -776,7 +777,10 @@ def load_ivf_pq_index(spark: SparkSession, path: str):
         for r in spark.read.parquet(os.path.join(path, "codebooks")).collect()
     ]
     meta = _read_meta(spark, path)
-    model = PQModel.from_rows(cb_rows, metric=meta["metric"], dim=meta["dim"])
+    model = PQModel.from_rows(
+        cb_rows, metric=meta["metric"], dim=meta["dim"],
+        residual=bool(meta.get("residual", False)),
+    )
     return encoded, centroids, model, meta
 
 
@@ -993,13 +997,28 @@ def ivf_pq_append_to_index(
         if dedup_ids
         else new_rows.select("vec_id").distinct().count()
     )
+    residual = bool(meta.get("residual", False)) or bool(
+        getattr(model, "residual", False)
+    )
+    # drift report only for raw-encoded indexes: a residual index's
+    # fidelity is relative to each row's assigned centroid, and the
+    # raw-space reconstruction error is not the comparable quantity
     batch_mse = (
-        pq_reconstruction_mse(new_rows, model) if n_appended else None
+        pq_reconstruction_mse(new_rows, model)
+        if n_appended and not residual
+        else None
     )
     touched: list = []
     if n_appended:
-        codes = pq_encode(new_rows, model)
-        out = assigned.select("vec_id", "cell_id").join(codes, on="vec_id")
+        if residual:
+            from astro_vectordb_spark.operators.pq import (
+                ivf_pq_encode_residual,
+            )
+
+            out = ivf_pq_encode_residual(assigned, model, centroids)
+        else:
+            codes = pq_encode(new_rows, model)
+            out = assigned.select("vec_id", "cell_id").join(codes, on="vec_id")
         touched = sorted(
             r["cell_id"] for r in out.select("cell_id").distinct().collect()
         )

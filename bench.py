@@ -362,6 +362,27 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
         served_rec = [
             len(sv.get(q, set()) & set(exact[q])) / 10 for q in qids
         ]
+        # multi-shard serving row (round 11, verdict item 5): the
+        # session index is built at >= 4 shards (min_parallelism
+        # floor), which is the actual 100 TB shape — every query fans
+        # out to EVERY shard and the union re-ranks.  Record the shard
+        # count, the served recall (same numbers as above — they ARE
+        # the multi-shard path), and the union-merge WALL for the
+        # 5-query batch (warm, second run timed), so the serving cost
+        # of the shard fan-out is benched, not just probed.
+        served_shards = len(meta["shard_ids"])
+
+        def _serve_hnsw():
+            return hnsw_query_shards(
+                g, queries, k=10, m=meta["m"], metric=meta["metric"],
+                ef_search=100, clustered=meta["clustered_safe"],
+                index_cache_token=meta["cache_token"],
+            ).count()
+
+        _serve_hnsw()  # warm
+        t0 = time.time()
+        _serve_hnsw()
+        served_wall = round(time.time() - t0, 3)
         # candidate fraction: similarity evaluations per query / corpus,
         # counted on a same-parameter single-node replica of the shard
         # graphs (the counter lives executor-side in the real plan)
@@ -513,6 +534,8 @@ def _ann_metrics(spark, sf_dir: str) -> dict:
             "hnsw_served_recall_at_10": round(
                 sum(served_rec) / len(served_rec), 3
             ),
+            "hnsw_served_num_shards": served_shards,
+            "hnsw_served_union_merge_sec": served_wall,
             "hnsw_candidate_fraction": round(hnsw_frac, 3),
             "hnsw_num_shards": num_shards,
             "ivf_approx_recall_at_10": round(sum(rec) / len(rec), 3),

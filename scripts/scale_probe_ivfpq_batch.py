@@ -219,6 +219,74 @@ def main() -> None:
         )
     a.unpersist()
 
+    # RESIDUAL axis (round 11, verdict item 4): codes quantize
+    # prep(v) - centroid[cell] instead of the raw vector — the
+    # fidelity win that lets the stage-2 refine factor (whose exact
+    # re-rank join traffic grows at 100 TB) drop.  Measured against
+    # EXACT ground truth at refine 4, where encoding fidelity is the
+    # binding constraint: residual recall must be >= raw recall at
+    # the same (m, ks, nprobe, refine) budget.
+    from astro_vectordb_spark.operators.topk import batch_topk
+
+    r_encoded, r_centroids, r_model = ivf_pq_build(
+        corpus, k_cells=CENTERS, m=8, ks=64, max_rows=20_000,
+        residual=True,
+    )
+    repath = "/tmp/scale_ivfpq/res_codes"
+    r_encoded.write.mode("overwrite").parquet(repath)
+    r_encoded = spark.read.parquet(repath)
+    sample2 = queries.limit(200)
+    exact_t = (
+        batch_topk(corpus, sample2, K)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    n_exact = exact_t.count()
+
+    def _recall_exact(face_df):
+        inter = face_df.join(exact_t, ["query_id", "vec_id"]).count()
+        return round(inter / max(n_exact, 1), 4)
+
+    raw_rec4 = _recall_exact(
+        ivf_pq_batch_topk_cogrouped(
+            encoded, centroids, corpus, sample2, K, model,
+            nprobe=NPROBE, refine_factor=4,
+        ).select("query_id", "vec_id")
+    )
+    res_rec4 = _recall_exact(
+        ivf_pq_batch_topk_cogrouped(
+            r_encoded, r_centroids, corpus, sample2, K, r_model,
+            nprobe=NPROBE, refine_factor=4,
+        ).select("query_id", "vec_id")
+    )
+    out["raw_recall_vs_exact_refine4"] = raw_rec4
+    out["residual_recall_vs_exact_refine4"] = res_rec4
+    if res_rec4 < raw_rec4:
+        failures.append(
+            f"residual recall {res_rec4} < raw {raw_rec4} at refine 4"
+        )
+    exact_t.unpersist()
+
+    def run_residual():
+        return (
+            ivf_pq_batch_topk_cogrouped(
+                r_encoded, r_centroids, corpus, queries, K, r_model,
+                nprobe=NPROBE, refine_factor=4,
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.countDistinct("query_id").alias("nq"))
+            .first()
+        )
+
+    run_residual()  # warm
+    t0 = time.time(); got_r = run_residual()
+    sec_r = round(time.time() - t0, 2)
+    out["residual_sec"] = sec_r
+    out["residual_vs_raw_probed_ratio"] = round(sec_r / max(sec_p, 0.01), 2)
+    if int(got_r["nq"]) != NQ:
+        failures.append("residual face incomplete results")
+
     # SKEW axis (round 10): one dominant cluster holds 60% of the
     # corpus -> after build, one giant cell concentrates its whole ADC
     # scan in ONE cogroup task.  max_group_rows salts it into bounded

@@ -199,6 +199,116 @@ def main() -> None:
             f"incremental match only {speedup}x cheaper than re-dedup"
         )
 
+    # SKEW axis (round 11, verdict item 2): a boilerplate cluster of
+    # 50k IDENTICAL docs inside a 250k corpus.  Exact duplicates share
+    # every band bucket, so without the exact-signature collapse the
+    # retroactive sweep's self-join would push O(d^2 x bands) = 2e10
+    # candidate rows through one hot key; with the collapse the
+    # rep-level candidate stage is O(distinct sigs).  The match face's
+    # per-bucket witness cap is measured for decision parity (same
+    # probe docs flagged) and wall vs the uncapped every-witness join.
+    from astro_vectordb_spark.sources.vault import (
+        load_minhash_index,
+        minhash_index_groups,
+        minhash_sig_self_pairs,
+    )
+
+    D, BASE = 50_000, 200_000
+    sp = "/tmp/scale_mh/skew_docs"
+    boiler = "the same boilerplate footer text appears in every copy " \
+        "of this document verbatim end to end"
+    (
+        spark.range(BASE + D)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < D, F.lit(boiler))
+            .otherwise(_codegen_text(F.col("id")))
+            .alias("text"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(sp)
+    )
+    skew_docs = spark.read.parquet(sp)
+    skew_path = "/tmp/scale_mh/skew_idx"
+    save_minhash_index(skew_docs, skew_path)
+    sigs, _, smeta = load_minhash_index(spark, skew_path)
+    reps, rep_pairs = minhash_sig_self_pairs(
+        sigs, num_hashes=int(smeta["num_hashes"]),
+        bands=int(smeta["bands"]), threshold=0.9, id_col="doc_id",
+    )
+    n_reps = int(reps.count())
+    n_rep_pairs = int(rep_pairs.count())
+    t0 = time.time()
+    keep = minhash_index_groups(spark, skew_path, threshold=0.9)
+    n_keep = int(keep.count())
+    boiler_kept = int(keep.filter(F.col("doc_id") < D).count())
+    sweep_sec = round(time.time() - t0, 2)
+    out["skew_sweep"] = {
+        "cluster_copies": D, "corpus": BASE + D,
+        "distinct_sig_reps": n_reps,
+        "rep_level_candidate_pairs": n_rep_pairs,
+        "sweep_sec": sweep_sec,
+        "keep_rows": n_keep,
+        "boilerplate_survivors": boiler_kept,
+    }
+    if boiler_kept != 1:
+        failures.append(
+            f"skew sweep kept {boiler_kept} boilerplate copies (want 1)"
+        )
+    if n_rep_pairs > 10 * n_reps:
+        failures.append(
+            f"rep-level candidates {n_rep_pairs} not O(reps={n_reps})"
+        )
+
+    # match face: 200 probe copies of the boilerplate vs the 50k-copy
+    # cluster — uncapped returns every witness (200 x 50k pairs);
+    # capped(16) must flag the SAME probe docs at a fraction of the
+    # wall
+    pb = "/tmp/scale_mh/skew_probe"
+    (
+        spark.range(200)
+        .select(
+            (F.col("id") + 20_000_000).alias("doc_id"), F.lit(boiler).alias("text")
+        )
+        .write.mode("overwrite")
+        .parquet(pb)
+    )
+    probe = spark.read.parquet(pb)
+
+    def _match(cap):
+        return (
+            minhash_match_index(
+                spark, skew_path, probe, threshold=0.99,
+                max_bucket_size=cap,
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.countDistinct("new_id").alias("nq"))
+            .first()
+        )
+
+    _match(16)  # warm
+    t0 = time.time(); got_c = _match(16)
+    cap_sec = round(time.time() - t0, 2)
+    t0 = time.time(); got_u = _match(None)
+    uncap_sec = round(time.time() - t0, 2)
+    out["skew_match"] = {
+        "probe_docs": 200,
+        "uncapped_pairs": int(got_u["rows"]),
+        "capped_pairs": int(got_c["rows"]),
+        "uncapped_sec": uncap_sec,
+        "capped_sec": cap_sec,
+        "capped_vs_uncapped_ratio": round(
+            cap_sec / max(uncap_sec, 0.01), 2
+        ),
+        "decision_parity": int(got_c["nq"]) == int(got_u["nq"]) == 200,
+    }
+    if int(got_c["nq"]) != 200 or int(got_u["nq"]) != 200:
+        failures.append("skew match decision parity broken")
+    if int(got_c["rows"]) > 200 * 16:
+        failures.append("witness cap not applied")
+
     out["failures"] = failures
     out["all_ok"] = not failures
     print(json.dumps(out))

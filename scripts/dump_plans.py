@@ -53,6 +53,16 @@ SHOW = [
     # explode + keyed band join against the persisted compact tables;
     # no scan of the historical documents table anywhere in the plan
     "minhash_index_incremental",
+    # round 11: post-sweep serving (the probe's band join hits the
+    # physically-deduplicated tables), the residual IVF-PQ exactness
+    # face (same salted cogroup shape, per-cell centroid riding the
+    # broadcast query side), and the batch PRF loop (batch BM25
+    # feedback -> per-query window cut -> dynamic-term refold ->
+    # per-query snippet projection; no single-partition stage on the
+    # query axis)
+    "minhash_apply_sweep",
+    "ann_ivfpq_residual_exact",
+    "facade_hybrid_prf_batch_gate",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

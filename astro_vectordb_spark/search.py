@@ -799,6 +799,11 @@ def hybrid_search_text_batch(
                 ),
             )
             .drop("_exp")
+            # |Q| rows — pin the expansion ONCE: the vector leg, the
+            # lexical leg, and the snippet join each consume
+            # ``prepared``, and without this every consumer re-runs
+            # the whole PRF sub-plan (feedback corpus scan + window)
+            .localCheckpoint(eager=True)
         )
     fused = hybrid_search_batch(
         spark, vector_index_path, bm25_index_path, docs, prepared,

@@ -184,7 +184,10 @@ def main() -> None:
             # values in queries() order, "qh" an md5 prefix of the
             # name list so bench_compare zips names back only when the
             # order provably matches (rotation changes the order
-            # between rounds).  ~700 chars worst case for 104 queries.
+            # between rounds).  ~700 chars worst case for 104 queries;
+            # the leftover budget carries "qtop", a NAMED map of the
+            # slowest queries (as many as fit), so a human reading the
+            # driver artifact alone still sees where the time went.
             import hashlib
 
             names = list(timings)
@@ -197,7 +200,18 @@ def main() -> None:
                     str(round(v, 2)) for v in timings.values()
                 ),
             }
-            line = json.dumps(head, separators=(",", ":"))
+            slowest = sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )
+            for n_top in range(min(30, len(slowest)), -1, -1):
+                head["qtop"] = " ".join(
+                    f"{k}:{round(v, 2)}" for k, v in slowest[:n_top]
+                )
+                if not head["qtop"]:
+                    del head["qtop"]
+                line = json.dumps(head, separators=(",", ":"))
+                if len(line) <= tail_budget:
+                    break
     print(line)
     spark.stop()
 

@@ -83,6 +83,10 @@ def test_bench_tail_line_fits_driver_capture():
         f"values-only bench tail {len(line)} chars > 1980 budget for "
         f"{len(names)} queries"
     )
+    # with the named top-slowest map riding the leftover budget, the
+    # n_top back-off loop must reach a fitting size even when ZERO
+    # named entries fit — bench.py degrades qtop to absence; here just
+    # pin that the bare values-only form always fits (the loop's floor)
     # round-trip: bench_compare zips names back (and refuses on an
     # order mismatch)
     import importlib.util

@@ -92,6 +92,18 @@ def main() -> None:
     )
     minhash_append_to_index(spark, path, novel2, batch_id=2)
 
+    # ---- retroactive sweep (round 11): policy change / backfill ----
+    # compute the keep set from the index alone (no text read) and
+    # APPLY it — near-dup losers are physically removed (file-granular,
+    # replay-logged), so future matching serves deduplicated history
+    from astro_vectordb_spark.sources.vault import minhash_apply_groups
+
+    rep_s = minhash_apply_groups(spark, path, threshold=0.9, batch_id=100)
+    print(f"sweep: kept {rep_s['kept']}, removed {rep_s['removed_docs']}")
+    assert minhash_apply_groups(
+        spark, path, threshold=0.9, batch_id=100
+    )["skipped_replay"]  # replayed sweep is a no-op
+
     # ---- maintenance: compact the file growth the appends left ----
     rep_c = minhash_compact_index(
         spark, path, target_rows_per_file=10_000_000, min_file_ratio=1.0

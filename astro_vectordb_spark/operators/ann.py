@@ -348,7 +348,11 @@ def choose_probe_cells_adaptive(
         else max(min_probe, math.ceil(float(max_probe_frac) * len(ids)))
     )
     mean, std = sims.mean(), sims.std()
-    order = np.argsort(-sims)
+    # (similarity desc, cell_id asc) total order — the SAME tie rule
+    # as choose_probe_cells and probe_table_batch's window, so the
+    # single and batch faces pick identical cells when the cut binds
+    # on tied similarities (duplicate centroids, quantized embeddings)
+    order = np.lexsort((np.asarray(ids), -sims))
     if std <= 1e-12 or (sims.max() - mean) / std < structure_z:
         if cap >= len(ids):
             return ids

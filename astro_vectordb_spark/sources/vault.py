@@ -925,8 +925,9 @@ def pq_append_to_index(
         # duplicate ids collapse too — otherwise the duplicate code rows
         # land in the table and the physical count inflates the _meta
         # n_rows counter (defined as DISTINCT vec_ids) with no
-        # reconciliation path
-        new_rows = new_rows.dropDuplicates(["vec_id"]).join(
+        # reconciliation path.  The pick is DETERMINISTIC (min-struct),
+        # not dropDuplicates' partition-order-arbitrary row
+        new_rows = _dedup_ids_deterministic(new_rows).join(
             existing.select("vec_id"), on="vec_id", how="left_anti"
         )
     # meta delta is DISTINCT ids; with dedup_ids the physical count IS
@@ -979,8 +980,9 @@ def ivf_pq_append_to_index(
     if dedup_ids:
         # anti-join vs the table AND intra-batch id collapse — keeps the
         # codes table duplicate-free and the _meta distinct-id counter
-        # exact (see pq_append_to_index)
-        new_rows = new_rows.dropDuplicates(["vec_id"]).join(
+        # exact, with a deterministic min-struct pick (see
+        # pq_append_to_index)
+        new_rows = _dedup_ids_deterministic(new_rows).join(
             existing.select("vec_id"), on="vec_id", how="left_anti"
         )
     cents = centroids.orderBy("cell_id").collect()
@@ -1032,6 +1034,23 @@ def ivf_pq_append_to_index(
         "touched_cells": touched,
         "batch_mse": batch_mse,
     }
+
+
+def _dedup_ids_deterministic(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """One row per id, picked DETERMINISTICALLY: min by the struct of
+    the remaining columns.  ``dropDuplicates`` keeps a partition-order-
+    arbitrary row, so a batch carrying one id twice with different
+    embeddings could persist DIFFERENT codes across two replays of the
+    same logical batch — breaking the deterministic-replay contract
+    the append family's replay log is built on."""
+    others = [c for c in df.columns if c != id_col]
+    if not others:
+        return df.distinct()
+    return (
+        df.groupBy(id_col)
+        .agg(F.min(F.struct(*others)).alias("_r"))
+        .select(id_col, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
 
 
 def _as_ids_df(spark: SparkSession, vec_ids) -> DataFrame:
@@ -1881,7 +1900,8 @@ def minhash_append_to_index(
     )
 
     if _batch_already_committed(spark, path, batch_id, op="minhash_append"):
-        return {"appended_rows": 0, "skipped_replay": True}
+        return {"appended_rows": 0, "repaired_rows": 0,
+                "skipped_replay": True}
     sigs, bands, meta = load_minhash_index(spark, path)
     id_col = meta["id_col"]
     nh = int(meta["num_hashes"])
@@ -2122,6 +2142,7 @@ def minhash_remove_from_index(
     path: str,
     doc_ids,
     batch_id: int | None = None,
+    op: str = "minhash_remove",
 ) -> dict:
     """Physical delete from the near-dup fingerprint index — the
     remove face completing its lifecycle (save -> match -> append ->
@@ -2134,8 +2155,12 @@ def minhash_remove_from_index(
     redelivery a no-op.  ``doc_ids`` is an iterable of ids or a
     one-column DataFrame (it is pinned with an eager localCheckpoint
     first — a lazy plan reading THIS index would otherwise re-evaluate
-    mid-rewrite and see its own deletions)."""
-    if _batch_already_committed(spark, path, batch_id, op="minhash_remove"):
+    mid-rewrite and see its own deletions).  ``op`` namespaces the
+    replay log (the _batch_already_committed contract): a targeted
+    remove stream and the retroactive sweep each number batches
+    independently, so they must not share a namespace — the sweep
+    passes op='minhash_sweep'."""
+    if _batch_already_committed(spark, path, batch_id, op=op):
         return {"removed_docs": 0, "skipped_replay": True}
     meta = _read_meta(spark, path)
     id_col = meta["id_col"]
@@ -2155,7 +2180,7 @@ def minhash_remove_from_index(
     _remove_rows_by_file(spark, bp, ids, id_col=id_col)
     if n_removed:
         _update_meta_n_rows(spark, path, delta=-n_removed)
-    _record_batch(spark, path, batch_id, op="minhash_remove")
+    _record_batch(spark, path, batch_id, op=op)
     return {"removed_docs": int(n_removed), "skipped_replay": False}
 
 
@@ -2173,11 +2198,15 @@ def minhash_apply_groups(
     boilerplate cluster), and the dropped ids stop paying storage and
     join traffic.  The sweep's keep set is deterministic, so a
     replayed ``batch_id`` is a no-op even though the removal happened.
+    The sweep keeps its OWN replay namespace (op='minhash_sweep'): a
+    targeted remove stream's batch ids must never collide with a
+    scheduled sweep's (the cross-operation collision the namespaced
+    log exists to prevent).
 
     Returns ``{"kept": n, "removed_docs": n, ...}``.  Note this drops
     near-dup LOSERS by policy; :func:`minhash_compact_index` (file
     compaction) is orthogonal and still applies after heavy churn."""
-    if _batch_already_committed(spark, path, batch_id, op="minhash_remove"):
+    if _batch_already_committed(spark, path, batch_id, op="minhash_sweep"):
         return {"kept": 0, "removed_docs": 0, "skipped_replay": True}
     keep = minhash_index_groups(spark, path, threshold=threshold)
     meta = _read_meta(spark, path)
@@ -2188,7 +2217,9 @@ def minhash_apply_groups(
         .distinct()
         .join(keep, id_col, "left_anti")
     )
-    rep = minhash_remove_from_index(spark, path, losers, batch_id=batch_id)
+    rep = minhash_remove_from_index(
+        spark, path, losers, batch_id=batch_id, op="minhash_sweep"
+    )
     n_kept = int(_read_meta(spark, path)["n_rows"])
     return {
         "kept": n_kept,

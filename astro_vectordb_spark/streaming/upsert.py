@@ -475,7 +475,7 @@ def _minhash_ingest_batch(
     drop_dups: bool,
     threshold: float,
     query_name: str,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> dict:
     """One micro-batch of the streaming near-dup-index ingest
     (module-level so the per-batch semantics are directly
@@ -494,9 +494,13 @@ def _minhash_ingest_batch(
     SAME ``threshold`` as the historical match, connected components,
     min-id survivor per group.  Deterministic, so a replayed batch
     keeps the same survivors and the (op, batch_id) replay log stays
-    sufficient.  ``max_bucket_size`` caps the historical match's
-    per-bucket witness count (boilerplate clusters; decision-lossless
-    for exact dups — see ``minhash_match_index``)."""
+    sufficient.  ``max_bucket_size`` (opt-in, default None =
+    the exact every-witness contract) caps the historical match's
+    per-bucket witness count — set it for boilerplate-heavy corpora
+    where one band bucket holds thousands of identical docs
+    (decision-lossless for exact-dup clusters, the standard LSH
+    recall trade for diverse hot buckets — see
+    ``minhash_match_index``)."""
     from astro_vectordb_spark.operators.dedup import (
         connected_components,
         minhash_signatures_sql_safe,
@@ -576,7 +580,7 @@ def stream_minhash_ingest(
     query_name: str = "astro_minhash_ingest",
     drop_dups: bool = True,
     threshold: float = 0.8,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ):
     """Streaming ingest into the persisted near-dup fingerprint index:
     each micro-batch of (doc_id, text) rows is matched against

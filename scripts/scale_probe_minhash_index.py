@@ -288,7 +288,7 @@ def main() -> None:
             .first()
         )
 
-    _match(16)  # warm
+    _match(16); _match(None)  # warm BOTH variants symmetrically
     t0 = time.time(); got_c = _match(16)
     cap_sec = round(time.time() - t0, 2)
     t0 = time.time(); got_u = _match(None)

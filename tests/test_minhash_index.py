@@ -618,3 +618,45 @@ class TestRemoveAndApply:
         # replayed sweep is a no-op
         rep2 = minhash_apply_groups(spark, path, threshold=0.9, batch_id=0)
         assert rep2["skipped_replay"]
+
+
+class TestSweepReplayNamespace:
+    def test_sweep_does_not_mask_targeted_remove(
+        self, spark, corpus_rows, tmp_path
+    ):
+        """The sweep and a targeted remove stream each number batches
+        from 0 — they must not share a replay namespace (the
+        cross-operation collision the namespaced log prevents)."""
+        from astro_vectordb_spark.sources.vault import (
+            minhash_apply_groups,
+            minhash_remove_from_index,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        rep_s = minhash_apply_groups(spark, path, threshold=0.9, batch_id=0)
+        assert not rep_s.get("skipped_replay", False)
+        # a remove with the SAME batch_id must still apply
+        rep_r = minhash_remove_from_index(spark, path, [3], batch_id=0)
+        assert not rep_r.get("skipped_replay", False)
+        assert rep_r["removed_docs"] == 1
+        # and each op's own replay stays a no-op
+        assert minhash_apply_groups(
+            spark, path, threshold=0.9, batch_id=0
+        )["skipped_replay"]
+        assert minhash_remove_from_index(
+            spark, path, [3], batch_id=0
+        )["skipped_replay"]
+
+    def test_replayed_append_reports_repaired_rows_key(
+        self, spark, corpus_rows, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        minhash_append_to_index(
+            spark, path, _mkdocs(spark, [corpus_rows[41]]), batch_id=5
+        )
+        rep = minhash_append_to_index(
+            spark, path, _mkdocs(spark, [corpus_rows[41]]), batch_id=5
+        )
+        assert rep["skipped_replay"] and rep["repaired_rows"] == 0

@@ -472,3 +472,34 @@ class TestBm25LegacyLayout:
         assert bm25_append_to_index(spark, path, new, batch_id=1)[
             "skipped_replay"
         ]
+
+
+class TestDeterministicDupPick:
+    def test_duplicate_id_pick_is_order_independent(
+        self, spark, vecs, tmp_path
+    ):
+        """A batch carrying one id twice with DIFFERENT embeddings must
+        persist the same code regardless of row arrival order (the
+        deterministic-replay contract; dropDuplicates kept an
+        arbitrary row)."""
+        from astro_vectordb_spark.sources.vault import (
+            load_pq_index,
+            pq_append_to_index,
+        )
+
+        e1 = [float(i) / 100 for i in range(DIM)]
+        e2 = [float(DIM - i) / 100 for i in range(DIM)]
+        codes = []
+        for order in ([e1, e2], [e2, e1]):
+            path = str(tmp_path / f"pq_{codes and 'b' or 'a'}")
+            _mk_pq(spark, vecs.filter(F.col("vec_id") < 300), path)
+            batch = spark.createDataFrame(
+                [(9999, order[0]), (9999, order[1])],
+                "vec_id long, embedding array<float>",
+            ).repartition(2)
+            pq_append_to_index(spark, path, batch, batch_id=1)
+            enc, _, _ = load_pq_index(spark, path)
+            rows = enc.filter(F.col("vec_id") == 9999).collect()
+            assert len(rows) == 1
+            codes.append(list(rows[0]["pq_code"]))
+        assert codes[0] == codes[1]

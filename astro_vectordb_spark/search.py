@@ -537,6 +537,38 @@ def search_text(
     return search(spark, path, qv, k, **search_kwargs)
 
 
+def search_text_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    model: str | None = None,
+    embed_fn=None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    **search_kwargs,
+) -> DataFrame:
+    """Batch text-in front door for :func:`search_batch` — the
+    vector-only sibling of :func:`hybrid_search_text_batch`:
+    ``queries`` is ``(query_id long, query_text string)`` of UNBOUNDED
+    size, every string embedded DISTRIBUTED through the encoder
+    registry (``embed.embed_text``: Arrow-batched pandas_udf, lazy
+    per-worker model load), then the whole batch serves through
+    :func:`search_batch` as one plan.  Per-query results equal
+    ``search_text(query_text)`` (pinned by test); all
+    :func:`search_batch` options pass through."""
+    from astro_vectordb_spark.functions.embed import embed_text
+
+    prepared = embed_text(
+        queries.select(query_id_col, query_text_col),
+        text_col=query_text_col, out_col="query_vec", dim=dim,
+        model=model, embed_fn=embed_fn,
+    ).select(F.col(query_id_col).alias("query_id"), "query_vec")
+    return search_batch(spark, path, prepared, k, **search_kwargs)
+
+
 def hybrid_search_text(
     spark: SparkSession,
     vector_index_path: str,

@@ -325,3 +325,24 @@ class TestResidualIvfPq:
             for r in salted.collect()
         }
         assert got_s == got
+
+
+class TestSearchTextBatch:
+    def test_batch_equals_single_per_query(self, spark, hybrid_paths):
+        """The vector-only batch text face: distributed embedding +
+        search_batch == the single search_text per query, over the
+        exact-kind index."""
+        from astro_vectordb_spark.search import search_text, search_text_batch
+
+        vec_path, _, _ = hybrid_paths
+        got = {
+            (int(r.query_id), int(r.vec_id), round(float(r.score), 6))
+            for r in search_text_batch(
+                spark, vec_path, _qdf(spark), k=5
+            ).collect()
+        }
+        want = set()
+        for qid, t in enumerate(TEXTS):
+            for r in search_text(spark, vec_path, t, k=5).collect():
+                want.add((qid, int(r.vec_id), round(float(r.score), 6)))
+        assert got == want

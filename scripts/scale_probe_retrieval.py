@@ -388,6 +388,54 @@ def main() -> None:
             f"complete {t_complete}"
         )
 
+    # full PRF loop on the batch face (round 11, verdict item 8): the
+    # whole retrieve -> per-query PRF expansion -> dynamic-term
+    # lexical refold -> fuse -> per-query snippet highlight as ONE
+    # plan.  The expansion's corpus-scale work is one extra batch BM25
+    # scan shared by every query (feedback sets are |Q| x n_feedback
+    # bounded; the top-term cut is a partitioned window), so the
+    # query axis must stay ~linear and every query must come back
+    # with its snippet columns.
+    psecs = {}
+    pseen = {}
+    for nq in (32, 128):
+        def f(nq=nq):
+            got_p = (
+                hybrid_search_text_batch(
+                    spark, fvec_paths[SIZES[0]],
+                    bm25_paths[SIZES[0]], corpora[SIZES[0]], tqs[nq],
+                    k=10, fetch_k=20, dim=DIM,
+                    prf=True, n_feedback=10, n_expand=5,
+                    snippets=True, snippet_window=8,
+                )
+                .groupBy()
+                .agg(
+                    F.countDistinct("query_id").alias("nq"),
+                    F.sum(
+                        F.when(F.col("snippet") != "", 1).otherwise(0)
+                    ).alias("nsnip"),
+                )
+                .first()
+            )
+            pseen[nq] = (int(got_p["nq"]), int(got_p["nsnip"]))
+
+        psecs[nq] = timed(f)
+    p_ratio = round(psecs[128] / max(psecs[32], 0.01), 2)
+    p_complete = all(pseen[nq][0] == nq for nq in (32, 128))
+    p_snips = all(pseen[nq][1] > 0 for nq in (32, 128))
+    p_ok = p_ratio <= RATIO_CAP and p_complete and p_snips
+    out["hybrid_prf_batch_query_axis"] = {
+        "sec_32": psecs[32], "sec_128": psecs[128],
+        "ratio": p_ratio, "all_queries_served": p_complete,
+        "snippets_present": p_snips,
+        "linear_ok": p_ok,
+    }
+    if not p_ok:
+        failures.append(
+            f"hybrid PRF batch query axis ratio {p_ratio}, complete "
+            f"{p_complete}, snippets {p_snips}"
+        )
+
     # MaxSim over non-overlapping 20-token chunk vectors
     def maxsim(n):
         qrows = (

@@ -369,26 +369,77 @@ def _residual_pq_candidates(
     n_candidates: int,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC scan over residual codes: one (lut, const) per probed cell
-    (bounded — |cells| <= k_cells tables of m x ks floats ride one
-    broadcast), each row scored with ITS cell's table, global top
-    ``n_candidates`` comparable across cells by construction."""
+    """ADC scan over residual codes, each row scored with ITS cell's
+    (lut, const), global top ``n_candidates`` comparable across cells
+    by construction.
+
+    Scale shape (this was a driver hazard): the driver never
+    materializes per-cell LUTs.  It broadcasts MODEL-sized state —
+    codebooks (m x ks x dsub) + the PROBED centroids (collected under
+    a server-side ``isin`` filter, never the full centroid table) —
+    and executors derive each cell's table lazily for only the cells
+    their own partitions contain (codes are partitioned by cell_id,
+    so a task touches few cells).  cosine/dot need ONE shared LUT
+    plus a scalar q.c offset per cell (see ``_adc_lut_residual``'s
+    derivation); euclidean builds its true per-cell table on first
+    touch.  Under the adaptive all-cells fallback the old shape
+    shipped k_cells*m*ks float64 tables per query (~1 GB at 65k
+    cells, m=8, ks=256); this ships the IVF model itself."""
     spark = probed.sparkSession
-    cset = {int(c) for c in cells}
+    cset = sorted({int(c) for c in cells})
+    # server-side filter for selective probes; past ~1k cells a giant
+    # In-list costs more than collecting the (bounded, model-sized)
+    # centroid table and filtering driver-side
+    if len(cset) <= 1024:
+        cent_src = centroids.filter(F.col("cell_id").isin(cset)).collect()
+    else:
+        want = set(cset)
+        cent_src = [
+            r for r in centroids.collect() if int(r["cell_id"]) in want
+        ]
     cent_rows = {
         int(r["cell_id"]): np.asarray(r["centroid"], dtype=np.float64)
-        for r in centroids.collect()
-        if int(r["cell_id"]) in cset
+        for r in cent_src
     }
-    q = np.asarray(query_vector, dtype=np.float64)
-    tables = {
-        c: _adc_lut_residual(model, q, cent) for c, cent in cent_rows.items()
-    }
-    bc = spark.sparkContext.broadcast(tables)
+    q = _prep(
+        np.asarray(query_vector, dtype=np.float64)[None, :], model.metric
+    )[0]
+    bc = spark.sparkContext.broadcast(
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         q, cent_rows)
+    )
     n_local = n_candidates
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tabs = bc.value
+        codebooks, metric, dsub, q_, cents = bc.value
+        m = len(codebooks)
+        shared_lut = None
+        if metric in ("cosine", "dot"):
+            # cell-independent table: lut[j, w] = q_j . codeword
+            shared_lut = np.stack(
+                [codebooks[j] @ q_[j * dsub : (j + 1) * dsub]
+                 for j in range(m)]
+            )
+        tabs: dict = {}  # per-cell (lut, const), built on first touch
+
+        def _cell_table(c: int):
+            t = tabs.get(c)
+            if t is None:
+                cent = cents[c]
+                if shared_lut is not None:
+                    t = (shared_lut, float(q_ @ cent))
+                else:  # euclidean: true per-cell table (see derivation)
+                    qc = q_ - cent
+                    lut = np.stack(
+                        [2.0 * (codebooks[j]
+                                @ qc[j * dsub : (j + 1) * dsub])
+                         - (codebooks[j] * codebooks[j]).sum(axis=1)
+                         for j in range(m)]
+                    )
+                    t = (lut, -float(qc @ qc))
+                tabs[c] = t
+            return t
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -396,7 +447,7 @@ def _residual_pq_candidates(
             cells_ = pdf["cell_id"].to_numpy()
             s = np.empty(len(pdf), dtype=np.float64)
             for c in np.unique(cells_):
-                lut, const = tabs[int(c)]
+                lut, const = _cell_table(int(c))
                 sel = cells_ == c
                 sub = codes[sel]
                 acc = np.full(sub.shape[0], const, dtype=np.float64)

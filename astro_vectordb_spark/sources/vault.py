@@ -951,6 +951,9 @@ def pq_append_to_index(
         "batch_mse": batch_mse,
         "m": meta["m"],
         "ks": meta["ks"],
+        # report-shape parity with the replay-hit path and the minhash
+        # append family: callers read rep["skipped_replay"] uniformly
+        "skipped_replay": False,
     }
 
 
@@ -1033,6 +1036,7 @@ def ivf_pq_append_to_index(
         "appended_rows": n_appended,
         "touched_cells": touched,
         "batch_mse": batch_mse,
+        "skipped_replay": False,
     }
 
 
@@ -1771,6 +1775,77 @@ def load_minhash_index(spark: SparkSession, path: str):
     return sigs, bands, meta
 
 
+def minhash_bucket_telemetry(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame | None = None,
+    text_col: str = "text",
+) -> dict:
+    """Witness-skew telemetry over the persisted band table: how many
+    historical witnesses live in each (band_idx, band_sig) bucket —
+    restricted to the buckets ``new_docs`` would touch when given
+    (the exact join keys :func:`minhash_match_index` will hit), the
+    whole index otherwise.
+
+    Returns ``{"max_bucket_witnesses", "p99_bucket_witnesses",
+    "p50_bucket_witnesses", "n_buckets", "n_witness_rows"}``.  The
+    point (round-11 verdict, What's-wrong #2): the hot-bucket caps are
+    opt-in, and without a signal an operator only learns a
+    boilerplate-heavy corpus needs ``max_bucket_size`` when a
+    straggler task appears.  ``max_bucket_witnesses >> p99`` is that
+    signal — one boilerplate cluster of d exact copies shows up as a
+    single bucket of d witnesses.  Cost: one aggregation over the
+    compact bands table (fingerprints only, never text), pruned to
+    the batch's buckets by a keyed semi-join when a batch is given."""
+    from astro_vectordb_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_sql_safe,
+    )
+
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    meta = _read_meta(spark, path)
+    scope = bands
+    if new_docs is not None:
+        nb = minhash_band_table(
+            minhash_signatures_sql_safe(
+                new_docs, num_hashes=int(meta["num_hashes"]),
+                n=int(meta["n"]), text_col=text_col,
+                id_col=meta["id_col"],
+            ),
+            num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
+            id_col=meta["id_col"],
+        )
+        scope = bands.join(
+            nb.select("band_idx", "band_sig").distinct(),
+            ["band_idx", "band_sig"], "left_semi",
+        )
+    return _bucket_witness_stats(scope, meta["id_col"])
+
+
+def _bucket_witness_stats(bands_scope: DataFrame, id_col: str) -> dict:
+    per_bucket = bands_scope.groupBy("band_idx", "band_sig").agg(
+        F.count(F.col(id_col)).alias("_w")
+    )
+    row = per_bucket.agg(
+        F.max("_w").alias("mx"),
+        F.percentile_approx("_w", 0.99).alias("p99"),
+        F.percentile_approx("_w", 0.5).alias("p50"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("_w").alias("nr"),
+    ).first()
+    if row["nb"] == 0:
+        return {"max_bucket_witnesses": 0, "p99_bucket_witnesses": 0,
+                "p50_bucket_witnesses": 0, "n_buckets": 0,
+                "n_witness_rows": 0}
+    return {
+        "max_bucket_witnesses": int(row["mx"]),
+        "p99_bucket_witnesses": int(row["p99"]),
+        "p50_bucket_witnesses": int(row["p50"]),
+        "n_buckets": int(row["nb"]),
+        "n_witness_rows": int(row["nr"]),
+    }
+
+
 def minhash_match_index(
     spark: SparkSession,
     path: str,
@@ -1778,6 +1853,7 @@ def minhash_match_index(
     threshold: float = 0.8,
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Match a NEW batch against the persisted index without touching
     the historical text: shingle/sign the batch under the index's
@@ -1808,7 +1884,15 @@ def minhash_match_index(
     the same est as any dropped one.  For diverse hot buckets it is the
     standard LSH recall trade (mirrors ``rp_block_pairs``'s
     ``max_bucket_size``).  Default None = exact contract (every
-    witness), which is what the oracle replays."""
+    witness), which is what the oracle replays.
+
+    Telemetry (opt-in, fills the caller's ``telemetry`` dict in
+    place): PRE-cap witness-skew stats over the buckets this batch
+    touches (``max_bucket_witnesses``/``p99_bucket_witnesses``/...,
+    see :func:`minhash_bucket_telemetry`) — the signal for when to
+    set ``max_bucket_size`` BEFORE a hot bucket becomes a straggler.
+    One extra aggregation over the batch-pruned compact band table;
+    zero cost when None."""
     from astro_vectordb_spark.operators.dedup import (
         minhash_band_table,
         minhash_signatures_sql_safe,
@@ -1827,13 +1911,17 @@ def minhash_match_index(
     hist_bands = bands.select(
         F.col(id_col).alias("hist_id"), "band_idx", "band_sig"
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
+    if max_bucket_size is not None or telemetry is not None:
         touched = nbands.select("band_idx", "band_sig").distinct()
         hist_bands = hist_bands.join(
             touched, ["band_idx", "band_sig"], "left_semi"
         )
+    if telemetry is not None:
+        # PRE-cap skew over exactly the buckets this batch joins
+        telemetry.update(_bucket_witness_stats(hist_bands, "hist_id"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
         w = Window.partitionBy("band_idx", "band_sig").orderBy("hist_id")
         hist_bands = (
             hist_bands.withColumn("_rn", F.row_number().over(w))
@@ -1912,15 +2000,27 @@ def minhash_append_to_index(
     if dedup_ids:
         fresh = fresh.join(sigs.select(id_col), id_col, "left_anti")
     # repair backlog measured BEFORE this batch lands: sig ids a prior
-    # crashed append left without bands (cheap — both tables are
-    # compact fingerprints, no text), so the report can separate the
-    # batch's own contribution from the self-heal
-    backlog = (
-        sigs.join(bands.select(id_col).distinct(), id_col, "left_anti")
-        .select(id_col)
-        .distinct()
-        .count()
-    )
+    # crashed append left without bands.  The exact measure is an
+    # anti-join over both tables on EVERY micro-batch even though a
+    # crash is the rare case.  Short-circuit: bands ids are always a
+    # subset of sigs ids (sigs append first; removal drops both), so
+    # two count-distinct aggregations over the compact fingerprint
+    # tables decide "no backlog" (the steady state) without the join;
+    # the anti-join runs only when the counts disagree — i.e. a crash
+    # actually happened.  (_meta n_rows can't stand in for the sigs
+    # count: the counter commits AFTER bands, so a crashed append
+    # leaves meta == bands while sigs carries the orphans.)
+    n_sigs_before = sigs.select(id_col).distinct().count()
+    n_bands_before = bands.select(id_col).distinct().count()
+    if n_sigs_before == n_bands_before:
+        backlog = 0
+    else:
+        backlog = (
+            sigs.join(bands.select(id_col).distinct(), id_col, "left_anti")
+            .select(id_col)
+            .distinct()
+            .count()
+        )
     fresh.write.mode("append").parquet(os.path.join(path, "sigs"))
     # bands sync from the stored diff (self-healing, see docstring)
     all_sigs = spark.read.parquet(os.path.join(path, "sigs"))
@@ -2220,7 +2320,22 @@ def minhash_apply_groups(
     rep = minhash_remove_from_index(
         spark, path, losers, batch_id=batch_id, op="minhash_sweep"
     )
-    n_kept = int(_read_meta(spark, path)["n_rows"])
+    # legacy _meta tables may lack n_rows (loaders fall back to
+    # counting — see _update_meta_n_rows); don't let the sweep raise
+    # AFTER the removal committed.  Fall back to the ground truth:
+    # distinct ids still present in sigs/.
+    post_meta = _read_meta(spark, path)
+    n_kept_raw = post_meta.get("n_rows")
+    n_kept = (
+        int(n_kept_raw)
+        if n_kept_raw is not None
+        else int(
+            spark.read.parquet(os.path.join(path, "sigs"))
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+    )
     return {
         "kept": n_kept,
         "removed_docs": rep["removed_docs"],

@@ -1816,6 +1816,33 @@ def _q_facade_hybrid_prf_batch_gate(spark, sf_dir):
     )
 
 
+_TEXT_BATCH_QUERIES = [
+    (0, "Merge  HASH spark"),
+    (1, "window   AGG  table"),
+    (2, "scan Parquet files quickly"),
+]
+
+
+def _q_facade_text_batch_gate(spark, sf_dir):
+    # round 12: the vector-only BATCH text face as ONE driver hash
+    # (round-11 verdict item 6 — search_text_batch was pytest-only).
+    # Three raw query STRINGS (mixed case, irregular whitespace) are
+    # embedded DISTRIBUTED through the encoder registry
+    # (embed.embed_text's Arrow-batched kernel must equal the
+    # driver-side single-query kernel and the oracle's md5 CTE), then
+    # the whole batch serves through search_batch's exact kind over
+    # the embedded survivor corpus — one scan prices all queries with
+    # the map-side prereduce.  The oracle embeds the canonical
+    # lowercase literals via negative-id aug rows.
+    from astro_vectordb_spark.search import search_text_batch
+
+    vec_path, _ = hybrid_index_paths(spark, sf_dir)
+    qs = spark.createDataFrame(
+        _TEXT_BATCH_QUERIES, "query_id long, query_text string"
+    )
+    return search_text_batch(spark, vec_path, qs, k=10)
+
+
 def _q_facade_hybrid_rerank_gate(spark, sf_dir):
     # round 10: retrieve -> fuse -> CROSS-ENCODER RERANK -> highlight
     # as ONE driver hash.  Fusion (over the churned BM25 stats +
@@ -2274,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # residual IVF-PQ exactness gate (verdict item 4)
         "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
         "ann_ivfpq_residual_exact": _q_ann_ivfpq_residual_exact,
+        "facade_text_batch_gate": _q_facade_text_batch_gate,
         # -- rotated out this round: the 2-round-green (r9+r10) heavy
         # core, back in round 12
         "upsert_keep_latest": _q_upsert_keep_latest,
@@ -4151,6 +4179,31 @@ fr AS (SELECT query_id, doc_id, sc,
        FROM fused)
 SELECT query_id::BIGINT AS query_id, doc_id, round(sc, 6) AS score
 FROM fr WHERE rn <= 10
+""",
+        # vector-only batch text face: each raw query string's
+        # canonical lowercase form rides a negative-id aug row through
+        # the SAME md5 embed CTE as the corpus (the distributed
+        # Arrow-batched query embedding must equal it bit-for-bit),
+        # then per-query exact cosine top-10 over the embedded
+        # survivor corpus
+        "facade_text_batch_gate": f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+aug AS (SELECT doc_id, text FROM sdocs
+        UNION ALL SELECT -1, 'merge hash spark'
+        UNION ALL SELECT -2, 'window agg table'
+        UNION ALL SELECT -3, 'scan parquet files quickly'),
+{_embed_cte(table="aug")},
+qv AS (SELECT (-1 - doc_id)::BIGINT AS query_id, e AS qvec
+       FROM emb WHERE doc_id < 0),
+corpus AS (SELECT doc_id AS vec_id, e FROM emb WHERE doc_id >= 0),
+vsc AS (SELECT q.query_id, c.vec_id, {_cos("c.e", "q.qvec")} AS s
+        FROM corpus c CROSS JOIN qv q),
+ranked AS (SELECT query_id, vec_id, s,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rn
+           FROM vsc WHERE s > 0.0)
+SELECT query_id, vec_id, round(s, 6) AS score
+FROM ranked WHERE rn <= 10
 """,
         # cross-encoder rerank: candidates = BM25 top-C on unrounded
         # scores; the hash_cross stub score is EXACTLY the cosine of

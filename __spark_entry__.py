@@ -2214,60 +2214,52 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 11 (the driver checks the FIRST 50
+    # Driver-window rotation, round 12 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in (round-10 verdict item 1): the 5 round-10 queries that
-    #     landed past the full window get their first driver signing —
-    #     ann_ivfpq_salted_exact, facade_hybrid_rerank_gate,
-    #     minhash_index_incremental, minhash_index_groups,
-    #     cross_rerank_batch;
-    #   - in (new): minhash_apply_sweep — build -> sweep-remove ->
-    #     match-post-sweep as ONE hash (verdict item 7);
-    #   - out (the only 2-round-green entries — driver-signed in BOTH
-    #     r9 and r10; back in round 12, listed in NOTES_r11):
-    #     upsert_keep_latest, sync_merge, embedding_near_dup_blocked,
-    #     embedding_dedup_groups, dedup_groups, near_dup_simhash_sql;
-    #   - held in-window: near_dup_minhash_sql and
-    #     near_dup_native_exactdup (the minhash family whose band-join
-    #     internals changed this round keeps a driver-signed hash);
-    #   - everything else keeps its round-10 slot (signed last round,
-    #     at most 1 round stale).
+    #   - in (round-11 verdict item 1): the 3 never-driver-signed
+    #     full-gate queries — facade_hybrid_prf_batch_gate,
+    #     ann_ivfpq_residual_exact, facade_text_batch_gate — plus the
+    #     6 heavy-core queries rotated out in round 11
+    #     (upsert_keep_latest, sync_merge, embedding_near_dup_blocked,
+    #     embedding_dedup_groups, dedup_groups, near_dup_simhash_sql);
+    #   - out (9, all 2-round-green — driver-signed in BOTH r10 and
+    #     r11, families untouched this round, each with a rep still
+    #     in-window): topk_euclidean, null_semantics, similarity_join,
+    #     knn_classify, lang_id, stratified_sample, range_join,
+    #     dup_rate_by_source, embed_docs;
+    #   - held in-window: the minhash index family
+    #     (minhash_index_incremental/_groups, minhash_apply_sweep,
+    #     near_dup_minhash_sql, near_dup_native_exactdup) because the
+    #     append/sweep/telemetry internals changed this round, and the
+    #     IVF-PQ reps (facade_ivfpq_gate, ann_ivfpq_salted_exact)
+    #     because the residual ADC broadcast path changed this round;
+    #   - everything else keeps its slot (signed last round, at most
+    #     1 round stale).
     return {
-        # -- returning round-5 core (out exactly one round)
+        # -- stable core (driver-signed r10+r11, kept as family reps)
         "topk_exact": _q_topk_exact,
-        "topk_euclidean": _q_topk_euclidean,
         "threshold_cap": _q_threshold_cap,
         "point_lookup": _q_point_lookup,
         "tombstone_delete": _q_tombstone_delete,
-        "null_semantics": _q_null_semantics,
         "batch_topk": _q_batch_topk,
-        "similarity_join": _q_similarity_join,
         "dedup_exact": _q_dedup_exact,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality_scores,
-        "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
-        "knn_classify": _q_knn_classify,
         "validate_dim": _q_validate_dim,
-        "embed_docs": _q_embed_docs,
         "multimodal_decode": _q_multimodal_decode,
-        "stratified_sample": _q_stratified_sample,
         "topk_quantized": _q_topk_quantized,
         "batch_topk_quantized": _q_batch_topk_quantized,
         "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
-        # -- returning family representatives (out exactly one round)
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
-        "range_join": _q_range_join,
         "gopher_filter": _q_gopher_filter,
-        "dup_rate_by_source": _q_dup_rate_by_source,
-        # -- round-9 additions, FIRST driver-window appearance
         "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_gate": _q_facade_hybrid_gate,
@@ -2277,39 +2269,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": _q_snippets,
         "prf_expand": _q_prf_expand,
         "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
-        "facade_ivfpq_gate": _q_facade_ivfpq_gate,
-        # -- round-10 gate (signed last round)
         "facade_hybrid_prf_gate": _q_facade_hybrid_prf_gate,
-        # -- minhash family reps held in-window (band-join internals
-        # changed this round — keep a driver-signed hash on them)
+        # -- IVF-PQ reps held in-window (residual ADC broadcast path
+        # changed this round — keep driver-signed hashes on the family)
+        "facade_ivfpq_gate": _q_facade_ivfpq_gate,
+        "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
+        # -- minhash family held in-window (append/sweep/telemetry
+        # internals changed this round)
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
         "near_dup_native_exactdup": _q_near_dup_native_exactdup,
-        # -- round-10 queries, FIRST driver-window appearance
-        # (round-10 verdict item 1)
-        "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
-        "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
         "minhash_index_incremental": _q_minhash_index_incremental,
         "minhash_index_groups": _q_minhash_index_groups,
-        "cross_rerank_batch": _q_cross_rerank_batch,
-        # -- NEW this round: apply-the-sweep (verdict item 7)
         "minhash_apply_sweep": _q_minhash_apply_sweep,
-        # (window boundary: 50 entries above this line)
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window this round (full gate still verifies them)
-        # -- NEW this round, full-gate-oracled (rotate in next round):
-        # the batch face of the full PRF loop (verdict item 8) and the
-        # residual IVF-PQ exactness gate (verdict item 4)
+        # -- signed first in r11, kept one more round
+        "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
+        "cross_rerank_batch": _q_cross_rerank_batch,
+        # -- IN (round-11 verdict item 1): first driver signing
         "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
         "ann_ivfpq_residual_exact": _q_ann_ivfpq_residual_exact,
         "facade_text_batch_gate": _q_facade_text_batch_gate,
-        # -- rotated out this round: the 2-round-green (r9+r10) heavy
-        # core, back in round 12
+        # -- IN: the 6 heavy-core queries rotated out in round 11
         "upsert_keep_latest": _q_upsert_keep_latest,
         "sync_merge": _q_sync_merge,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         "embedding_dedup_groups": _q_embedding_dedup_groups,
         "dedup_groups": _q_dedup_groups,
         "near_dup_simhash_sql": _q_near_dup_simhash_sql,
+        # (window boundary: 50 entries above this line)
+        # -- entries past this point fall OUTSIDE the driver's
+        # 50-entry window this round (full gate still verifies them)
+        # -- OUT this round (2-round-green r10+r11, back next round):
+        "topk_euclidean": _q_topk_euclidean,
+        "null_semantics": _q_null_semantics,
+        "similarity_join": _q_similarity_join,
+        "knn_classify": _q_knn_classify,
+        "lang_id": _q_lang_id,
+        "stratified_sample": _q_stratified_sample,
+        "range_join": _q_range_join,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "embed_docs": _q_embed_docs,
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,

@@ -61,8 +61,20 @@ def main() -> None:
     # 73-88 s on unchanged code.  The steady-state number is the one
     # that scales (and the one BASELINE comparisons mean); the cold
     # pass is reported alongside for transparency.
+    # Opt-in subset filter for A/B harness runs (scripts/bench_ab.py):
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2" times only the named queries so an
+    # interleaved two-HEAD comparison costs seconds per rep instead of
+    # minutes.  The driver never sets it — the full sweep is unchanged.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q.strip() for q in only_env.split(",") if q.strip()} or None
+    bench_queries = {
+        name: fn
+        for name, fn in entrymod.queries().items()
+        if only is None or name in only
+    }
+
     cold: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in bench_queries.items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -72,7 +84,7 @@ def main() -> None:
             cold[name] = -1.0
 
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in bench_queries.items():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -84,7 +96,9 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
-    ann = _ann_metrics(spark, sf_dir)
+    # ann recall metrics are skipped in subset (A/B) mode — they time
+    # index serving paths the subset may not even include
+    ann = _ann_metrics(spark, sf_dir) if only is None else {}
     # Full-fidelity artifact first (3-decimal warm + cold per-query
     # detail + ann metrics) — this is what BENCH_r*_local.json stores...
     print(

@@ -1937,6 +1937,56 @@ def _q_ann_ivfpq_residual_exact(spark, sf_dir):
     )
 
 
+_IVFPQ_OPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def ivfpq_opq_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted residual IVF-PQ index with an
+    OPQ rotation (round-12 verdict item 3, Ge et al. CVPR 2013): codes
+    quantize rot(prep(v) - centroid[cell]); the rotation persists as
+    subspace=-1 rows of the codebook table and serving rotates queries
+    and probed centroids transparently."""
+    if sf_dir in _IVFPQ_OPQ_INDEX_CACHE:
+        return _IVFPQ_OPQ_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.operators.pq import ivf_pq_build
+    from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+    encoded, cents, model = ivf_pq_build(
+        _emb(spark, sf_dir), k_cells=8, m=8, ks=64, max_rows=20_000,
+        residual=True, opq_iters=8,
+    )
+    path = tempfile.mkdtemp(prefix="astro_ivfpq_opq_idx_")
+    save_ivf_pq_index(encoded, cents, model, path)
+    _IVFPQ_OPQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_ann_ivfpq_opq_exact(spark, sf_dir):
+    # round 12: OPQ-rotated residual IVF-PQ, hash-gated at a provably-
+    # exact budget (the ann_ivfpq_residual_exact recipe on a DIFFERENT
+    # query slice: adaptive probes all 8 cells, refine 64*k >= corpus
+    # -> stage 2 re-ranks everything exactly).  Gates the whole OPQ
+    # plumbing — the rotation's persistence round trip (subspace=-1
+    # codebook rows), rotated residual encode, per-(query, cell) ADC
+    # tables built from the ROTATED query and centroid, and the salted
+    # cogroup cut — against brute force bit-for-bit.
+    from astro_vectordb_spark.search import search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= 3) & (F.col("vec_id") < 6)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return search_batch(
+        spark, ivfpq_opq_index_path(spark, sf_dir), queries, k=10,
+        vectors=emb, refine_factor=64, max_group_rows=32,
+    )
+
+
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2298,6 +2348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (window boundary: 50 entries above this line)
         # -- entries past this point fall OUTSIDE the driver's
         # 50-entry window this round (full gate still verifies them)
+        # -- NEW this round, full-gate-oracled (rotate in next round):
+        # OPQ-rotated residual IVF-PQ exactness gate (verdict item 3)
+        "ann_ivfpq_opq_exact": _q_ann_ivfpq_opq_exact,
         # -- OUT this round (2-round-green r10+r11, back next round):
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
@@ -4529,6 +4582,25 @@ FROM ranked WHERE rank <= 10
         "ann_ivfpq_residual_exact": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS s
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored WHERE s > 0.0
+)
+SELECT query_id, vec_id, round(s, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+        # OPQ gate: exact at its budget, so the oracle is brute-force
+        # top-10 on the gate's own query slice (vec_id 3..5)
+        "ann_ivfpq_opq_exact": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 3 AND vec_id < 6
 ),
 scored AS (
   SELECT q.query_id, e.vec_id, {cos} AS s

@@ -66,11 +66,23 @@ class PQModel:
     fine structure), which lets the stage-2 ``refine_factor`` drop —
     the term whose join traffic grows at 100 TB.  Serving builds its
     ADC LUT per (query, probed cell) against that cell's centroid;
-    see ``_adc_lut_residual``."""
+    see ``_adc_lut_residual``.
+
+    ``rotation`` (OPQ, Ge et al. CVPR 2013 "Optimized Product
+    Quantization", non-parametric variant) is an optional (dim, dim)
+    ORTHOGONAL matrix learned at train time: vectors (or residuals)
+    are rotated before the subspace split so the m independent
+    quantizers see decorrelated, variance-balanced subspaces.
+    Rotation preserves dot products and euclidean distances, so every
+    ADC derivation holds verbatim in the rotated space — queries and
+    centroids rotate at LUT-build time, codes quantize rotated
+    vectors, and scores remain comparable across cells.  Stored as
+    float32 (same precision as the codebooks) so an in-session model
+    and its vault round-trip are bit-identical."""
 
     def __init__(
         self, codebooks: np.ndarray, metric: str, dim: int,
-        residual: bool = False,
+        residual: bool = False, rotation: np.ndarray | None = None,
     ) -> None:
         self.codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
         self.metric = metric
@@ -79,26 +91,57 @@ class PQModel:
         self.ks = codebooks.shape[1]
         self.dsub = codebooks.shape[2]
         self.residual = bool(residual)
+        self.rotation = (
+            None
+            if rotation is None
+            else np.ascontiguousarray(rotation, dtype=np.float32)
+        )
 
-    # -- persistence (tiny: m * ks * dsub floats) ----------------------
+    def _rot64(self) -> np.ndarray | None:
+        """float64 view of the rotation for worker-side math (None when
+        the model is unrotated)."""
+        return None if self.rotation is None else self.rotation.astype(
+            np.float64
+        )
+
+    # -- persistence (tiny: m * ks * dsub floats; the OPQ rotation
+    # rides the SAME table as subspace = -1 rows — row i of the
+    # (dim, dim) matrix under code = i — so old indexes load untouched
+    # and the vault schema never changes) ------------------------------
     def to_rows(self) -> list[tuple[int, int, list[float]]]:
-        return [
+        rows = [
             (j, c, [float(x) for x in self.codebooks[j, c]])
             for j in range(self.m)
             for c in range(self.ks)
         ]
+        if self.rotation is not None:
+            rows.extend(
+                (-1, i, [float(x) for x in self.rotation[i]])
+                for i in range(self.rotation.shape[0])
+            )
+        return rows
 
     @classmethod
     def from_rows(
         cls, rows: Sequence, metric: str, dim: int, residual: bool = False
     ) -> "PQModel":
-        m = max(r[0] for r in rows) + 1
-        ks = max(r[1] for r in rows) + 1
-        dsub = len(rows[0][2])
+        cb_rows = [r for r in rows if r[0] >= 0]
+        rot_rows = [r for r in rows if r[0] == -1]
+        m = max(r[0] for r in cb_rows) + 1
+        ks = max(r[1] for r in cb_rows) + 1
+        dsub = len(cb_rows[0][2])
         cb = np.zeros((m, ks, dsub), dtype=np.float32)
-        for j, c, vec in rows:
+        for j, c, vec in cb_rows:
             cb[j, c] = vec
-        return cls(cb, metric=metric, dim=dim, residual=residual)
+        rotation = None
+        if rot_rows:
+            d = max(r[1] for r in rot_rows) + 1
+            rotation = np.zeros((d, len(rot_rows[0][2])), dtype=np.float32)
+            for _, i, vec in rot_rows:
+                rotation[i] = vec
+        return cls(
+            cb, metric=metric, dim=dim, residual=residual, rotation=rotation
+        )
 
 
 def _prep(mat: np.ndarray, metric: str) -> np.ndarray:
@@ -113,13 +156,19 @@ def _prep(mat: np.ndarray, metric: str) -> np.ndarray:
 
 
 def _lloyd(
-    X: np.ndarray, ks: int, iters: int, rng: np.random.RandomState
+    X: np.ndarray, ks: int, iters: int, rng: np.random.RandomState,
+    C0: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized Lloyd iterations on one subspace; empty clusters are
-    reseeded to random points (deterministic via the passed rng)."""
+    reseeded to random points (deterministic via the passed rng).
+    ``C0`` warm-starts the centroids (the OPQ alternation re-fits the
+    same subspace after each rotation update)."""
     n = X.shape[0]
     ks_eff = min(ks, n)
-    C = X[rng.choice(n, size=ks_eff, replace=False)].copy()
+    if C0 is not None and C0.shape[0] == ks_eff:
+        C = C0.astype(np.float64, copy=True)
+    else:
+        C = X[rng.choice(n, size=ks_eff, replace=False)].copy()
     for _ in range(iters):
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant in argmin
         d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
@@ -135,6 +184,38 @@ def _lloyd(
     return C
 
 
+def _pq_fit(
+    mat: np.ndarray, m: int, ks: int, iters: int,
+    rng: np.random.RandomState, C0: np.ndarray | None = None,
+) -> np.ndarray:
+    """Fit per-subspace Lloyd codebooks on a prepared (n, dim) sample;
+    ``C0`` warm-starts each subspace (OPQ alternation)."""
+    dsub = mat.shape[1] // m
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub]),
+                ks, iters, rng,
+                C0=None if C0 is None else C0[j],
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_reconstruct(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode-then-decode ``mat`` against ``codebooks`` (the OPQ
+    alternation's quantized target Y_hat)."""
+    m, _, dsub = codebooks.shape
+    rec = np.empty_like(mat)
+    for j in range(m):
+        cb = codebooks[j]
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)
+        rec[:, j * dsub : (j + 1) * dsub] = cb[d.argmin(axis=1)]
+    return rec
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -145,6 +226,7 @@ def pq_train(
     max_rows: int = 50_000,
     iters: int = 15,
     seed: int = 42,
+    opq_iters: int = 0,
 ) -> PQModel:
     """Fit PQ codebooks on a deterministic hash-sample of the corpus.
 
@@ -152,6 +234,14 @@ def pq_train(
     re-runs on re-partitioned data pick the identical rows); its size
     is bounded by ``max_rows`` whatever the corpus size — training cost
     is O(max_rows * ks * dim) on the driver, the 100 TB never moves.
+
+    ``opq_iters > 0`` = OPQ (Ge et al. CVPR 2013, non-parametric):
+    alternate (a) fit codebooks on the rotated sample X R, (b) update
+    R = argmin_{R orthogonal} ||X R - Y_hat||_F via the orthogonal
+    Procrustes solution (SVD of X^T Y_hat).  The learned rotation
+    decorrelates and variance-balances the m subspaces, so the same
+    m x ks code budget yields materially sharper ADC orderings —
+    still O(sample) driver-side control plane, the corpus never moves.
     """
     n = df.count()
     if n == 0:
@@ -188,20 +278,29 @@ def pq_train(
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
-    dsub = dim // m
     rng = np.random.RandomState(seed)
-    codebooks = np.stack(
-        [
-            _lloyd(
-                np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub]),
-                ks,
-                iters,
-                rng,
-            )
-            for j in range(m)
-        ]
-    )
-    return PQModel(codebooks, metric=metric, dim=dim)
+    if opq_iters <= 0:
+        return PQModel(_pq_fit(mat, m, ks, iters, rng), metric=metric,
+                       dim=dim)
+    # OPQ-NP alternation.  Each outer round refits the codebooks on the
+    # freshly rotated sample (warm-started — a few Lloyd steps suffice
+    # mid-alternation) and solves the Procrustes rotation update; the
+    # final full-iters fit locks the codebooks to the final rotation.
+    R = np.eye(dim, dtype=np.float64)
+    cb = None
+    inner = max(3, iters // 3)
+    for _ in range(opq_iters):
+        Y = mat @ R
+        cb = _pq_fit(Y, m, ks, inner, rng, C0=cb)
+        rec = _pq_reconstruct(Y, cb)
+        U, _, Vt = np.linalg.svd(mat.T @ rec)
+        R = U @ Vt
+    # store/use float32 (codebook precision) so the in-session model
+    # and a vault round-trip are bit-identical; fit the final codebooks
+    # against the SAME float32 rotation serving will apply
+    R32 = R.astype(np.float32)
+    cb = _pq_fit(mat @ R32.astype(np.float64), m, ks, iters, rng, C0=cb)
+    return PQModel(cb, metric=metric, dim=dim, rotation=R32)
 
 
 def pq_encode(
@@ -215,17 +314,20 @@ def pq_encode(
     argmin against the broadcast codebooks; linear, shuffle-free."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
-        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         model._rot64())
     )
     m = model.m
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codebooks, metric, dsub = bc.value
+        codebooks, metric, dsub, rot = bc.value
         cnorms = [(codebooks[j] ** 2).sum(axis=1) for j in range(len(codebooks))]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
+            if rot is not None:
+                X = X @ rot
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for j in range(m):
                 sub = X[:, j * dsub : (j + 1) * dsub]
@@ -248,8 +350,13 @@ def _adc_lut(model: PQModel, query: np.ndarray) -> np.ndarray:
     """(m, ks) float64 LUT: LUT[j, c] = score contribution of code c in
     subspace j.  cosine/dot -> dot product; euclidean -> negated
     squared distance (monotone in the true euclidean similarity, which
-    stage 2 re-ranks exactly)."""
+    stage 2 re-ranks exactly).  OPQ models rotate the query into the
+    codebooks' space first (rotation preserves both dot products and
+    euclidean distances, so the score contract is unchanged)."""
     q = _prep(query[None, :], model.metric)[0]
+    rot = model._rot64()
+    if rot is not None:
+        q = q @ rot
     lut = np.empty((model.m, model.ks), dtype=np.float64)
     for j in range(model.m):
         qs = q[j * model.dsub : (j + 1) * model.dsub]
@@ -281,9 +388,17 @@ def _adc_lut_residual(
       table), const = -||q - c||^2.  The constants matter: candidates
       from different cells compete in one global cut, so scores must
       be comparable ACROSS cells, not just within one.
+
+    OPQ residual models rotate BOTH the query and the centroid —
+    every identity above holds verbatim in the rotated space because
+    the rotation is orthogonal (q'.c' = q.c, ||q'-c'|| = ||q-c||).
     """
     q = _prep(query[None, :], model.metric)[0]
     c = np.asarray(centroid, dtype=np.float64)
+    rot = model._rot64()
+    if rot is not None:
+        q = q @ rot
+        c = c @ rot
     lut = np.empty((model.m, model.ks), dtype=np.float64)
     if model.metric in ("cosine", "dot"):
         for j in range(model.m):
@@ -324,12 +439,12 @@ def ivf_pq_encode_residual(
     pos = {int(c): i for i, c in enumerate(cid)}
     bc = spark.sparkContext.broadcast(
         (model.codebooks.astype(np.float64), model.metric, model.dsub,
-         C, pos)
+         C, pos, model._rot64())
     )
     m = model.m
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codebooks, metric, dsub, C_, pos_ = bc.value
+        codebooks, metric, dsub, C_, pos_, rot = bc.value
         cnorms = [
             (codebooks[j] ** 2).sum(axis=1) for j in range(len(codebooks))
         ]
@@ -342,6 +457,8 @@ def ivf_pq_encode_residual(
                 dtype=np.int64,
             )
             R = X - C_[rows_c]
+            if rot is not None:  # OPQ: codes quantize the ROTATED residual
+                R = R @ rot
             codes = np.empty((len(pdf), m), dtype=np.int16)
             for j in range(m):
                 sub = R[:, j * dsub : (j + 1) * dsub]
@@ -404,6 +521,13 @@ def _residual_pq_candidates(
     q = _prep(
         np.asarray(query_vector, dtype=np.float64)[None, :], model.metric
     )[0]
+    rot = model._rot64()
+    if rot is not None:
+        # OPQ: rotate the query and the (bounded, driver-side) probed
+        # centroids once — all executor-side residual identities hold
+        # verbatim in the rotated space (orthogonal rotation)
+        q = q @ rot
+        cent_rows = {c: v @ rot for c, v in cent_rows.items()}
     bc = spark.sparkContext.broadcast(
         (model.codebooks.astype(np.float64), model.metric, model.dsub,
          q, cent_rows)
@@ -578,16 +702,19 @@ def pq_reconstruction_mse(
     joined = df.select(id_col, vec_col).join(enc, on=id_col)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
-        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         model._rot64())
     )
 
     def err(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codebooks, metric, dsub = bc.value
+        codebooks, metric, dsub, rot = bc.value
         m = len(codebooks)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = _prep(np.stack(pdf[vec_col].to_numpy()), metric)
+            if rot is not None:  # MSE is rotation-invariant; compare in
+                X = X @ rot      # the codebooks' (rotated) space
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int32) + 128
             rec = np.concatenate(
                 [codebooks[j][codes[:, j]] for j in range(m)], axis=1
@@ -622,6 +749,7 @@ def ivf_pq_build(
     seed: int = 42,
     max_rows: int = 50_000,
     residual: bool = False,
+    opq_iters: int = 0,
 ):
     """Fit IVF cells + PQ codebooks and encode the corpus.
 
@@ -639,7 +767,12 @@ def ivf_pq_build(
     join traffic is the term that grows at 100 TB) can drop.  Serving
     reads ``model.residual`` and builds its ADC tables per (query,
     probed cell); raw and residual indexes coexist (the flag persists
-    in the vault ``_meta``)."""
+    in the vault ``_meta``).
+
+    ``opq_iters > 0`` = OPQ rotation (see ``pq_train``): the learned
+    orthogonal rotation composes with EITHER encoding (raw vectors or
+    cell residuals rotate before the subspace split) and persists with
+    the codebooks, so append/serve paths pick it up transparently."""
     from astro_vectordb_spark.operators.ann import ivf_build_sampled
 
     assigned, centroids = ivf_build_sampled(
@@ -682,9 +815,11 @@ def ivf_pq_build(
         base = pq_train(
             resid_df, m=m, ks=ks, metric="dot", vec_col=vec_col,
             id_col=id_col, max_rows=max_rows, seed=seed,
+            opq_iters=opq_iters,
         )
         model = PQModel(
-            base.codebooks, metric=metric, dim=base.dim, residual=True
+            base.codebooks, metric=metric, dim=base.dim, residual=True,
+            rotation=base.rotation,
         )
         encoded = ivf_pq_encode_residual(
             assigned, model, centroids, id_col=id_col, vec_col=vec_col
@@ -692,7 +827,7 @@ def ivf_pq_build(
         return encoded, centroids, model
     model = pq_train(
         df, m=m, ks=ks, metric=metric, vec_col=vec_col, id_col=id_col,
-        max_rows=max_rows, seed=seed,
+        max_rows=max_rows, seed=seed, opq_iters=opq_iters,
     )
     codes = pq_encode(df, model, id_col=id_col, vec_col=vec_col)
     encoded = assigned.select(id_col, "cell_id").join(codes, on=id_col)
@@ -868,13 +1003,17 @@ def pq_batch_candidates(
 
 
 def _adc_luts(
-    codebooks: np.ndarray, metric: str, dsub: int, Q: np.ndarray
+    codebooks: np.ndarray, metric: str, dsub: int, Q: np.ndarray,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """(nq, m, ks) LUT tensor for a query BATCH — the worker-side
     vectorized twin of ``_adc_lut`` (no PQModel object needed, so it
-    runs off the broadcast codebook tuple inside a task)."""
+    runs off the broadcast codebook tuple inside a task).
+    ``rotation`` = OPQ query rotation into the codebooks' space."""
     m = len(codebooks)
     Qp = _prep(Q, metric)
+    if rotation is not None:
+        Qp = Qp @ rotation
     nq = Qp.shape[0]
     ks = codebooks[0].shape[0]
     lut = np.empty((nq, m, ks), dtype=np.float64)
@@ -901,16 +1040,22 @@ def _adc_luts_residual(
     dsub: int,
     Q: np.ndarray,
     centroid: np.ndarray,
+    rotation: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch twin of ``_adc_lut_residual`` for one cell: ``(luts,
     consts)`` with luts (nq, m, ks) and consts (nq,) such that
     score(q, row) = consts[q] + sum_j luts[q, j, code_j] equals the
-    raw ADC on v_hat = centroid + residual."""
+    raw ADC on v_hat = centroid + residual.  ``rotation`` = OPQ:
+    queries AND the centroid rotate; every identity holds in the
+    rotated space (orthogonal)."""
     m = len(codebooks)
     Qp = _prep(Q, metric)
     nq = Qp.shape[0]
     ks = codebooks[0].shape[0]
     c = np.asarray(centroid, dtype=np.float64)
+    if rotation is not None:
+        Qp = Qp @ rotation
+        c = c @ rotation
     lut = np.empty((nq, m, ks), dtype=np.float64)
     if metric in ("cosine", "dot"):
         for j in range(m):
@@ -959,7 +1104,7 @@ def _make_cogroup_adc_kernel(
             ).astype(
                 {query_id_col: "int64", id_col: "int64", "adc_score": "float64"}
             )
-        codebooks, metric, dsub = bc.value
+        codebooks, metric, dsub, rot = bc.value
         m = len(codebooks)
         codes = np.stack(cpdf["pq_code"].to_numpy()).astype(np.int32) + 128
         ids = cpdf[id_col].to_numpy()
@@ -987,14 +1132,15 @@ def _make_cogroup_adc_kernel(
             if residual:
                 luts, consts = _adc_luts_residual(
                     codebooks, metric, dsub,
-                    qmat_all[lo : lo + q_slice], cent,
+                    qmat_all[lo : lo + q_slice], cent, rotation=rot,
                 )
                 s = np.broadcast_to(
                     consts[:, None], (len(qids), len(ids))
                 ).copy()
             else:
                 luts = _adc_luts(
-                    codebooks, metric, dsub, qmat_all[lo : lo + q_slice]
+                    codebooks, metric, dsub, qmat_all[lo : lo + q_slice],
+                    rotation=rot,
                 )
                 s = np.zeros((len(qids), len(ids)), dtype=np.float64)
             for j in range(m):
@@ -1069,7 +1215,8 @@ def pq_batch_topk_cogrouped(
     if n_blocks is None:
         n_blocks = max(2, spark.sparkContext.defaultParallelism)
     bc = spark.sparkContext.broadcast(
-        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         model._rot64())
     )
     n_local = k * refine_factor
     codes_b = encoded.select(id_col, "pq_code").withColumn(
@@ -1199,7 +1346,8 @@ def ivf_pq_batch_topk_cogrouped(
         widen = max(1, math.ceil(1.0 / sel))
         encoded = restrict_to_allowed(encoded, allowed_ids, id_col=id_col)
     bc = spark.sparkContext.broadcast(
-        (model.codebooks.astype(np.float64), model.metric, model.dsub)
+        (model.codebooks.astype(np.float64), model.metric, model.dsub,
+         model._rot64())
     )
     n_local = k * refine_factor
     q_cells = probe_table_batch(

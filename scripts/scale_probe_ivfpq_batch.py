@@ -265,7 +265,116 @@ def main() -> None:
         failures.append(
             f"residual recall {res_rec4} < raw {raw_rec4} at refine 4"
         )
+
+    # ks=256 axis (round 12, verdict item 3, public fix #2): the
+    # unsigned-byte codebook option at the SAME m bytes/vector.  On
+    # this corpus the residual is UNIFORM ISOTROPIC noise (+-0.3/dim),
+    # the hardest regime for any fixed code budget — 4x codewords per
+    # subspace is the only lever that bites here (a rotation of an
+    # isotropic distribution is the same distribution, so OPQ cannot
+    # help by construction; it is probed on the anisotropic axis
+    # below, where it exists to win).
+    k_encoded, k_centroids, k_model = ivf_pq_build(
+        corpus, k_cells=CENTERS, m=8, ks=256, max_rows=20_000,
+        residual=True,
+    )
+    kepath = "/tmp/scale_ivfpq/ks256_codes"
+    k_encoded.write.mode("overwrite").parquet(kepath)
+    k_encoded = spark.read.parquet(kepath)
+    ks256_rec4 = _recall_exact(
+        ivf_pq_batch_topk_cogrouped(
+            k_encoded, k_centroids, corpus, sample2, K, k_model,
+            nprobe=NPROBE, refine_factor=4,
+        ).select("query_id", "vec_id")
+    )
+    out["res_ks256_recall_vs_exact_refine4"] = ks256_rec4
+    if ks256_rec4 < res_rec4:
+        failures.append(
+            f"ks256 recall {ks256_rec4} < ks64 {res_rec4} at refine 4"
+        )
     exact_t.unpersist()
+
+    # OPQ axis (round 12, verdict item 3, public fix #1): residual +
+    # learned orthogonal rotation (Ge et al. CVPR 2013) on an
+    # ANISOTROPIC corpus — correlated, variance-imbalanced dimensions,
+    # the realistic embedding regime (trained-embedding spectra decay;
+    # an isotropic corpus is the one distribution a rotation provably
+    # cannot improve).  Bar: residual+OPQ >= 0.5 vs exact at refine 4
+    # AND OPQ >= the unrotated build on the same corpus and budget.
+    import numpy as _anp
+
+    _rng = _anp.random.RandomState(12)
+    _mix = _rng.randn(DIM, DIM) * _anp.linspace(2.5, 0.05, DIM)[None, :]
+    # corpus = (center + noise) @ mix — deterministic via the seeded
+    # rng; built driver-side as literals-free mapInPandas over range
+    _centers = _rng.randn(CENTERS, DIM)
+    _bc_mix = spark.sparkContext.broadcast((_mix, _centers))
+
+    def _aniso(batches):
+        import pandas as _pd
+
+        mix, centers = _bc_mix.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            # per-row deterministic noise from the id (hash-seeded)
+            noise = _anp.vstack([
+                _anp.random.RandomState(int(i) & 0x7FFFFFFF).randn(DIM)
+                for i in ids
+            ])
+            X = (centers[ids % CENTERS] * 0.3 + noise) @ mix
+            yield _pd.DataFrame(
+                {"vec_id": ids, "embedding": list(X.astype(_anp.float64))}
+            )
+
+    apath = "/tmp/scale_ivfpq/aniso_corpus"
+    (
+        spark.range(N).repartition(32)
+        .mapInPandas(_aniso, schema="vec_id long, embedding array<double>")
+        .write.mode("overwrite").parquet(apath)
+    )
+    aniso = spark.read.parquet(apath)
+    a_queries = aniso.filter(F.col("vec_id") % (N // 200) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    a_exact = (
+        batch_topk(aniso, a_queries, K).select("query_id", "vec_id").cache()
+    )
+    a_n = a_exact.count()
+
+    def _a_recall(face_df):
+        return round(
+            face_df.join(a_exact, ["query_id", "vec_id"]).count()
+            / max(a_n, 1), 4,
+        )
+
+    a_recs = {}
+    for tag, opq in (("noopq", 0), ("opq", 10)):
+        e_, c_, m_ = ivf_pq_build(
+            aniso, k_cells=CENTERS, m=8, ks=256, max_rows=20_000,
+            residual=True, opq_iters=opq,
+        )
+        ep_ = f"/tmp/scale_ivfpq/aniso_codes_{tag}"
+        e_.write.mode("overwrite").parquet(ep_)
+        e_ = spark.read.parquet(ep_)
+        a_recs[tag] = _a_recall(
+            ivf_pq_batch_topk_cogrouped(
+                e_, c_, aniso, a_queries, K, m_,
+                nprobe=NPROBE, refine_factor=4,
+            ).select("query_id", "vec_id")
+        )
+    a_exact.unpersist()
+    out["aniso_residual_recall_vs_exact_refine4"] = a_recs["noopq"]
+    out["aniso_opq_residual_recall_vs_exact_refine4"] = a_recs["opq"]
+    if a_recs["opq"] < 0.5:
+        failures.append(
+            f"aniso opq recall {a_recs['opq']} < 0.5 at refine 4"
+        )
+    if a_recs["opq"] < a_recs["noopq"]:
+        failures.append(
+            f"aniso opq recall {a_recs['opq']} < unrotated "
+            f"{a_recs['noopq']}"
+        )
 
     def run_residual():
         return (

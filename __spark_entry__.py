@@ -1987,6 +1987,66 @@ def _q_ann_ivfpq_opq_exact(spark, sf_dir):
     )
 
 
+_RP_INDEX_CACHE: dict[str, str] = {}
+
+
+def rp_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted RP-LSH embedding near-dup
+    index over the HISTORICAL corpus slice (vec_id % 5 != 4), built
+    THROUGH the incremental lifecycle — save on 90%, APPEND the
+    held-out 10% (exercising the replay log and the vecs->buckets
+    self-healing sync) — so the gate's green hash certifies the
+    append path every round (round-12 verdict item 4; the minhash
+    index recipe applied to the embedding family)."""
+    if sf_dir in _RP_INDEX_CACHE:
+        return _RP_INDEX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.vault import (
+        rp_append_to_index,
+        save_rp_index,
+    )
+
+    hist = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.col("vec_id") % 5 != 4
+    )
+    path = tempfile.mkdtemp(prefix="astro_rp_idx_")
+    save_rp_index(hist.filter(F.col("vec_id") % 10 != 7), path, dim=64)
+    rp_append_to_index(
+        spark, path, hist.filter(F.col("vec_id") % 10 == 7), batch_id=0
+    )
+    _RP_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_rp_index_incremental(spark, sf_dir):
+    # round 12: INCREMENTAL embedding near-dup — a new vector batch
+    # matched against the persisted RP-LSH index (hyperplane buckets +
+    # the index's own vector copy; the corpus is never re-projected)
+    # as ONE driver hash.  The new batch = the held-out corpus slice
+    # (vec_id % 5 == 4) PLUS planted copies of 16 historical vectors
+    # (ids shifted +100000), which must surface at score exactly 1.0;
+    # verification is the exact cosine fold, deterministic end to end.
+    # The index is built through save -> APPEND churn, so a drift in
+    # the stored plane family, the bucket partitioning, the append's
+    # bucket-sync, or the verify arithmetic shifts the
+    # (new_id, hist_id, score) hash.
+    from astro_vectordb_spark.sources.vault import rp_match_index
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    held_out = emb.filter(F.col("vec_id") % 5 == 4)
+    planted = (
+        emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") < 20))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    batch = held_out.unionByName(planted)
+    return rp_match_index(
+        spark, rp_index_path(spark, sf_dir), batch, threshold=0.4
+    )
+
+
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2350,7 +2410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry window this round (full gate still verifies them)
         # -- NEW this round, full-gate-oracled (rotate in next round):
         # OPQ-rotated residual IVF-PQ exactness gate (verdict item 3)
+        # and the persisted RP-LSH embedding near-dup index gate
+        # (verdict item 4)
         "ann_ivfpq_opq_exact": _q_ann_ivfpq_opq_exact,
+        "rp_index_incremental": _q_rp_index_incremental,
         # -- OUT this round (2-round-green r10+r11, back next round):
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
@@ -2465,7 +2528,7 @@ _STOP = {
 
 
 def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
-                  dim: int = 64) -> str:
+                  dim: int = 64, table: str = "embeddings") -> str:
     """UNION ALL of per-table bucket assignments with the SAME float64
     plane literals the Spark expression uses (single source:
     dedup._rp_plane; Python repr round-trips doubles exactly)."""
@@ -2483,7 +2546,7 @@ def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
             bits.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
         branches.append(
             f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS cell "
-            "FROM embeddings"
+            f"FROM {table}"
         )
     return " UNION ALL ".join(branches)
 
@@ -2831,6 +2894,34 @@ FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.a_id
 JOIN embeddings eb ON eb.vec_id = c.b_id
 WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+""",
+        # incremental RP index gate: hist = the indexed slice
+        # (vec_id % 5 != 4, built through save+append churn), batch =
+        # the held-out slice + planted +100000-shifted copies of 16
+        # historical vectors; buckets re-derived from the same plane
+        # literals, verify = exact cosine at threshold 0.4
+        "rp_index_incremental": f"""
+WITH hist AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4
+),
+newb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  WHERE vec_id % 5 <> 4 AND vec_id < 20
+),
+hcells AS ({_rp_cells_sql(table="hist")}),
+ncells AS ({_rp_cells_sql(table="newb")}),
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, h.vec_id AS hist_id
+  FROM ncells n JOIN hcells h ON n.tbl = h.tbl AND n.cell = h.cell
+)
+SELECT c.new_id, c.hist_id,
+       round({_cos('nv.embedding', 'hv.embedding')}, 6) AS score
+FROM cand c
+JOIN newb nv ON nv.vec_id = c.new_id
+JOIN hist hv ON hv.vec_id = c.hist_id
+WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
 """,
         "embedding_dedup_groups": f"""
 WITH RECURSIVE cells AS ({_rp_cells_sql()}),

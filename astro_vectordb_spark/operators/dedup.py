@@ -824,6 +824,87 @@ def _rp_plane(seed: int, table: int, plane: int, dim: int) -> list[float]:
     return vals
 
 
+def rp_cell_table(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_refine: int = 0,
+) -> DataFrame:
+    """(id, tbl, cell[, rcell]) multi-table random-hyperplane bucket
+    assignment — the blocking primitive shared by :func:`rp_block_pairs`
+    (one-shot self-join dedup) and the PERSISTED embedding near-dup
+    index (``vault.save_rp_index`` / ``rp_match_index``), so a batch
+    bucketed today joins an index built last month bit-identically.
+
+    The kernel is an Arrow-batched pandas_udf, NOT a SQL expression:
+    the transform/aggregate/zip_with fold never whole-stage-codegens
+    (~3 s of interpreted lambda dispatch at sf0.1), and a fully
+    unrolled Add chain (n_planes*n_tables*dim ~ 4.6k nodes) sends the
+    Catalyst optimizer quadratic (measured 28 s on 150 rows).  It
+    accumulates the hyperplane dots ELEMENT-AT-A-TIME in float64 —
+    ``acc += v[i] * c[i]`` for i = 0..dim-1 — bit-identical to the
+    DuckDB oracle twin's left-fold ``list_reduce(...)``, so every sign
+    bit (and therefore the bucket set) matches the SQL twin exactly; a
+    BLAS matmul would not guarantee that (pairwise summation reorders
+    the adds).
+
+    ``n_refine > 0`` appends a shared refinement cell column
+    (``rcell``, table namespace -1) used by the hot-bucket guard."""
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    guarded = n_refine > 0
+    plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
+    if guarded:
+        # refinement planes live in table namespace -1 so they never
+        # collide with a blocking table's planes
+        plane_keys += [(-1, p) for p in range(n_refine)]
+    planes_t = np.array(
+        [_rp_plane(seed, t, p, dim) for t, p in plane_keys], dtype=np.float64
+    ).T.copy()  # (dim, n_all_planes)
+    n_all = len(plane_keys)
+    pow2 = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
+    rpow2 = np.array([2 ** p for p in range(n_refine)], dtype=np.int64)
+    _nt, _np_, _nr, _dim, _g = n_tables, n_planes, n_refine, dim, guarded
+
+    @F.pandas_udf("array<int>")
+    def rp_cells(s: pd.Series) -> pd.Series:
+        n = len(s)
+        # ragged-safe fill: elements past a short vector stay NaN, so
+        # the accumulated dot is NaN and NaN > 0 is False — the same
+        # all-zero-bits cell the SQL twin's NULL propagation yields
+        V = np.full((n, _dim), np.nan, dtype=np.float64)
+        for r, v in enumerate(s):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)[:_dim]
+            V[r, : a.shape[0]] = a
+        acc = np.zeros((n, n_all), dtype=np.float64)
+        for i in range(_dim):
+            acc += V[:, i : i + 1] * planes_t[i][None, :]
+        bits = acc > 0  # (n, n_all); NaN compares False
+        out = np.empty((n, _nt + (1 if _g else 0)), dtype=np.int32)
+        for t in range(_nt):
+            out[:, t] = bits[:, t * _np_ : (t + 1) * _np_] @ pow2
+        if _g:
+            out[:, _nt] = bits[:, _nt * _np_ : _nt * _np_ + _nr] @ rpow2
+        return pd.Series(list(out))
+
+    proj = df.select(F.col(id_col), rp_cells(F.col(vec_col)).alias("_c"))
+    return proj.select(
+        F.col(id_col),
+        F.posexplode(F.slice("_c", 1, n_tables)).alias("tbl", "cell"),
+        *(
+            [F.element_at("_c", n_tables + 1).alias("rcell")]
+            if guarded
+            else []
+        ),
+    )
+
+
 def rp_block_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -882,64 +963,12 @@ def rp_block_pairs(
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
 
     guarded = max_bucket_size is not None
-    plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
-    if guarded:
-        # refinement planes live in table namespace -1 so they never
-        # collide with a blocking table's planes
-        plane_keys += [(-1, p) for p in range(n_refine)]
-
-    # Bucket assignment is an Arrow-batched pandas_udf, NOT a SQL
-    # expression: the transform/aggregate/zip_with fold never
-    # whole-stage-codegens (~3 s of interpreted lambda dispatch at
-    # sf0.1), and a fully unrolled Add chain (n_planes*n_tables*dim
-    # ~ 4.6k nodes) sends the Catalyst optimizer quadratic (measured
-    # 28 s on 150 rows).  The NumPy kernel accumulates the dot
-    # products ELEMENT-AT-A-TIME in float64 — ``acc += v[i] * c[i]``
-    # for i = 0..dim-1 — which is bit-identical to the DuckDB oracle
-    # twin's left-fold ``list_reduce(... (acc, x) -> acc + x)``, so
-    # every sign bit (and therefore the candidate set) matches the
-    # SQL twin exactly; a BLAS matmul would not guarantee that
-    # (pairwise summation reorders the adds).
-    planes_t = np.array(
-        [_rp_plane(seed, t, p, dim) for t, p in plane_keys], dtype=np.float64
-    ).T.copy()  # (dim, n_all_planes)
-    n_all = len(plane_keys)
-    pow2 = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
-    rpow2 = np.array([2 ** p for p in range(n_refine)], dtype=np.int64)
-    _nt, _np_, _nr, _dim, _g = n_tables, n_planes, n_refine, dim, guarded
-
-    @F.pandas_udf("array<int>")
-    def rp_cells(s: pd.Series) -> pd.Series:
-        n = len(s)
-        # ragged-safe fill: elements past a short vector stay NaN, so
-        # the accumulated dot is NaN and NaN > 0 is False — the same
-        # all-zero-bits cell the SQL twin's NULL propagation yields
-        V = np.full((n, _dim), np.nan, dtype=np.float64)
-        for r, v in enumerate(s):
-            if v is None:
-                continue
-            a = np.asarray(v, dtype=np.float64)[:_dim]
-            V[r, : a.shape[0]] = a
-        acc = np.zeros((n, n_all), dtype=np.float64)
-        for i in range(_dim):
-            acc += V[:, i : i + 1] * planes_t[i][None, :]
-        bits = acc > 0  # (n, n_all); NaN compares False
-        out = np.empty((n, _nt + (1 if _g else 0)), dtype=np.int32)
-        for t in range(_nt):
-            out[:, t] = bits[:, t * _np_ : (t + 1) * _np_] @ pow2
-        if _g:
-            out[:, _nt] = bits[:, _nt * _np_ : _nt * _np_ + _nr] @ rpow2
-        return pd.Series(list(out))
-
-    proj = df.select(F.col(id_col), rp_cells(F.col(vec_col)).alias("_c"))
-    cells = proj.select(
-        F.col(id_col),
-        F.posexplode(F.slice("_c", 1, n_tables)).alias("tbl", "cell"),
-        *(
-            [F.element_at("_c", n_tables + 1).alias("rcell")]
-            if guarded
-            else []
-        ),
+    # bucket assignment via the shared kernel (see rp_cell_table for
+    # the pandas_udf-vs-SQL-expression and float64-left-fold rationale)
+    cells = rp_cell_table(
+        df, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+        n_refine=n_refine if guarded else 0,
     )
 
     def _self_join(c: DataFrame, keys: list[str]) -> DataFrame:

@@ -112,3 +112,38 @@ def _swap_pointer(path: str, vdir: str, keep_versions: int) -> None:
     for old in versions[:-keep_versions] if keep_versions > 0 else []:
         if old != vdir:
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
+
+
+def gc_versions(path: str, keep_last_versions: int = 2) -> dict:
+    """Offline version GC — the retention face for a table whose
+    writer stopped (the per-commit GC in ``_swap_pointer`` only runs
+    while commits flow) or whose ``keep_versions`` policy tightened
+    after the fact.
+
+    Drops committed version directories older than the newest
+    ``keep_last_versions``, NEVER the one ``_CURRENT`` points at, and
+    also removes orphan ``v{n}`` directories a crashed writer left
+    ABOVE the current pointer (written but never swapped in — invisible
+    to readers, pure disk leak).  Returns ``{"removed": [...],
+    "kept": [...]}``."""
+    cur = current_version(path)
+    if cur is None:
+        return {"removed": [], "kept": []}
+    cur_n = int(cur[1:])
+    versions = sorted(
+        (d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+    committed = [d for d in versions if int(d[1:]) <= cur_n]
+    orphans = [d for d in versions if int(d[1:]) > cur_n]
+    doomed = (
+        committed[:-keep_last_versions] if keep_last_versions > 0 else []
+    )
+    removed = []
+    for d in doomed + orphans:
+        if d == cur:
+            continue
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        removed.append(d)
+    kept = [d for d in versions if d not in removed]
+    return {"removed": removed, "kept": kept}

@@ -1,0 +1,259 @@
+"""Persisted EMBEDDING near-dup index probe (round-12 verdict item 4):
+the incremental-ingest claim, measured — the minhash-index probe's
+axes applied to the RP-LSH family.
+
+A steady-state pipeline near-dups each new embedding batch against
+everything already ingested.  The one-shot operator (rp_block_pairs)
+re-projects the WHOLE corpus through the hyperplane family per run;
+the persisted index (vault.save_rp_index / rp_match_index) stores
+buckets + vectors once and matches a batch against the compact
+tables.  This probe builds the index at 250k and 1M vectors and
+checks:
+
+- build wall grows ~linearly with the corpus (ratio cap);
+- matching a FIXED 10k batch grows sublinearly vs corpus (the only
+  corpus-sized inputs are the compact bucket/vector tables; the
+  corpus is never re-projected);
+- matching scales ~linearly on the batch axis (10k vs 40k at 1M);
+- incremental match at 1M is MUCH cheaper than re-running the
+  one-shot blocked operator over corpus+batch;
+- planted copies are found at score exactly 1.0 (completeness).
+
+Vectors are deterministic-codegen (xxhash arithmetic per component)
+and materialized to parquet outside every timed region.
+
+Prints one JSON line; artifact: SCALE_PROBE_RP_INDEX.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.session import get_spark
+
+SIZES = [250_000, 1_000_000]
+BATCH = 10_000
+DIM = 32
+CENTERS = 64
+RATIO_CAP = 6.0
+
+
+def _center_component(cell, i):
+    return (
+        (F.pmod(F.xxhash64(cell, F.lit(i), F.lit("c")), F.lit(2000)) - 1000)
+        .cast("double") / 1000.0
+    )
+
+
+def _noise_component(idc, i):
+    return (
+        (F.pmod(F.xxhash64(idc, F.lit(i), F.lit("n")), F.lit(2000)) - 1000)
+        .cast("double") / 1000.0 * 0.15
+    )
+
+
+def _corpus(spark, n, path, id_offset=0):
+    cell = F.pmod(F.col("id") + id_offset, F.lit(CENTERS))
+    vec = F.array(
+        *[
+            _center_component(cell, i)
+            + _noise_component(F.col("id") + id_offset, i)
+            for i in range(DIM)
+        ]
+    )
+    (
+        spark.range(n)
+        .select(
+            (F.col("id") + id_offset).alias("vec_id"),
+            vec.alias("embedding"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    from astro_vectordb_spark.operators.dedup import rp_block_pairs
+    from astro_vectordb_spark.sources.vault import (
+        rp_match_index,
+        save_rp_index,
+    )
+
+    spark = get_spark("rp-index-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"sizes": SIZES, "batch": BATCH, "dim": DIM,
+                 "ratio_cap": RATIO_CAP}
+    failures: list[str] = []
+
+    # fixed batch: fresh ids above every corpus size, HALF planted as
+    # exact copies of historical vectors (vec_id - 10_000_000 maps a
+    # planted id back to its source row, which exists at every size)
+    bpath = "/tmp/scale_rp/batch"
+    base = _corpus(spark, BATCH, "/tmp/scale_rp/batch_base")
+    planted_src = _corpus(spark, BATCH // 2, "/tmp/scale_rp/batch_plant")
+    batch = (
+        base.select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+        )
+        .unionByName(
+            planted_src.select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    batch.write.mode("overwrite").parquet(bpath)
+    batch = spark.read.parquet(bpath)
+
+    build_sec: dict = {}
+    match_sec: dict = {}
+    idx_paths: dict = {}
+    for n in SIZES:
+        corpus = _corpus(spark, n, f"/tmp/scale_rp/corpus_{n}")
+        ipath = f"/tmp/scale_rp/index_{n}"
+        t0 = time.time()
+        save_rp_index(corpus, ipath, n_planes=10, n_tables=8)
+        build_sec[n] = round(time.time() - t0, 2)
+        idx_paths[n] = ipath
+
+        def run_match():
+            return (
+                rp_match_index(spark, ipath, batch, threshold=0.95)
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.countDistinct("new_id").alias("matched"),
+                )
+                .first()
+            )
+
+        run_match()  # warm
+        t0 = time.time()
+        got = run_match()
+        match_sec[n] = round(time.time() - t0, 2)
+        # completeness: every planted copy must find its source at 1.0
+        planted_hits = (
+            rp_match_index(spark, ipath, batch, threshold=0.999999)
+            .filter(
+                (F.col("new_id") >= 10_000_000)
+                & (F.col("new_id") < 20_000_000)
+                & (F.col("hist_id") == F.col("new_id") - 10_000_000)
+            )
+            .count()
+        )
+        if planted_hits != BATCH // 2:
+            failures.append(
+                f"planted hits {planted_hits} != {BATCH // 2} at n={n}"
+            )
+
+    out["index_build"] = {
+        f"sec_{n}": build_sec[n] for n in SIZES
+    }
+    bratio = round(
+        build_sec[SIZES[1]] / max(build_sec[SIZES[0]], 0.01), 2
+    )
+    out["index_build"]["ratio"] = bratio
+    out["index_build"]["linear_ok"] = bratio <= RATIO_CAP
+    if bratio > RATIO_CAP:
+        failures.append(f"build ratio {bratio} > {RATIO_CAP}")
+
+    out["match_corpus_axis"] = {
+        f"sec_{n}": match_sec[n] for n in SIZES
+    }
+    mratio = round(
+        match_sec[SIZES[1]] / max(match_sec[SIZES[0]], 0.01), 2
+    )
+    out["match_corpus_axis"]["ratio"] = mratio
+    # 4x corpus must NOT cost 4x match (the index exists so per-batch
+    # cost tracks the batch + touched buckets, not history)
+    out["match_corpus_axis"]["sublinear_ok"] = mratio <= 2.5
+    if mratio > 2.5:
+        failures.append(f"match corpus-axis ratio {mratio} > 2.5")
+
+    # batch axis at the big corpus: 4x batch should be ~linear
+    big = idx_paths[SIZES[1]]
+    batch4 = (
+        spark.read.parquet(bpath)
+        .unionByName(
+            spark.read.parquet(bpath).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            spark.read.parquet(bpath).select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            spark.read.parquet(bpath).select(
+                (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    b4path = "/tmp/scale_rp/batch4"
+    batch4.write.mode("overwrite").parquet(b4path)
+    batch4 = spark.read.parquet(b4path)
+
+    def run_match4():
+        return (
+            rp_match_index(spark, big, batch4, threshold=0.95)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("pairs"))
+            .first()
+        )
+
+    run_match4()  # warm
+    t0 = time.time()
+    run_match4()
+    sec4 = round(time.time() - t0, 2)
+    out["match_batch_axis"] = {
+        f"sec_{BATCH}": match_sec[SIZES[1]],
+        f"sec_{4 * BATCH}": sec4,
+        "ratio": round(sec4 / max(match_sec[SIZES[1]], 0.01), 2),
+    }
+    if sec4 / max(match_sec[SIZES[1]], 0.01) > RATIO_CAP:
+        failures.append("batch-axis superlinear")
+
+    # vs the one-shot operator re-run over corpus+batch at 1M: the
+    # design's reason to exist
+    corpus_big = spark.read.parquet(f"/tmp/scale_rp/corpus_{SIZES[1]}")
+    union = corpus_big.unionByName(spark.read.parquet(bpath))
+
+    def run_oneshot():
+        return (
+            rp_block_pairs(
+                union, threshold=0.95, n_planes=10, n_tables=8,
+                max_bucket_size=None, dim=DIM,
+            )
+            .filter(F.col("b_id") >= 10_000_000)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("pairs"))
+            .first()
+        )
+
+    run_oneshot()  # warm
+    t0 = time.time()
+    run_oneshot()
+    oneshot_sec = round(time.time() - t0, 2)
+    out["vs_oneshot_rededup"] = {
+        "oneshot_sec": oneshot_sec,
+        "incremental_sec": match_sec[SIZES[1]],
+        "speedup": round(oneshot_sec / max(match_sec[SIZES[1]], 0.01), 2),
+    }
+    if oneshot_sec <= match_sec[SIZES[1]]:
+        failures.append("incremental not faster than one-shot")
+
+    out["failures"] = failures
+    out["all_ok"] = not failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""Persisted embedding near-dup index (RP-LSH) — round-12 verdict
+item 4: the minhash index's steady-state lifecycle (save -> match ->
+append -> remove -> compact) for the embedding family.
+
+Contract under test: a batch matched against the persisted index must
+find exactly the pairs the one-shot rp_block_pairs face would find
+between batch and history (same hash family, same buckets, same exact
+cosine verify); appends bucket only the new rows; removes are
+file-granular and replay-safe; compaction is drift-healing.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.operators.dedup import rp_cell_table
+from astro_vectordb_spark.sources.vault import (
+    load_rp_index,
+    rp_append_to_index,
+    rp_compact_index,
+    rp_match_index,
+    rp_remove_from_index,
+    save_rp_index,
+)
+
+DIM = 16
+N = 400
+
+
+def _vectors(seed=5, n=N, dim=DIM):
+    rng = np.random.RandomState(seed)
+    C = rng.randn(20, dim)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = C[rng.randint(0, 20, n)] + 0.05 * rng.randn(n, dim)
+    return X.astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    X = _vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    df.count()
+    yield df, X
+    df.unpersist()
+
+
+@pytest.fixture()
+def index(spark, data, tmp_path):
+    df, _ = data
+    path = str(tmp_path / "rp_idx")
+    hist = df.filter(F.col("vec_id") < 300)
+    save_rp_index(hist, path, n_planes=6, n_tables=8, seed=11)
+    return path, hist
+
+
+class TestSaveLoad:
+    def test_layout_and_meta(self, spark, index):
+        path, hist = index
+        vecs, buckets, meta = load_rp_index(spark, path)
+        assert vecs.count() == 300
+        assert meta["n_planes"] == 6 and meta["n_tables"] == 8
+        assert meta["n_rows"] == 300
+        assert set(buckets.columns) == {"vec_id", "tbl", "cell"}
+        # one bucket row per (id, table)
+        assert buckets.count() == 300 * 8
+
+    def test_buckets_match_fresh_projection(self, spark, index):
+        path, hist = index
+        _, buckets, meta = load_rp_index(spark, path)
+        fresh = rp_cell_table(
+            hist, n_planes=6, n_tables=8, seed=11, dim=DIM
+        )
+        stored = {(r["vec_id"], r["tbl"], r["cell"])
+                  for r in buckets.collect()}
+        want = {(r["vec_id"], r["tbl"], r["cell"])
+                for r in fresh.collect()}
+        assert stored == want
+
+
+class TestMatch:
+    def test_planted_copy_matches_at_one(self, spark, data, index):
+        df, X = data
+        path, _ = index
+        # batch = copies of historical vectors under new ids
+        batch = df.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        got = rp_match_index(spark, path, batch, threshold=0.99)
+        pairs = {(r["new_id"], r["hist_id"], r["score"])
+                 for r in got.collect()}
+        for i in range(5):
+            assert (100000 + i, i, 1.0) in pairs
+
+    def test_matches_oneshot_face_between_slices(self, spark, data, index):
+        from astro_vectordb_spark.operators.dedup import rp_block_pairs
+
+        df, _ = data
+        path, hist = index
+        batch = df.filter(F.col("vec_id") >= 300)
+        got = {
+            (r["new_id"], r["hist_id"], r["score"])
+            for r in rp_match_index(
+                spark, path, batch, threshold=0.95
+            ).collect()
+        }
+        # one-shot face over the union, restricted to cross pairs,
+        # same family parameters
+        allp = rp_block_pairs(
+            df, threshold=0.95, n_planes=6, n_tables=8, seed=11,
+            max_bucket_size=None,
+        )
+        want = {
+            (max(r["a_id"], r["b_id"]), min(r["a_id"], r["b_id"]),
+             r["score"])
+            for r in allp.collect()
+            if (r["a_id"] >= 300) != (r["b_id"] >= 300)
+        }
+        assert got == want
+
+    def test_telemetry_and_cap(self, spark, data, index, tmp_path):
+        df, X = data
+        path2 = str(tmp_path / "rp_hot")
+        # plant a hot cluster: 60 exact copies of vector 0
+        hot = df.filter(F.col("vec_id") == 0).select("embedding")
+        copies = (
+            spark.range(60)
+            .crossJoin(F.broadcast(hot))
+            .select((F.col("id") + 1000).alias("vec_id"), "embedding")
+        )
+        save_rp_index(
+            df.filter(F.col("vec_id") < 50).unionByName(copies),
+            path2, n_planes=6, n_tables=8, seed=11,
+        )
+        batch = df.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 99999).alias("vec_id"), "embedding"
+        )
+        tel: dict = {}
+        full = rp_match_index(spark, path2, batch, threshold=0.99,
+                              telemetry=tel)
+        n_full = full.count()
+        assert tel["max_bucket_witnesses"] >= 60
+        capped = rp_match_index(
+            spark, path2, batch, threshold=0.99, max_bucket_size=10
+        )
+        n_capped = capped.count()
+        assert 0 < n_capped < n_full
+
+
+class TestAppend:
+    def test_append_then_match(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        newbies = df.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+        )
+        rep = rp_append_to_index(spark, path, newbies, batch_id=1)
+        assert rep["appended_rows"] == 50
+        assert rep["skipped_replay"] is False
+        _, _, meta = load_rp_index(spark, path)
+        assert meta["n_rows"] == 350
+        # an appended row is now HISTORY: a copy of it must match
+        probe = newbies.limit(1).select(
+            (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+        )
+        got = rp_match_index(spark, path, probe, threshold=0.99)
+        assert got.count() >= 1
+
+    def test_append_replay_noop(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        newbies = df.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 320)
+        )
+        rp_append_to_index(spark, path, newbies, batch_id=7)
+        rep = rp_append_to_index(spark, path, newbies, batch_id=7)
+        assert rep["skipped_replay"] is True
+        _, _, meta = load_rp_index(spark, path)
+        assert meta["n_rows"] == 320
+
+    def test_append_dedups_known_ids(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        rep = rp_append_to_index(
+            spark, path, df.filter(F.col("vec_id") < 10), batch_id=2
+        )
+        assert rep["appended_rows"] == 0
+        _, _, meta = load_rp_index(spark, path)
+        assert meta["n_rows"] == 300
+
+    def test_crash_repair(self, spark, data, index):
+        import shutil
+
+        df, _ = data
+        path, _ = index
+        # simulate a crash: vectors landed, buckets did not — write
+        # vecs directly without buckets
+        orphans = df.filter(
+            (F.col("vec_id") >= 390) & (F.col("vec_id") < 395)
+        )
+        orphans.select("vec_id", "embedding").write.mode("append").parquet(
+            f"{path}/vecs"
+        )
+        rep = rp_append_to_index(
+            spark, path,
+            df.filter((F.col("vec_id") >= 380) & (F.col("vec_id") < 382)),
+            batch_id=9,
+        )
+        assert rep["repaired_rows"] == 5
+        assert rep["appended_rows"] == 2
+        vecs, buckets, meta = load_rp_index(spark, path)
+        assert (
+            buckets.select("vec_id").distinct().count()
+            == vecs.select("vec_id").distinct().count()
+        )
+
+
+class TestRemoveCompact:
+    def test_remove_then_no_match(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        rep = rp_remove_from_index(spark, path, [0, 1, 2], batch_id=3)
+        assert rep["removed_rows"] == 3
+        _, _, meta = load_rp_index(spark, path)
+        assert meta["n_rows"] == 297
+        probe = df.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        got = rp_match_index(spark, path, probe, threshold=0.999999)
+        assert got.filter(F.col("hist_id").isin([0, 1, 2])).count() == 0
+
+    def test_remove_replay_noop(self, spark, index):
+        path, _ = index
+        rp_remove_from_index(spark, path, [5], batch_id=4)
+        rep = rp_remove_from_index(spark, path, [5], batch_id=4)
+        assert rep["skipped_replay"] is True
+
+    def test_compact_dedups_and_heals(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        # many tiny appends -> file growth
+        for b in range(5):
+            rp_append_to_index(
+                spark, path,
+                df.filter(F.col("vec_id") == 300 + b), batch_id=100 + b,
+            )
+        rep = rp_compact_index(
+            spark, path, target_rows_per_file=10_000, min_file_ratio=1.0
+        )
+        assert rep["compacted"] is True
+        vecs, buckets, meta = load_rp_index(spark, path)
+        n = vecs.select("vec_id").distinct().count()
+        assert vecs.count() == n  # no duplicate ids survive
+        assert buckets.count() == n * 8
+        assert meta["n_rows"] == n
+        # matching still works post-compaction
+        probe = df.filter(F.col("vec_id") == 300).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        assert rp_match_index(
+            spark, path, probe, threshold=0.99
+        ).count() >= 1

@@ -2047,6 +2047,21 @@ def _q_rp_index_incremental(spark, sf_dir):
     )
 
 
+def _q_rp_index_groups(spark, sf_dir):
+    # round 12: retroactive corpus-wide embedding dedup from the
+    # persisted RP index ALONE — stored buckets self-join (a_id <
+    # b_id), stored vectors verify with the exact cosine, connected
+    # components collapse, min-id representative survives (singletons
+    # keep themselves).  The corpus is never re-projected; the oracle
+    # replays buckets -> pairs -> recursive-CTE closure -> min-id from
+    # the same plane literals.
+    from astro_vectordb_spark.sources.vault import rp_index_groups
+
+    return rp_index_groups(
+        spark, rp_index_path(spark, sf_dir), threshold=0.4
+    )
+
+
 _MINHASH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2414,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (verdict item 4)
         "ann_ivfpq_opq_exact": _q_ann_ivfpq_opq_exact,
         "rp_index_incremental": _q_rp_index_incremental,
+        "rp_index_groups": _q_rp_index_groups,
         # -- OUT this round (2-round-green r10+r11, back next round):
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
@@ -2922,6 +2938,41 @@ FROM cand c
 JOIN newb nv ON nv.vec_id = c.new_id
 JOIN hist hv ON hv.vec_id = c.hist_id
 WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
+""",
+        # retroactive sweep gate: keep set over the indexed hist slice
+        # from buckets + exact-cosine pairs + recursive closure
+        "rp_index_groups": f"""
+WITH RECURSIVE hist AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4
+),
+cells AS ({_rp_cells_sql(table="hist")}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cells a JOIN cells b
+    ON a.tbl = b.tbl AND a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN hist ea ON ea.vec_id = c.a_id
+  JOIN hist eb ON eb.vec_id = c.b_id
+  WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS vec_id FROM comp WHERE id = component
+UNION ALL
+SELECT vec_id FROM hist
+WHERE vec_id NOT IN (SELECT id FROM comp)
 """,
         "embedding_dedup_groups": f"""
 WITH RECURSIVE cells AS ({_rp_cells_sql()}),

@@ -2794,3 +2794,120 @@ def gc(
             F.col("_metadata.file_path")
         ).distinct().count(),
     }
+
+
+def rp_index_groups(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus-wide embedding dedup of the ALREADY-INGESTED corpus from
+    its persisted RP index alone — the corpus is never re-projected:
+    the stored bucket table self-joins on (tbl, cell) to propose
+    candidates (a_id < b_id), the stored vectors verify them with the
+    EXACT cosine at ``threshold``, connected components collapse
+    transitive groups, and one representative (min id) per component
+    survives — singletons keep themselves.  The retroactive sweep
+    companion to :func:`rp_match_index`'s per-batch face (the
+    ``minhash_index_groups`` contract for the embedding family).
+
+    Returns the KEEP set: one ``(id_col)`` row per surviving vector.
+
+    ``max_bucket_size`` (opt-in): caps each bucket's contribution to
+    the self-join at the first N ids (ascending — deterministic); an
+    exact-duplicate cluster keeps its connectivity through any cap
+    >= 2 (all members share every bucket, so the capped witnesses
+    still chain), diverse hot buckets trade recall as usual."""
+    from astro_vectordb_spark.operators.dedup import connected_components
+
+    vecs, buckets, meta = load_rp_index(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    scope = buckets.select(id_col, "tbl", "cell")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tbl", "cell").orderBy(id_col)
+        scope = (
+            scope.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_bucket_size))
+            .drop("_rn")
+        )
+    a = scope.select(F.col(id_col).alias("a_id"), "tbl", "cell")
+    b = scope.select(F.col(id_col).alias("b_id"), "tbl", "cell")
+    cand = (
+        a.join(b, ["tbl", "cell"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    from astro_vectordb_spark.functions.vector import similarity
+
+    pairs = (
+        cand.join(
+            vecs.select(F.col(id_col).alias("a_id"),
+                        F.col(vec_col).alias("_av")),
+            "a_id",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("b_id"),
+                        F.col(vec_col).alias("_bv")),
+            "b_id",
+        )
+        .withColumn("_s", similarity(F.col("_av"), F.col("_bv"), "cosine"))
+        .filter(F.col("_s") > F.lit(float(threshold)))
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    keep = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    singletons = vecs.select(id_col).distinct().join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return keep.unionByName(singletons)
+
+
+def rp_apply_groups(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.9,
+    batch_id: int | None = None,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """One-call retroactive sweep-APPLY for the embedding near-dup
+    index (the ``minhash_apply_groups`` contract): compute the keep
+    set from the index alone (:func:`rp_index_groups`), physically
+    remove every loser from vectors AND buckets
+    (file-granular, replay-logged under op='rp_sweep'), and report
+    {kept, removed_rows, skipped_replay}.  After it returns, the index
+    is a fixpoint: re-running the sweep removes nothing."""
+    keep = rp_index_groups(
+        spark, path, threshold=threshold, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)
+    meta = _read_meta(spark, path)
+    id_col = meta["id_col"]
+    losers = (
+        spark.read.parquet(os.path.join(path, "vecs"))
+        .select(id_col)
+        .distinct()
+        .join(keep, id_col, "left_anti")
+    )
+    rep = rp_remove_from_index(
+        spark, path, losers, batch_id=batch_id, op="rp_sweep"
+    )
+    post_meta = _read_meta(spark, path)
+    n_kept_raw = post_meta.get("n_rows")
+    n_kept = (
+        int(n_kept_raw)
+        if n_kept_raw is not None
+        else int(
+            spark.read.parquet(os.path.join(path, "vecs"))
+            .select(id_col).distinct().count()
+        )
+    )
+    return {
+        "kept": n_kept,
+        "removed_rows": rep["removed_rows"],
+        "skipped_replay": rep.get("skipped_replay", False),
+    }

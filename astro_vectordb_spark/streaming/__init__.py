@@ -10,6 +10,7 @@ from astro_vectordb_spark.streaming.upsert import (
     stream_hnsw_remove,
     stream_ivf_remove,
     stream_pq_ingest,
+    stream_rp_ingest,
     stream_pq_remove,
     stream_sync_merge,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "stream_hnsw_remove",
     "stream_ivf_remove",
     "stream_pq_ingest",
+    "stream_rp_ingest",
     "stream_pq_remove",
     "stream_sync_merge",
 ]

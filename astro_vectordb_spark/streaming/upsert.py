@@ -610,3 +610,119 @@ def stream_minhash_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _rp_ingest_batch(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    drop_dups: bool,
+    threshold: float,
+    query_name: str,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """One micro-batch of the streaming EMBEDDING near-dup-index
+    ingest — the ``_minhash_ingest_batch`` semantics for the RP-LSH
+    family (round-12 verdict item 4 completing its streaming face):
+    with ``drop_dups``, the batch first near-dups AGAINST ITSELF
+    (two copies of a brand-new vector arriving in one micro-batch —
+    neither is in the index, so the historical match alone would
+    append both), then matches against the persisted bucket index and
+    appends only the novel vectors through the replayable
+    ``rp_append_to_index``.
+
+    The intra-batch pass is ``rp_block_pairs`` under the INDEX'S
+    stored hyperplane family (same planes, same buckets) + connected
+    components + min-id survivor; the historical pass is
+    ``rp_match_index`` at the same ``threshold``.  Deterministic, so
+    a replayed batch keeps the same survivors and the (op, batch_id)
+    replay log stays sufficient."""
+    from astro_vectordb_spark.operators.dedup import (
+        connected_components,
+        rp_block_pairs,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        _read_meta,
+        rp_append_to_index,
+        rp_match_index,
+    )
+
+    n_dups = 0
+    n_intra = 0
+    keep = batch_df
+    if drop_dups:
+        meta = _read_meta(spark, index_path)
+        id_col = meta["id_col"]
+        pairs = rp_block_pairs(
+            batch_df, threshold=threshold,
+            n_planes=int(meta["n_planes"]),
+            n_tables=int(meta["n_tables"]), seed=int(meta["seed"]),
+            id_col=id_col, vec_col=meta["vec_col"],
+            dim=int(meta["dim"]), max_bucket_size=max_bucket_size,
+        )
+        comp = connected_components(pairs)
+        intra_losers = comp.filter(
+            F.col("id") != F.col("component")
+        ).select(F.col("id").alias(id_col))
+        n_intra = intra_losers.count()
+        if n_intra:
+            keep = keep.join(intra_losers, id_col, "left_anti")
+        dup_ids = (
+            rp_match_index(
+                spark, index_path, keep, threshold=threshold,
+                max_bucket_size=max_bucket_size,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        n_dups = dup_ids.count()
+        if n_dups:
+            keep = keep.join(dup_ids, id_col, "left_anti")
+    rep = rp_append_to_index(
+        spark, index_path, keep, batch_id=int(batch_id)
+    )
+    rep["dropped_dups"] = int(n_dups)
+    rep["dropped_intra_batch"] = int(n_intra)
+    print(
+        f"{query_name} batch {batch_id}: +{rep['appended_rows']} vectors, "
+        f"{n_dups} hist dups + {n_intra} intra-batch dups dropped"
+    )
+    return rep
+
+
+def stream_rp_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_rp_ingest",
+    drop_dups: bool = True,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+):
+    """Streaming ingest into the persisted embedding near-dup index:
+    each micro-batch of (vec_id, embedding) rows is matched against
+    EVERYTHING already ingested (compact bucket/vector tables — the
+    corpus is never re-projected) and, with ``drop_dups``, only the
+    novel vectors are appended; redelivered batches are no-ops via
+    the (op='rp_append', batch_id) replay log.  The
+    ``stream_minhash_ingest`` shape for the embedding family."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _rp_ingest_batch(
+            spark, index_path, batch_df, batch_id,
+            drop_dups=drop_dups, threshold=threshold,
+            query_name=query_name, max_bucket_size=max_bucket_size,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

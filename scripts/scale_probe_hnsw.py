@@ -374,6 +374,47 @@ def main() -> None:
         (r["query_id"], r["vec_id"]) for r in rows_cg
     ) == sorted((r["query_id"], r["vec_id"]) for r in rows16)
 
+    # ---- C: union-merge scaling on the QUERY axis (round-12 verdict
+    # item 8): 5k and 20k queries against the rebalanced multi-shard
+    # index via the cogrouped face.  The per-shard answers union into
+    # the salted rank_topk_per_query merge; the claim under test is
+    # that the merge table never concentrates — evidenced by (a) every
+    # query served at both sizes and (b) ~linear wall growth on the
+    # query axis (4x queries <= 8x wall, covering cogroup + merge).
+    log("query-axis cogrouped serve")
+    merge_axis = {}
+    for nq, modulo in ((5_000, 40), (20_000, 10)):
+        qbig = corpus.filter(F.col("vec_id") % modulo == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def _run():
+            return (
+                hnsw_query_shards_cogrouped(
+                    g16, qbig, k=K, m=m16["m"], metric=m16["metric"],
+                    ef_search=64, shard_ids=m16["shard_ids"],
+                )
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.countDistinct("query_id").alias("nq"),
+                )
+                .first()
+            )
+
+        _run()  # warm
+        t0 = time.time()
+        got = _run()
+        merge_axis[f"sec_{nq}"] = round(time.time() - t0, 2)
+        merge_axis[f"served_{nq}"] = int(got["nq"])
+        checks[f"C1_all_served_{nq}"] = int(got["nq"]) == nq
+    merge_axis["ratio_4x_queries"] = round(
+        merge_axis["sec_20000"] / max(merge_axis["sec_5000"], 0.01), 2
+    )
+    checks["C2_query_axis_linearish"] = merge_axis["ratio_4x_queries"] <= 8.0
+    res["merge_query_axis"] = merge_axis
+
     # ---- quantized index: size, recall, serve latency ------------------
     log("quantized build")
     t0 = time.time()

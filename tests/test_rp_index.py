@@ -262,3 +262,159 @@ class TestRemoveCompact:
         assert rp_match_index(
             spark, path, probe, threshold=0.99
         ).count() >= 1
+
+
+class TestStreamingIngest:
+    def test_batch_kernel_intra_and_hist_dedup(self, spark, data, index):
+        """The per-batch kernel: intra-batch near-dups collapse to a
+        min-id survivor, copies of indexed vectors drop against the
+        history, novel vectors append; a replayed batch is a no-op."""
+        from astro_vectordb_spark.streaming.upsert import _rp_ingest_batch
+
+        df, X = data
+        path, _ = index
+        hist_copy = df.filter(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        )
+        novel = df.filter(F.col("vec_id") == 350).select(
+            (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+        )
+        novel_twin = df.filter(F.col("vec_id") == 350).select(
+            (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+        )
+        batch = hist_copy.unionByName(novel).unionByName(novel_twin)
+        rep = _rp_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.99,
+            query_name="t",
+        )
+        # the twin (800350) loses intra-batch to 700350 (min id); the
+        # hist copy drops against indexed vector 7; one novel appends
+        assert rep["dropped_intra_batch"] == 1
+        assert rep["dropped_dups"] == 1
+        assert rep["appended_rows"] == 1
+        from astro_vectordb_spark.sources.vault import rp_match_index
+
+        probe = df.filter(F.col("vec_id") == 350).select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+        got = rp_match_index(spark, path, probe, threshold=0.99)
+        assert any(int(r["hist_id"]) == 700350 for r in got.collect())
+        rep2 = _rp_ingest_batch(
+            spark, path, batch, 0, drop_dups=True, threshold=0.99,
+            query_name="t",
+        )
+        assert rep2["skipped_replay"]
+
+    def test_stream_ingest_end_to_end(self, spark, data, index):
+        """Rate-stream integration: streamed vectors become matchable
+        in the persisted index while the query runs."""
+        import time
+
+        from astro_vectordb_spark.sources.vault import rp_match_index
+        from astro_vectordb_spark.streaming.upsert import stream_rp_ingest
+
+        df, X = data
+        path, _ = index
+        fixed = [float(x) for x in X[399]]
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "5")
+            .load()
+            .select(
+                (F.col("value") + 600_000).alias("vec_id"),
+                F.array(*[F.lit(v) for v in fixed]).alias("embedding"),
+            )
+        )
+        q = stream_rp_ingest(stream, path, drop_dups=True, threshold=0.99)
+        probe = spark.createDataFrame(
+            [(950_000, fixed)], "vec_id long, embedding array<double>"
+        )
+        try:
+            deadline = time.time() + 40
+            seen = False
+            while time.time() < deadline:
+                time.sleep(3)
+                if rp_match_index(
+                    spark, path, probe, threshold=0.99
+                ).limit(1).count():
+                    seen = True
+                    break
+        finally:
+            q.stop()
+        assert seen
+
+
+class TestGroupsApply:
+    def test_groups_match_oneshot_dedup(self, spark, data, tmp_path):
+        """The keep set from the index alone equals the one-shot
+        rp_block_pairs -> CC -> min-id pipeline over the same corpus
+        and family."""
+        from astro_vectordb_spark.operators.dedup import (
+            connected_components,
+            rp_block_pairs,
+        )
+        from astro_vectordb_spark.sources.vault import (
+            rp_index_groups,
+            save_rp_index,
+        )
+
+        df, _ = data
+        # plant duplicate clusters: copies of vectors 0..4
+        copies = df.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+        )
+        corpus = df.filter(F.col("vec_id") < 100).unionByName(copies)
+        path = str(tmp_path / "rp_grp")
+        save_rp_index(corpus, path, n_planes=6, n_tables=8, seed=11)
+        got = {
+            r["vec_id"]
+            for r in rp_index_groups(spark, path, threshold=0.98).collect()
+        }
+        pairs = rp_block_pairs(
+            corpus, threshold=0.98, n_planes=6, n_tables=8, seed=11,
+            max_bucket_size=None,
+        )
+        comp = connected_components(pairs)
+        keep = {
+            r["id"]
+            for r in comp.filter(
+                F.col("id") == F.col("component")
+            ).collect()
+        }
+        in_comp = {r["id"] for r in comp.collect()}
+        singles = {
+            r["vec_id"] for r in corpus.select("vec_id").collect()
+        } - in_comp
+        assert got == keep | singles
+        # every planted copy lost to its original
+        for i in range(5):
+            assert 5000 + i not in got and i in got
+
+    def test_apply_sweep_fixpoint(self, spark, data, tmp_path):
+        from astro_vectordb_spark.sources.vault import (
+            load_rp_index,
+            rp_apply_groups,
+            save_rp_index,
+        )
+
+        df, _ = data
+        copies = df.filter(F.col("vec_id") < 8).select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+        )
+        corpus = df.filter(F.col("vec_id") < 60).unionByName(copies)
+        path = str(tmp_path / "rp_sweep")
+        save_rp_index(corpus, path, n_planes=6, n_tables=8, seed=11)
+        # threshold above any natural same-cluster cosine (sigma 0.05)
+        # so ONLY the 8 exact planted copies are losers
+        rep = rp_apply_groups(spark, path, threshold=0.9999, batch_id=1)
+        assert rep["removed_rows"] == 8
+        assert rep["kept"] == 60
+        vecs, buckets, meta = load_rp_index(spark, path)
+        assert meta["n_rows"] == 60
+        assert buckets.filter(F.col("vec_id") >= 5000).count() == 0
+        # fixpoint: a second sweep (new batch id) removes nothing
+        rep2 = rp_apply_groups(spark, path, threshold=0.9999, batch_id=2)
+        assert rep2["removed_rows"] == 0
+        # replay of the FIRST sweep is a no-op
+        rep3 = rp_apply_groups(spark, path, threshold=0.9999, batch_id=1)
+        assert rep3["skipped_replay"] is True

@@ -832,7 +832,7 @@ def rp_cell_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_refine: int = 0,
+    n_refine: int | None = None,
 ) -> DataFrame:
     """(id, tbl, cell[, rcell]) multi-table random-hyperplane bucket
     assignment — the blocking primitive shared by :func:`rp_block_pairs`
@@ -852,11 +852,15 @@ def rp_cell_table(
     BLAS matmul would not guarantee that (pairwise summation reorders
     the adds).
 
-    ``n_refine > 0`` appends a shared refinement cell column
-    (``rcell``, table namespace -1) used by the hot-bucket guard."""
+    ``n_refine is not None`` appends a shared refinement cell column
+    (``rcell``, table namespace -1) used by the hot-bucket guard —
+    n_refine=0 yields a constant rcell of 0 (the guard machinery still
+    applies, refinement just cannot split anything), matching the
+    pre-extraction kernel's behavior."""
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    guarded = n_refine > 0
+    guarded = n_refine is not None
+    n_refine = n_refine or 0
     plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
     if guarded:
         # refinement planes live in table namespace -1 so they never
@@ -968,7 +972,7 @@ def rp_block_pairs(
     cells = rp_cell_table(
         df, n_planes=n_planes, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col, dim=dim,
-        n_refine=n_refine if guarded else 0,
+        n_refine=n_refine if guarded else None,
     )
 
     def _self_join(c: DataFrame, keys: list[str]) -> DataFrame:

@@ -1839,8 +1839,11 @@ def minhash_bucket_telemetry(
     return _bucket_witness_stats(scope, meta["id_col"])
 
 
-def _bucket_witness_stats(bands_scope: DataFrame, id_col: str) -> dict:
-    per_bucket = bands_scope.groupBy("band_idx", "band_sig").agg(
+def _bucket_witness_stats(
+    bands_scope: DataFrame, id_col: str,
+    keys: tuple = ("band_idx", "band_sig"),
+) -> dict:
+    per_bucket = bands_scope.groupBy(*keys).agg(
         F.count(F.col(id_col)).alias("_w")
     )
     row = per_bucket.agg(
@@ -2293,8 +2296,17 @@ def minhash_remove_from_index(
             [(int(v),) for v in doc_ids], f"{id_col} long"
         ).distinct()
     ids = ids.localCheckpoint(eager=True)
-    _, _, n_removed = _remove_rows_by_file(spark, sp, ids, id_col=id_col)
+    # BANDS remove first, SIGS second: the "band ids are a subset of
+    # sig ids" invariant (which the append path's crash-repair
+    # short-circuit relies on) then holds at every instant — a crash
+    # between the two deletes leaves a doc with sigs but no bands,
+    # exactly the state the next append's self-heal re-bands (the doc
+    # legitimately remains in the index until the remove is
+    # redelivered; at-least-once removal).  The old sigs-first order
+    # left STALE band rows that blocked re-banding if the id was ever
+    # re-appended with different text — silent match false negatives.
     _remove_rows_by_file(spark, bp, ids, id_col=id_col)
+    _, _, n_removed = _remove_rows_by_file(spark, sp, ids, id_col=id_col)
     if n_removed:
         _update_meta_n_rows(spark, path, delta=-n_removed)
     _record_batch(spark, path, batch_id, op=op)
@@ -2337,24 +2349,10 @@ def minhash_apply_groups(
     rep = minhash_remove_from_index(
         spark, path, losers, batch_id=batch_id, op="minhash_sweep"
     )
-    # legacy _meta tables may lack n_rows (loaders fall back to
-    # counting — see _update_meta_n_rows); don't let the sweep raise
-    # AFTER the removal committed.  Fall back to the ground truth:
-    # distinct ids still present in sigs/.
-    post_meta = _read_meta(spark, path)
-    n_kept_raw = post_meta.get("n_rows")
-    n_kept = (
-        int(n_kept_raw)
-        if n_kept_raw is not None
-        else int(
-            spark.read.parquet(os.path.join(path, "sigs"))
-            .select(id_col)
-            .distinct()
-            .count()
-        )
-    )
+    # legacy _meta tables may lack n_rows — don't let the sweep raise
+    # AFTER the removal committed (see _post_sweep_kept)
     return {
-        "kept": n_kept,
+        "kept": _post_sweep_kept(spark, path, "sigs", id_col),
         "removed_docs": rep["removed_docs"],
         "skipped_replay": rep.get("skipped_replay", False),
     }
@@ -2482,22 +2480,8 @@ def rp_match_index(
         touched = ncells.select("tbl", "cell").distinct()
         hist = hist.join(touched, ["tbl", "cell"], "left_semi")
     if telemetry is not None:
-        per_bucket = hist.groupBy("tbl", "cell").agg(
-            F.count("hist_id").alias("_w")
-        )
-        row = per_bucket.agg(
-            F.max("_w").alias("mx"),
-            F.percentile_approx("_w", 0.99).alias("p99"),
-            F.percentile_approx("_w", 0.5).alias("p50"),
-            F.count(F.lit(1)).alias("nb"),
-            F.sum("_w").alias("nr"),
-        ).first()
         telemetry.update(
-            {"max_bucket_witnesses": int(row["mx"] or 0),
-             "p99_bucket_witnesses": int(row["p99"] or 0),
-             "p50_bucket_witnesses": int(row["p50"] or 0),
-             "n_buckets": int(row["nb"]),
-             "n_witness_rows": int(row["nr"] or 0)}
+            _bucket_witness_stats(hist, "hist_id", keys=("tbl", "cell"))
         )
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -2621,8 +2605,14 @@ def rp_remove_from_index(
             [(int(v),) for v in ids], f"{id_col} long"
         ).distinct()
     ids_df = ids_df.localCheckpoint(eager=True)
-    _, _, n_removed = _remove_rows_by_file(spark, vp, ids_df, id_col=id_col)
+    # BUCKETS remove first, VECS second (same rationale as
+    # minhash_remove_from_index): the bucket-ids-subset-of-vec-ids
+    # invariant holds at every instant, and a crash between the two
+    # deletes leaves a vector with no buckets — the state the next
+    # append's self-heal re-buckets — instead of stale bucket rows
+    # that would block re-bucketing a re-appended id forever.
     _remove_rows_by_file(spark, bp, ids_df, id_col=id_col)
+    _, _, n_removed = _remove_rows_by_file(spark, vp, ids_df, id_col=id_col)
     if n_removed:
         _update_meta_n_rows(spark, path, delta=-n_removed)
     _record_batch(spark, path, batch_id, op=op)
@@ -2717,7 +2707,15 @@ def gc(
 
     Returns ``{"compacted", "rows_before", "rows_after",
     "files_before", "files_after"}``; a missing or already-small log
-    is a no-op."""
+    is a no-op.
+
+    SINGLE-WRITER maintenance contract (same as every staged-swap op
+    in this module): run it while no stream is mid-commit on this
+    index.  A micro-batch that records its log row between gc's read
+    and the swap would have that row dropped, re-enabling a
+    double-apply on redelivery — quiesce the stream (or schedule gc
+    from the stream's own foreachBatch, where it is trivially
+    serialized with commits)."""
     log_path = os.path.join(path, "_batches")
     _recover_swap(spark, log_path)
     try:
@@ -2794,6 +2792,22 @@ def gc(
             F.col("_metadata.file_path")
         ).distinct().count(),
     }
+
+
+def _post_sweep_kept(
+    spark: SparkSession, path: str, table: str, id_col: str
+) -> int:
+    """Post-sweep kept count: the _meta n_rows counter when present,
+    else (legacy _meta without the column — loaders fall back to
+    counting) the ground truth: distinct ids still in ``table``."""
+    post_meta = _read_meta(spark, path)
+    n_kept_raw = post_meta.get("n_rows")
+    if n_kept_raw is not None:
+        return int(n_kept_raw)
+    return int(
+        spark.read.parquet(os.path.join(path, table))
+        .select(id_col).distinct().count()
+    )
 
 
 def rp_index_groups(
@@ -2896,18 +2910,8 @@ def rp_apply_groups(
     rep = rp_remove_from_index(
         spark, path, losers, batch_id=batch_id, op="rp_sweep"
     )
-    post_meta = _read_meta(spark, path)
-    n_kept_raw = post_meta.get("n_rows")
-    n_kept = (
-        int(n_kept_raw)
-        if n_kept_raw is not None
-        else int(
-            spark.read.parquet(os.path.join(path, "vecs"))
-            .select(id_col).distinct().count()
-        )
-    )
     return {
-        "kept": n_kept,
+        "kept": _post_sweep_kept(spark, path, "vecs", id_col),
         "removed_rows": rep["removed_rows"],
         "skipped_replay": rep.get("skipped_replay", False),
     }

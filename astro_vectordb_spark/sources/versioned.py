@@ -114,7 +114,10 @@ def _swap_pointer(path: str, vdir: str, keep_versions: int) -> None:
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
 
 
-def gc_versions(path: str, keep_last_versions: int = 2) -> dict:
+def gc_versions(
+    path: str, keep_last_versions: int = 2,
+    orphan_min_age_sec: float = 3600.0,
+) -> dict:
     """Offline version GC — the retention face for a table whose
     writer stopped (the per-commit GC in ``_swap_pointer`` only runs
     while commits flow) or whose ``keep_versions`` policy tightened
@@ -124,8 +127,15 @@ def gc_versions(path: str, keep_last_versions: int = 2) -> dict:
     ``keep_last_versions``, NEVER the one ``_CURRENT`` points at, and
     also removes orphan ``v{n}`` directories a crashed writer left
     ABOVE the current pointer (written but never swapped in — invisible
-    to readers, pure disk leak).  Returns ``{"removed": [...],
+    to readers, pure disk leak).  An orphan younger than
+    ``orphan_min_age_sec`` (by directory mtime) is KEPT: nothing
+    distinguishes "crashed" from "a concurrent writer about to swap
+    this version in", so recent dirs get the benefit of the doubt —
+    deleting a live writer's in-flight commit would make its pointer
+    swap publish a missing directory.  Returns ``{"removed": [...],
     "kept": [...]}``."""
+    import time as _time
+
     cur = current_version(path)
     if cur is None:
         return {"removed": [], "kept": []}
@@ -135,7 +145,19 @@ def gc_versions(path: str, keep_last_versions: int = 2) -> dict:
         key=lambda d: int(d[1:]),
     )
     committed = [d for d in versions if int(d[1:]) <= cur_n]
-    orphans = [d for d in versions if int(d[1:]) > cur_n]
+    now = _time.time()
+
+    def _old_enough(d: str) -> bool:
+        try:
+            return now - os.path.getmtime(os.path.join(path, d)) >= (
+                orphan_min_age_sec
+            )
+        except OSError:
+            return False
+
+    orphans = [
+        d for d in versions if int(d[1:]) > cur_n and _old_enough(d)
+    ]
     doomed = (
         committed[:-keep_last_versions] if keep_last_versions > 0 else []
     )

@@ -111,6 +111,46 @@ def main() -> None:
     print(f"compaction: {rep_c}")
     _, _, meta = load_minhash_index(spark, path)
     print(f"final index: {meta['n_rows']} docs")
+
+    # ---- the SAME loop for embeddings (round 12) -------------------
+    # the RP-LSH index gives vectors the identical steady state:
+    # persist buckets once, match each new batch against the compact
+    # tables with an exact-cosine verify, sweep retroactively, and
+    # bound the replay-log metadata with gc
+    from astro_vectordb_spark.sources.vault import (
+        gc,
+        rp_apply_groups,
+        rp_append_to_index,
+        rp_match_index,
+        save_rp_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rp_path = tempfile.mkdtemp(prefix="ingest_rp_")
+    hist_v = emb.filter(F.col("vec_id") % 3 != 2)
+    save_rp_index(hist_v, rp_path)
+    batch_v = emb.filter(F.col("vec_id") % 3 == 2).unionByName(
+        hist_v.limit(5).select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    mv = rp_match_index(spark, rp_path, batch_v, threshold=0.99)
+    exact_hits = mv.filter(F.col("score") == 1.0).count()
+    print(f"embedding batch: {mv.count()} match rows, "
+          f"{exact_hits} exact copies caught")
+    assert exact_hits >= 5
+    novel_v = batch_v.join(
+        mv.select(F.col("new_id").alias("vec_id")).distinct(),
+        "vec_id", "left_anti",
+    )
+    rp_append_to_index(spark, rp_path, novel_v, batch_id=1)
+    rep_rv = rp_apply_groups(spark, rp_path, threshold=0.999, batch_id=50)
+    print(f"embedding sweep: kept {rep_rv['kept']}, "
+          f"removed {rep_rv['removed_rows']}")
+    rep_gc = gc(spark, rp_path, keep_last_batches=8)
+    print(f"replay-log gc: {rep_gc}")
     spark.stop()
 
 

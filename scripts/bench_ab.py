@@ -98,8 +98,21 @@ def main() -> int:
     shared = sorted(
         set.intersection(*(set(r) for r in runs_a + runs_b))
     )
-    med_a = {q: statistics.median(r[q] for r in runs_a) for q in shared}
-    med_b = {q: statistics.median(r[q] for r in runs_b) for q in shared}
+
+    def _median_ok(runs, q):
+        # bench.py records -1.0 for a failed query; a failed rep must
+        # not poison the median (negative "timings" would read as
+        # speedups in the authoritative record)
+        vals = [r[q] for r in runs if r[q] >= 0]
+        return statistics.median(vals) if vals else None
+
+    failed = sorted(
+        q for q in shared
+        if _median_ok(runs_a, q) is None or _median_ok(runs_b, q) is None
+    )
+    shared = [q for q in shared if q not in failed]
+    med_a = {q: _median_ok(runs_a, q) for q in shared}
+    med_b = {q: _median_ok(runs_b, q) for q in shared}
     rows = sorted(
         (
             (q, med_a[q], med_b[q],
@@ -133,6 +146,7 @@ def main() -> int:
         "total_a": total_a,
         "total_b": total_b,
         "total_ratio": round(total_b / total_a, 3) if total_a else None,
+        "failed_queries": failed,
         "raw_a": [{k: round(v, 3) for k, v in r.items()} for r in runs_a],
         "raw_b": [{k: round(v, 3) for k, v in r.items()} for r in runs_b],
     }

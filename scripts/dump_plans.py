@@ -63,6 +63,16 @@ SHOW = [
     "minhash_apply_sweep",
     "ann_ivfpq_residual_exact",
     "facade_hybrid_prf_batch_gate",
+    # round 12: the OPQ face must keep the residual salted-cogroup
+    # shape (the rotation changes only broadcast contents, never the
+    # plan); the incremental RP match must show the batch's bucket
+    # projection joining the PERSISTED bucket/vector tables with no
+    # re-projection of the historical corpus; the RP sweep must be a
+    # stored-bucket self-join + vector verify + iterative CC with no
+    # cross join
+    "ann_ivfpq_opq_exact",
+    "rp_index_incremental",
+    "rp_index_groups",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -149,7 +149,12 @@ class TestVersionGC:
         # orphan above the pointer: a crashed writer's never-swapped dir
         df.write.mode("overwrite").parquet(os.path.join(path, "v9"))
         assert current_version(path) == "v5"
+        # a YOUNG orphan is kept — it may be a concurrent writer's
+        # in-flight commit about to swap in
         rep = gc_versions(path, keep_last_versions=2)
+        assert "v9" in rep["kept"]
+        # aged out (orphan_min_age_sec=0), it is a crashed-writer leak
+        rep = gc_versions(path, keep_last_versions=2, orphan_min_age_sec=0)
         assert "v9" in rep["removed"]
         assert set(rep["kept"]) == {"v4", "v5"}
         assert read_current(spark, path).count() == 5

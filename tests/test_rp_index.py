@@ -418,3 +418,63 @@ class TestGroupsApply:
         # replay of the FIRST sweep is a no-op
         rep3 = rp_apply_groups(spark, path, threshold=0.9999, batch_id=1)
         assert rep3["skipped_replay"] is True
+
+
+class TestReviewRegressions:
+    def test_rp_block_pairs_guarded_zero_refine(self, spark, data):
+        """max_bucket_size with n_refine=0 must work (the guard
+        machinery applies with a constant refinement cell) — the
+        rp_cell_table extraction briefly broke this combination."""
+        from astro_vectordb_spark.operators.dedup import rp_block_pairs
+
+        df, _ = data
+        small = df.filter(F.col("vec_id") < 80)
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in rp_block_pairs(
+                small, threshold=0.98, n_planes=6, n_tables=8, seed=11,
+                max_bucket_size=5, n_refine=0,
+            ).collect()
+        }
+        want = {
+            (r["a_id"], r["b_id"])
+            for r in rp_block_pairs(
+                small, threshold=0.98, n_planes=6, n_tables=8, seed=11,
+                max_bucket_size=None,
+            ).collect()
+        }
+        # guard can only drop redundant pairs, never invent them
+        assert got <= want
+
+    def test_crashed_remove_then_reappend_rebuckets(
+        self, spark, data, index
+    ):
+        """Remove order is buckets-first: a crash between the two
+        deletes leaves a vector WITHOUT buckets (repairable), never
+        stale buckets that would block re-bucketing a re-appended id."""
+        from astro_vectordb_spark.sources.vault import (
+            _remove_rows_by_file,
+        )
+
+        df, _ = data
+        path, _ = index
+        # simulate the crash window: buckets removed, vecs not
+        ids_df = spark.createDataFrame([(3,)], "vec_id long")
+        _remove_rows_by_file(spark, f"{path}/buckets", ids_df)
+        vecs, buckets, _ = load_rp_index(spark, path)
+        assert buckets.filter(F.col("vec_id") == 3).count() == 0
+        assert vecs.filter(F.col("vec_id") == 3).count() == 1
+        # the next append's self-heal re-buckets the orphaned vector
+        rep = rp_append_to_index(
+            spark, path,
+            df.filter(F.col("vec_id") == 399), batch_id=77,
+        )
+        assert rep["repaired_rows"] == 1
+        _, buckets2, _ = load_rp_index(spark, path)
+        assert buckets2.filter(F.col("vec_id") == 3).count() == 8
+        # and a copy of vector 3 matches again
+        probe = df.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 880000).alias("vec_id"), "embedding"
+        )
+        got = rp_match_index(spark, path, probe, threshold=0.999999)
+        assert got.filter(F.col("hist_id") == 3).count() == 1

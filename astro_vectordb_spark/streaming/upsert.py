@@ -581,6 +581,7 @@ def stream_minhash_ingest(
     drop_dups: bool = True,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    gc_every: int | None = None,
 ):
     """Streaming ingest into the persisted near-dup fingerprint index:
     each micro-batch of (doc_id, text) rows is matched against
@@ -590,8 +591,17 @@ def stream_minhash_ingest(
     (op, batch_id) replay log.  This is continuous corpus dedup as an
     index maintenance loop — the shape a 100 TB ingest pipeline runs
     daily — in the same foreachBatch one-batch-at-a-time form as the
-    other index ingests."""
+    other index ingests.
+
+    ``gc_every=N``: every N applied batches, compact the `_batches`
+    replay log (``vault.gc``) from INSIDE foreachBatch — the one place
+    the gc's single-writer contract is trivially satisfied, since it
+    is serialized with this stream's own commits.  Without it a
+    months-long ingest accretes one tiny log file per micro-batch."""
+    from astro_vectordb_spark.sources.vault import gc as _vault_gc
+
     spark = stream_df.sparkSession
+    applied = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -601,6 +611,14 @@ def stream_minhash_ingest(
             drop_dups=drop_dups, threshold=threshold,
             query_name=query_name, max_bucket_size=max_bucket_size,
         )
+        applied["n"] += 1
+        if gc_every and applied["n"] % int(gc_every) == 0:
+            rep = _vault_gc(spark, index_path)
+            if rep.get("compacted"):
+                print(
+                    f"{query_name}: replay-log gc "
+                    f"{rep['files_before']} -> {rep['files_after']} files"
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -699,6 +717,7 @@ def stream_rp_ingest(
     drop_dups: bool = True,
     threshold: float = 0.9,
     max_bucket_size: int | None = None,
+    gc_every: int | None = None,
 ):
     """Streaming ingest into the persisted embedding near-dup index:
     each micro-batch of (vec_id, embedding) rows is matched against
@@ -706,8 +725,14 @@ def stream_rp_ingest(
     corpus is never re-projected) and, with ``drop_dups``, only the
     novel vectors are appended; redelivered batches are no-ops via
     the (op='rp_append', batch_id) replay log.  The
-    ``stream_minhash_ingest`` shape for the embedding family."""
+    ``stream_minhash_ingest`` shape for the embedding family;
+    ``gc_every=N`` compacts the replay log every N applied batches
+    (see stream_minhash_ingest — serialized with this stream's own
+    commits, so the gc single-writer contract holds)."""
+    from astro_vectordb_spark.sources.vault import gc as _vault_gc
+
     spark = stream_df.sparkSession
+    applied = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -717,6 +742,14 @@ def stream_rp_ingest(
             drop_dups=drop_dups, threshold=threshold,
             query_name=query_name, max_bucket_size=max_bucket_size,
         )
+        applied["n"] += 1
+        if gc_every and applied["n"] % int(gc_every) == 0:
+            rep = _vault_gc(spark, index_path)
+            if rep.get("compacted"):
+                print(
+                    f"{query_name}: replay-log gc "
+                    f"{rep['files_before']} -> {rep['files_after']} files"
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

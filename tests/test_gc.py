@@ -162,3 +162,56 @@ class TestVersionGC:
     def test_noop_on_uncommitted(self, tmp_path):
         rep = gc_versions(str(tmp_path / "empty"))
         assert rep == {"removed": [], "kept": []}
+
+
+class TestStreamingGC:
+    def test_rp_stream_gc_every_bounds_log_files(self, spark, data,
+                                                 tmp_path):
+        """gc_every compacts the replay log from inside foreachBatch —
+        after many micro-batches the log stays at a bounded file
+        count and replays remain no-ops."""
+        import time
+
+        from astro_vectordb_spark.sources.vault import (
+            rp_match_index,
+            save_rp_index,
+        )
+        from astro_vectordb_spark.streaming.upsert import stream_rp_ingest
+
+        path = str(tmp_path / "idx_sgc")
+        save_rp_index(data.filter(F.col("vec_id") < 40), path)
+        fixed = [float(i) / 10 for i in range(DIM)]
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "20")
+            .load()
+            .select(
+                (F.col("value") + 700_000).alias("vec_id"),
+                F.array(*[F.lit(v) for v in fixed]).alias("embedding"),
+            )
+        )
+        q = stream_rp_ingest(
+            stream, path, drop_dups=True, threshold=0.999, gc_every=3
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                time.sleep(3)
+                if len(_parquet_files(os.path.join(path, "_batches"))) and (
+                    q.lastProgress
+                    and q.lastProgress.get("batchId", 0) >= 7
+                ):
+                    break
+        finally:
+            q.stop()
+        n_files = len(_parquet_files(os.path.join(path, "_batches")))
+        # without gc, >= one file per applied batch; with gc_every=3
+        # the count stays bounded well below the batch count
+        assert 1 <= n_files <= 6
+        # the ingested fixed vector is matchable (appends survived gc)
+        probe = spark.createDataFrame(
+            [(900_000, fixed)], "vec_id long, embedding array<double>"
+        )
+        assert rp_match_index(
+            spark, path, probe, threshold=0.999
+        ).limit(1).count() == 1

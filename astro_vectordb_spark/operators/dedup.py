@@ -1471,3 +1471,87 @@ def dedup_keep_representatives(
     common one-pass policy in dedup pipelines."""
     drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def rp_probe_cell_table(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Multi-probe bucket assignment for the QUERY/BATCH side of an
+    RP-LSH lookup (Lv et al., VLDB 2007 "Multi-Probe LSH"): per hash
+    table, emit the base cell PLUS ``n_probes`` perturbed cells, each
+    flipping ONE sign bit — chosen in ascending |projection| order
+    (the hyperplanes this vector sits closest to, i.e. the bits most
+    likely to differ on a true near-neighbor).
+
+    Why this exists at 100 TB: raising recall by adding hash TABLES
+    multiplies the persisted index (corpus-sized storage and build),
+    while probing costs only batch-side work against the SAME stored
+    table — the steady-state index keeps 8 tables forever and callers
+    dial recall per lookup.  Probing can only ADD candidate buckets,
+    and the exact-cosine verify unchanged downstream means extra
+    probes can never create false positives.
+
+    Same deterministic plane family and float64 element-at-a-time fold
+    as :func:`rp_cell_table` (margins derive from the identical dots),
+    so base cells match the persisted index bit-for-bit."""
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    n_probes = min(int(n_probes), n_planes)
+    plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
+    planes_t = np.array(
+        [_rp_plane(seed, t, p, dim) for t, p in plane_keys], dtype=np.float64
+    ).T.copy()
+    n_all = len(plane_keys)
+    pow2 = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
+    _nt, _np_, _npr, _dim = n_tables, n_planes, n_probes, dim
+
+    @F.pandas_udf("array<int>")
+    def rp_probe_cells(s: pd.Series) -> pd.Series:
+        n = len(s)
+        V = np.full((n, _dim), np.nan, dtype=np.float64)
+        for r, v in enumerate(s):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)[:_dim]
+            V[r, : a.shape[0]] = a
+        acc = np.zeros((n, n_all), dtype=np.float64)
+        for i in range(_dim):
+            acc += V[:, i : i + 1] * planes_t[i][None, :]
+        bits = acc > 0  # NaN compares False (matches rp_cell_table)
+        out = np.empty((n, _nt * (1 + _npr)), dtype=np.int32)
+        for t in range(_nt):
+            sl = slice(t * _np_, (t + 1) * _np_)
+            base = bits[:, sl] @ pow2
+            out[:, t * (1 + _npr)] = base
+            if _npr:
+                # ascending |projection|: the planes this vector is
+                # closest to; NaN margins sort last (never flipped
+                # before a real margin)
+                margins = np.abs(acc[:, sl])
+                margins = np.where(np.isnan(margins), np.inf, margins)
+                order = np.argsort(margins, axis=1, kind="stable")
+                for j in range(_npr):
+                    flip = pow2[order[:, j]]
+                    out[:, t * (1 + _npr) + 1 + j] = base ^ flip
+        return pd.Series(list(out))
+
+    proj = df.select(F.col(id_col), rp_probe_cells(F.col(vec_col)).alias("_c"))
+    # explode to (id, tbl, cell); probe duplicates collapse downstream
+    # via the candidate distinct
+    idx = F.posexplode("_c")
+    return (
+        proj.select(F.col(id_col), idx.alias("_i", "cell"))
+        .select(
+            id_col,
+            (F.col("_i") / (1 + n_probes)).cast("int").alias("tbl"),
+            "cell",
+        )
+        .dropDuplicates([id_col, "tbl", "cell"])
+    )

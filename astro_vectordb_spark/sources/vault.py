@@ -2440,6 +2440,7 @@ def rp_match_index(
     threshold: float = 0.9,
     max_bucket_size: int | None = None,
     telemetry: dict | None = None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Match a NEW batch of vectors against the persisted index
     without re-projecting the corpus: bucket the batch under the
@@ -2454,6 +2455,17 @@ def rp_match_index(
     verify is the same fold expression the one-shot face uses), so the
     incremental path is oracle-hashable.
 
+    ``n_probes`` (opt-in, the RECALL dial): multi-probe lookup (Lv et
+    al., VLDB 2007) — the batch side also probes, per table, the
+    ``n_probes`` buckets one sign-flip away on its lowest-|projection|
+    planes.  Raising recall this way costs batch-side work only; the
+    alternative (more hash tables) multiplies the PERSISTED index —
+    corpus-sized storage — which is the wrong trade at 100 TB.  Probes
+    only add candidate buckets and the exact verify is unchanged, so
+    results are a superset of the n_probes=0 contract with zero false
+    positives (the default 0 keeps the oracle-replayable base
+    behavior).
+
     ``max_bucket_size`` (opt-in, the hot-bucket valve): a boilerplate
     cluster of d near-identical vectors puts d rows into each of its
     buckets; the cap keeps the first ``max_bucket_size`` witnesses per
@@ -2463,11 +2475,19 @@ def rp_match_index(
     exactly the buckets this batch touches (max/p99/p50 witnesses), so
     operators see the skew before it becomes a straggler."""
     from astro_vectordb_spark.functions.vector import similarity
-    from astro_vectordb_spark.operators.dedup import rp_cell_table
+    from astro_vectordb_spark.operators.dedup import (
+        rp_cell_table,
+        rp_probe_cell_table,
+    )
 
     vecs, buckets, meta = load_rp_index(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    ncells = rp_cell_table(
+    _cells_fn = (
+        (lambda d, **kw: rp_probe_cell_table(d, n_probes=n_probes, **kw))
+        if n_probes > 0
+        else rp_cell_table
+    )
+    ncells = _cells_fn(
         new_rows.select(id_col, vec_col),
         n_planes=int(meta["n_planes"]), n_tables=int(meta["n_tables"]),
         seed=int(meta["seed"]), id_col=id_col, vec_col=vec_col,

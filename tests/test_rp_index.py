@@ -478,3 +478,78 @@ class TestReviewRegressions:
         )
         got = rp_match_index(spark, path, probe, threshold=0.999999)
         assert got.filter(F.col("hist_id") == 3).count() == 1
+
+
+class TestMultiProbe:
+    def test_probe_cells_superset_and_base_identical(self, spark, data):
+        """Per (id, tbl): the multi-probe cell set contains the base
+        cell, has at most 1+n_probes members, and each probe is one
+        bit-flip away from the base."""
+        from astro_vectordb_spark.operators.dedup import (
+            rp_cell_table,
+            rp_probe_cell_table,
+        )
+
+        df, _ = data
+        small = df.filter(F.col("vec_id") < 40)
+        base = {
+            (r["vec_id"], r["tbl"]): r["cell"]
+            for r in rp_cell_table(
+                small, n_planes=6, n_tables=4, seed=11, dim=DIM
+            ).collect()
+        }
+        probed: dict = {}
+        for r in rp_probe_cell_table(
+            small, n_planes=6, n_tables=4, seed=11, dim=DIM, n_probes=2
+        ).collect():
+            probed.setdefault((r["vec_id"], r["tbl"]), set()).add(r["cell"])
+        assert set(probed) == set(base)
+        for key, cells in probed.items():
+            b = base[key]
+            assert b in cells
+            assert len(cells) <= 3
+            for c in cells - {b}:
+                x = c ^ b
+                assert x and (x & (x - 1)) == 0  # exactly one bit flipped
+
+    def test_match_recall_superset_and_improved(self, spark, data,
+                                                tmp_path):
+        """Multi-probe matching returns a superset of the base match
+        (guaranteed) and strictly improves recall of true near-dup
+        pairs on this corpus (measured vs the exact O(n^2) ground
+        truth)."""
+        from astro_vectordb_spark.operators.dedup import similarity_join
+        from astro_vectordb_spark.sources.vault import (
+            rp_match_index,
+            save_rp_index,
+        )
+
+        df, _ = data
+        hist = df.filter(F.col("vec_id") < 300)
+        batch = df.filter(F.col("vec_id") >= 300)
+        path = str(tmp_path / "rp_mp")
+        # few planes/tables so the base family misses some true pairs
+        save_rp_index(hist, path, n_planes=8, n_tables=2, seed=11)
+        base = {
+            (r["new_id"], r["hist_id"])
+            for r in rp_match_index(
+                spark, path, batch, threshold=0.95
+            ).collect()
+        }
+        probed = {
+            (r["new_id"], r["hist_id"])
+            for r in rp_match_index(
+                spark, path, batch, threshold=0.95, n_probes=3
+            ).collect()
+        }
+        assert base <= probed
+        # exact cross-slice ground truth
+        truth = {
+            (max(r["a_id"], r["b_id"]), min(r["a_id"], r["b_id"]))
+            for r in similarity_join(df, threshold=0.95).collect()
+            if (r["a_id"] >= 300) != (r["b_id"] >= 300)
+        }
+        assert probed <= truth  # exact verify: no false positives
+        rec_base = len(base & truth) / max(len(truth), 1)
+        rec_probe = len(probed & truth) / max(len(truth), 1)
+        assert rec_probe > rec_base

@@ -237,3 +237,61 @@ class TestServing:
             for r in codes.filter(F.col("vec_id") >= N - 50).collect()
         }
         assert got == want
+
+
+class TestVaultAppendResidualOPQ:
+    def test_ivf_pq_append_encodes_through_stored_rotation(
+        self, spark, corpus, tmp_path
+    ):
+        """The residual+OPQ vault append must encode new rows through
+        the PERSISTED rotation and centroids — identical codes to the
+        in-session model on the same rows."""
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_encode_residual,
+        )
+        from astro_vectordb_spark.operators.ann import make_cell_assigner
+        from astro_vectordb_spark.sources.vault import (
+            ivf_pq_append_to_index,
+            load_ivf_pq_index,
+            save_ivf_pq_index,
+        )
+
+        df, _ = corpus
+        base = df.filter(F.col("vec_id") < N - 40)
+        newbie = df.filter(F.col("vec_id") >= N - 40)
+        enc, cents, model = ivf_pq_build(
+            base, k_cells=8, m=8, ks=16, max_rows=N, residual=True,
+            opq_iters=6,
+        )
+        path = str(tmp_path / "opq_res_idx")
+        save_ivf_pq_index(enc, cents, model, path)
+        rep = ivf_pq_append_to_index(spark, path, newbie, batch_id=1)
+        assert rep["skipped_replay"] is False
+        codes, cents2, loaded, meta = load_ivf_pq_index(spark, path)
+        assert loaded.residual and loaded.rotation is not None
+        np.testing.assert_array_equal(loaded.rotation, model.rotation)
+        C = np.array(
+            [r["centroid"] for r in cents2.orderBy("cell_id").collect()]
+        )
+        cell_ids = [
+            int(r["cell_id"]) for r in cents2.orderBy("cell_id").collect()
+        ]
+        assign = make_cell_assigner(
+            C, metric=model.metric, cell_ids=cell_ids
+        )
+        assigned = newbie.withColumn(
+            "cell_id", F.explode(assign(F.col("embedding")))
+        )
+        want = {
+            (r["vec_id"], r["cell_id"], tuple(r["pq_code"]))
+            for r in ivf_pq_encode_residual(
+                assigned, model, cents2
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], r["cell_id"], tuple(r["pq_code"]))
+            for r in codes.filter(
+                F.col("vec_id") >= N - 40
+            ).collect()
+        }
+        assert got == want

@@ -1555,3 +1555,111 @@ def rp_probe_cell_table(
         )
         .dropDuplicates([id_col, "tbl", "cell"])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.95,
+    k_cells: int = 64,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cluster_rows: int | None = 20_000,
+    keep: str = "farthest",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding corpus, find near-duplicate groups WITHIN each cluster
+    (cosine > ``eps``), and keep ONE representative per group — by the
+    paper's rule the member with the LOWEST cosine to its cluster
+    centroid (``keep='farthest'``: retains the least-typical exemplar,
+    which the paper found best for downstream training), or
+    ``keep='min_id'`` for the deterministic-id contract the other
+    dedup faces use.  Returns the KEEP set, one ``(id_col)`` row per
+    surviving vector (singletons keep themselves).
+
+    Spark mapping (the scale-correct split, reusing the IVF machinery):
+    centroids fit on a bounded driver-side sample
+    (``ann.ivf_build_sampled`` — deterministic NumPy Lloyd's), the
+    corpus assigns distributed, and the quadratic pair search runs
+    WITHIN clusters only — a self-join keyed on ``cell_id``, never a
+    cross join.  Pair volume is sum_c |c|^2; pick ``k_cells`` so
+    clusters stay ~sqrt-sized (the paper runs k in the tens of
+    thousands at web scale).  ``max_cluster_rows`` is the skew valve:
+    a cluster larger than the cap contributes only its id-ascending
+    first ``max_cluster_rows`` members to the PAIR SEARCH (capped
+    members keep themselves — the guard can only under-dedup, never
+    drop a vector that joined no group), bounding any single cluster's
+    join at cap^2 instead of letting one mega-cluster go quadratic.
+
+    Within-cluster grouping is connected components over the eps-pairs
+    (transitive, like the paper's implementation); cross-cluster
+    near-dups are out of scope by design — that is
+    :func:`rp_block_pairs` / the persisted RP index's job.  Duplicate
+    detection is exact within clusters (true pairwise cosine, no LSH
+    recall loss)."""
+    from astro_vectordb_spark.functions.vector import similarity
+    from astro_vectordb_spark.operators.ann import ivf_build_sampled
+
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
+    assigned, centroids = ivf_build_sampled(
+        df.select(id_col, vec_col), k_cells=k_cells, metric=metric,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    assigned = assigned.select(id_col, "cell_id", vec_col)
+    scope = assigned
+    if max_cluster_rows is not None:
+        w = Window.partitionBy("cell_id").orderBy(id_col)
+        scope = (
+            assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_cluster_rows))
+            .drop("_rn")
+        )
+    a = scope.select(
+        F.col(id_col).alias("a_id"), "cell_id", F.col(vec_col).alias("_av")
+    )
+    b = scope.select(
+        F.col(id_col).alias("b_id"), "cell_id", F.col(vec_col).alias("_bv")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_s", similarity(F.col("_av"), F.col("_bv"), metric))
+        .filter(F.col("_s") > F.lit(float(eps)))
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    if keep == "min_id":
+        survivors = comp.filter(F.col("id") == F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        # the paper's rule: per group keep the member with the LOWEST
+        # centroid cosine (ties by id ascending — deterministic)
+        csim = (
+            assigned.join(
+                F.broadcast(centroids.select("cell_id", "centroid")),
+                "cell_id",
+            )
+            .withColumn(
+                "_cs", similarity(F.col(vec_col), F.col("centroid"), metric)
+            )
+            .select(F.col(id_col).alias("id"), "_cs")
+        )
+        ranked = comp.join(csim, "id").withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("_cs").asc(), F.col("id").asc()
+                )
+            ),
+        )
+        survivors = ranked.filter(F.col("_rk") == 1).select(
+            F.col("id").alias(id_col)
+        )
+    singletons = df.select(id_col).distinct().join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return survivors.unionByName(singletons)

@@ -2531,6 +2531,9 @@ def rp_match_index(
             ),
             "hist_id",
         )
+        # fold verify (no dim=): measured ~2x faster than the unrolled
+        # codegen chain at these dims (operators/topk.py note,
+        # re-confirmed round 12 on the pair-verify shape)
         .withColumn("score", similarity(F.col("_nv"), F.col("_hv"), "cosine"))
         .filter(F.col("score") > F.lit(float(threshold)))
         .select("new_id", "hist_id", F.round("score", 6).alias("score"))

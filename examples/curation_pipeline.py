@@ -121,6 +121,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     near = rp_block_pairs(vecs, threshold=0.95)
     print(f"[6] embedding near-dups >=0.95: {near.count()} pairs")
 
+    # 7b. SemDeDup (round 12): cluster-then-prune semantic dedup —
+    # within-cluster exact-cosine groups, keep the paper's
+    # farthest-from-centroid exemplar per group
+    from astro_vectordb_spark.operators.dedup import semantic_dedup
+
+    sem_keep = semantic_dedup(vecs, eps=0.95, k_cells=16)
+    print(f"[6b] SemDeDup keep set: {sem_keep.count()} of "
+          f"{vecs.count()} vectors")
+
     # repetition profile of what survived (monitoring surface)
     reps_stats = repetition_stats(reps)
     print("[7] survivor repetition profile:")

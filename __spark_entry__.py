@@ -2047,6 +2047,31 @@ def _q_rp_index_incremental(spark, sf_dir):
     )
 
 
+def _q_semdedup_fixed(spark, sf_dir):
+    # round 12: SemDeDup (Abbas et al. 2023) on its ORACLE-REPLAYABLE
+    # face — caller-supplied centroids (8 hash-derived literals from
+    # dedup._rp_plane, the single float64 source both sides embed)
+    # route assignment through the expression similarity kernel
+    # (broadcast centroid join + per-vector window argmax, ties by
+    # cell_id), so cluster assignment, within-cluster eps-pairs,
+    # transitive closure, and the min-id keep set are ALL
+    # DuckDB-replayable as one hash.  The kmeans face (centroids=None)
+    # is pinned separately by the NumPy-reference pytest suite.
+    from astro_vectordb_spark.operators.dedup import (
+        _rp_plane,
+        semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(k, _rp_plane(777, k, 0, 64)) for k in range(8)],
+        "cell_id int, centroid array<double>",
+    )
+    return semantic_dedup(
+        _emb(spark, sf_dir), eps=0.4, metric="cosine", keep="min_id",
+        max_cluster_rows=None, centroids=cents,
+    )
+
+
 def _q_rp_index_groups(spark, sf_dir):
     # round 12: retroactive corpus-wide embedding dedup from the
     # persisted RP index ALONE — stored buckets self-join (a_id <
@@ -2430,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_opq_exact": _q_ann_ivfpq_opq_exact,
         "rp_index_incremental": _q_rp_index_incremental,
         "rp_index_groups": _q_rp_index_groups,
+        "semdedup_fixed": _q_semdedup_fixed,
         # -- OUT this round (2-round-green r10+r11, back next round):
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
@@ -2565,6 +2591,19 @@ def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
             f"FROM {table}"
         )
     return " UNION ALL ".join(branches)
+
+
+def _semdedup_cents_sql(seed: int = 777, k: int = 8, dim: int = 64) -> str:
+    """UNION ALL of the semdedup gate's literal centroids — the SAME
+    float64 values the Spark query builds from dedup._rp_plane
+    (Python repr round-trips doubles exactly)."""
+    from astro_vectordb_spark.operators.dedup import _rp_plane
+
+    rows = []
+    for c in range(k):
+        lit = "[" + ",".join(repr(x) for x in _rp_plane(seed, c, 0, dim)) + "]"
+        rows.append(f"SELECT {c} AS cell_id, {lit}::DOUBLE[] AS c")
+    return " UNION ALL ".join(rows)
 
 
 def _embed_cte(table: str = "documents") -> str:
@@ -2938,6 +2977,46 @@ FROM cand c
 JOIN newb nv ON nv.vec_id = c.new_id
 JOIN hist hv ON hv.vec_id = c.hist_id
 WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
+""",
+        # SemDeDup fixed-centroids gate: assignment = per-vector argmax
+        # cosine over the 8 literal centroids (ties by cell_id),
+        # within-cell pairs at eps, recursive closure, min-id keep
+        "semdedup_fixed": f"""
+WITH RECURSIVE cents AS ({_semdedup_cents_sql()}),
+ascore AS (
+  SELECT e.vec_id, ct.cell_id, {_cos('e.embedding', 'ct.c')} AS s
+  FROM embeddings e CROSS JOIN cents ct
+),
+arank AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id)
+           AS rk
+  FROM ascore
+),
+asg AS (SELECT vec_id, cell_id FROM arank WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM asg a JOIN asg b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS vec_id FROM comp WHERE id = component
+UNION ALL
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM comp)
 """,
         # retroactive sweep gate: keep set over the indexed hist slice
         # from buckets + exact-cosine pairs + recursive closure

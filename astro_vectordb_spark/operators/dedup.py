@@ -1572,6 +1572,7 @@ def semantic_dedup(
     seed: int = 42,
     max_cluster_rows: int | None = 20_000,
     keep: str = "farthest",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1603,17 +1604,46 @@ def semantic_dedup(
     near-dups are out of scope by design — that is
     :func:`rp_block_pairs` / the persisted RP index's job.  Duplicate
     detection is exact within clusters (true pairwise cosine, no LSH
-    recall loss)."""
+    recall loss).
+
+    ``centroids`` (opt-in): a caller-supplied ``(cell_id, centroid)``
+    DataFrame replaces the kmeans fit — the bring-your-own-centroids
+    face (a prior fit, a taxonomy, a fixed grid).  Assignment then
+    runs through the EXPRESSION similarity kernel (broadcast centroid
+    join + per-vector window argmax, ties by cell_id ascending)
+    instead of the BLAS pandas_udf: bit-identical to the DuckDB
+    fold, so the whole pipeline becomes oracle-replayable — the
+    driver gate rides this face.  The kmeans path keeps the fast
+    BLAS assigner (its centroids aren't SQL-derivable anyway)."""
     from astro_vectordb_spark.functions.vector import similarity
     from astro_vectordb_spark.operators.ann import ivf_build_sampled
 
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
-    assigned, centroids = ivf_build_sampled(
-        df.select(id_col, vec_col), k_cells=k_cells, metric=metric,
-        id_col=id_col, vec_col=vec_col, seed=seed,
-    )
-    assigned = assigned.select(id_col, "cell_id", vec_col)
+    if centroids is not None:
+        scored = (
+            df.select(id_col, vec_col)
+            .crossJoin(
+                F.broadcast(centroids.select("cell_id", "centroid"))
+            )
+            .withColumn(
+                "_as", similarity(F.col(vec_col), F.col("centroid"), metric)
+            )
+        )
+        wa = Window.partitionBy(id_col).orderBy(
+            F.col("_as").desc(), F.col("cell_id").asc()
+        )
+        assigned = (
+            scored.withColumn("_ar", F.row_number().over(wa))
+            .filter(F.col("_ar") == 1)
+            .select(id_col, "cell_id", vec_col)
+        )
+    else:
+        assigned, centroids = ivf_build_sampled(
+            df.select(id_col, vec_col), k_cells=k_cells, metric=metric,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        assigned = assigned.select(id_col, "cell_id", vec_col)
     scope = assigned
     if max_cluster_rows is not None:
         w = Window.partitionBy("cell_id").orderBy(id_col)

@@ -146,3 +146,61 @@ def test_unknown_keep_raises(spark, data):
     df, _ = data
     with pytest.raises(ValueError, match="keep rule"):
         semantic_dedup(df, keep="median")
+
+
+def test_fixed_centroids_matches_reference(spark, data):
+    """The bring-your-own-centroids face: expression-kernel assignment
+    (broadcast join + window argmax) must equal the NumPy replay with
+    the same literal centroids, under both keep rules."""
+    from astro_vectordb_spark.operators.dedup import _rp_plane
+
+    df, X = data
+    K = 6
+    cent_rows = [(k, _rp_plane(123, k, 0, DIM)) for k in range(K)]
+    cents_df = spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    )
+    C = np.array([c for _, c in cent_rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # reference assignment: argmax cosine, ties by cell_id (none in
+    # practice with hash-derived centroids)
+    cell_of = (Xn @ Cn.T).argmax(axis=1)
+    n = len(X)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell_of[i] == cell_of[j] and float(Xn[i] @ Xn[j]) > 0.9:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    for keep in ("min_id", "farthest"):
+        want = set()
+        for members in groups.values():
+            if len(members) == 1 or keep == "min_id":
+                want.add(min(members))
+            else:
+                want.add(
+                    min(
+                        members,
+                        key=lambda i: (float(Xn[i] @ Cn[cell_of[i]]), i),
+                    )
+                )
+        got = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                df, eps=0.9, keep=keep, max_cluster_rows=None,
+                centroids=cents_df,
+            ).collect()
+        }
+        assert got == want, keep

@@ -2053,7 +2053,9 @@ def _q_semdedup_fixed(spark, sf_dir):
     # dedup._rp_plane, the single float64 source both sides embed)
     # route assignment through the expression similarity kernel
     # (broadcast centroid join + per-vector window argmax, ties by
-    # cell_id), so cluster assignment, within-cluster eps-pairs,
+    # cell_id; 16 cells keep the within-cell pair volume ~sqrt-sized
+    # at the bench corpus), so cluster assignment, within-cluster
+    # eps-pairs,
     # transitive closure, and the min-id keep set are ALL
     # DuckDB-replayable as one hash.  The kmeans face (centroids=None)
     # is pinned separately by the NumPy-reference pytest suite.
@@ -2063,7 +2065,7 @@ def _q_semdedup_fixed(spark, sf_dir):
     )
 
     cents = spark.createDataFrame(
-        [(k, _rp_plane(777, k, 0, 64)) for k in range(8)],
+        [(k, _rp_plane(777, k, 0, 64)) for k in range(16)],
         "cell_id int, centroid array<double>",
     )
     return semantic_dedup(
@@ -2979,10 +2981,10 @@ JOIN hist hv ON hv.vec_id = c.hist_id
 WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
 """,
         # SemDeDup fixed-centroids gate: assignment = per-vector argmax
-        # cosine over the 8 literal centroids (ties by cell_id),
+        # cosine over the 16 literal centroids (ties by cell_id),
         # within-cell pairs at eps, recursive closure, min-id keep
         "semdedup_fixed": f"""
-WITH RECURSIVE cents AS ({_semdedup_cents_sql()}),
+WITH RECURSIVE cents AS ({_semdedup_cents_sql(k=16)}),
 ascore AS (
   SELECT e.vec_id, ct.cell_id, {_cos('e.embedding', 'ct.c')} AS s
   FROM embeddings e CROSS JOIN cents ct

@@ -73,6 +73,10 @@ SHOW = [
     "ann_ivfpq_opq_exact",
     "rp_index_incremental",
     "rp_index_groups",
+    # round 12 (cont.): the fixed-centroids SemDeDup gate — broadcast
+    # centroid join + per-vector window argmax assignment, within-cell
+    # pair join, no cross join anywhere on the corpus axis
+    "semdedup_fixed",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -2047,30 +2047,151 @@ def _q_rp_index_incremental(spark, sf_dir):
     )
 
 
-def _q_semdedup_fixed(spark, sf_dir):
-    # round 12: SemDeDup (Abbas et al. 2023) on its ORACLE-REPLAYABLE
-    # face — caller-supplied centroids (8 hash-derived literals from
-    # dedup._rp_plane, the single float64 source both sides embed)
-    # route assignment through the expression similarity kernel
-    # (broadcast centroid join + per-vector window argmax, ties by
-    # cell_id; 16 cells keep the within-cell pair volume ~sqrt-sized
-    # at the bench corpus), so cluster assignment, within-cluster
-    # eps-pairs,
-    # transitive closure, and the min-id keep set are ALL
-    # DuckDB-replayable as one hash.  The kmeans face (centroids=None)
-    # is pinned separately by the NumPy-reference pytest suite.
-    from astro_vectordb_spark.operators.dedup import (
-        _rp_plane,
-        semantic_dedup,
+def _q_rp_index_multiprobe(spark, sf_dir):
+    # round 13 (verdict item 3): the multi-probe RECALL dial on the
+    # persisted RP index, oracled — same churned index and batch as
+    # rp_index_incremental, but the batch probes 2 extra sign-flip
+    # buckets per table (its lowest-|projection| planes, Lv et al.
+    # 2007).  The probed cells are deterministic from the same
+    # _rp_plane float64 literals the base oracle embeds, so the whole
+    # recall dial sits on one driver hash: a drift in the margin
+    # ordering, the flip arithmetic, or the probe dedup shifts the
+    # (new_id, hist_id, score) set.  Results are a superset of
+    # rp_index_incremental by construction (probes only ADD candidate
+    # buckets; the exact-cosine verify is unchanged).
+    from astro_vectordb_spark.sources.vault import rp_match_index
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    held_out = emb.filter(F.col("vec_id") % 5 == 4)
+    planted = (
+        emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") < 20))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    batch = held_out.unionByName(planted)
+    return rp_match_index(
+        spark, rp_index_path(spark, sf_dir), batch, threshold=0.4,
+        n_probes=2,
     )
 
-    cents = spark.createDataFrame(
+
+def _semdedup_cents16(spark):
+    from astro_vectordb_spark.operators.dedup import _rp_plane
+
+    return spark.createDataFrame(
         [(k, _rp_plane(777, k, 0, 64)) for k in range(16)],
         "cell_id int, centroid array<double>",
     )
-    return semantic_dedup(
-        _emb(spark, sf_dir), eps=0.4, metric="cosine", keep="min_id",
-        max_cluster_rows=None, centroids=cents,
+
+
+_SEMDEDUP_FULL_CACHE: dict[str, str] = {}
+_SEMDEDUP_IDX_CACHE: dict[str, str] = {}
+
+
+def semdedup_full_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted SemDeDup index over the FULL
+    corpus under the 16 fixed literal centroids — the round-13 answer
+    to the r12 verdict's "semdedup_fixed times rebuild, not serving":
+    assignment (the expensive pass) runs once; the gate serves the
+    groups face from the stored cells/vectors every call."""
+    if sf_dir in _SEMDEDUP_FULL_CACHE:
+        return _SEMDEDUP_FULL_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.semdedup_index import (
+        save_semdedup_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="astro_sd_full_")
+    save_semdedup_index(
+        _emb(spark, sf_dir), path, centroids=_semdedup_cents16(spark),
+        dim=64,
+    )
+    _SEMDEDUP_FULL_CACHE[sf_dir] = path
+    return path
+
+
+def semdedup_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted SemDeDup index over the
+    HISTORICAL corpus slice (vec_id % 5 != 4), built THROUGH the
+    incremental lifecycle — save on 90%, APPEND the held-out 10%
+    (replay log + the vecs->cells self-healing sync) — the
+    minhash_index_path / rp_index_path recipe for the semantic
+    family."""
+    if sf_dir in _SEMDEDUP_IDX_CACHE:
+        return _SEMDEDUP_IDX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.semdedup_index import (
+        save_semdedup_index,
+        semdedup_append_to_index,
+    )
+
+    hist = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.col("vec_id") % 5 != 4
+    )
+    path = tempfile.mkdtemp(prefix="astro_sd_idx_")
+    save_semdedup_index(
+        hist.filter(F.col("vec_id") % 10 != 7), path,
+        centroids=_semdedup_cents16(spark), dim=64,
+    )
+    semdedup_append_to_index(
+        spark, path, hist.filter(F.col("vec_id") % 10 == 7), batch_id=0
+    )
+    _SEMDEDUP_IDX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_semdedup_fixed(spark, sf_dir):
+    # round 12 (re-plumbed round 13, SAME oracle/hash): SemDeDup
+    # (Abbas et al. 2023) on its ORACLE-REPLAYABLE face — 16 fixed
+    # hash-derived literal centroids (dedup._rp_plane, the single
+    # float64 source both sides embed).  Round 13 serves it from the
+    # PERSISTED index (semdedup_full_index_path, built once per
+    # session): the gate now times SERVING the stored assignment —
+    # stored cells self-join within cells, stored vectors verify at
+    # eps, CC + min-id keep — not re-assigning the corpus per call
+    # (r12 verdict What's-wrong #1).  Assignment parity with the
+    # one-shot semantic_dedup(centroids=...) face is pinned by
+    # tests/test_semdedup_index.py; the kmeans face stays pytest-pinned.
+    from astro_vectordb_spark.sources.semdedup_index import (
+        semdedup_index_groups,
+    )
+
+    return semdedup_index_groups(
+        spark, semdedup_full_index_path(spark, sf_dir), eps=0.4,
+        keep="min_id",
+    )
+
+
+def _q_semdedup_index_incremental(spark, sf_dir):
+    # round 13 (verdict item 2): INCREMENTAL semantic near-dup — a new
+    # vector batch matched against the persisted SemDeDup index
+    # (stored centroids + per-cell assignments; the corpus is never
+    # re-assigned) as ONE driver hash.  The batch = the held-out
+    # corpus slice (vec_id % 5 == 4) PLUS planted copies of 16
+    # historical vectors (ids shifted +100000), which must surface at
+    # score exactly 1.0 against their originals; verification is the
+    # exact cosine fold.  The index is built through save -> APPEND
+    # churn, so drift in the stored centroid table, the argmax
+    # assignment (ties by cell_id), the append's cell-sync, or the
+    # verify arithmetic shifts the (new_id, hist_id, score) hash.
+    from astro_vectordb_spark.sources.semdedup_index import (
+        semdedup_match_index,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    held_out = emb.filter(F.col("vec_id") % 5 == 4)
+    planted = (
+        emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") < 20))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    batch = held_out.unionByName(planted)
+    return semdedup_match_index(
+        spark, semdedup_index_path(spark, sf_dir), batch, eps=0.4
     )
 
 
@@ -2458,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_index_incremental": _q_rp_index_incremental,
         "rp_index_groups": _q_rp_index_groups,
         "semdedup_fixed": _q_semdedup_fixed,
+        "rp_index_multiprobe": _q_rp_index_multiprobe,
+        "semdedup_index_incremental": _q_semdedup_index_incremental,
         # -- OUT this round (2-round-green r10+r11, back next round):
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
@@ -2593,6 +2716,63 @@ def _rp_cells_sql(seed: int = 42, n_planes: int = 8, n_tables: int = 8,
             f"FROM {table}"
         )
     return " UNION ALL ".join(branches)
+
+
+def _rp_probe_cells_sql(seed: int = 42, n_planes: int = 8,
+                        n_tables: int = 8, dim: int = 64,
+                        table: str = "embeddings",
+                        n_probes: int = 2) -> str:
+    """Multi-probe bucket assignment for the BATCH side (Lv et al.
+    VLDB 2007), as SQL: per hash table the base cell PLUS ``n_probes``
+    cells one sign-flip away on the planes with the smallest
+    |projection| — ties broken by plane index ascending, exactly the
+    stable argsort in dedup.rp_probe_cell_table.  Same float64 plane
+    literals and left-fold dot as _rp_cells_sql, so base cells match
+    the persisted index bit-for-bit; the UNION with the probes is BY
+    CONSTRUCTION a superset of the base assignment (probes only add
+    candidate buckets; the exact-cosine verify downstream is
+    unchanged, so no false positives can enter)."""
+    from astro_vectordb_spark.operators.dedup import _rp_plane
+
+    branches = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            lit = "[" + ",".join(
+                repr(x) for x in _rp_plane(seed, t, p, dim)
+            ) + "]"
+            dot = (
+                f"list_reduce(list_transform(generate_series(1, {dim}), "
+                f"i -> embedding[i]::DOUBLE * ({lit})[i]), "
+                f"(acc, x) -> acc + x)"
+            )
+            branches.append(
+                f"SELECT vec_id, {t} AS tbl, {p} AS p, {dot} AS d, "
+                f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END) AS bv "
+                f"FROM {table}"
+            )
+    dots = " UNION ALL ".join(branches)
+    return f"""
+pdots AS ({dots}),
+pbase AS (
+  SELECT vec_id, tbl, sum(bv)::INT AS cell FROM pdots GROUP BY 1, 2
+),
+prk AS (
+  SELECT vec_id, tbl, p,
+         row_number() OVER (PARTITION BY vec_id, tbl
+                            ORDER BY abs(d) ASC NULLS LAST, p ASC) AS r
+  FROM pdots
+),
+pflip AS (
+  SELECT b.vec_id, b.tbl, xor(b.cell, (1 << r.p))::INT AS cell
+  FROM pbase b
+  JOIN prk r ON r.vec_id = b.vec_id AND r.tbl = b.tbl
+            AND r.r <= {int(n_probes)}
+),
+pcells AS (
+  SELECT vec_id, tbl, cell FROM pbase
+  UNION
+  SELECT vec_id, tbl, cell FROM pflip
+)"""
 
 
 def _semdedup_cents_sql(seed: int = 777, k: int = 8, dim: int = 64) -> str:
@@ -2980,6 +3160,33 @@ JOIN newb nv ON nv.vec_id = c.new_id
 JOIN hist hv ON hv.vec_id = c.hist_id
 WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
 """,
+        # multi-probe RP match gate: hist cells = base assignment of
+        # the indexed slice; batch cells = base + 2 lowest-|margin|
+        # sign-flips per table (pcells CTE) — a SUPERSET of the
+        # rp_index_incremental candidates by construction
+        "rp_index_multiprobe": f"""
+WITH hist AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4
+),
+newb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  WHERE vec_id % 5 <> 4 AND vec_id < 20
+),
+hcells AS ({_rp_cells_sql(table="hist")}),
+{_rp_probe_cells_sql(table="newb").lstrip()},
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, h.vec_id AS hist_id
+  FROM pcells n JOIN hcells h ON n.tbl = h.tbl AND n.cell = h.cell
+)
+SELECT c.new_id, c.hist_id,
+       round({_cos('nv.embedding', 'hv.embedding')}, 6) AS score
+FROM cand c
+JOIN newb nv ON nv.vec_id = c.new_id
+JOIN hist hv ON hv.vec_id = c.hist_id
+WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
+""",
         # SemDeDup fixed-centroids gate: assignment = per-vector argmax
         # cosine over the 16 literal centroids (ties by cell_id),
         # within-cell pairs at eps, recursive closure, min-id keep
@@ -3019,6 +3226,50 @@ SELECT id AS vec_id FROM comp WHERE id = component
 UNION ALL
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM comp)
+""",
+        # incremental SemDeDup gate: both sides assign by argmax cosine
+        # over the 16 literal centroids (ties by cell_id) — the same
+        # rule the persisted index's cells table stores; candidates =
+        # same-cell (new, hist); verify = exact cosine at eps 0.4
+        "semdedup_index_incremental": f"""
+WITH cents AS ({_semdedup_cents_sql(k=16)}),
+hist AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4
+),
+newb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  WHERE vec_id % 5 <> 4 AND vec_id < 20
+),
+hrank AS (
+  SELECT h.vec_id, ct.cell_id,
+         row_number() OVER (
+           PARTITION BY h.vec_id
+           ORDER BY {_cos('h.embedding', 'ct.c')} DESC, ct.cell_id
+         ) AS rk
+  FROM hist h CROSS JOIN cents ct
+),
+hasg AS (SELECT vec_id, cell_id FROM hrank WHERE rk = 1),
+nrank AS (
+  SELECT n.vec_id, ct.cell_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_cos('n.embedding', 'ct.c')} DESC, ct.cell_id
+         ) AS rk
+  FROM newb n CROSS JOIN cents ct
+),
+nasg AS (SELECT vec_id, cell_id FROM nrank WHERE rk = 1),
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, h.vec_id AS hist_id
+  FROM nasg n JOIN hasg h ON n.cell_id = h.cell_id
+)
+SELECT c.new_id, c.hist_id,
+       round({_cos('nv.embedding', 'hv.embedding')}, 6) AS score
+FROM cand c
+JOIN newb nv ON nv.vec_id = c.new_id
+JOIN hist hv ON hv.vec_id = c.hist_id
+WHERE {_cos('nv.embedding', 'hv.embedding')} > 0.4
 """,
         # retroactive sweep gate: keep set over the indexed hist slice
         # from buckets + exact-cosine pairs + recursive closure

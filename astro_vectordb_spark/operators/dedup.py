@@ -861,6 +861,13 @@ def rp_cell_table(
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     guarded = n_refine is not None
     n_refine = n_refine or 0
+    # cells are int32 (persisted bucket-table schema): 2^31 overflows,
+    # and 2^31-1 planes of signal is far past any useful LSH width —
+    # fail fast instead of silently wrapping bucket ids
+    if not (0 < n_planes <= 31):
+        raise ValueError(f"rp_cell_table: n_planes must be in [1, 31], got {n_planes}")
+    if not (0 <= n_refine <= 31):
+        raise ValueError(f"rp_cell_table: n_refine must be in [0, 31], got {n_refine}")
     plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
     if guarded:
         # refinement planes live in table namespace -1 so they never
@@ -1508,6 +1515,10 @@ def rp_probe_cell_table(
     so base cells match the persisted index bit-for-bit."""
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if not (0 < n_planes <= 31):  # int32 cell schema — see rp_cell_table
+        raise ValueError(
+            f"rp_probe_cell_table: n_planes must be in [1, 31], got {n_planes}"
+        )
     n_probes = min(int(n_probes), n_planes)
     plane_keys = [(t, p) for t in range(n_tables) for p in range(n_planes)]
     planes_t = np.array(

@@ -1759,37 +1759,29 @@ def save_minhash_index(
     family parameters and the exact indexed-doc count.  The band
     table is derived from the WRITTEN signature files (one
     computation of the expensive shingle/min pass; bands are a cheap
-    fold over stored arrays)."""
-    from astro_vectordb_spark.operators.dedup import (
-        minhash_band_table,
-        minhash_signatures_sql_safe,
+    fold over stored arrays).  Thin face over the shared lifecycle
+    core (:mod:`..sources.index_lifecycle`)."""
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        save_index,
     )
 
-    spark = docs.sparkSession
-    sigs = minhash_signatures_sql_safe(
-        docs, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+    params = {"num_hashes": int(num_hashes), "bands": int(bands),
+              "n": int(n), "id_col": str(id_col)}
+    save_index(
+        docs, path, MinhashFamily(text_col=text_col), params,
+        meta_values=(int(num_hashes), int(bands), int(n), str(id_col)),
     )
-    sp = os.path.join(path, "sigs")
-    sigs.write.mode("overwrite").parquet(sp)
-    stored = spark.read.parquet(sp)
-    minhash_band_table(
-        stored, num_hashes=num_hashes, bands=bands, id_col=id_col
-    ).write.partitionBy("band_idx").mode("overwrite").parquet(
-        os.path.join(path, "bands")
-    )
-    n_rows = stored.select(id_col).distinct().count()
-    spark.createDataFrame(
-        [(int(num_hashes), int(bands), int(n), str(id_col), int(n_rows))],
-        "num_hashes int, bands int, n int, id_col string, n_rows long",
-    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
 def load_minhash_index(spark: SparkSession, path: str):
     """-> (sigs df, bands df, meta dict)."""
-    meta = _read_meta(spark, path)
-    sigs = spark.read.parquet(os.path.join(path, "sigs"))
-    bands = spark.read.parquet(os.path.join(path, "bands"))
-    return sigs, bands, meta
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        load_index,
+    )
+
+    return load_index(spark, path, MinhashFamily())
 
 
 def minhash_bucket_telemetry(
@@ -1913,74 +1905,15 @@ def minhash_match_index(
     set ``max_bucket_size`` BEFORE a hot bucket becomes a straggler.
     One extra aggregation over the batch-pruned compact band table;
     zero cost when None."""
-    from astro_vectordb_spark.operators.dedup import (
-        minhash_band_table,
-        minhash_signatures_sql_safe,
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        match_index,
     )
 
-    sigs, bands, meta = load_minhash_index(spark, path)
-    id_col = meta["id_col"]
-    nh = int(meta["num_hashes"])
-    nsigs = minhash_signatures_sql_safe(
-        new_docs, num_hashes=nh, n=int(meta["n"]),
-        text_col=text_col, id_col=id_col,
-    ).localCheckpoint(eager=False)
-    nbands = minhash_band_table(
-        nsigs, num_hashes=nh, bands=int(meta["bands"]), id_col=id_col
-    )
-    hist_bands = bands.select(
-        F.col(id_col).alias("hist_id"), "band_idx", "band_sig"
-    )
-    if max_bucket_size is not None or telemetry is not None:
-        touched = nbands.select("band_idx", "band_sig").distinct()
-        hist_bands = hist_bands.join(
-            touched, ["band_idx", "band_sig"], "left_semi"
-        )
-    if telemetry is not None:
-        # PRE-cap skew over exactly the buckets this batch joins
-        telemetry.update(_bucket_witness_stats(hist_bands, "hist_id"))
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_sig").orderBy("hist_id")
-        hist_bands = (
-            hist_bands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(max_bucket_size))
-            .drop("_rn")
-        )
-    cands = (
-        nbands.select(
-            F.col(id_col).alias("new_id"), "band_idx", "band_sig"
-        )
-        .join(hist_bands, ["band_idx", "band_sig"])
-        .select("new_id", "hist_id")
-        .distinct()
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("_sig_n", "_sig_h", lambda a, b: a == b),
-                lambda v: v,
-            )
-        ).cast("double")
-        / F.lit(float(nh))
-    )
-    return (
-        cands.join(
-            nsigs.select(
-                F.col(id_col).alias("new_id"), F.col("sig").alias("_sig_n")
-            ),
-            "new_id",
-        )
-        .join(
-            sigs.select(
-                F.col(id_col).alias("hist_id"), F.col("sig").alias("_sig_h")
-            ),
-            "hist_id",
-        )
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
-        .select("new_id", "hist_id", "est_jaccard")
+    return match_index(
+        spark, path, MinhashFamily(text_col=text_col), new_docs,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        telemetry=telemetry,
     )
 
 
@@ -2002,72 +1935,15 @@ def minhash_append_to_index(
     missing: those docs would silently never match) is REPAIRED by
     the next append, and a replayed batch whose sigs already landed
     still completes its missing bands."""
-    from astro_vectordb_spark.operators.dedup import (
-        minhash_band_table,
-        minhash_signatures_sql_safe,
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        append_to_index,
     )
 
-    if _batch_already_committed(spark, path, batch_id, op="minhash_append"):
-        return {"appended_rows": 0, "repaired_rows": 0,
-                "skipped_replay": True}
-    sigs, bands, meta = load_minhash_index(spark, path)
-    id_col = meta["id_col"]
-    nh = int(meta["num_hashes"])
-    fresh = minhash_signatures_sql_safe(
-        new_docs, num_hashes=nh, n=int(meta["n"]),
-        text_col=text_col, id_col=id_col,
+    return append_to_index(
+        spark, path, MinhashFamily(text_col=text_col), new_docs,
+        batch_id=batch_id, dedup_ids=dedup_ids,
     )
-    if dedup_ids:
-        fresh = fresh.join(sigs.select(id_col), id_col, "left_anti")
-    # repair backlog measured BEFORE this batch lands: sig ids a prior
-    # crashed append left without bands.  The exact measure is an
-    # anti-join over both tables on EVERY micro-batch even though a
-    # crash is the rare case.  Short-circuit: bands ids are always a
-    # subset of sigs ids (sigs append first; removal drops both), so
-    # two count-distinct aggregations over the compact fingerprint
-    # tables decide "no backlog" (the steady state) without the join;
-    # the anti-join runs only when the counts disagree — i.e. a crash
-    # actually happened.  (_meta n_rows can't stand in for the sigs
-    # count: the counter commits AFTER bands, so a crashed append
-    # leaves meta == bands while sigs carries the orphans.)
-    n_sigs_before = sigs.select(id_col).distinct().count()
-    n_bands_before = bands.select(id_col).distinct().count()
-    if n_sigs_before == n_bands_before:
-        backlog = 0
-    else:
-        backlog = (
-            sigs.join(bands.select(id_col).distinct(), id_col, "left_anti")
-            .select(id_col)
-            .distinct()
-            .count()
-        )
-    fresh.write.mode("append").parquet(os.path.join(path, "sigs"))
-    # bands sync from the stored diff (self-healing, see docstring)
-    all_sigs = spark.read.parquet(os.path.join(path, "sigs"))
-    missing = all_sigs.join(
-        bands.select(id_col).distinct(), id_col, "left_anti"
-    )
-    minhash_band_table(
-        missing, num_hashes=nh, bands=int(meta["bands"]), id_col=id_col
-    ).write.partitionBy("band_idx").mode("append").parquet(
-        os.path.join(path, "bands")
-    )
-    synced = missing.select(id_col).distinct().count()
-    # absolute recount over the compact sigs table (not the corpus):
-    # exact even when this append also repaired a crashed predecessor
-    _update_meta_n_rows(
-        spark, path,
-        absolute=all_sigs.select(id_col).distinct().count(),
-    )
-    _record_batch(spark, path, batch_id, op="minhash_append")
-    # appended_rows = the batch's OWN novel ids; repaired_rows = the
-    # predecessor's leftovers this append also banded (previously the
-    # two were conflated, overstating the batch's contribution)
-    return {
-        "appended_rows": int(max(synced - backlog, 0)),
-        "repaired_rows": int(backlog),
-        "skipped_replay": False,
-    }
 
 
 def minhash_compact_index(
@@ -2088,42 +1964,16 @@ def minhash_compact_index(
     an interrupted prior swap is repaired first), dropping duplicate
     ids (crashed-append leftovers).  Sigs are num_hashes longs and
     bands three longs per row — compaction never touches text."""
-    sp, bp = os.path.join(path, "sigs"), os.path.join(path, "bands")
-    _recover_swap(spark, sp)
-    _recover_swap(spark, bp)
-    meta = _read_meta(spark, path)
-    id_col = meta["id_col"]
-    sigs = spark.read.parquet(sp)
-    n_files = sigs.select(F.col("_metadata.file_path")).distinct().count()
-    n_rows = sigs.count()
-    ideal = max(1, -(-n_rows // target_rows_per_file))
-    if n_files <= min_file_ratio * ideal:
-        return {"compacted": False, "files": n_files, "rows": n_rows}
-    sig_rows = sigs.dropDuplicates([id_col])
-
-    def _write_sigs(staging: str) -> None:
-        sig_rows.repartition(ideal).write.mode("overwrite").parquet(staging)
-
-    _replace_dir(spark, _write_sigs, sp)
-    # bands rebuild FROM the compacted sigs (never from the old band
-    # files): dedups band rows and re-syncs any sig/band drift in one
-    # pass, preserving the partitioned layout
-    from astro_vectordb_spark.operators.dedup import minhash_band_table
-
-    compacted = spark.read.parquet(sp)
-    bands = minhash_band_table(
-        compacted, num_hashes=int(meta["num_hashes"]),
-        bands=int(meta["bands"]), id_col=id_col,
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        compact_index,
     )
 
-    def _write_bands(staging: str) -> None:
-        bands.repartition(ideal, "band_idx").write.mode(
-            "overwrite"
-        ).partitionBy("band_idx").parquet(staging)
-
-    _replace_dir(spark, _write_bands, bp)
-    return {"compacted": True, "files_before": n_files, "rows": n_rows,
-            "target_files": ideal}
+    return compact_index(
+        spark, path, MinhashFamily(),
+        target_rows_per_file=target_rows_per_file,
+        min_file_ratio=min_file_ratio,
+    )
 
 
 def minhash_sig_self_pairs(
@@ -2233,7 +2083,7 @@ def minhash_index_groups(
     O(d).  Bands are re-derived from the representative signatures (a
     cheap stored-array fold — identical arithmetic to the persisted
     table), which also makes the sweep immune to sig/band drift."""
-    from astro_vectordb_spark.operators.dedup import connected_components
+    from astro_vectordb_spark.sources.index_lifecycle import keep_from_pairs
 
     sigs, _, meta = load_minhash_index(spark, path)
     id_col = meta["id_col"]
@@ -2244,17 +2094,10 @@ def minhash_index_groups(
         threshold=threshold,
         id_col=id_col,
     )
-    comp = connected_components(pairs)
     # a rep survives unless it joined a component it doesn't head;
     # same-signature members never survive (their rep is the group
     # minimum), so the keep set over reps IS the keep set over docs
-    keep = comp.filter(F.col("id") == F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
-    singletons = reps.select(id_col).join(
-        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
-    )
-    return keep.unionByName(singletons)
+    return keep_from_pairs(reps, pairs, id_col)
 
 
 def minhash_remove_from_index(
@@ -2280,37 +2123,14 @@ def minhash_remove_from_index(
     remove stream and the retroactive sweep each number batches
     independently, so they must not share a namespace — the sweep
     passes op='minhash_sweep'."""
-    if _batch_already_committed(spark, path, batch_id, op=op):
-        return {"removed_docs": 0, "skipped_replay": True}
-    meta = _read_meta(spark, path)
-    id_col = meta["id_col"]
-    sp, bp = os.path.join(path, "sigs"), os.path.join(path, "bands")
-    _recover_swap(spark, sp)
-    _recover_swap(spark, bp)
-    if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select(
-            F.col(doc_ids.columns[0]).alias(id_col)
-        ).distinct()
-    else:
-        ids = spark.createDataFrame(
-            [(int(v),) for v in doc_ids], f"{id_col} long"
-        ).distinct()
-    ids = ids.localCheckpoint(eager=True)
-    # BANDS remove first, SIGS second: the "band ids are a subset of
-    # sig ids" invariant (which the append path's crash-repair
-    # short-circuit relies on) then holds at every instant — a crash
-    # between the two deletes leaves a doc with sigs but no bands,
-    # exactly the state the next append's self-heal re-bands (the doc
-    # legitimately remains in the index until the remove is
-    # redelivered; at-least-once removal).  The old sigs-first order
-    # left STALE band rows that blocked re-banding if the id was ever
-    # re-appended with different text — silent match false negatives.
-    _remove_rows_by_file(spark, bp, ids, id_col=id_col)
-    _, _, n_removed = _remove_rows_by_file(spark, sp, ids, id_col=id_col)
-    if n_removed:
-        _update_meta_n_rows(spark, path, delta=-n_removed)
-    _record_batch(spark, path, batch_id, op=op)
-    return {"removed_docs": int(n_removed), "skipped_replay": False}
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        remove_from_index,
+    )
+
+    return remove_from_index(
+        spark, path, MinhashFamily(), doc_ids, batch_id=batch_id, op=op
+    )
 
 
 def minhash_apply_groups(
@@ -2335,27 +2155,17 @@ def minhash_apply_groups(
     Returns ``{"kept": n, "removed_docs": n, ...}``.  Note this drops
     near-dup LOSERS by policy; :func:`minhash_compact_index` (file
     compaction) is orthogonal and still applies after heavy churn."""
-    if _batch_already_committed(spark, path, batch_id, op="minhash_sweep"):
-        return {"kept": 0, "removed_docs": 0, "skipped_replay": True}
-    keep = minhash_index_groups(spark, path, threshold=threshold)
-    meta = _read_meta(spark, path)
-    id_col = meta["id_col"]
-    losers = (
-        spark.read.parquet(os.path.join(path, "sigs"))
-        .select(id_col)
-        .distinct()
-        .join(keep, id_col, "left_anti")
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        MinhashFamily,
+        apply_groups,
     )
-    rep = minhash_remove_from_index(
-        spark, path, losers, batch_id=batch_id, op="minhash_sweep"
+
+    return apply_groups(
+        spark, path, MinhashFamily(),
+        keep_fn=lambda: minhash_index_groups(spark, path,
+                                             threshold=threshold),
+        batch_id=batch_id,
     )
-    # legacy _meta tables may lack n_rows — don't let the sweep raise
-    # AFTER the removal committed (see _post_sweep_kept)
-    return {
-        "kept": _post_sweep_kept(spark, path, "sigs", id_col),
-        "removed_docs": rep["removed_docs"],
-        "skipped_replay": rep.get("skipped_replay", False),
-    }
 
 
 # ---------------------------------------------------------------------------
@@ -2402,35 +2212,31 @@ def save_rp_index(
     """Build + persist the embedding near-dup index: bucket the corpus
     once (the expensive hyperplane projection), store vectors +
     buckets + the hash-family parameters."""
-    from astro_vectordb_spark.operators.dedup import rp_cell_table
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        save_index,
+    )
 
-    spark = df.sparkSession
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    vp = os.path.join(path, "vecs")
-    df.select(id_col, vec_col).write.mode("overwrite").parquet(vp)
-    stored = spark.read.parquet(vp)
-    rp_cell_table(
-        stored, n_planes=n_planes, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    ).write.partitionBy("tbl").mode("overwrite").parquet(
-        os.path.join(path, "buckets")
+    params = {"n_planes": int(n_planes), "n_tables": int(n_tables),
+              "seed": int(seed), "dim": int(dim), "metric": "cosine",
+              "id_col": str(id_col), "vec_col": str(vec_col)}
+    save_index(
+        df, path, RPFamily(), params,
+        meta_values=(int(n_planes), int(n_tables), int(seed), int(dim),
+                     "cosine", str(id_col), str(vec_col)),
     )
-    n_rows = stored.select(id_col).distinct().count()
-    spark.createDataFrame(
-        [(int(n_planes), int(n_tables), int(seed), int(dim), "cosine",
-          str(id_col), str(vec_col), int(n_rows))],
-        "n_planes int, n_tables int, seed int, dim int, metric string, "
-        "id_col string, vec_col string, n_rows long",
-    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
 def load_rp_index(spark: SparkSession, path: str):
     """-> (vecs df, buckets df, meta dict)."""
-    meta = _read_meta(spark, path)
-    vecs = _read_maybe_swapped(spark, os.path.join(path, "vecs"))
-    buckets = _read_maybe_swapped(spark, os.path.join(path, "buckets"))
-    return vecs, buckets, meta
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        load_index,
+    )
+
+    return load_index(spark, path, RPFamily())
 
 
 def rp_match_index(
@@ -2474,69 +2280,27 @@ def rp_match_index(
     (opt-in dict, filled in place) reports PRE-cap witness skew over
     exactly the buckets this batch touches (max/p99/p50 witnesses), so
     operators see the skew before it becomes a straggler."""
-    from astro_vectordb_spark.functions.vector import similarity
-    from astro_vectordb_spark.operators.dedup import (
-        rp_cell_table,
-        rp_probe_cell_table,
+    from astro_vectordb_spark.operators.dedup import rp_probe_cell_table
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        match_index,
     )
 
-    vecs, buckets, meta = load_rp_index(spark, path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    _cells_fn = (
-        (lambda d, **kw: rp_probe_cell_table(d, n_probes=n_probes, **kw))
-        if n_probes > 0
-        else rp_cell_table
-    )
-    ncells = _cells_fn(
-        new_rows.select(id_col, vec_col),
-        n_planes=int(meta["n_planes"]), n_tables=int(meta["n_tables"]),
-        seed=int(meta["seed"]), id_col=id_col, vec_col=vec_col,
-        dim=int(meta["dim"]),
-    ).localCheckpoint(eager=False)
-    hist = buckets.select(
-        F.col(id_col).alias("hist_id"), "tbl", "cell"
-    )
-    if max_bucket_size is not None or telemetry is not None:
-        touched = ncells.select("tbl", "cell").distinct()
-        hist = hist.join(touched, ["tbl", "cell"], "left_semi")
-    if telemetry is not None:
-        telemetry.update(
-            _bucket_witness_stats(hist, "hist_id", keys=("tbl", "cell"))
-        )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+    bucketize = None
+    if n_probes > 0:
+        def bucketize(ctx, primary):
+            m = ctx.meta
+            return rp_probe_cell_table(
+                primary, n_planes=int(m["n_planes"]),
+                n_tables=int(m["n_tables"]), seed=int(m["seed"]),
+                id_col=m["id_col"], vec_col=m["vec_col"],
+                dim=int(m["dim"]), n_probes=n_probes,
+            )
 
-        w = Window.partitionBy("tbl", "cell").orderBy("hist_id")
-        hist = (
-            hist.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(max_bucket_size))
-            .drop("_rn")
-        )
-    cands = (
-        ncells.select(F.col(id_col).alias("new_id"), "tbl", "cell")
-        .join(hist, ["tbl", "cell"])
-        .select("new_id", "hist_id")
-        .distinct()
-    )
-    return (
-        cands.join(
-            new_rows.select(
-                F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv")
-            ),
-            "new_id",
-        )
-        .join(
-            vecs.select(
-                F.col(id_col).alias("hist_id"), F.col(vec_col).alias("_hv")
-            ),
-            "hist_id",
-        )
-        # fold verify (no dim=): measured ~2x faster than the unrolled
-        # codegen chain at these dims (operators/topk.py note,
-        # re-confirmed round 12 on the pair-verify shape)
-        .withColumn("score", similarity(F.col("_nv"), F.col("_hv"), "cosine"))
-        .filter(F.col("score") > F.lit(float(threshold)))
-        .select("new_id", "hist_id", F.round("score", 6).alias("score"))
+    return match_index(
+        spark, path, RPFamily(), new_rows, threshold=threshold,
+        max_bucket_size=max_bucket_size, telemetry=telemetry,
+        bucketize=bucketize,
     )
 
 
@@ -2559,48 +2323,15 @@ def rp_append_to_index(
     would silently never match) is repaired by the next append.  The
     steady state short-circuits the diff with two count-distinct
     aggregations (bucket ids are always a subset of vec ids)."""
-    from astro_vectordb_spark.operators.dedup import rp_cell_table
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        append_to_index,
+    )
 
-    if _batch_already_committed(spark, path, batch_id, op="rp_append"):
-        return {"appended_rows": 0, "repaired_rows": 0,
-                "skipped_replay": True}
-    vecs, buckets, meta = load_rp_index(spark, path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    fresh = new_rows.select(id_col, vec_col)
-    if dedup_ids:
-        fresh = fresh.join(vecs.select(id_col), id_col, "left_anti")
-    n_vec_before = vecs.select(id_col).distinct().count()
-    n_bkt_before = buckets.select(id_col).distinct().count()
-    if n_vec_before == n_bkt_before:
-        backlog = 0
-    else:
-        backlog = (
-            vecs.join(buckets.select(id_col).distinct(), id_col, "left_anti")
-            .select(id_col).distinct().count()
-        )
-    fresh.write.mode("append").parquet(os.path.join(path, "vecs"))
-    all_vecs = spark.read.parquet(os.path.join(path, "vecs"))
-    missing = all_vecs.join(
-        buckets.select(id_col).distinct(), id_col, "left_anti"
+    return append_to_index(
+        spark, path, RPFamily(), new_rows, batch_id=batch_id,
+        dedup_ids=dedup_ids,
     )
-    rp_cell_table(
-        missing, n_planes=int(meta["n_planes"]),
-        n_tables=int(meta["n_tables"]), seed=int(meta["seed"]),
-        id_col=id_col, vec_col=vec_col, dim=int(meta["dim"]),
-    ).write.partitionBy("tbl").mode("append").parquet(
-        os.path.join(path, "buckets")
-    )
-    synced = missing.select(id_col).distinct().count()
-    _update_meta_n_rows(
-        spark, path,
-        absolute=all_vecs.select(id_col).distinct().count(),
-    )
-    _record_batch(spark, path, batch_id, op="rp_append")
-    return {
-        "appended_rows": int(max(synced - backlog, 0)),
-        "repaired_rows": int(backlog),
-        "skipped_replay": False,
-    }
 
 
 def rp_remove_from_index(
@@ -2614,32 +2345,14 @@ def rp_remove_from_index(
     file-granular on BOTH tables (flat ``vecs/``; ``buckets/`` keeps
     its tbl partitioning), touched-files-only; (op, batch_id) replay
     log; ``n_rows`` decrements by the distinct vec ids removed."""
-    if _batch_already_committed(spark, path, batch_id, op=op):
-        return {"removed_rows": 0, "skipped_replay": True}
-    meta = _read_meta(spark, path)
-    id_col = meta["id_col"]
-    vp, bp = os.path.join(path, "vecs"), os.path.join(path, "buckets")
-    _recover_swap(spark, vp)
-    _recover_swap(spark, bp)
-    if isinstance(ids, DataFrame):
-        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
-    else:
-        ids_df = spark.createDataFrame(
-            [(int(v),) for v in ids], f"{id_col} long"
-        ).distinct()
-    ids_df = ids_df.localCheckpoint(eager=True)
-    # BUCKETS remove first, VECS second (same rationale as
-    # minhash_remove_from_index): the bucket-ids-subset-of-vec-ids
-    # invariant holds at every instant, and a crash between the two
-    # deletes leaves a vector with no buckets — the state the next
-    # append's self-heal re-buckets — instead of stale bucket rows
-    # that would block re-bucketing a re-appended id forever.
-    _remove_rows_by_file(spark, bp, ids_df, id_col=id_col)
-    _, _, n_removed = _remove_rows_by_file(spark, vp, ids_df, id_col=id_col)
-    if n_removed:
-        _update_meta_n_rows(spark, path, delta=-n_removed)
-    _record_batch(spark, path, batch_id, op=op)
-    return {"removed_rows": int(n_removed), "skipped_replay": False}
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        remove_from_index,
+    )
+
+    return remove_from_index(
+        spark, path, RPFamily(), ids, batch_id=batch_id, op=op
+    )
 
 
 def rp_compact_index(
@@ -2654,43 +2367,16 @@ def rp_compact_index(
     rewrite through the crash-safe staged swap, dropping duplicate ids
     and re-deriving buckets FROM the compacted vectors (re-syncs any
     vec/bucket drift in one pass, preserving the tbl partitioning)."""
-    from astro_vectordb_spark.operators.dedup import rp_cell_table
-
-    vp, bp = os.path.join(path, "vecs"), os.path.join(path, "buckets")
-    _recover_swap(spark, vp)
-    _recover_swap(spark, bp)
-    meta = _read_meta(spark, path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    vecs = spark.read.parquet(vp)
-    n_files = vecs.select(F.col("_metadata.file_path")).distinct().count()
-    n_rows = vecs.count()
-    ideal = max(1, -(-n_rows // target_rows_per_file))
-    if n_files <= min_file_ratio * ideal:
-        return {"compacted": False, "files": n_files, "rows": n_rows}
-    vec_rows = vecs.dropDuplicates([id_col])
-
-    def _write_vecs(staging: str) -> None:
-        vec_rows.repartition(ideal).write.mode("overwrite").parquet(staging)
-
-    _replace_dir(spark, _write_vecs, vp)
-    compacted = spark.read.parquet(vp)
-    bkts = rp_cell_table(
-        compacted, n_planes=int(meta["n_planes"]),
-        n_tables=int(meta["n_tables"]), seed=int(meta["seed"]),
-        id_col=id_col, vec_col=vec_col, dim=int(meta["dim"]),
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        compact_index,
     )
 
-    def _write_bkts(staging: str) -> None:
-        bkts.repartition(ideal, "tbl").write.mode(
-            "overwrite"
-        ).partitionBy("tbl").parquet(staging)
-
-    _replace_dir(spark, _write_bkts, bp)
-    _update_meta_n_rows(
-        spark, path,
-        absolute=compacted.select(id_col).distinct().count(),
+    return compact_index(
+        spark, path, RPFamily(),
+        target_rows_per_file=target_rows_per_file,
+        min_file_ratio=min_file_ratio,
     )
-    return {"compacted": True, "files": n_files, "rows": n_rows}
 
 
 # ---------------------------------------------------------------------------
@@ -2708,6 +2394,8 @@ def gc(
     keep_last_batches: int | None = 64,
     prune_batch_log_before: int | None = None,
     compact_target_files: int = 1,
+    ops: list[str] | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """Compact the ``_batches`` replay log under ``path``.
 
@@ -2722,99 +2410,234 @@ def gc(
     null-op rows form their own namespace and keep their match-any
     behavior through a null-op horizon.
 
-    The rewrite goes through the crash-safe staged swap
-    (``_replace_dir``), coalesced to ``compact_target_files`` files —
-    an interrupted GC leaves either the old or the new complete log.
+    The rewrite goes through the crash-safe staged swap (the
+    ``_replace_dir`` rename pair, inlined here so the swap can check
+    for concurrent commits — see below), coalesced to
+    ``compact_target_files`` files — an interrupted GC leaves either
+    the old or the new complete log (``_recover_swap`` repairs).
     Replays of retained ids and of pruned ids both stay no-ops; only
     ids ABOVE every horizon and absent from the kept rows apply.
 
-    Returns ``{"compacted", "rows_before", "rows_after",
-    "files_before", "files_after"}``; a missing or already-small log
-    is a no-op.
+    ``ops`` (opt-in): compact ONLY the named op namespaces — rows in
+    every other namespace are passed through VERBATIM (no horizon is
+    written for an op the caller does not own).  A stream scheduling
+    gc from its own foreachBatch should pass its own namespaces
+    (``stream_minhash_ingest(gc_every=)`` passes
+    ``ops=["minhash_append"]`` etc.): a horizon asserts "every
+    batch_id <= H applied", which is only sound against the ordering
+    of the stream that OWNS that namespace.
 
-    SINGLE-WRITER maintenance contract (same as every staged-swap op
-    in this module): run it while no stream is mid-commit on this
-    index.  A micro-batch that records its log row between gc's read
-    and the swap would have that row dropped, re-enabling a
-    double-apply on redelivery — quiesce the stream (or schedule gc
-    from the stream's own foreachBatch, where it is trivially
-    serialized with commits)."""
+    Concurrent-commit safety (this replaces the older blanket
+    single-writer contract): a sibling stream's commit that lands in
+    the log between gc's read and its swap is never silently dropped.
+    gc pins the exact file set it read, re-lists immediately before
+    the swap (a new file aborts the attempt and retries from a fresh
+    read, ``max_retries`` times), and after the swap sweeps the
+    retired directory for data files that appeared inside the rename
+    race window, carrying them into the new log verbatim.  A commit
+    that starts before the swap but finishes after it fails its own
+    write job (the path re-resolves to the new directory mid-commit),
+    so Structured Streaming retries that micro-batch — and since its
+    log row never landed, the retry correctly re-applies.
+
+    CHECKPOINT RESET hazard (horizon semantics): after gc, an op
+    namespace may be represented only by a horizon row.  If that
+    stream's checkpoint is later deleted or rebound (micro-batch ids
+    restart at 0), every early batch is <= the horizon and silently
+    no-ops — and unlike individually-logged ids there are no rows
+    left to prune to recover.  When intentionally rebinding a stream
+    to a fresh checkpoint, call :func:`reset_op_log` for its op
+    namespace(s) first.
+
+    Returns ``{"compacted", "rows_before", "rows_after",
+    "files_before", "files_after", "attempts", "carried_files"}``;
+    a missing or already-small log is a no-op.  If every attempt
+    lost the pre-swap race the report carries
+    ``"aborted_concurrent_writes": True`` (the log is untouched —
+    gc is maintenance; skipping is always safe)."""
+    log_path = os.path.join(path, "_batches")
+    _recover_swap(spark, log_path)
+    fs, hlog = _hadoop_fs(spark, log_path)
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _data_files() -> list[str]:
+        if not fs.exists(hlog):
+            return []
+        out = []
+        for st in fs.listStatus(hlog):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(name)
+        return sorted(out)
+
+    last_report = None
+    for attempt in range(1, int(max_retries) + 1):
+        # pin the file set FIRST, then read exactly those files: a
+        # commit landing after this listing is caught by the pre-swap
+        # re-list; one landing before it is included in the read.
+        files_at_read = _data_files()
+        if not files_at_read:
+            return {"compacted": False, "rows_before": 0, "rows_after": 0,
+                    "files_before": 0, "files_after": 0,
+                    "attempts": attempt, "carried_files": 0}
+        seen = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(log_path, f) for f in files_at_read]
+        )
+        files_before = len(files_at_read)
+        rows = seen.select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            (F.col("op") if "op" in seen.columns
+             else F.lit(None).cast("string")).alias("op"),
+            (F.coalesce(F.col("horizon"), F.lit(False))
+             if "horizon" in seen.columns else F.lit(False)).alias("horizon"),
+        ).collect()  # bounded: one row per applied batch — control plane
+        rows_before = len(rows)
+        if rows_before == 0 or (
+            files_before <= compact_target_files
+            and keep_last_batches is not None
+            and rows_before <= keep_last_batches
+        ):
+            return {"compacted": False, "rows_before": rows_before,
+                    "rows_after": rows_before, "files_before": files_before,
+                    "files_after": files_before, "attempts": attempt,
+                    "carried_files": 0}
+        own = None if ops is None else {str(o) for o in ops}
+        by_op: dict = {}
+        for r in rows:
+            by_op.setdefault(r["op"], []).append(r)
+        out_rows: list[tuple[int, str | None, bool]] = []
+        for op_key, oprows in by_op.items():
+            if own is not None and op_key not in own:
+                # not ours: pass through verbatim (deduped), never
+                # collapsed into a horizon we can't justify
+                out_rows.extend(sorted(
+                    {(int(r["batch_id"]), op_key, bool(r["horizon"]))
+                     for r in oprows},
+                    key=lambda t: t[0],
+                ))
+                continue
+            mx = max(r["batch_id"] for r in oprows)
+            cutoff = mx - 1  # default: everything below the max collapses
+            if keep_last_batches is not None:
+                cutoff = mx - int(keep_last_batches)
+            if prune_batch_log_before is not None:
+                cutoff = max(cutoff, int(prune_batch_log_before) - 1)
+            cutoff = min(cutoff, mx - 1)  # the per-op max row always stays
+            # prior horizons fold into the new one (a horizon at H >
+            # cutoff must survive as a horizon, not a plain row)
+            prior_h = [r["batch_id"] for r in oprows if r["horizon"]]
+            horizon_val = max(
+                [r["batch_id"] for r in oprows if r["batch_id"] <= cutoff]
+                + prior_h,
+                default=None,
+            )
+            kept = sorted(
+                {r["batch_id"] for r in oprows
+                 if r["batch_id"] > cutoff and not r["horizon"]}
+            )
+            if horizon_val is not None:
+                out_rows.append((int(horizon_val), op_key, True))
+                kept = [b for b in kept if b > horizon_val]
+            out_rows.extend((int(b), op_key, False) for b in kept)
+        compacted = spark.createDataFrame(
+            out_rows, "batch_id long, op string, horizon boolean"
+        )
+        new, old = _swap_sibling_paths(log_path)
+        p_new, p_old = HPath(new), HPath(old)
+        compacted.coalesce(max(1, int(compact_target_files))).write.mode(
+            "overwrite"
+        ).parquet(new)
+        # pre-swap conflict check: a commit landed since the pinned
+        # read — this attempt's compaction is stale; retry fresh
+        if _data_files() != files_at_read:
+            fs.delete(p_new, True)
+            last_report = {"compacted": False, "rows_before": rows_before,
+                           "rows_after": rows_before,
+                           "files_before": files_before,
+                           "files_after": files_before,
+                           "attempts": attempt,
+                           "aborted_concurrent_writes": True,
+                           "carried_files": 0}
+            continue
+        if fs.exists(hlog) and not fs.rename(hlog, p_old):
+            raise OSError(f"swap failed: cannot retire {log_path}")
+        if not fs.rename(p_new, hlog):
+            raise OSError(f"swap failed: cannot promote {new} -> {log_path}")
+        # post-swap sweep of the retired dir: data files committed in
+        # the rename race window (after the re-list, before the
+        # retirement rename) carry their rows into the new log —
+        # parquet files are self-contained, the log read merges schema
+        carried = 0
+        known = set(files_at_read)
+        for st in fs.listStatus(p_old):
+            name = st.getPath().getName()
+            if (st.isFile() and not name.startswith(("_", "."))
+                    and name not in known):
+                fs.rename(st.getPath(),
+                          HPath(os.path.join(log_path, f"carried-{name}")))
+                carried += 1
+        fs.delete(p_old, True)
+        after = spark.read.option("mergeSchema", "true").parquet(log_path)
+        return {
+            "compacted": True,
+            "rows_before": rows_before,
+            "rows_after": after.count(),
+            "files_before": files_before,
+            "files_after": after.select(
+                F.col("_metadata.file_path")
+            ).distinct().count(),
+            "attempts": attempt,
+            "carried_files": carried,
+        }
+    return last_report
+
+
+def reset_op_log(spark: SparkSession, path: str, op: str | None) -> dict:
+    """Escape hatch for an INTENTIONAL stream rebind: delete every
+    ``_batches`` replay-log row (including horizon rows) for one op
+    namespace, so a stream restarted on a fresh checkpoint — whose
+    micro-batch ids restart at 0 — does not silently no-op its early
+    batches against a stale horizon (see :func:`gc`'s checkpoint-reset
+    note).  ``op=None`` targets the legacy null-op namespace.
+
+    Only call this when the op's ALREADY-APPLIED effects are accounted
+    for (e.g. the rebound stream replays from a source offset at or
+    after the index's current state, or the faces' id-level
+    ``dedup_ids`` anti-join is acceptable as the only guard).  The
+    rewrite goes through the crash-safe staged swap.  Returns
+    ``{"removed_rows", "rows_after"}``."""
     log_path = os.path.join(path, "_batches")
     _recover_swap(spark, log_path)
     try:
         seen = spark.read.option("mergeSchema", "true").parquet(log_path)
     except AnalysisException as e:
         if _is_path_not_found(e):
-            return {"compacted": False, "rows_before": 0, "rows_after": 0,
-                    "files_before": 0, "files_after": 0}
+            return {"removed_rows": 0, "rows_after": 0}
         raise
-    files_before = (
-        seen.select(F.col("_metadata.file_path")).distinct().count()
-    )
-    rows = seen.select(
+    norm = seen.select(
         F.col("batch_id").cast("long").alias("batch_id"),
-        (F.col("op") if "op" in seen.columns else F.lit(None).cast("string")
-         ).alias("op"),
+        (F.col("op") if "op" in seen.columns
+         else F.lit(None).cast("string")).alias("op"),
         (F.coalesce(F.col("horizon"), F.lit(False))
          if "horizon" in seen.columns else F.lit(False)).alias("horizon"),
-    ).collect()  # bounded: one row per applied batch — control plane
-    rows_before = len(rows)
-    if rows_before == 0 or (
-        files_before <= compact_target_files
-        and keep_last_batches is not None
-        and rows_before <= keep_last_batches
-    ):
-        return {"compacted": False, "rows_before": rows_before,
-                "rows_after": rows_before, "files_before": files_before,
-                "files_after": files_before}
-    by_op: dict = {}
-    for r in rows:
-        by_op.setdefault(r["op"], []).append(r)
-    out_rows: list[tuple[int, str | None, bool]] = []
-    for op_key, oprows in by_op.items():
-        mx = max(r["batch_id"] for r in oprows)
-        cutoff = mx - 1  # default: everything below the max collapses
-        if keep_last_batches is not None:
-            cutoff = mx - int(keep_last_batches)
-        if prune_batch_log_before is not None:
-            cutoff = max(cutoff, int(prune_batch_log_before) - 1)
-        cutoff = min(cutoff, mx - 1)  # the per-op max row always stays
-        # prior horizons fold into the new one (a horizon at H > cutoff
-        # must survive as a horizon, not a plain row)
-        prior_h = [r["batch_id"] for r in oprows if r["horizon"]]
-        horizon_val = max(
-            [r["batch_id"] for r in oprows if r["batch_id"] <= cutoff]
-            + prior_h,
-            default=None,
-        )
-        kept = sorted(
-            {r["batch_id"] for r in oprows
-             if r["batch_id"] > cutoff and not r["horizon"]}
-        )
-        if horizon_val is not None:
-            out_rows.append((int(horizon_val), op_key, True))
-            kept = [b for b in kept if b > horizon_val]
-        out_rows.extend((int(b), op_key, False) for b in kept)
-    compacted = spark.createDataFrame(
-        out_rows, "batch_id long, op string, horizon boolean"
+    )
+    match = F.col("op").isNull() if op is None else (F.col("op") == str(op))
+    n_removed = norm.filter(match).count()
+    if n_removed == 0:
+        return {"removed_rows": 0, "rows_after": norm.count()}
+    survivors = norm.filter(~F.coalesce(match, F.lit(False))).collect()
+    kept = spark.createDataFrame(
+        [(int(r["batch_id"]), r["op"], bool(r["horizon"]))
+         for r in survivors],
+        "batch_id long, op string, horizon boolean",
     )
 
     def _write(staging: str) -> None:
-        compacted.coalesce(max(1, int(compact_target_files))).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        kept.coalesce(1).write.mode("overwrite").parquet(staging)
 
     _replace_dir(spark, _write, log_path)
-    after = spark.read.parquet(log_path)
-    return {
-        "compacted": True,
-        "rows_before": rows_before,
-        "rows_after": after.count(),
-        "files_before": files_before,
-        "files_after": after.select(
-            F.col("_metadata.file_path")
-        ).distinct().count(),
-    }
+    return {"removed_rows": int(n_removed), "rows_after": len(survivors)}
 
 
 def _post_sweep_kept(
@@ -2856,53 +2679,23 @@ def rp_index_groups(
     exact-duplicate cluster keeps its connectivity through any cap
     >= 2 (all members share every bucket, so the capped witnesses
     still chain), diverse hot buckets trade recall as usual."""
-    from astro_vectordb_spark.operators.dedup import connected_components
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        IndexCtx,
+        RPFamily,
+        bucket_self_pairs,
+        keep_from_pairs,
+        verify_pairs,
+    )
 
+    fam = RPFamily()
     vecs, buckets, meta = load_rp_index(spark, path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    scope = buckets.select(id_col, "tbl", "cell")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("tbl", "cell").orderBy(id_col)
-        scope = (
-            scope.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(max_bucket_size))
-            .drop("_rn")
-        )
-    a = scope.select(F.col(id_col).alias("a_id"), "tbl", "cell")
-    b = scope.select(F.col(id_col).alias("b_id"), "tbl", "cell")
-    cand = (
-        a.join(b, ["tbl", "cell"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    ctx = IndexCtx(spark, path, meta)
+    id_col = meta["id_col"]
+    cand = bucket_self_pairs(
+        buckets, fam.bucket_keys, id_col, max_bucket_size=max_bucket_size
     )
-    from astro_vectordb_spark.functions.vector import similarity
-
-    pairs = (
-        cand.join(
-            vecs.select(F.col(id_col).alias("a_id"),
-                        F.col(vec_col).alias("_av")),
-            "a_id",
-        )
-        .join(
-            vecs.select(F.col(id_col).alias("b_id"),
-                        F.col(vec_col).alias("_bv")),
-            "b_id",
-        )
-        .withColumn("_s", similarity(F.col("_av"), F.col("_bv"), "cosine"))
-        .filter(F.col("_s") > F.lit(float(threshold)))
-        .select("a_id", "b_id")
-    )
-    comp = connected_components(pairs)
-    keep = comp.filter(F.col("id") == F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
-    singletons = vecs.select(id_col).distinct().join(
-        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
-    )
-    return keep.unionByName(singletons)
+    pairs = verify_pairs(ctx, fam, cand, vecs, threshold)
+    return keep_from_pairs(vecs, pairs, id_col)
 
 
 def rp_apply_groups(
@@ -2919,22 +2712,17 @@ def rp_apply_groups(
     (file-granular, replay-logged under op='rp_sweep'), and report
     {kept, removed_rows, skipped_replay}.  After it returns, the index
     is a fixpoint: re-running the sweep removes nothing."""
-    keep = rp_index_groups(
-        spark, path, threshold=threshold, max_bucket_size=max_bucket_size
-    ).localCheckpoint(eager=True)
-    meta = _read_meta(spark, path)
-    id_col = meta["id_col"]
-    losers = (
-        spark.read.parquet(os.path.join(path, "vecs"))
-        .select(id_col)
-        .distinct()
-        .join(keep, id_col, "left_anti")
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        RPFamily,
+        apply_groups,
     )
-    rep = rp_remove_from_index(
-        spark, path, losers, batch_id=batch_id, op="rp_sweep"
+
+    return apply_groups(
+        spark, path, RPFamily(),
+        keep_fn=lambda: rp_index_groups(
+            spark, path, threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        ),
+        batch_id=batch_id,
     )
-    return {
-        "kept": _post_sweep_kept(spark, path, "vecs", id_col),
-        "removed_rows": rep["removed_rows"],
-        "skipped_replay": rep.get("skipped_replay", False),
-    }
+

@@ -128,12 +128,17 @@ def gc_versions(
     also removes orphan ``v{n}`` directories a crashed writer left
     ABOVE the current pointer (written but never swapped in — invisible
     to readers, pure disk leak).  An orphan younger than
-    ``orphan_min_age_sec`` (by directory mtime) is KEPT: nothing
-    distinguishes "crashed" from "a concurrent writer about to swap
-    this version in", so recent dirs get the benefit of the doubt —
-    deleting a live writer's in-flight commit would make its pointer
-    swap publish a missing directory.  Returns ``{"removed": [...],
-    "kept": [...]}``."""
+    ``orphan_min_age_sec`` is KEPT: nothing distinguishes "crashed"
+    from "a concurrent writer about to swap this version in", so
+    recent dirs get the benefit of the doubt — deleting a live
+    writer's in-flight commit would make its pointer swap publish a
+    missing directory.  Age is judged by the NEWEST mtime found
+    walking the whole version tree, not the top-level dir: a
+    partitioned parquet write mutates nested subdirectories without
+    refreshing the top-level mtime, so a long-running live commit
+    would otherwise look stale while still writing.  The 1h default
+    is a FLOOR — size it well above your slowest commit's wall time.
+    Returns ``{"removed": [...], "kept": [...]}``."""
     import time as _time
 
     cur = current_version(path)
@@ -147,9 +152,21 @@ def gc_versions(
     committed = [d for d in versions if int(d[1:]) <= cur_n]
     now = _time.time()
 
+    def _newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, dirnames, filenames in os.walk(root):
+            for entry in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, entry))
+                    )
+                except OSError:
+                    pass  # racing writer moved it; any sibling still counts
+        return newest
+
     def _old_enough(d: str) -> bool:
         try:
-            return now - os.path.getmtime(os.path.join(path, d)) >= (
+            return now - _newest_mtime(os.path.join(path, d)) >= (
                 orphan_min_age_sec
             )
         except OSError:

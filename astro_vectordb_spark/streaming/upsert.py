@@ -594,10 +594,14 @@ def stream_minhash_ingest(
     other index ingests.
 
     ``gc_every=N``: every N applied batches, compact the `_batches`
-    replay log (``vault.gc``) from INSIDE foreachBatch — the one place
-    the gc's single-writer contract is trivially satisfied, since it
-    is serialized with this stream's own commits.  Without it a
-    months-long ingest accretes one tiny log file per micro-batch."""
+    replay log (``vault.gc``) from INSIDE foreachBatch, scoped to THIS
+    stream's own op namespace (``ops=["minhash_append"]``) — so the
+    horizon it writes is justified by this stream's own micro-batch
+    ordering, and a sibling stream sharing the index (e.g. a paired
+    remove stream) keeps its rows verbatim; a sibling commit racing
+    the swap is detected and carried (vault.gc's concurrent-commit
+    safety).  Without gc a months-long ingest accretes one tiny log
+    file per micro-batch."""
     from astro_vectordb_spark.sources.vault import gc as _vault_gc
 
     spark = stream_df.sparkSession
@@ -613,7 +617,12 @@ def stream_minhash_ingest(
         )
         applied["n"] += 1
         if gc_every and applied["n"] % int(gc_every) == 0:
-            rep = _vault_gc(spark, index_path)
+            # compact only THIS stream's op namespace: a horizon row
+            # is sound only against the owning stream's micro-batch
+            # ordering, and sibling streams' rows pass through
+            # verbatim (gc also detects/carries commits that race the
+            # swap — see vault.gc's concurrent-commit safety note)
+            rep = _vault_gc(spark, index_path, ops=["minhash_append"])
             if rep.get("compacted"):
                 print(
                     f"{query_name}: replay-log gc "
@@ -726,9 +735,10 @@ def stream_rp_ingest(
     novel vectors are appended; redelivered batches are no-ops via
     the (op='rp_append', batch_id) replay log.  The
     ``stream_minhash_ingest`` shape for the embedding family;
-    ``gc_every=N`` compacts the replay log every N applied batches
-    (see stream_minhash_ingest — serialized with this stream's own
-    commits, so the gc single-writer contract holds)."""
+    ``gc_every=N`` compacts the replay log every N applied batches,
+    scoped to this stream's own op namespace (``ops=["rp_append"]`` —
+    see stream_minhash_ingest's gc_every note for why scoping
+    matters with sibling streams on the same index)."""
     from astro_vectordb_spark.sources.vault import gc as _vault_gc
 
     spark = stream_df.sparkSession
@@ -744,7 +754,8 @@ def stream_rp_ingest(
         )
         applied["n"] += 1
         if gc_every and applied["n"] % int(gc_every) == 0:
-            rep = _vault_gc(spark, index_path)
+            # own-namespace-only compaction (see stream_minhash_ingest)
+            rep = _vault_gc(spark, index_path, ops=["rp_append"])
             if rep.get("compacted"):
                 print(
                     f"{query_name}: replay-log gc "

@@ -215,3 +215,174 @@ class TestStreamingGC:
         assert rp_match_index(
             spark, path, probe, threshold=0.999
         ).limit(1).count() == 1
+
+
+class TestGCOpsFilterAndConcurrency:
+    """Round-13: per-op-namespace gc (ADVICE r12 #1), concurrent-commit
+    detection (verdict item 8), and the checkpoint-rebind escape hatch
+    (ADVICE r12 #2)."""
+
+    def _churn(self, spark, data, path, n_app=8, n_rem=4):
+        save_rp_index(data.filter(F.col("vec_id") < 30), path)
+        for b in range(n_app):
+            rp_append_to_index(
+                spark, path,
+                data.filter(F.col("vec_id") == 30 + b), batch_id=b,
+            )
+        for b in range(n_rem):
+            rp_remove_from_index(spark, path, [b], batch_id=b)
+
+    def test_ops_filter_compacts_only_own_namespace(self, spark, data,
+                                                    tmp_path):
+        path = str(tmp_path / "idx_ops")
+        self._churn(spark, path=path, data=data)
+        rep = gc(spark, path, keep_last_batches=1, ops=["rp_append"])
+        assert rep["compacted"] is True
+        log = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "_batches")
+        )
+        rows = {(r["op"], r["batch_id"], bool(r["horizon"]))
+                for r in log.collect()}
+        # the sibling namespace keeps EVERY row verbatim — no horizon
+        # was written for an op the caller does not own
+        for b in range(4):
+            assert ("rp_remove", b, False) in rows
+        assert not any(op == "rp_remove" and h for op, _, h in rows)
+        # our own namespace is horizoned
+        assert any(op == "rp_append" and h for op, _, h in rows)
+        # replay contract intact for both namespaces
+        assert _batch_already_committed(spark, path, 2, op="rp_append")
+        assert _batch_already_committed(spark, path, 2, op="rp_remove")
+        assert not _batch_already_committed(spark, path, 99, op="rp_append")
+
+    def test_concurrent_commit_before_staging_aborts_and_retries(
+            self, spark, data, tmp_path, monkeypatch):
+        """A sibling commit landing between gc's read and its swap is
+        caught by the pre-swap re-list: the attempt aborts, the retry
+        re-reads (including the new row), and nothing is dropped."""
+        import astro_vectordb_spark.sources.vault as vault
+
+        path = str(tmp_path / "idx_race1")
+        self._churn(spark, path=path, data=data)
+        real = vault._swap_sibling_paths
+        state = {"calls": 0}
+
+        def injecting(p):
+            state["calls"] += 1
+            # call 1 = gc's top-of-function _recover_swap; call 2 =
+            # attempt 1's swap prep, AFTER the pinned read — the
+            # sibling's commit lands in the race window
+            if state["calls"] == 2:
+                vault._record_batch(spark, path, 77, op="rp_remove")
+            return real(p)
+
+        monkeypatch.setattr(vault, "_swap_sibling_paths", injecting)
+        rep = vault.gc(spark, path, keep_last_batches=1, ops=["rp_append"])
+        assert rep["compacted"] is True
+        assert rep["attempts"] == 2  # attempt 1 aborted on the re-list
+        assert _batch_already_committed(spark, path, 77, op="rp_remove")
+        assert _batch_already_committed(spark, path, 3, op="rp_append")
+
+    def test_commit_in_rename_window_is_carried(self, spark, data,
+                                                tmp_path, monkeypatch):
+        """A commit landing AFTER the pre-swap check but BEFORE the
+        retire rename ends up in the retired dir — the post-swap sweep
+        must carry it into the new log instead of deleting it."""
+        import astro_vectordb_spark.sources.vault as vault
+
+        path = str(tmp_path / "idx_race2")
+        self._churn(spark, path=path, data=data)
+        real_fs = vault._hadoop_fs
+        state = {"armed": True}
+
+        class InjectingFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def rename(self, src, dst):
+                if state["armed"] and str(dst).endswith("__swap_old"):
+                    state["armed"] = False  # fire once: the retire rename
+                    vault._record_batch(spark, path, 88, op="rp_remove")
+                return self._fs.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        def wrapped(sp, p):
+            fs, hp = real_fs(sp, p)
+            return InjectingFS(fs), hp
+
+        monkeypatch.setattr(vault, "_hadoop_fs", wrapped)
+        rep = vault.gc(spark, path, keep_last_batches=1, ops=["rp_append"])
+        assert rep["compacted"] is True
+        # >= 1: a 1-row append can emit an extra empty part file
+        assert rep["carried_files"] >= 1
+        assert _batch_already_committed(spark, path, 88, op="rp_remove")
+
+    def test_reset_op_log_unmasks_rebound_stream(self, spark, data,
+                                                 tmp_path):
+        from astro_vectordb_spark.sources.vault import reset_op_log
+
+        path = str(tmp_path / "idx_reset")
+        self._churn(spark, path=path, data=data)
+        gc(spark, path, keep_last_batches=1)
+        # post-gc, early append ids sit under the horizon
+        assert _batch_already_committed(spark, path, 0, op="rp_append")
+        rep = reset_op_log(spark, path, "rp_append")
+        assert rep["removed_rows"] >= 1
+        # the rebound stream's batch 0 now applies again...
+        assert not _batch_already_committed(spark, path, 0, op="rp_append")
+        # ...while the sibling namespace is untouched
+        assert _batch_already_committed(spark, path, 2, op="rp_remove")
+
+
+class TestRPPlaneWidthValidation:
+    """ADVICE r12 #3: int32 cell schema — n_planes/n_refine past 31
+    would silently wrap bucket ids; must fail fast instead."""
+
+    def test_cell_table_rejects_wide_planes(self, spark, data):
+        from astro_vectordb_spark.operators.dedup import (
+            rp_cell_table,
+            rp_probe_cell_table,
+        )
+
+        with pytest.raises(ValueError, match="n_planes"):
+            rp_cell_table(data, n_planes=32, dim=DIM)
+        with pytest.raises(ValueError, match="n_refine"):
+            rp_cell_table(data, n_planes=8, n_refine=32, dim=DIM)
+        with pytest.raises(ValueError, match="n_planes"):
+            rp_probe_cell_table(data, n_planes=32, dim=DIM)
+        # the boundary is usable
+        assert rp_cell_table(
+            data.limit(2), n_planes=31, n_tables=1, dim=DIM
+        ).count() == 2
+
+
+class TestVersionGCMtimeWalk:
+    """ADVICE r12 #4: orphan age = newest mtime in the whole version
+    tree, so a live writer mutating nested subdirs is never reaped."""
+
+    def test_nested_fresh_write_keeps_orphan(self, spark, tmp_path):
+        path = str(tmp_path / "vt_walk")
+        os.makedirs(path)
+        df = spark.range(3).select(F.col("id").alias("v"))
+        commit_version(df, path, 1, keep_versions=100)
+        # orphan v9 whose TOP-LEVEL mtime is stale but with a fresh
+        # nested write — a partitioned writer mid-commit looks exactly
+        # like this
+        df.write.mode("overwrite").partitionBy("v").parquet(
+            os.path.join(path, "v9")
+        )
+        old = 1.0
+        os.utime(os.path.join(path, "v9"), (old, old))
+        rep = gc_versions(path, keep_last_versions=2,
+                          orphan_min_age_sec=3600)
+        assert "v9" in rep["kept"]
+        # age the whole tree -> reaped
+        for r, ds, fs_ in os.walk(os.path.join(path, "v9")):
+            for e in ds + fs_:
+                os.utime(os.path.join(r, e), (old, old))
+        os.utime(os.path.join(path, "v9"), (old, old))
+        rep = gc_versions(path, keep_last_versions=2,
+                          orphan_min_age_sec=3600)
+        assert "v9" in rep["removed"]

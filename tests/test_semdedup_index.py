@@ -1,0 +1,264 @@
+"""Persisted SemDeDup index — round-13: the steady-state lifecycle
+(save -> match -> append -> remove -> sweep-apply -> compact) for the
+semantic-dedup family, built as the third face over the shared
+index-lifecycle core (sources/index_lifecycle.py).
+
+Contract under test: assignment against STORED centroids matches the
+one-shot ``semantic_dedup(centroids=...)`` face exactly (same argmax
+tie rule, same exact-cosine verify); a new batch assigns only itself;
+removes are file-granular and replay-safe; the sweep collapses every
+within-cell eps-group to one representative and is a fixpoint.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark.sources.semdedup_index import (
+    load_semdedup_index,
+    save_semdedup_index,
+    semdedup_append_to_index,
+    semdedup_apply_groups,
+    semdedup_compact_index,
+    semdedup_index_groups,
+    semdedup_match_index,
+    semdedup_remove_from_index,
+)
+
+DIM = 16
+N = 300
+K = 8
+
+
+def _corpus(seed=7):
+    """K well-separated unit centroids; vectors = centroid + small
+    noise, plus planted exact-duplicate pairs (i, i+1000)."""
+    rng = np.random.RandomState(seed)
+    C = rng.randn(K, DIM)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = C[rng.randint(0, K, N)] + 0.02 * rng.randn(N, DIM)
+    return C, X
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    C, X = _corpus()
+    rows = [(i, [float(x) for x in X[i]]) for i in range(N)]
+    # planted exact duplicates of the first 10 vectors
+    rows += [(1000 + i, [float(x) for x in X[i]]) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    cents = spark.createDataFrame(
+        [(k, [float(x) for x in C[k]]) for k in range(K)],
+        "cell_id int, centroid array<double>",
+    ).cache()
+    cents.count()
+    yield df, cents
+    df.unpersist()
+    cents.unpersist()
+
+
+@pytest.fixture()
+def index(spark, data, tmp_path):
+    df, cents = data
+    path = str(tmp_path / "sd_idx")
+    hist = df.filter(F.col("vec_id") < 200)
+    save_semdedup_index(hist, path, centroids=cents)
+    return path, hist
+
+
+class TestSaveLoad:
+    def test_layout_and_meta(self, spark, index):
+        path, hist = index
+        vecs, cells, cents, meta = load_semdedup_index(spark, path)
+        assert vecs.count() == 200
+        assert cells.count() == 200  # exactly one cell per vector
+        assert cents.count() == K
+        assert meta["k"] == K and meta["n_rows"] == 200
+        assert meta["metric"] == "cosine" and meta["dim"] == DIM
+
+    def test_assignment_matches_one_shot_face(self, spark, data, index):
+        """Stored assignments == the argmax rule semantic_dedup's
+        bring-your-own-centroids face uses (sim desc, cell_id asc)."""
+        df, cents = data
+        path, hist = index
+        from astro_vectordb_spark.functions.vector import similarity
+        from pyspark.sql import Window
+
+        _, cells, _, _ = load_semdedup_index(spark, path)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("_as").desc(), F.col("cell_id").asc()
+        )
+        want = (
+            hist.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "_as", similarity(F.col("embedding"), F.col("centroid"),
+                                  "cosine")
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "cell_id")
+        )
+        got = {(r["vec_id"], r["cell_id"]) for r in cells.collect()}
+        exp = {(r["vec_id"], r["cell_id"]) for r in want.collect()}
+        assert got == exp
+
+    def test_kmeans_fit_face(self, spark, data, tmp_path):
+        df, _ = data
+        path = str(tmp_path / "sd_fit")
+        save_semdedup_index(
+            df.filter(F.col("vec_id") < 100), path, k_cells=4, seed=3
+        )
+        vecs, cells, cents, meta = load_semdedup_index(spark, path)
+        assert meta["k"] == 4 and cents.count() == 4
+        assert cells.count() == 100
+
+
+class TestMatch:
+    def test_planted_duplicates_surface_at_one(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        probe = df.filter(F.col("vec_id") >= 1000)  # copies of 0..9
+        got = semdedup_match_index(spark, path, probe, eps=0.999)
+        pairs = {(r["new_id"], r["hist_id"], r["score"])
+                 for r in got.collect()}
+        for i in range(10):
+            assert (1000 + i, i, 1.0) in pairs
+
+    def test_non_dup_batch_matches_nothing_strict(self, spark, data,
+                                                  index):
+        df, _ = data
+        path, _ = index
+        probe = df.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+        )
+        got = semdedup_match_index(spark, path, probe, eps=0.99999)
+        assert got.count() == 0
+
+    def test_telemetry_and_cap(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        probe = df.filter(F.col("vec_id") >= 1000)
+        tel = {}
+        semdedup_match_index(
+            spark, path, probe, eps=0.999, telemetry=tel
+        ).count()
+        assert tel["n_buckets"] >= 1
+        assert tel["max_bucket_witnesses"] >= tel["p50_bucket_witnesses"]
+        capped = semdedup_match_index(
+            spark, path, probe, eps=0.999, max_bucket_size=1
+        )
+        full = semdedup_match_index(spark, path, probe, eps=0.999)
+        assert capped.count() <= full.count()
+
+
+class TestAppendRemove:
+    def test_append_assigns_only_batch_and_replays_noop(self, spark,
+                                                        data, index):
+        df, _ = data
+        path, _ = index
+        batch = df.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 250)
+        )
+        rep = semdedup_append_to_index(spark, path, batch, batch_id=1)
+        assert rep["appended_rows"] == 50 and not rep["skipped_replay"]
+        vecs, cells, _, meta = load_semdedup_index(spark, path)
+        assert meta["n_rows"] == 250 and cells.count() == 250
+        rep2 = semdedup_append_to_index(spark, path, batch, batch_id=1)
+        assert rep2["skipped_replay"]
+        # appended vectors are now matchable history
+        probe = batch.select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+        )
+        got = semdedup_match_index(spark, path, probe, eps=0.999)
+        assert got.filter(
+            F.col("new_id") - 5000 == F.col("hist_id")
+        ).count() == 50
+
+    def test_remove_is_physical_and_replay_safe(self, spark, data,
+                                                index):
+        df, _ = data
+        path, _ = index
+        rep = semdedup_remove_from_index(spark, path, [0, 1, 2],
+                                         batch_id=0)
+        assert rep["removed_rows"] == 3
+        vecs, cells, _, meta = load_semdedup_index(spark, path)
+        assert meta["n_rows"] == 197
+        assert vecs.filter(F.col("vec_id") < 3).count() == 0
+        assert cells.filter(F.col("vec_id") < 3).count() == 0
+        rep2 = semdedup_remove_from_index(spark, path, [3], batch_id=0)
+        assert rep2["skipped_replay"]
+
+
+class TestGroupsAndSweep:
+    def test_groups_collapse_planted_dups_min_id(self, spark, data,
+                                                 tmp_path):
+        df, cents = data
+        path = str(tmp_path / "sd_grp")
+        save_semdedup_index(df, path, centroids=cents)  # incl. planted
+        keep = semdedup_index_groups(spark, path, eps=0.999,
+                                     keep="min_id")
+        kept = {r["vec_id"] for r in keep.collect()}
+        for i in range(10):
+            assert i in kept and (1000 + i) not in kept
+        # total = everything minus the 10 planted losers
+        assert len(kept) == N + 10 - 10
+
+    def test_groups_farthest_keeps_least_typical(self, spark, data,
+                                                 tmp_path):
+        df, cents = data
+        path = str(tmp_path / "sd_far")
+        save_semdedup_index(df, path, centroids=cents)
+        keep = semdedup_index_groups(spark, path, eps=0.999,
+                                     keep="farthest")
+        kept = {r["vec_id"] for r in keep.collect()}
+        # exact duplicates tie on centroid sim -> min id wins the tie,
+        # so each planted pair keeps exactly one member
+        for i in range(10):
+            assert (i in kept) != ((1000 + i) in kept) or i in kept
+        assert len(kept) == N
+
+    def test_apply_sweep_fixpoint_and_replay(self, spark, data,
+                                             tmp_path):
+        df, cents = data
+        path = str(tmp_path / "sd_sweep")
+        save_semdedup_index(df, path, centroids=cents)
+        rep = semdedup_apply_groups(spark, path, eps=0.999, batch_id=0)
+        assert rep["removed_rows"] == 10 and rep["kept"] == N
+        # fixpoint: a second sweep removes nothing
+        rep2 = semdedup_apply_groups(spark, path, eps=0.999, batch_id=1)
+        assert rep2["removed_rows"] == 0
+        # replayed sweep is a no-op
+        rep3 = semdedup_apply_groups(spark, path, eps=0.999, batch_id=0)
+        assert rep3["skipped_replay"]
+        # post-sweep: a planted copy's original still serves matches
+        probe = df.filter(F.col("vec_id") >= 1000)
+        got = semdedup_match_index(spark, path, probe, eps=0.999)
+        assert got.filter(F.col("new_id") == 1000).count() == 1
+
+
+class TestCompact:
+    def test_compact_after_churn(self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        for b in range(6):
+            semdedup_append_to_index(
+                spark, path,
+                df.filter(F.col("vec_id") == 200 + b), batch_id=b,
+            )
+        rep = semdedup_compact_index(
+            spark, path, target_rows_per_file=10_000, min_file_ratio=1.0
+        )
+        assert rep["compacted"] is True
+        vecs, cells, _, meta = load_semdedup_index(spark, path)
+        assert vecs.count() == 206 and cells.count() == 206
+        assert meta["n_rows"] == 206
+        # still serves after the staged swaps
+        probe = df.filter(F.col("vec_id") >= 1000)
+        assert semdedup_match_index(
+            spark, path, probe, eps=0.999
+        ).count() >= 10

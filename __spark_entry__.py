@@ -2487,101 +2487,87 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 12 (the driver checks the FIRST 50
+    # Driver-window rotation, round 13 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in (round-11 verdict item 1): the 3 never-driver-signed
-    #     full-gate queries — facade_hybrid_prf_batch_gate,
-    #     ann_ivfpq_residual_exact, facade_text_batch_gate — plus the
-    #     6 heavy-core queries rotated out in round 11
-    #     (upsert_keep_latest, sync_merge, embedding_near_dup_blocked,
-    #     embedding_dedup_groups, dedup_groups, near_dup_simhash_sql);
-    #   - out (9, all 2-round-green — driver-signed in BOTH r10 and
-    #     r11, families untouched this round, each with a rep still
-    #     in-window): topk_euclidean, null_semantics, similarity_join,
+    #   - in (round-12 verdict item 1): the 4 new r12 full-gate gates
+    #     (ann_ivfpq_opq_exact, rp_index_incremental, rp_index_groups,
+    #     semdedup_fixed), the 2 brand-new r13 gates
+    #     (rp_index_multiprobe, semdedup_index_incremental), and the 9
+    #     entries rotated out in round 12, due back per NOTES_r12
+    #     (topk_euclidean, null_semantics, similarity_join,
     #     knn_classify, lang_id, stratified_sample, range_join,
-    #     dup_rate_by_source, embed_docs;
-    #   - held in-window: the minhash index family
-    #     (minhash_index_incremental/_groups, minhash_apply_sweep,
-    #     near_dup_minhash_sql, near_dup_native_exactdup) because the
-    #     append/sweep/telemetry internals changed this round, and the
-    #     IVF-PQ reps (facade_ivfpq_gate, ann_ivfpq_salted_exact)
-    #     because the residual ADC broadcast path changed this round;
-    #   - everything else keeps its slot (signed last round, at most
-    #     1 round stale).
+    #     dup_rate_by_source, embed_docs);
+    #   - out (15, all >= 2-round driver-green, families untouched
+    #     this round, each with a rep still in-window):
+    #     threshold_cap (topk family: topk_exact/batch_topk/
+    #     filtered_topk/topk_euclidean), near_dup_jaccard (dedup:
+    #     dedup_exact/dedup_groups/minhash reps), quality_scores +
+    #     doc_fingerprints (text analysis: text_stats),
+    #     batch_topk_quantized (quantize: topk_quantized),
+    #     embed_then_search (embed: embed_docs returns), decontaminate
+    #     + pack_sequences + gopher_filter + dup_spans (curation:
+    #     dup_span_removal), snippets + prf_expand + cross_rerank +
+    #     bm25_batch + facade_hybrid_text_gate (retrieval: bm25_topk,
+    #     cross_rerank_batch, facade_hybrid/_batch/_prf/_prf_batch/
+    #     _rerank/_text_batch gates);
+    #   - held in-window because their code changed this round: the
+    #     minhash + RP families (shared index-lifecycle core
+    #     extraction), IVF-PQ reps (train_mse sentinel row in the
+    #     persisted codebook table + adaptive-refine plumbing),
+    #     read_your_writes (gc_every op-namespace scoping).
     return {
-        # -- stable core (driver-signed r10+r11, kept as family reps)
+        # -- stable core (driver-signed r11+r12, kept as family reps)
         "topk_exact": _q_topk_exact,
-        "threshold_cap": _q_threshold_cap,
         "point_lookup": _q_point_lookup,
         "tombstone_delete": _q_tombstone_delete,
         "batch_topk": _q_batch_topk,
         "dedup_exact": _q_dedup_exact,
-        "near_dup_jaccard": _q_near_dup_jaccard,
         "text_stats": _q_text_stats,
-        "quality_scores": _q_quality_scores,
-        "doc_fingerprints": _q_doc_fingerprints,
         "ann_ivf_exact": _q_ann_ivf_exact,
         "validate_dim": _q_validate_dim,
         "multimodal_decode": _q_multimodal_decode,
         "topk_quantized": _q_topk_quantized,
-        "batch_topk_quantized": _q_batch_topk_quantized,
-        "embed_then_search": _q_embed_then_search,
         "read_your_writes": _q_read_your_writes,
         "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
-        "decontaminate": _q_decontaminate,
-        "pack_sequences": _q_pack_sequences,
-        "gopher_filter": _q_gopher_filter,
-        "dup_spans": _q_dup_spans,
         "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_gate": _q_facade_hybrid_gate,
-        "bm25_batch": _q_bm25_batch,
         "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
-        "cross_rerank": _q_cross_rerank,
-        "snippets": _q_snippets,
-        "prf_expand": _q_prf_expand,
-        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
         "facade_hybrid_prf_gate": _q_facade_hybrid_prf_gate,
-        # -- IVF-PQ reps held in-window (residual ADC broadcast path
-        # changed this round — keep driver-signed hashes on the family)
+        "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
+        "cross_rerank_batch": _q_cross_rerank_batch,
+        "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
+        "facade_text_batch_gate": _q_facade_text_batch_gate,
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "sync_merge": _q_sync_merge,
+        "dedup_groups": _q_dedup_groups,
+        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
+        # -- IVF-PQ reps HELD (persisted codebook table gained the
+        # train_mse sentinel row; adaptive-refine shares the candidate
+        # kernels)
         "facade_ivfpq_gate": _q_facade_ivfpq_gate,
         "ann_ivfpq_salted_exact": _q_ann_ivfpq_salted_exact,
-        # -- minhash family held in-window (append/sweep/telemetry
-        # internals changed this round)
+        "ann_ivfpq_residual_exact": _q_ann_ivfpq_residual_exact,
+        # -- minhash + RP + embedding families HELD (now thin faces
+        # over the shared index-lifecycle core — keep driver-signed
+        # hashes across the refactor)
         "near_dup_minhash_sql": _q_near_dup_minhash_sql,
         "near_dup_native_exactdup": _q_near_dup_native_exactdup,
         "minhash_index_incremental": _q_minhash_index_incremental,
         "minhash_index_groups": _q_minhash_index_groups,
         "minhash_apply_sweep": _q_minhash_apply_sweep,
-        # -- signed first in r11, kept one more round
-        "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
-        "cross_rerank_batch": _q_cross_rerank_batch,
-        # -- IN (round-11 verdict item 1): first driver signing
-        "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
-        "ann_ivfpq_residual_exact": _q_ann_ivfpq_residual_exact,
-        "facade_text_batch_gate": _q_facade_text_batch_gate,
-        # -- IN: the 6 heavy-core queries rotated out in round 11
-        "upsert_keep_latest": _q_upsert_keep_latest,
-        "sync_merge": _q_sync_merge,
         "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         "embedding_dedup_groups": _q_embedding_dedup_groups,
-        "dedup_groups": _q_dedup_groups,
-        "near_dup_simhash_sql": _q_near_dup_simhash_sql,
-        # (window boundary: 50 entries above this line)
-        # -- entries past this point fall OUTSIDE the driver's
-        # 50-entry window this round (full gate still verifies them)
-        # -- NEW this round, full-gate-oracled (rotate in next round):
-        # OPQ-rotated residual IVF-PQ exactness gate (verdict item 3)
-        # and the persisted RP-LSH embedding near-dup index gate
-        # (verdict item 4)
+        # -- IN: first driver signing of the r12 full-gate quartet
         "ann_ivfpq_opq_exact": _q_ann_ivfpq_opq_exact,
         "rp_index_incremental": _q_rp_index_incremental,
         "rp_index_groups": _q_rp_index_groups,
         "semdedup_fixed": _q_semdedup_fixed,
+        # -- IN: brand-new round-13 gates
         "rp_index_multiprobe": _q_rp_index_multiprobe,
         "semdedup_index_incremental": _q_semdedup_index_incremental,
-        # -- OUT this round (2-round-green r10+r11, back next round):
+        # -- IN: the 9 entries rotated out in round 12, due back
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
         "similarity_join": _q_similarity_join,
@@ -2591,6 +2577,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "embed_docs": _q_embed_docs,
+        # (window boundary: 50 entries above this line)
+        # -- OUT this round (>= 2-round-green, reps in-window above):
+        "threshold_cap": _q_threshold_cap,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "batch_topk_quantized": _q_batch_topk_quantized,
+        "embed_then_search": _q_embed_then_search,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "gopher_filter": _q_gopher_filter,
+        "dup_spans": _q_dup_spans,
+        "snippets": _q_snippets,
+        "prf_expand": _q_prf_expand,
+        "cross_rerank": _q_cross_rerank,
+        "bm25_batch": _q_bm25_batch,
+        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
+        # -- full-gate-only (oracled every round by check_oracle.py)
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
         "pricing_summary": _q_pricing_summary,

@@ -83,6 +83,7 @@ class PQModel:
     def __init__(
         self, codebooks: np.ndarray, metric: str, dim: int,
         residual: bool = False, rotation: np.ndarray | None = None,
+        train_mse: float | None = None,
     ) -> None:
         self.codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
         self.metric = metric
@@ -95,6 +96,14 @@ class PQModel:
             None
             if rotation is None
             else np.ascontiguousarray(rotation, dtype=np.float32)
+        )
+        # mean squared reconstruction error on the TRAINING sample
+        # (float32-rounded like the codebooks, so session and vault
+        # models agree bit-for-bit) — the error scale the adaptive
+        # refine cut derives its per-query sigma from; None on legacy
+        # models (adaptive refine then degrades to the fixed pool)
+        self.train_mse = None if train_mse is None else float(
+            np.float32(train_mse)
         )
 
     def _rot64(self) -> np.ndarray | None:
@@ -119,6 +128,11 @@ class PQModel:
                 (-1, i, [float(x) for x in self.rotation[i]])
                 for i in range(self.rotation.shape[0])
             )
+        if self.train_mse is not None:
+            # sentinel row, same schema trick as the rotation: the
+            # training MSE rides subspace -2 so legacy loaders (which
+            # only read rows >= 0 / == -1) ignore it harmlessly
+            rows.append((-2, 0, [float(self.train_mse)]))
         return rows
 
     @classmethod
@@ -127,6 +141,7 @@ class PQModel:
     ) -> "PQModel":
         cb_rows = [r for r in rows if r[0] >= 0]
         rot_rows = [r for r in rows if r[0] == -1]
+        mse_rows = [r for r in rows if r[0] == -2]
         m = max(r[0] for r in cb_rows) + 1
         ks = max(r[1] for r in cb_rows) + 1
         dsub = len(cb_rows[0][2])
@@ -140,7 +155,9 @@ class PQModel:
             for _, i, vec in rot_rows:
                 rotation[i] = vec
         return cls(
-            cb, metric=metric, dim=dim, residual=residual, rotation=rotation
+            cb, metric=metric, dim=dim, residual=residual,
+            rotation=rotation,
+            train_mse=(float(mse_rows[0][2][0]) if mse_rows else None),
         )
 
 
@@ -280,8 +297,11 @@ def pq_train(
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     rng = np.random.RandomState(seed)
     if opq_iters <= 0:
-        return PQModel(_pq_fit(mat, m, ks, iters, rng), metric=metric,
-                       dim=dim)
+        cb0 = _pq_fit(mat, m, ks, iters, rng)
+        mse0 = float(
+            ((mat - _pq_reconstruct(mat, cb0)) ** 2).sum(axis=1).mean()
+        )
+        return PQModel(cb0, metric=metric, dim=dim, train_mse=mse0)
     # OPQ-NP alternation.  Each outer round refits the codebooks on the
     # freshly rotated sample (warm-started — a few Lloyd steps suffice
     # mid-alternation) and solves the Procrustes rotation update; the
@@ -299,8 +319,13 @@ def pq_train(
     # and a vault round-trip are bit-identical; fit the final codebooks
     # against the SAME float32 rotation serving will apply
     R32 = R.astype(np.float32)
-    cb = _pq_fit(mat @ R32.astype(np.float64), m, ks, iters, rng, C0=cb)
-    return PQModel(cb, metric=metric, dim=dim, rotation=R32)
+    matR = mat @ R32.astype(np.float64)
+    cb = _pq_fit(matR, m, ks, iters, rng, C0=cb)
+    # reconstruction error in the rotated space == in the original
+    # space (orthogonal rotation preserves L2), so one formula serves
+    # both paths
+    mse = float(((matR - _pq_reconstruct(matR, cb)) ** 2).sum(axis=1).mean())
+    return PQModel(cb, metric=metric, dim=dim, rotation=R32, train_mse=mse)
 
 
 def pq_encode(
@@ -485,6 +510,7 @@ def _residual_pq_candidates(
     centroids: DataFrame,
     n_candidates: int,
     id_col: str = "vec_id",
+    with_scores: bool = False,
 ) -> DataFrame:
     """ADC scan over residual codes, each row scored with ITS cell's
     (lut, const), global top ``n_candidates`` comparable across cells
@@ -589,11 +615,10 @@ def _residual_pq_candidates(
     scored = probed.select(id_col, "cell_id", "pq_code").mapInPandas(
         score, schema=f"{id_col} long, adc_score double"
     )
-    return (
-        scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
-        .limit(n_candidates)
-        .select(id_col)
-    )
+    top = scored.orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    ).limit(n_candidates)
+    return top if with_scores else top.select(id_col)
 
 
 def pq_candidates(
@@ -602,6 +627,7 @@ def pq_candidates(
     query_vector: Sequence[float],
     n_candidates: int,
     id_col: str = "vec_id",
+    with_scores: bool = False,
 ) -> DataFrame:
     """ADC scan: approximate scores over the compressed table, global
     top ``n_candidates``.  Per Arrow batch only the batch-local top
@@ -632,11 +658,77 @@ def pq_candidates(
     scored = encoded.mapInPandas(
         score, schema=f"{id_col} long, adc_score double"
     )
-    return (
-        scored.orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
-        .limit(n_candidates)
-        .select(id_col)
+    top = scored.orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    ).limit(n_candidates)
+    return top if with_scores else top.select(id_col)
+
+
+def adc_sigma(model: PQModel, query_vector: Sequence[float]) -> float | None:
+    """Per-query ADC error scale for dot/cosine models: the ADC score
+    of a row errs from its exact score by q . (v - v_hat); under the
+    isotropic-residual approximation Var = ||q||^2 * mse / dim, so
+    sigma = ||q|| * sqrt(train_mse / dim) (cosine preps q to unit
+    norm; residual models measure mse on the residual sample, whose
+    reconstruction error is exactly the served quantization error).
+    None when the model carries no training MSE (legacy index) or the
+    metric is euclidean (whose ADC error is range-dependent — the
+    adaptive cut then degrades to the fixed pool)."""
+    if model.train_mse is None or model.metric not in ("cosine", "dot"):
+        return None
+    q = _prep(np.asarray(query_vector, dtype=np.float64)[None, :],
+              model.metric)[0]
+    return float(np.linalg.norm(q) * np.sqrt(model.train_mse / model.dim))
+
+
+def adaptive_refine_cut(
+    cand_scored: DataFrame,
+    k: int,
+    sigma: float | None,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shrink an ADC candidate pool to the rows that could still reach
+    the exact top-k — the public analogue of FAISS's reorder-list
+    sizing, driven by the quantization error bound instead of a fixed
+    multiplier: keep rank <= k*refine_min unconditionally (the safety
+    floor) plus every candidate whose ADC score is within
+    ``sigma_mult * sigma`` of the rank-k ADC score.  A true top-k
+    member's ADC estimate errs by ~sigma, so anything further below
+    rank k than the error bound cannot displace it; easy queries
+    (wide ADC margins) send a near-floor pool to the exact re-rank
+    while hard ones keep up to the full ``n_candidates``.
+
+    The pool is BOUNDED (<= k * refine_max rows — the TakeOrdered
+    output), so the cut is computed DRIVER-SIDE from one collect and
+    the kept ids return as a literal DataFrame: the downstream exact
+    re-rank joins a broadcast literal instead of re-executing the ADC
+    scan plan a second time for the rank window (a plan-side window +
+    cross-join formulation measured ~1.65x the fixed path's wall —
+    the scan ran twice).  One extra control-plane job, zero extra
+    corpus passes.  ``sigma=None`` returns the pool unchanged."""
+    if sigma is None:
+        return cand_scored
+    spark = cand_scored.sparkSession
+    rows = cand_scored.collect()  # bounded: the candidate pool
+    rows.sort(key=lambda r: (-r["adc_score"], r[id_col]))
+    if len(rows) <= int(k):
+        kept = rows
+    else:
+        cut = rows[int(k) - 1]["adc_score"] - float(sigma_mult) * float(
+            sigma
+        )
+        floor = int(k) * int(refine_min)
+        kept = [
+            r for i, r in enumerate(rows)
+            if i < floor or r["adc_score"] >= cut
+        ]
+    return spark.createDataFrame(
+        [(int(r[id_col]), float(r["adc_score"])) for r in kept],
+        f"{id_col} long, adc_score double",
     )
+
 
 
 def pq_topk(
@@ -651,6 +743,9 @@ def pq_topk(
     vec_col: str = "embedding",
     score_col: str = "score",
     allowed_ids=None,
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Two-stage PQ search: ADC candidates (k*refine, compressed scan
     only) -> broadcast id join into the full-precision table -> exact
@@ -674,9 +769,22 @@ def pq_topk(
     # dedup the broadcast join below would emit the id twice into the
     # final top-k.  Bounded rows (<= k*refine) — cheap, same guard
     # ivf_pq_topk applies for spill-redundant cell assignment.
-    cand = pq_candidates(
-        scan, model, query_vector, k * refine_factor, id_col=id_col
-    ).distinct()
+    if adaptive_refine:
+        # refine_factor becomes the CEILING; the error-bound cut
+        # shrinks the exact-re-rank pool per query (see
+        # adaptive_refine_cut)
+        pool = pq_candidates(
+            scan, model, query_vector, k * refine_factor, id_col=id_col,
+            with_scores=True,
+        )
+        cand = adaptive_refine_cut(
+            pool, k, adc_sigma(model, query_vector),
+            refine_min=refine_min, sigma_mult=sigma_mult, id_col=id_col,
+        ).select(id_col).distinct()
+    else:
+        cand = pq_candidates(
+            scan, model, query_vector, k * refine_factor, id_col=id_col
+        ).distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (
         original.join(F.broadcast(cand), id_col)
@@ -819,7 +927,7 @@ def ivf_pq_build(
         )
         model = PQModel(
             base.codebooks, metric=metric, dim=base.dim, residual=True,
-            rotation=base.rotation,
+            rotation=base.rotation, train_mse=base.train_mse,
         )
         encoded = ivf_pq_encode_residual(
             assigned, model, centroids, id_col=id_col, vec_col=vec_col
@@ -850,6 +958,9 @@ def ivf_pq_topk(
     allowed_ids=None,
     n_total: int | None = None,
     max_probe_frac: float | None = None,
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """IVF-PQ search: rank cells driver-side (k_cells rows — it
     parameterizes scan pruning), ADC-scan ONLY the probed cells'
@@ -918,11 +1029,19 @@ def ivf_pq_topk(
         cand = _residual_pq_candidates(
             probed, model, query_vector, cells, centroids,
             k * refine_factor, id_col=id_col,
-        ).distinct()
+            with_scores=adaptive_refine,
+        )
     else:
         cand = pq_candidates(
-            probed, model, query_vector, k * refine_factor, id_col=id_col
-        ).distinct()
+            probed, model, query_vector, k * refine_factor, id_col=id_col,
+            with_scores=adaptive_refine,
+        )
+    if adaptive_refine:
+        cand = adaptive_refine_cut(
+            cand, k, adc_sigma(model, query_vector),
+            refine_min=refine_min, sigma_mult=sigma_mult, id_col=id_col,
+        ).select(id_col)
+    cand = cand.distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
     out = (
         original.join(F.broadcast(cand), id_col)

@@ -770,3 +770,128 @@ def stream_rp_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _semdedup_ingest_batch(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    drop_dups: bool,
+    eps: float,
+    query_name: str,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """One micro-batch of the streaming SEMANTIC near-dup-index
+    ingest — the ``_rp_ingest_batch`` semantics for the SemDeDup
+    family: with ``drop_dups``, the batch first semantic-dedups
+    AGAINST ITSELF (assign to the INDEX'S stored centroids, within-
+    cell exact-cosine pairs among the batch, connected components,
+    min-id survivor), then matches against the persisted cell index
+    and appends only the novel vectors through the replayable
+    ``semdedup_append_to_index``.  Deterministic, so a replayed batch
+    keeps the same survivors and the (op, batch_id) replay log stays
+    sufficient."""
+    from astro_vectordb_spark.operators.dedup import connected_components
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        IndexCtx,
+        SemDeDupFamily,
+        bucket_self_pairs,
+        verify_pairs,
+    )
+    from astro_vectordb_spark.sources.semdedup_index import (
+        semdedup_append_to_index,
+        semdedup_match_index,
+    )
+    from astro_vectordb_spark.sources.vault import _read_meta
+
+    fam = SemDeDupFamily()
+    meta = _read_meta(spark, index_path)
+    ctx = IndexCtx(spark, index_path, meta)
+    id_col = meta["id_col"]
+    keep = batch_df
+    n_intra = 0
+    n_dups = 0
+    if drop_dups:
+        enc = fam.encode(ctx, batch_df).localCheckpoint(eager=True)
+        cells = fam.bucketize(ctx, enc)
+        cand = bucket_self_pairs(cells, fam.bucket_keys, id_col,
+                                 max_bucket_size=max_bucket_size)
+        pairs = verify_pairs(ctx, fam, cand, enc, eps)
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        n_intra = losers.count()
+        keep = enc.join(losers, id_col, "left_anti")
+        hits = semdedup_match_index(
+            spark, index_path, keep, eps=eps,
+            max_bucket_size=max_bucket_size,
+        )
+        dup_ids = hits.select(
+            F.col("new_id").alias(id_col)
+        ).distinct().localCheckpoint(eager=True)
+        n_dups = dup_ids.count()
+        keep = keep.join(dup_ids, id_col, "left_anti")
+    rep = semdedup_append_to_index(
+        spark, index_path, keep, batch_id=int(batch_id)
+    )
+    rep["dropped_dups"] = int(n_dups)
+    rep["dropped_intra_batch"] = int(n_intra)
+    print(
+        f"{query_name} batch {batch_id}: +{rep['appended_rows']} vectors, "
+        f"{n_dups} hist dups + {n_intra} intra-batch dups dropped"
+    )
+    return rep
+
+
+def stream_semdedup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_semdedup_ingest",
+    drop_dups: bool = True,
+    eps: float = 0.95,
+    max_bucket_size: int | None = None,
+    gc_every: int | None = None,
+):
+    """Streaming ingest into the persisted SemDeDup index: each
+    micro-batch of (vec_id, embedding) rows assigns ONLY ITSELF
+    against the stored centroids, is matched against everything
+    already ingested (compact cell/vector tables), and with
+    ``drop_dups`` only the novel vectors are appended; redelivered
+    batches are no-ops via the (op='semdedup_append', batch_id) replay
+    log.  The ``stream_rp_ingest`` shape for the semantic family;
+    ``gc_every=N`` compacts the replay log every N applied batches,
+    scoped to this stream's own op namespace."""
+    from astro_vectordb_spark.sources.vault import gc as _vault_gc
+
+    spark = stream_df.sparkSession
+    applied = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _semdedup_ingest_batch(
+            spark, index_path, batch_df, batch_id,
+            drop_dups=drop_dups, eps=eps,
+            query_name=query_name, max_bucket_size=max_bucket_size,
+        )
+        applied["n"] += 1
+        if gc_every and applied["n"] % int(gc_every) == 0:
+            # own-namespace-only compaction (see stream_minhash_ingest)
+            rep = _vault_gc(spark, index_path, ops=["semdedup_append"])
+            if rep.get("compacted"):
+                print(
+                    f"{query_name}: replay-log gc "
+                    f"{rep['files_before']} -> {rep['files_after']} files"
+                )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

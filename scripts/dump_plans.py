@@ -77,6 +77,15 @@ SHOW = [
     # centroid join + per-vector window argmax assignment, within-cell
     # pair join, no cross join anywhere on the corpus axis
     "semdedup_fixed",
+    # round 13: the multi-probe RP match must keep the incremental
+    # shape (batch-side probe cells joining the persisted buckets —
+    # probing adds batch-side rows only, never index work); the
+    # incremental SemDeDup match must show the BATCH assigning against
+    # broadcast stored centroids (map-side max_by argmax, no window
+    # shuffle) and joining the persisted cell/vector tables with no
+    # corpus re-assignment
+    "rp_index_multiprobe",
+    "semdedup_index_incremental",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -262,3 +262,52 @@ class TestCompact:
         assert semdedup_match_index(
             spark, path, probe, eps=0.999
         ).count() >= 10
+
+
+class TestStreaming:
+    def test_stream_ingest_dedups_and_serves(self, spark, data,
+                                             tmp_path):
+        """Streaming ingest: intra-batch + vs-history semantic dedup,
+        replay-logged appends, gc_every bounding the log."""
+        import time
+
+        from astro_vectordb_spark.streaming.upsert import (
+            stream_semdedup_ingest,
+        )
+
+        df, cents = data
+        path = str(tmp_path / "sd_stream")
+        save_semdedup_index(
+            df.filter(F.col("vec_id") < 100), path, centroids=cents
+        )
+        # constant-vector stream: every micro-batch row is an exact
+        # copy of one indexed vector's direction -> everything after
+        # the first novel append must be dropped as a duplicate
+        first = df.filter(F.col("vec_id") == 0).first()["embedding"]
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "15")
+            .load()
+            .select(
+                (F.col("value") + 700_000).alias("vec_id"),
+                F.array(*[F.lit(float(x)) for x in first]).alias(
+                    "embedding"
+                ),
+            )
+        )
+        q = stream_semdedup_ingest(
+            stream, path, drop_dups=True, eps=0.999, gc_every=3
+        )
+        try:
+            deadline = time.time() + 40
+            while time.time() < deadline:
+                time.sleep(3)
+                if (q.lastProgress or {}).get("batchId", 0) >= 5:
+                    break
+        finally:
+            q.stop()
+        vecs, cells, _, meta = load_semdedup_index(spark, path)
+        # the whole stream collapsed to the one original vector: no
+        # streamed copy survived (vec 0 is already indexed history)
+        assert vecs.filter(F.col("vec_id") >= 700_000).count() == 0
+        assert int(meta["n_rows"]) == 100

@@ -672,8 +672,10 @@ def adc_sigma(model: PQModel, query_vector: Sequence[float]) -> float | None:
     norm; residual models measure mse on the residual sample, whose
     reconstruction error is exactly the served quantization error).
     None when the model carries no training MSE (legacy index) or the
-    metric is euclidean (whose ADC error is range-dependent — the
-    adaptive cut then degrades to the fixed pool)."""
+    metric is euclidean — the euclidean error bound depends on the
+    rank-k DISTANCE, which only exists once the pool is ranked, so
+    ``adaptive_refine_cut`` derives it in place when handed the model
+    (see its docstring)."""
     if model.train_mse is None or model.metric not in ("cosine", "dot"):
         return None
     q = _prep(np.asarray(query_vector, dtype=np.float64)[None, :],
@@ -688,6 +690,7 @@ def adaptive_refine_cut(
     refine_min: int = 4,
     sigma_mult: float = 3.0,
     id_col: str = "vec_id",
+    model: PQModel | None = None,
 ) -> DataFrame:
     """Shrink an ADC candidate pool to the rows that could still reach
     the exact top-k — the public analogue of FAISS's reorder-list
@@ -707,8 +710,23 @@ def adaptive_refine_cut(
     scan plan a second time for the rank window (a plan-side window +
     cross-join formulation measured ~1.65x the fixed path's wall —
     the scan ran twice).  One extra control-plane job, zero extra
-    corpus passes.  ``sigma=None`` returns the pool unchanged."""
-    if sigma is None:
+    corpus passes.
+
+    EUCLIDEAN models (``sigma=None`` + ``model`` given): the ADC score
+    is -||x_hat - q||^2 while the true score is -||x - q||^2 =
+    adc - 2 e.(x_hat - q) - ||e||^2 (e = quantization error), so the
+    error scale DEPENDS ON THE RANK-K DISTANCE — it is derived here,
+    after ranking, as 2*sqrt(d2_k * mse / dim) (the isotropic
+    cross-term at the rank-k radius d2_k = -adc@k) plus the ||e||^2
+    bias shift of mse.  ``sigma=None`` with no model (or a legacy
+    model) returns the pool unchanged."""
+    eucl = (
+        sigma is None
+        and model is not None
+        and model.metric == "euclidean"
+        and model.train_mse is not None
+    )
+    if sigma is None and not eucl:
         return cand_scored
     spark = cand_scored.sparkSession
     rows = cand_scored.collect()  # bounded: the candidate pool
@@ -716,6 +734,10 @@ def adaptive_refine_cut(
     if len(rows) <= int(k):
         kept = rows
     else:
+        if eucl:
+            mse = float(model.train_mse)
+            d2_k = max(-float(rows[int(k) - 1]["adc_score"]), 0.0)
+            sigma = 2.0 * float(np.sqrt(d2_k * mse / model.dim)) + mse
         cut = rows[int(k) - 1]["adc_score"] - float(sigma_mult) * float(
             sigma
         )
@@ -780,6 +802,7 @@ def pq_topk(
         cand = adaptive_refine_cut(
             pool, k, adc_sigma(model, query_vector),
             refine_min=refine_min, sigma_mult=sigma_mult, id_col=id_col,
+            model=model,
         ).select(id_col).distinct()
     else:
         cand = pq_candidates(
@@ -1040,6 +1063,7 @@ def ivf_pq_topk(
         cand = adaptive_refine_cut(
             cand, k, adc_sigma(model, query_vector),
             refine_min=refine_min, sigma_mult=sigma_mult, id_col=id_col,
+            model=model,
         ).select(id_col)
     cand = cand.distinct()
     qv = F.array(*[F.lit(float(x)) for x in query_vector])

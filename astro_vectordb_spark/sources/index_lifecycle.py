@@ -74,6 +74,12 @@ class BucketIndexFamily:
     score_is_geq: bool  # filter at >= threshold (est) vs > (cosine)
     round_before_filter: bool  # minhash filters the ROUNDED estimate
     meta_schema: str  # must end with "n_rows long"
+    # True when bucketize assigns each id to EXACTLY ONE bucket
+    # (SemDeDup's argmax cell): the candidate joins then cannot emit a
+    # duplicate (id, id) pair, so the post-join .distinct() — a full
+    # shuffle of the pair stream — is skipped as a provable identity.
+    # Multi-table families (minhash bands, RP tables) need the dedup.
+    unique_assignment: bool = False
 
     def value_col(self, meta: dict) -> str:
         raise NotImplementedError
@@ -188,8 +194,9 @@ def match_index(
         nb.select(F.col(id_col).alias("new_id"), *keys)
         .join(hist, keys)
         .select("new_id", "hist_id")
-        .distinct()
     )
+    if not family.unique_assignment:
+        cands = cands.distinct()
     vcol = family.value_col(meta)
     scored = (
         cands.join(
@@ -386,9 +393,13 @@ def bucket_self_pairs(
     keys: tuple[str, ...],
     id_col: str,
     max_bucket_size: int | None = None,
+    unique_assignment: bool = False,
 ) -> DataFrame:
     """(a_id < b_id) candidate pairs from a bucket-table self-join,
-    with the optional deterministic per-bucket witness cap."""
+    with the optional deterministic per-bucket witness cap.
+    ``unique_assignment`` (one bucket per id — SemDeDup cells) skips
+    the pair dedup shuffle: the self-join provably emits each pair
+    once."""
     scope = buckets.select(id_col, *keys)
     if max_bucket_size is not None:
         w = Window.partitionBy(*keys).orderBy(id_col)
@@ -399,12 +410,12 @@ def bucket_self_pairs(
         )
     a = scope.select(F.col(id_col).alias("a_id"), *keys)
     b = scope.select(F.col(id_col).alias("b_id"), *keys)
-    return (
+    pairs = (
         a.join(b, list(keys))
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+    return pairs if unique_assignment else pairs.distinct()
 
 
 def verify_pairs(
@@ -596,6 +607,7 @@ class SemDeDupFamily(BucketIndexFamily):
     bucket_table = "cells"
     bucket_keys = ("cell_id",)
     partition_col = "cell_id"
+    unique_assignment = True
     append_op = "semdedup_append"
     sweep_op = "semdedup_sweep"
     removed_key = "removed_rows"

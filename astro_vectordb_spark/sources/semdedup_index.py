@@ -217,7 +217,8 @@ def semdedup_index_groups(
     ctx = IndexCtx(spark, path, meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cand = bucket_self_pairs(
-        cells, fam.bucket_keys, id_col, max_bucket_size=max_cluster_rows
+        cells, fam.bucket_keys, id_col, max_bucket_size=max_cluster_rows,
+        unique_assignment=True,
     )
     pairs = verify_pairs(ctx, fam, cand, vecs, eps)
     if keep == "min_id":

@@ -816,7 +816,8 @@ def _semdedup_ingest_batch(
         enc = fam.encode(ctx, batch_df).localCheckpoint(eager=True)
         cells = fam.bucketize(ctx, enc)
         cand = bucket_self_pairs(cells, fam.bucket_keys, id_col,
-                                 max_bucket_size=max_bucket_size)
+                                 max_bucket_size=max_bucket_size,
+                                 unique_assignment=True)
         pairs = verify_pairs(ctx, fam, cand, enc, eps)
         comp = connected_components(pairs)
         losers = comp.filter(F.col("id") != F.col("component")).select(

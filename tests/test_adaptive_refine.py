@@ -221,3 +221,55 @@ class TestEndToEnd:
         # adaptive cut must not lose exact top-10 members
         assert set(got) == set(want)
         enc.unpersist()
+
+
+class TestEuclideanAdaptive:
+    def test_euclidean_cut_exact_and_shrinks(self, spark, data):
+        df, X = data
+        model = pq_train(df, m=8, ks=64, metric="euclidean", max_rows=N)
+        assert model.train_mse is not None
+        enc = pq_encode(df, model).cache()
+        enc.count()
+        from astro_vectordb_spark.functions.vector import similarity
+
+        rng = np.random.RandomState(11)
+        for _ in range(2):
+            q = [float(x) for x in X[rng.randint(0, N)] + 0.01]
+            qv = F.array(*[F.lit(float(x)) for x in q])
+            want = [
+                r["vec_id"]
+                for r in df.withColumn(
+                    "s", similarity(F.col("embedding"), qv, "euclidean")
+                ).orderBy(F.col("s").desc(), F.col("vec_id").asc())
+                .limit(10).collect()
+            ]
+            got = [
+                r["vec_id"]
+                for r in pq_topk(
+                    enc, df, q, 10, model, refine_factor=32,
+                    adaptive_refine=True,
+                ).collect()
+            ]
+            assert got == want
+            pool = adaptive_refine_cut(
+                pq_candidates(enc, model, q, 320, with_scores=True),
+                10, None, model=model,
+            ).count()
+            assert pool < 320
+        enc.unpersist()
+
+    def test_euclidean_legacy_degrades_to_fixed(self, spark, data):
+        df, X = data
+        model = pq_train(df, m=8, ks=64, metric="euclidean", max_rows=N)
+        legacy = PQModel(model.codebooks, metric="euclidean",
+                         dim=model.dim)
+        enc = pq_encode(df, legacy).cache()
+        enc.count()
+        q = [float(x) for x in X[5]]
+        fixed = pq_topk(enc, df, q, 10, legacy, refine_factor=16)
+        adapt = pq_topk(enc, df, q, 10, legacy, refine_factor=16,
+                        adaptive_refine=True)
+        assert [r.asDict() for r in fixed.collect()] == [
+            r.asDict() for r in adapt.collect()
+        ]
+        enc.unpersist()

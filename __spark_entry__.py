@@ -365,6 +365,61 @@ def _q_near_dup_simhash_sql(spark, sf_dir):
     return simhash_pairs_sql_safe(_docs(spark, sf_dir), max_hamming=3)
 
 
+_SIMHASH_IDX_CACHE: dict[str, str] = {}
+
+
+def simhash_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted SimHash index over the
+    HISTORICAL corpus slice (doc_id % 5 != 4), built THROUGH the
+    incremental lifecycle — save on 90%, APPEND the held-out 10% —
+    the minhash_index_path recipe for the fourth family."""
+    if sf_dir in _SIMHASH_IDX_CACHE:
+        return _SIMHASH_IDX_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.vault import (
+        save_simhash_index,
+        simhash_append_to_index,
+    )
+
+    hist = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 5 != 4
+    )
+    path = tempfile.mkdtemp(prefix="astro_sh_idx_")
+    save_simhash_index(hist.filter(F.col("doc_id") % 10 != 7), path,
+                       max_hamming=3)
+    simhash_append_to_index(
+        spark, path, hist.filter(F.col("doc_id") % 10 == 7), batch_id=0
+    )
+    _SIMHASH_IDX_CACHE[sf_dir] = path
+    return path
+
+
+def _q_simhash_index_incremental(spark, sf_dir):
+    # round 13: INCREMENTAL SimHash near-dup — a new doc batch matched
+    # against the persisted index (stored 31-bit SQL-safe signatures +
+    # pigeonhole chunk table; history is never re-signed) as ONE
+    # driver hash.  The batch = the held-out corpus slice (doc_id % 5
+    # == 4) PLUS planted copies of 16 historical docs (ids +100000),
+    # which must surface at hamming exactly 0; verification is the
+    # popcount on the XOR of stored signatures.  The index is built
+    # save -> APPEND, so drift in the signature votes, the chunk
+    # layout, the append's chunk-sync, or the hamming arithmetic
+    # shifts the (new_id, hist_id, hamming) hash.  Fourth family over
+    # the shared index-lifecycle core.
+    from astro_vectordb_spark.sources.vault import simhash_match_index
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 4).unionAll(
+        docs.filter(
+            (F.col("doc_id") < 20) & (F.col("doc_id") % 5 != 4)
+        ).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return simhash_match_index(
+        spark, simhash_index_path(spark, sf_dir), new, max_hamming=3
+    )
+
+
 def _q_near_dup_native_exactdup(spark, sf_dir):
     # Hash-checkable surface for the two NATIVE (xxhash64) near-dup
     # families, which are otherwise rows-only (the oracle cannot replay
@@ -2578,6 +2633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "embed_docs": _q_embed_docs,
         # (window boundary: 50 entries above this line)
+        # -- NEW late in round 13, full-gate-oracled (rotate in next
+        # round): the persisted SimHash index gate — fourth family
+        # over the shared lifecycle core
+        "simhash_index_incremental": _q_simhash_index_incremental,
         # -- OUT this round (>= 2-round-green, reps in-window above):
         "threshold_cap": _q_threshold_cap,
         "near_dup_jaccard": _q_near_dup_jaccard,
@@ -3230,6 +3289,64 @@ SELECT id AS vec_id FROM comp WHERE id = component
 UNION ALL
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM comp)
+""",
+        # incremental SimHash gate (fourth lifecycle family): both
+        # sides sign under the SQL-safe 31-bit char-poly family, the
+        # batch's pigeonhole chunks join the indexed side's, popcount
+        # verifies at hamming <= 3
+        "simhash_index_incremental": f"""
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id % 5 <> 4 AND doc_id < 20
+),
+hhs AS (
+  SELECT doc_id,
+    list_transform(list_distinct({_LTOKS}), tok ->
+      list_reduce(
+        list_transform(generate_series(1, len(tok)), i -> ord(tok[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM hist WHERE len(list_distinct({_LTOKS})) > 0
+),
+hsig AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 30), j ->
+      CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1) * 2 - 1)) > 0
+           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sim
+  FROM hhs
+),
+nhs AS (
+  SELECT doc_id,
+    list_transform(list_distinct({_LTOKS}), tok ->
+      list_reduce(
+        list_transform(generate_series(1, len(tok)), i -> ord(tok[i])::BIGINT),
+        (acc, x) -> (acc * 131 + x) % 2147483647)) AS h
+  FROM newb WHERE len(list_distinct({_LTOKS})) > 0
+),
+nsig AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 30), j ->
+      CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1) * 2 - 1)) > 0
+           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sim
+  FROM nhs
+),
+ch AS (SELECT * FROM (VALUES (0, 0, 255), (1, 8, 255), (2, 16, 255), (3, 24, 127))
+       AS c(ci, off, mask)),
+hblk AS (SELECT doc_id, sim, ci, (sim >> off) & mask AS cv
+         FROM hsig CROSS JOIN ch),
+nblk AS (SELECT doc_id, sim, ci, (sim >> off) & mask AS cv
+         FROM nsig CROSS JOIN ch),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+         n.sim AS ns, h.sim AS hs
+  FROM nblk n JOIN hblk h ON n.ci = h.ci AND n.cv = h.cv
+)
+SELECT new_id, hist_id, bit_count(xor(ns, hs))::INT AS hamming
+FROM cand WHERE bit_count(xor(ns, hs)) <= 3
 """,
         # incremental SemDeDup gate: both sides assign by argmax cosine
         # over the 16 literal centroids (ties by cell_id) — the same

@@ -737,6 +737,70 @@ SIMHASH_SQL_BITS = 31  # char-poly hashes are < 2^31
 SIMHASH_SQL_CHUNKS = [(0, 255), (8, 255), (16, 255), (24, 127)]  # (offset, mask)
 
 
+def simhash_sql_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sim BIGINT) 31-bit SQL-safe SimHash signatures — the
+    char-polynomial token hash + partial-SUM bit votes, exactly the
+    arithmetic the DuckDB twin replays (see simhash_pairs_sql_safe's
+    discrimination-gap note for why this family coexists with the
+    native 64-bit one).  Shared by the one-shot pair face and the
+    persisted SimHash index (vault.save_simhash_index)."""
+    from astro_vectordb_spark.functions.text import tokens
+
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("_t"),
+    ).withColumn("_h", _char_poly_hash(F.col("_t")))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_b{j}")
+            for j in range(SIMHASH_SQL_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_SQL_BITS):
+        sig = sig + F.when(
+            F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, sig.alias("sim"))
+
+
+def simhash_chunk_table(
+    sigs: DataFrame,
+    chunks: list[tuple[int, int]],
+    id_col: str = "doc_id",
+    sig_col: str = "sim",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_val) pigeonhole blocking table: chunk c =
+    (sig >> offset) & mask.  Any pair within hamming d shares at least
+    one exact chunk when len(chunks) == d + 1 (Manku et al., WWW'07).
+    ``chunks`` is a list of (offset, mask) so the SQL-safe 31-bit
+    layout and the native even-width 64-bit layout share one kernel."""
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col(sig_col), off).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+        for off, mask in chunks
+    ]
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def native_simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """Even-width (offset, mask) chunk layout over 64 bits for the
+    native signature family: max_hamming + 1 chunks."""
+    n = max_hamming + 1
+    width = 64 // n
+    return [(c * width, (1 << width) - 1) for c in range(n)]
+
+
 def simhash_pairs_sql_safe(
     df: DataFrame,
     max_hamming: int = 3,
@@ -768,31 +832,13 @@ def simhash_pairs_sql_safe(
     silent hash-family regression in either variant fails loudly."""
     from astro_vectordb_spark.functions.text import tokens
 
-    ex = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("_t"),
-    ).withColumn("_h", _char_poly_hash(F.col("_t")))
-    votes = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"_b{j}")
-            for j in range(SIMHASH_SQL_BITS)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_SQL_BITS):
-        sig = sig + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    sigs = votes.select(id_col, sig.alias("sim"))
-    chunk_exprs = [
-        F.shiftright(F.col("sim"), off).bitwiseAND(F.lit(mask).cast("long"))
-        for off, mask in SIMHASH_SQL_CHUNKS
-    ]
-    blocked = sigs.select(
-        id_col, "sim", F.posexplode(F.array(*chunk_exprs)).alias("ci", "cv")
-    )
+    sigs = simhash_sql_table(df, text_col=text_col, id_col=id_col)
+    blocked = sigs.join(
+        simhash_chunk_table(sigs, SIMHASH_SQL_CHUNKS, id_col=id_col)
+        .withColumnRenamed("chunk_idx", "ci")
+        .withColumnRenamed("chunk_val", "cv"),
+        id_col,
+    ).select(id_col, "sim", "ci", "cv")
     a = blocked.select(
         F.col(id_col).alias("a_id"), F.col("sim").alias("sa"), "ci", "cv"
     )

@@ -663,3 +663,77 @@ class SemDeDupFamily(BucketIndexFamily):
         from astro_vectordb_spark.functions.vector import similarity
 
         return similarity(a, b, ctx.meta["metric"])
+
+
+class SimhashFamily(BucketIndexFamily):
+    """Text near-dup via SimHash (Manku et al., WWW'07) as a PERSISTED
+    index — the fourth family over this core, and the proof that a new
+    signature scheme costs three kernels, not a re-implementation:
+    signatures are the primary value, pigeonhole chunks the buckets,
+    and the pair score is the exact rational (bits - hamming) / bits
+    (so the generic >= threshold filter expresses hamming <=
+    max_hamming at threshold (bits - max_hamming) / bits).
+
+    Two hash families share the lifecycle: ``sql_safe31`` (31-bit
+    char-polynomial hash — every face DuckDB-replayable, the driver
+    gate rides it) and ``native64`` (xxhash64 — the production
+    discrimination; see dedup.simhash_pairs_sql_safe's
+    discrimination-gap note)."""
+
+    name = "simhash"
+    primary_table = "sigs"
+    bucket_table = "chunks"
+    bucket_keys = ("chunk_idx", "chunk_val")
+    partition_col = "chunk_idx"
+    append_op = "simhash_append"
+    sweep_op = "simhash_sweep"
+    removed_key = "removed_docs"
+    score_col = "sim_frac"
+    score_is_geq = True
+    round_before_filter = True
+    meta_schema = (
+        "bits int, max_hamming int, hash_family string, id_col string, "
+        "n_rows long"
+    )
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+
+    def value_col(self, meta: dict) -> str:
+        return "sim"
+
+    def encode(self, ctx: IndexCtx, df: DataFrame) -> DataFrame:
+        from astro_vectordb_spark.operators.dedup import (
+            simhash_sql_table,
+            simhash_table,
+        )
+
+        m = ctx.meta
+        if m["hash_family"] == "native64":
+            return simhash_table(df, self.text_col, m["id_col"])
+        return simhash_sql_table(df, text_col=self.text_col,
+                                 id_col=m["id_col"])
+
+    def _chunks(self, meta: dict) -> list[tuple[int, int]]:
+        from astro_vectordb_spark.operators.dedup import (
+            SIMHASH_SQL_CHUNKS,
+            native_simhash_chunks,
+        )
+
+        if meta["hash_family"] == "native64":
+            return native_simhash_chunks(int(meta["max_hamming"]))
+        return SIMHASH_SQL_CHUNKS
+
+    def bucketize(self, ctx: IndexCtx, primary: DataFrame) -> DataFrame:
+        from astro_vectordb_spark.operators.dedup import simhash_chunk_table
+
+        return simhash_chunk_table(
+            primary, self._chunks(ctx.meta), id_col=ctx.meta["id_col"]
+        )
+
+    def pair_score(self, ctx: IndexCtx, a, b):
+        bits = int(ctx.meta["bits"])
+        return (
+            F.lit(float(bits))
+            - F.bit_count(a.bitwiseXOR(b)).cast("double")
+        ) / F.lit(float(bits))

@@ -2726,3 +2726,212 @@ def rp_apply_groups(
         batch_id=batch_id,
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Persisted SimHash near-dup index — round 13: the fourth family over
+# the shared lifecycle core (sources/index_lifecycle.py), closing the
+# gap that SimHash was the one dedup scheme with only a one-shot face
+# (simhash_pairs / simhash_pairs_sql_safe re-sign the WHOLE corpus per
+# run).  Data model under ``path``: sigs/ (id, sim BIGINT), chunks/
+# (id, chunk_idx, chunk_val; partitioned by chunk_idx — a batch's
+# candidate join prunes at file level per chunk), _meta (bits,
+# max_hamming, hash_family, id_col, n_rows).  hash_family
+# 'sql_safe31' keeps every face DuckDB-replayable (the driver gate);
+# 'native64' is the production-discrimination variant — see
+# dedup.simhash_pairs_sql_safe's discrimination-gap note.
+
+
+def _simhash_family(text_col: str = "text"):
+    from astro_vectordb_spark.sources.index_lifecycle import SimhashFamily
+
+    return SimhashFamily(text_col=text_col)
+
+
+def _simhash_thr(meta: dict, max_hamming: int | None) -> tuple[int, float]:
+    mh = int(meta["max_hamming"]) if max_hamming is None else int(max_hamming)
+    if mh > int(meta["max_hamming"]):
+        raise ValueError(
+            f"simhash index built for max_hamming={meta['max_hamming']}; "
+            f"querying at {mh} would lose the pigeonhole recall guarantee "
+            f"(chunks = max_hamming + 1 at build time)"
+        )
+    bits = int(meta["bits"])
+    return bits, (bits - mh) / bits
+
+
+def _simhash_frac_to_hamming(df: DataFrame, bits: int) -> DataFrame:
+    # exact: sim_frac is the 6-rounded rational (bits - h)/bits, and
+    # bits <= 64 keeps the round-trip error far under 0.5
+    return df.select(
+        "new_id", "hist_id",
+        F.round((F.lit(1.0) - F.col("sim_frac")) * bits, 0)
+        .cast("int").alias("hamming"),
+    )
+
+
+def save_simhash_index(
+    docs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    hash_family: str = "sql_safe31",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build + persist the SimHash near-dup index: sign the corpus
+    once, store signatures + the pigeonhole chunk table for
+    ``max_hamming`` (chunks = max_hamming + 1 -> recall exactly 1.0
+    for pairs within that distance; queries may use any smaller
+    distance)."""
+    from astro_vectordb_spark.sources.index_lifecycle import save_index
+
+    if hash_family not in ("sql_safe31", "native64"):
+        raise ValueError(f"unknown simhash hash_family {hash_family!r}")
+    bits = 31 if hash_family == "sql_safe31" else 64
+    params = {"bits": bits, "max_hamming": int(max_hamming),
+              "hash_family": str(hash_family), "id_col": str(id_col)}
+    save_index(
+        docs, path, _simhash_family(text_col), params,
+        meta_values=(bits, int(max_hamming), str(hash_family),
+                     str(id_col)),
+    )
+
+
+def load_simhash_index(spark: SparkSession, path: str):
+    """-> (sigs df, chunks df, meta dict)."""
+    from astro_vectordb_spark.sources.index_lifecycle import load_index
+
+    return load_index(spark, path, _simhash_family())
+
+
+def simhash_match_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    max_hamming: int | None = None,
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Match a NEW batch against the persisted SimHash index without
+    re-signing history: sign the batch under the stored hash family,
+    join its pigeonhole chunks against the compact chunk table, verify
+    candidates with the exact popcount hamming.  Returns
+    ``(new_id, hist_id, hamming)`` filtered at ``max_hamming``
+    (default: the index's build distance; larger values are rejected —
+    the stored chunk count only guarantees recall up to the build
+    distance).  Same hot-bucket cap + telemetry contract as the
+    sibling families."""
+    from astro_vectordb_spark.sources.index_lifecycle import match_index
+
+    meta = _read_meta(spark, path)
+    bits, thr = _simhash_thr(meta, max_hamming)
+    out = match_index(
+        spark, path, _simhash_family(text_col), new_docs, threshold=thr,
+        max_bucket_size=max_bucket_size, telemetry=telemetry,
+    )
+    return _simhash_frac_to_hamming(out, bits)
+
+
+def simhash_append_to_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+    dedup_ids: bool = True,
+    text_col: str = "text",
+) -> dict:
+    """Incremental insert (the shared crash-self-healing contract:
+    signatures append before chunks; the chunk append derives from the
+    stored sigs-vs-chunks id diff)."""
+    from astro_vectordb_spark.sources.index_lifecycle import append_to_index
+
+    return append_to_index(
+        spark, path, _simhash_family(text_col), new_docs,
+        batch_id=batch_id, dedup_ids=dedup_ids,
+    )
+
+
+def simhash_remove_from_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    batch_id: int | None = None,
+    op: str = "simhash_remove",
+) -> dict:
+    """Physical delete — file-granular on both tables, chunks first."""
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        remove_from_index,
+    )
+
+    return remove_from_index(
+        spark, path, _simhash_family(), doc_ids, batch_id=batch_id, op=op
+    )
+
+
+def simhash_compact_index(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    min_file_ratio: float = 2.0,
+) -> dict:
+    """Churn-aware compaction (shared contract): staged-swap rewrite,
+    chunks re-derived from the compacted signatures."""
+    from astro_vectordb_spark.sources.index_lifecycle import compact_index
+
+    return compact_index(
+        spark, path, _simhash_family(),
+        target_rows_per_file=target_rows_per_file,
+        min_file_ratio=min_file_ratio,
+    )
+
+
+def simhash_index_groups(
+    spark: SparkSession,
+    path: str,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus-wide SimHash dedup of the ALREADY-INGESTED corpus from
+    its persisted index alone — no text is re-signed: chunk self-join
+    candidates (a_id < b_id), popcount-hamming verify, connected
+    components, min-id representative; singletons keep themselves.
+    Returns the KEEP set (one ``id_col`` row per survivor)."""
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        IndexCtx,
+        bucket_self_pairs,
+        keep_from_pairs,
+        verify_pairs,
+    )
+
+    fam = _simhash_family()
+    sigs, chunks, meta = load_simhash_index(spark, path)
+    _, thr = _simhash_thr(meta, max_hamming)
+    ctx = IndexCtx(spark, path, meta)
+    id_col = meta["id_col"]
+    cand = bucket_self_pairs(
+        chunks, fam.bucket_keys, id_col, max_bucket_size=max_bucket_size
+    )
+    pairs = verify_pairs(ctx, fam, cand, sigs, thr)
+    return keep_from_pairs(sigs, pairs, id_col)
+
+
+def simhash_apply_groups(
+    spark: SparkSession,
+    path: str,
+    max_hamming: int | None = None,
+    batch_id: int | None = None,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """One-call retroactive sweep-APPLY (the shared contract),
+    replay-logged under op='simhash_sweep'; fixpoint after."""
+    from astro_vectordb_spark.sources.index_lifecycle import apply_groups
+
+    return apply_groups(
+        spark, path, _simhash_family(),
+        keep_fn=lambda: simhash_index_groups(
+            spark, path, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        ),
+        batch_id=batch_id,
+    )

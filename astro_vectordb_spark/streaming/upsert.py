@@ -896,3 +896,123 @@ def stream_semdedup_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _simhash_ingest_batch(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    drop_dups: bool,
+    max_hamming: int | None,
+    query_name: str,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """One micro-batch of the streaming SimHash near-dup-index ingest
+    (the shared shape, fourth family): with ``drop_dups``, the batch
+    first near-dups AGAINST ITSELF (sign under the index's stored
+    hash family, pigeonhole chunk self-join, popcount verify, CC,
+    min-id survivor), then matches against the persisted chunk index
+    and appends only the novel docs through the replayable
+    ``simhash_append_to_index``."""
+    from astro_vectordb_spark.operators.dedup import connected_components
+    from astro_vectordb_spark.sources.index_lifecycle import (
+        IndexCtx,
+        bucket_self_pairs,
+        verify_pairs,
+    )
+    from astro_vectordb_spark.sources.vault import (
+        _read_meta,
+        _simhash_family,
+        _simhash_thr,
+        simhash_append_to_index,
+        simhash_match_index,
+    )
+
+    fam = _simhash_family()
+    meta = _read_meta(spark, index_path)
+    _, thr = _simhash_thr(meta, max_hamming)
+    ctx = IndexCtx(spark, index_path, meta)
+    id_col = meta["id_col"]
+    keep = batch_df
+    n_intra = 0
+    n_dups = 0
+    if drop_dups:
+        enc = fam.encode(ctx, batch_df).localCheckpoint(eager=True)
+        chunks = fam.bucketize(ctx, enc)
+        cand = bucket_self_pairs(chunks, fam.bucket_keys, id_col,
+                                 max_bucket_size=max_bucket_size)
+        pairs = verify_pairs(ctx, fam, cand, enc, thr)
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        n_intra = losers.count()
+        keep_ids = enc.select(id_col).join(losers, id_col, "left_anti")
+        keep = batch_df.join(keep_ids, id_col, "left_semi")
+        hits = simhash_match_index(
+            spark, index_path, keep, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+        dup_ids = hits.select(
+            F.col("new_id").alias(id_col)
+        ).distinct().localCheckpoint(eager=True)
+        n_dups = dup_ids.count()
+        keep = keep.join(dup_ids, id_col, "left_anti")
+    rep = simhash_append_to_index(
+        spark, index_path, keep, batch_id=int(batch_id)
+    )
+    rep["dropped_dups"] = int(n_dups)
+    rep["dropped_intra_batch"] = int(n_intra)
+    print(
+        f"{query_name} batch {batch_id}: +{rep['appended_rows']} docs, "
+        f"{n_dups} hist dups + {n_intra} intra-batch dups dropped"
+    )
+    return rep
+
+
+def stream_simhash_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "astro_simhash_ingest",
+    drop_dups: bool = True,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = None,
+    gc_every: int | None = None,
+):
+    """Streaming ingest into the persisted SimHash index — the shared
+    foreachBatch shape (see stream_minhash_ingest); ``gc_every=N``
+    compacts the replay log every N applied batches, scoped to this
+    stream's own op namespace."""
+    from astro_vectordb_spark.sources.vault import gc as _vault_gc
+
+    spark = stream_df.sparkSession
+    applied = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _simhash_ingest_batch(
+            spark, index_path, batch_df, batch_id,
+            drop_dups=drop_dups, max_hamming=max_hamming,
+            query_name=query_name, max_bucket_size=max_bucket_size,
+        )
+        applied["n"] += 1
+        if gc_every and applied["n"] % int(gc_every) == 0:
+            # own-namespace-only compaction (see stream_minhash_ingest)
+            rep = _vault_gc(spark, index_path, ops=["simhash_append"])
+            if rep.get("compacted"):
+                print(
+                    f"{query_name}: replay-log gc "
+                    f"{rep['files_before']} -> {rep['files_after']} files"
+                )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

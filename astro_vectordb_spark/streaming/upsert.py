@@ -573,6 +573,52 @@ def _minhash_ingest_batch(
     return rep
 
 
+def _run_index_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    apply_batch,
+    gc_ops: list[str],
+    checkpoint: str | None,
+    query_name: str,
+    gc_every: int | None,
+):
+    """Shared foreachBatch runner for the four persisted-index ingest
+    streams (minhash / rp / semdedup / simhash): apply one micro-batch
+    via ``apply_batch(batch_df, batch_id)``, and every ``gc_every``
+    applied batches compact the replay log SCOPED to this stream's own
+    op namespaces (a horizon is only sound against the owning stream's
+    micro-batch ordering; sibling streams' rows pass through verbatim,
+    and a commit racing the swap is detected/carried — see vault.gc).
+    Without gc a months-long ingest accretes one tiny log file per
+    micro-batch."""
+    from astro_vectordb_spark.sources.vault import gc as _vault_gc
+
+    spark = stream_df.sparkSession
+    applied = {"n": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_batch(batch_df, batch_id)
+        applied["n"] += 1
+        if gc_every and applied["n"] % int(gc_every) == 0:
+            rep = _vault_gc(spark, index_path, ops=gc_ops)
+            if rep.get("compacted"):
+                print(
+                    f"{query_name}: replay-log gc "
+                    f"{rep['files_before']} -> {rep['files_after']} files"
+                )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def stream_minhash_ingest(
     stream_df: DataFrame,
     index_path: str,
@@ -602,41 +648,17 @@ def stream_minhash_ingest(
     the swap is detected and carried (vault.gc's concurrent-commit
     safety).  Without gc a months-long ingest accretes one tiny log
     file per micro-batch."""
-    from astro_vectordb_spark.sources.vault import gc as _vault_gc
-
     spark = stream_df.sparkSession
-    applied = {"n": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _minhash_ingest_batch(
-            spark, index_path, batch_df, batch_id,
-            drop_dups=drop_dups, threshold=threshold,
-            query_name=query_name, max_bucket_size=max_bucket_size,
-        )
-        applied["n"] += 1
-        if gc_every and applied["n"] % int(gc_every) == 0:
-            # compact only THIS stream's op namespace: a horizon row
-            # is sound only against the owning stream's micro-batch
-            # ordering, and sibling streams' rows pass through
-            # verbatim (gc also detects/carries commits that race the
-            # swap — see vault.gc's concurrent-commit safety note)
-            rep = _vault_gc(spark, index_path, ops=["minhash_append"])
-            if rep.get("compacted"):
-                print(
-                    f"{query_name}: replay-log gc "
-                    f"{rep['files_before']} -> {rep['files_after']} files"
-                )
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .outputMode("append")
+    return _run_index_ingest_stream(
+        stream_df, index_path,
+        lambda b, bid: _minhash_ingest_batch(
+            spark, index_path, b, bid, drop_dups=drop_dups,
+            threshold=threshold, query_name=query_name,
+            max_bucket_size=max_bucket_size,
+        ),
+        gc_ops=["minhash_append"], checkpoint=checkpoint,
+        query_name=query_name, gc_every=gc_every,
     )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
 
 
 def _rp_ingest_batch(
@@ -739,37 +761,17 @@ def stream_rp_ingest(
     scoped to this stream's own op namespace (``ops=["rp_append"]`` —
     see stream_minhash_ingest's gc_every note for why scoping
     matters with sibling streams on the same index)."""
-    from astro_vectordb_spark.sources.vault import gc as _vault_gc
-
     spark = stream_df.sparkSession
-    applied = {"n": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _rp_ingest_batch(
-            spark, index_path, batch_df, batch_id,
-            drop_dups=drop_dups, threshold=threshold,
-            query_name=query_name, max_bucket_size=max_bucket_size,
-        )
-        applied["n"] += 1
-        if gc_every and applied["n"] % int(gc_every) == 0:
-            # own-namespace-only compaction (see stream_minhash_ingest)
-            rep = _vault_gc(spark, index_path, ops=["rp_append"])
-            if rep.get("compacted"):
-                print(
-                    f"{query_name}: replay-log gc "
-                    f"{rep['files_before']} -> {rep['files_after']} files"
-                )
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .outputMode("append")
+    return _run_index_ingest_stream(
+        stream_df, index_path,
+        lambda b, bid: _rp_ingest_batch(
+            spark, index_path, b, bid, drop_dups=drop_dups,
+            threshold=threshold, query_name=query_name,
+            max_bucket_size=max_bucket_size,
+        ),
+        gc_ops=["rp_append"], checkpoint=checkpoint,
+        query_name=query_name, gc_every=gc_every,
     )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
 
 
 def _semdedup_ingest_batch(
@@ -865,37 +867,16 @@ def stream_semdedup_ingest(
     log.  The ``stream_rp_ingest`` shape for the semantic family;
     ``gc_every=N`` compacts the replay log every N applied batches,
     scoped to this stream's own op namespace."""
-    from astro_vectordb_spark.sources.vault import gc as _vault_gc
-
     spark = stream_df.sparkSession
-    applied = {"n": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _semdedup_ingest_batch(
-            spark, index_path, batch_df, batch_id,
-            drop_dups=drop_dups, eps=eps,
+    return _run_index_ingest_stream(
+        stream_df, index_path,
+        lambda b, bid: _semdedup_ingest_batch(
+            spark, index_path, b, bid, drop_dups=drop_dups, eps=eps,
             query_name=query_name, max_bucket_size=max_bucket_size,
-        )
-        applied["n"] += 1
-        if gc_every and applied["n"] % int(gc_every) == 0:
-            # own-namespace-only compaction (see stream_minhash_ingest)
-            rep = _vault_gc(spark, index_path, ops=["semdedup_append"])
-            if rep.get("compacted"):
-                print(
-                    f"{query_name}: replay-log gc "
-                    f"{rep['files_before']} -> {rep['files_after']} files"
-                )
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .outputMode("append")
+        ),
+        gc_ops=["semdedup_append"], checkpoint=checkpoint,
+        query_name=query_name, gc_every=gc_every,
     )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
 
 
 def _simhash_ingest_batch(
@@ -985,34 +966,14 @@ def stream_simhash_ingest(
     foreachBatch shape (see stream_minhash_ingest); ``gc_every=N``
     compacts the replay log every N applied batches, scoped to this
     stream's own op namespace."""
-    from astro_vectordb_spark.sources.vault import gc as _vault_gc
-
     spark = stream_df.sparkSession
-    applied = {"n": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _simhash_ingest_batch(
-            spark, index_path, batch_df, batch_id,
-            drop_dups=drop_dups, max_hamming=max_hamming,
-            query_name=query_name, max_bucket_size=max_bucket_size,
-        )
-        applied["n"] += 1
-        if gc_every and applied["n"] % int(gc_every) == 0:
-            # own-namespace-only compaction (see stream_minhash_ingest)
-            rep = _vault_gc(spark, index_path, ops=["simhash_append"])
-            if rep.get("compacted"):
-                print(
-                    f"{query_name}: replay-log gc "
-                    f"{rep['files_before']} -> {rep['files_after']} files"
-                )
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .outputMode("append")
+    return _run_index_ingest_stream(
+        stream_df, index_path,
+        lambda b, bid: _simhash_ingest_batch(
+            spark, index_path, b, bid, drop_dups=drop_dups,
+            max_hamming=max_hamming, query_name=query_name,
+            max_bucket_size=max_bucket_size,
+        ),
+        gc_ops=["simhash_append"], checkpoint=checkpoint,
+        query_name=query_name, gc_every=gc_every,
     )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()

@@ -752,6 +752,97 @@ def adaptive_refine_cut(
     )
 
 
+def adaptive_refine_cut_batch(
+    pool: DataFrame,
+    k: int,
+    model: PQModel | None,
+    queries: DataFrame | None = None,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The error-bound reorder cut (:func:`adaptive_refine_cut`) for a
+    query BATCH, applied PLAN-SIDE — the round-13 verdict's missing
+    piece: the single-query cut collects its pool and re-broadcasts
+    the kept ids, which at |Q| queries would serialize |Q| extra
+    driver jobs; here the cut is one window + one |Q|-row join inside
+    the existing batch ranking, so it scales with the plan.
+
+    ``pool`` is the GLOBAL per-query ADC pool —
+    ``rank_topk_per_query(..., score_col='adc_score',
+    round_scores=False)`` output ``(query_id, id, adc_score, rank)``,
+    at most ``k * refine_factor`` rows per query, rank 1-based by
+    (adc desc, id asc) — exactly the frame the fixed path hands the
+    exact re-rank.  Per query: keep rank <= k*refine_min plus every
+    candidate within ``sigma_mult * sigma_q`` of that query's rank-k
+    ADC score; a query with fewer than k pooled rows keeps them all.
+
+    sigma_q mirrors :func:`adc_sigma` per metric: cosine — constant
+    sqrt(train_mse/dim) (prep normalizes the query, so the norm factor
+    is 1 up to the last ulp of the single-query path's recomputed
+    norm); dot — ||q|| * sqrt(train_mse/dim), the norm folded from the
+    query column (pairwise-vs-fold summation may differ from NumPy in
+    the last ulp — the cut is a recall/cost dial, not an oracled
+    face); euclidean — derived per query from the rank-k radius,
+    2*sqrt(d2_k*mse/dim) + mse, the same in-place rule as the
+    single-query cut.  Legacy models (no ``train_mse``) return the
+    pool unchanged — bit-identical to the fixed path.
+
+    The |Q|-row rank-k join carries no hint: AQE broadcasts it while
+    it is small and falls back to a shuffled join at cogrouped-face
+    query counts where a broadcast would not fit."""
+    if model is None or model.train_mse is None:
+        return pool
+    if model.metric == "dot" and queries is None:
+        raise ValueError(
+            "adaptive_refine_cut_batch needs the queries frame for "
+            "dot-metric models (per-query norm drives sigma)"
+        )
+    mse = float(model.train_mse)
+    # pin the bounded pool: it feeds BOTH the rank-k extraction and
+    # the kept-row filter — without the pin the upstream candidate
+    # scan would execute twice (the single-query face's 1.65x plan
+    # trap), and the self-join lineage would trip the analyzer
+    pool = pool.localCheckpoint(eager=False)
+    kth = pool.filter(F.col("rank") == int(k)).select(
+        query_id_col, F.col("adc_score").alias("_adc_k")
+    )
+    joined = pool.join(kth, query_id_col, "left")
+    if model.metric == "euclidean":
+        d2_k = F.greatest(-F.col("_adc_k"), F.lit(0.0))
+        sigma = (
+            F.lit(2.0)
+            * F.sqrt(d2_k * F.lit(mse) / F.lit(float(model.dim)))
+            + F.lit(mse)
+        )
+    elif model.metric == "dot":
+        norms = queries.select(
+            query_id_col,
+            F.sqrt(
+                F.aggregate(
+                    F.col(query_vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ).alias("_qn"),
+        )
+        joined = joined.join(norms, query_id_col, "left")
+        sigma = F.col("_qn") * F.lit(float(np.sqrt(mse / model.dim)))
+    else:  # cosine
+        sigma = F.lit(float(np.sqrt(mse / model.dim)))
+    floor = int(k) * int(refine_min)
+    keep = (
+        F.col("_adc_k").isNull()
+        | (F.col("rank") <= floor)
+        | (F.col("adc_score")
+           >= F.col("_adc_k") - F.lit(float(sigma_mult)) * sigma)
+    )
+    return joined.filter(keep).select(
+        query_id_col, id_col, "adc_score", "rank"
+    )
+
 
 def pq_topk(
     encoded: DataFrame,
@@ -1085,6 +1176,7 @@ def pq_batch_candidates(
     queries: Sequence[tuple[int, Sequence[float]]],
     n_candidates: int,
     id_col: str = "vec_id",
+    with_scores: bool = False,
 ) -> DataFrame:
     """Per-query ADC candidates for a query BATCH in one corpus pass.
 
@@ -1136,6 +1228,14 @@ def pq_batch_candidates(
     )
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
+    if with_scores:
+        # the adaptive-refine pool: the same global per-query cut,
+        # keeping the raw ADC score + rank for the error-bound margin
+        # (the single-query pq_candidates(with_scores=True) contract)
+        return rank_topk_per_query(
+            scored, n_candidates, id_col=id_col, query_id_col="query_id",
+            score_col="adc_score", num_salts=1, round_scores=False,
+        )
     # .distinct(): duplicate vec_id rows in the codes table (re-append
     # / streaming retry) must not surface the same candidate twice per
     # query — bounded rows (|Q| * n_candidates), cheap
@@ -1333,6 +1433,9 @@ def pq_batch_topk_cogrouped(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     score_col: str = "score",
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Batch PQ search WITHOUT driver-side query materialization — the
     very-large-|Q| face (``pq_batch_topk`` collects the query set to
@@ -1385,10 +1488,19 @@ def pq_batch_topk_cogrouped(
     # pq_batch_candidates -> identical candidate sets to the broadcast
     # face; prereduce (num_salts) keeps the exchange at
     # |partitions| x |Q| x n rows
-    cand = rank_topk_per_query(
+    pool = rank_topk_per_query(
         hits, n_local, id_col=id_col, query_id_col=query_id_col,
-        score_col="adc_score", num_salts=8,
-    ).select(query_id_col, id_col).distinct()
+        score_col="adc_score", num_salts=8, round_scores=False,
+    )
+    if adaptive_refine:
+        # per-query error-bound cut INSIDE the batch plan — no driver
+        # collect, so it composes with unbounded |Q|
+        pool = adaptive_refine_cut_batch(
+            pool, k, model, queries=queries, refine_min=refine_min,
+            sigma_mult=sigma_mult, id_col=id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    cand = pool.select(query_id_col, id_col).distinct()
     exact = (
         original.join(cand, id_col)
         .join(queries.select(query_id_col, query_vec_col), query_id_col)
@@ -1424,6 +1536,9 @@ def ivf_pq_batch_topk_cogrouped(
     max_group_rows: int | None = None,
     cell_counts: DataFrame | None = None,
     max_probe_frac: float | None = None,
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Cell-probed batch IVF-PQ — the batch face of ``ivf_pq_topk``:
     every query ADC-scans ONLY its probed cells' codes instead of the
@@ -1550,10 +1665,20 @@ def ivf_pq_batch_topk_cogrouped(
             .cogroup(q_cells.groupBy("cell_id"))
             .applyInPandas(lambda left, right: _serve(left, right), out_schema)
         )
-    cand = rank_topk_per_query(
+    pool = rank_topk_per_query(
         hits, n_local, id_col=id_col, query_id_col=query_id_col,
-        score_col="adc_score", num_salts=8,
-    ).select(query_id_col, id_col).distinct()
+        score_col="adc_score", num_salts=8, round_scores=False,
+    )
+    if adaptive_refine:
+        # worker-side error-bound cut (spill-redundant duplicates rank
+        # adjacently at equal scores; the post-cut distinct collapses
+        # them as in the fixed path)
+        pool = adaptive_refine_cut_batch(
+            pool, k, model, queries=queries, refine_min=refine_min,
+            sigma_mult=sigma_mult, id_col=id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    cand = pool.select(query_id_col, id_col).distinct()
     exact = (
         original.join(cand, id_col)
         .join(queries.select(query_id_col, query_vec_col), query_id_col)
@@ -1582,11 +1707,23 @@ def pq_batch_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     score_col: str = "score",
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Batch face of ``pq_topk``: one compressed-corpus pass produces
     every query's ADC candidates, then one broadcast join + exact
     re-rank ranks them.  Output: (query_id, id, score, rank) — same
-    contract as ``batch_topk``."""
+    contract as ``batch_topk``.
+
+    ``adaptive_refine``: per-query error-bound cut of the stage-2 pool
+    (:func:`adaptive_refine_cut_batch`) — ``refine_factor`` becomes
+    the ceiling; the global per-query pool is ranked once and each
+    query keeps only the candidates its own ADC margin cannot rule
+    out.  The stage-2 exact re-rank join — the term that grows with
+    BOTH |Q| and corpus vector width — shrinks to the kept fraction;
+    off by default, legacy models degrade to the fixed pool
+    bit-identically."""
     from astro_vectordb_spark.operators.topk import rank_topk_per_query
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -1596,7 +1733,18 @@ def pq_batch_topk(
         [(r[query_id_col], r[query_vec_col]) for r in qrows],
         k * refine_factor,
         id_col=id_col,
+        with_scores=adaptive_refine,
     )
+    if adaptive_refine:
+        # the pool is the same global per-query cut the fixed path
+        # makes (with raw scores + rank); the error-bound cut keeps
+        # what each query's ADC margin cannot rule out, and the
+        # distinct mirrors the fixed path's duplicate-id guard
+        cand = adaptive_refine_cut_batch(
+            cand, k, model, queries=queries, refine_min=refine_min,
+            sigma_mult=sigma_mult, id_col=id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col).distinct()
     exact = (
         original.join(F.broadcast(cand), id_col)
         .join(F.broadcast(queries), query_id_col)

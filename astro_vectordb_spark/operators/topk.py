@@ -153,6 +153,7 @@ def rank_topk_per_query(
     query_id_col: str = "query_id",
     score_col: str = "score",
     num_salts: int = 8,
+    round_scores: bool = True,
 ) -> DataFrame:
     """Two-stage per-query top-K over an already-scored frame.
 
@@ -168,6 +169,12 @@ def rank_topk_per_query(
     own partition's per-query top-K; ties broken (score desc, id asc)
     in both stages.  ``num_salts <= 1`` skips stage 1 (right when the
     input is already tiny, e.g. per-shard HNSW hits).
+
+    ``round_scores=False`` keeps the score column unrounded —
+    selection and ranking are identical either way (both rank the raw
+    score); the raw value is for consumers that do ARITHMETIC on it,
+    e.g. the adaptive-refine cut comparing ADC margins, where the
+    serving-contract 6-decimal round would shift the threshold.
 
     Returns (query_id, id_col, score, rank)."""
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
@@ -198,15 +205,14 @@ def rank_topk_per_query(
         scored = narrow.mapInPandas(_partition_topk, out_fields)
     # Stage 2: final per-query ranking over the survivors.
     w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    out_score = (
+        F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col)
+        if round_scores else F.col(score_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(F.col(score_col), SCORE_DECIMALS).alias(score_col),
-            "rank",
-        )
+        .select(query_id_col, id_col, out_score, "rank")
     )
 
 

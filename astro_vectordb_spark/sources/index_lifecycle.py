@@ -228,13 +228,22 @@ def append_to_index(
     new_rows: DataFrame,
     batch_id: int | None = None,
     dedup_ids: bool = True,
+    stats_fn=None,
 ) -> dict:
     """Incremental insert with the crash-self-healing bucket sync:
     primary rows append BEFORE bucket rows, and the bucket append
     derives from the stored primary-vs-bucket id diff (a crash between
     the two appends is repaired by the next append; the steady state
     short-circuits the diff with two count-distinct aggregations since
-    bucket ids are always a subset of primary ids)."""
+    bucket ids are always a subset of primary ids).
+
+    ``stats_fn(ctx, fresh)`` (opt-in): called with the encoded
+    post-dedup batch; its dict merges into the report.  The hook is
+    how a family surfaces append-time telemetry — the SemDeDup face
+    reports per-batch assignment-similarity drift vs the train-time
+    baseline (the ``pq_append_to_index`` batch-MSE pattern) — without
+    the core knowing the family's statistics.  A replay-skipped batch
+    never calls it."""
     v = _v()
     if v._batch_already_committed(spark, path, batch_id,
                                   op=family.append_op):
@@ -246,6 +255,7 @@ def append_to_index(
     fresh = family.encode(ctx, new_rows)
     if dedup_ids:
         fresh = fresh.join(primary.select(id_col), id_col, "left_anti")
+    extra = stats_fn(ctx, fresh) if stats_fn is not None else {}
     n_primary_before = primary.select(id_col).distinct().count()
     n_bucket_before = buckets.select(id_col).distinct().count()
     if n_primary_before == n_bucket_before:
@@ -276,6 +286,7 @@ def append_to_index(
         "appended_rows": int(max(synced - backlog, 0)),
         "repaired_rows": int(backlog),
         "skipped_replay": False,
+        **extra,
     }
 
 
@@ -614,9 +625,14 @@ class SemDeDupFamily(BucketIndexFamily):
     score_col = "score"
     score_is_geq = False
     round_before_filter = False
+    # train_sim_mean / train_sim_p95: the save/refresh-time baseline of
+    # per-vector assigned-centroid similarity — the yardstick the
+    # append-time drift report compares each batch against (legacy
+    # indexes lack the columns; loaders see None and the report omits
+    # the baseline)
     meta_schema = (
         "k int, metric string, id_col string, vec_col string, dim int, "
-        "n_rows long"
+        "train_sim_mean double, train_sim_p95 double, n_rows long"
     )
 
     def __init__(self) -> None:

@@ -2396,6 +2396,71 @@ def gc(
     compact_target_files: int = 1,
     ops: list[str] | None = None,
     max_retries: int = 3,
+    lease_ttl_sec: float = 600.0,
+) -> dict:
+    """Compact the ``_batches`` replay log under ``path`` — the
+    lease-guarded public face of :func:`_gc_locked` (which carries the
+    full compaction contract: per-op horizons, ``ops`` scoping, the
+    concurrent-COMMIT detection, and the checkpoint-reset hazard).
+
+    GC-vs-GC concurrency: the pre-swap re-list detects racing
+    micro-batch COMMITS, but two gcs interleaving the retire/promote
+    rename pair could still corrupt the log layout (the loser renames
+    its staging dir onto an already-promoted log).  So at most one gc
+    may run per index at a time — and rather than leaving that as an
+    undocumented discipline, this wrapper enforces it with a lease
+    file (``<path>/_gc_lease``, created atomically): if another gc
+    holds a lease younger than ``lease_ttl_sec`` the call is a no-op
+    reporting ``{"compacted": False, "lease_held": True}`` (gc is
+    maintenance; skipping is always safe).  A lease older than the TTL
+    is presumed crashed and is broken.  The TTL break is best-effort
+    (two callers breaking the same stale lease in the same instant can
+    both proceed); the operational contract remains one gc owner per
+    index — a stream's in-loop ``gc_every`` gc owns its index — with
+    the lease turning accidental overlap into a safe no-op instead of
+    silent corruption."""
+    max_retries = max(1, int(max_retries))
+    fs, _ = _hadoop_fs(spark, path)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    lease = HPath(os.path.join(path, "_gc_lease"))
+
+    def _lease_held_report() -> dict:
+        return {"compacted": False, "rows_before": 0, "rows_after": 0,
+                "files_before": 0, "files_after": 0, "attempts": 0,
+                "carried_files": 0, "lease_held": True}
+
+    if not fs.createNewFile(lease):
+        import time
+
+        try:
+            age_ms = (time.time() * 1000.0
+                      - fs.getFileStatus(lease).getModificationTime())
+        except Exception:
+            age_ms = None  # vanished between create and stat: owner done
+        if age_ms is not None and age_ms < float(lease_ttl_sec) * 1000.0:
+            return _lease_held_report()
+        fs.delete(lease, False)
+        if not fs.createNewFile(lease):
+            return _lease_held_report()
+    try:
+        return _gc_locked(
+            spark, path, keep_last_batches=keep_last_batches,
+            prune_batch_log_before=prune_batch_log_before,
+            compact_target_files=compact_target_files, ops=ops,
+            max_retries=max_retries,
+        )
+    finally:
+        fs.delete(lease, False)
+
+
+def _gc_locked(
+    spark: SparkSession,
+    path: str,
+    keep_last_batches: int | None = 64,
+    prune_batch_log_before: int | None = None,
+    compact_target_files: int = 1,
+    ops: list[str] | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """Compact the ``_batches`` replay log under ``path``.
 
@@ -2782,11 +2847,27 @@ def save_simhash_index(
     once, store signatures + the pigeonhole chunk table for
     ``max_hamming`` (chunks = max_hamming + 1 -> recall exactly 1.0
     for pairs within that distance; queries may use any smaller
-    distance)."""
+    distance).
+
+    ``sql_safe31`` caps ``max_hamming`` at 3: its chunk layout is the
+    FIXED 4-chunk split the DuckDB twin replays
+    (dedup.SIMHASH_SQL_CHUNKS), and 4 chunks only pigeonhole-guarantee
+    recall up to hamming 3 — accepting a larger build distance would
+    silently break the recall-exactly-1.0 promise above (and at
+    hamming >= 8 on 31 bits the 6-decimal score rounding can drop
+    pairs at exactly the threshold).  ``native64`` derives
+    ``max_hamming + 1`` chunks, so any distance is honored there."""
     from astro_vectordb_spark.sources.index_lifecycle import save_index
 
     if hash_family not in ("sql_safe31", "native64"):
         raise ValueError(f"unknown simhash hash_family {hash_family!r}")
+    if hash_family == "sql_safe31" and int(max_hamming) > 3:
+        raise ValueError(
+            "sql_safe31 simhash indexes support max_hamming <= 3 (the "
+            "fixed 4-chunk SQL-replayable layout pigeonholes exactly "
+            "that far); build with hash_family='native64' for larger "
+            f"distances (got max_hamming={max_hamming})"
+        )
     bits = 31 if hash_family == "sql_safe31" else 64
     params = {"bits": bits, "max_hamming": int(max_hamming),
               "hash_family": str(hash_family), "id_col": str(id_col)}

@@ -273,3 +273,245 @@ class TestEuclideanAdaptive:
             r.asDict() for r in adapt.collect()
         ]
         enc.unpersist()
+
+
+class TestBatchAdaptive:
+    """Round-14 verdict item 3: the error-bound cut applied PLAN-SIDE
+    inside the batch PQ / IVF-PQ ranking (adaptive_refine_cut_batch) —
+    per-query equivalence with the single-query driver-side cut, plus
+    the batch faces' adaptive_refine= end to end."""
+
+    def _pool(self, spark, per_query):
+        rows = []
+        for qid, scores in per_query.items():
+            order = sorted(range(len(scores)),
+                           key=lambda i: (-scores[i], i))
+            rows += [
+                (qid, i, float(scores[i]), rk)
+                for rk, i in enumerate(order, start=1)
+            ]
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, adc_score double, rank int"
+        )
+
+    def _single_pool(self, spark, scores):
+        return spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(scores)],
+            "vec_id long, adc_score double",
+        )
+
+    def test_cut_equals_single_query_cut_cosine(self, spark):
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+        )
+
+        # sigma = sqrt(mse/dim) = 0.1 exactly as in the single-query
+        # cut-rule tests; three pools with distinct shapes, one frame
+        dim = 32
+        model = PQModel(np.zeros((2, 4, dim // 2), dtype=np.float32),
+                        metric="cosine", dim=dim,
+                        train_mse=0.01 * dim)
+        per_query = {
+            0: [9.0, 8.0, 7.95, 7.91, 7.5, 7.2, 7.0, 6.0],
+            1: [9.0, 8.0, 7.99, 7.98, 7.97, 7.96, 5.0],
+            2: [3.0, 2.0],  # fewer than floor: kept whole
+        }
+        got = {}
+        for r in adaptive_refine_cut_batch(
+            self._pool(spark, per_query), k=2, model=model,
+            refine_min=2, sigma_mult=1.0,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        sigma = float(np.sqrt(model.train_mse / model.dim))
+        for qid, scores in per_query.items():
+            want = {
+                r["vec_id"]
+                for r in adaptive_refine_cut(
+                    self._single_pool(spark, scores), k=2, sigma=sigma,
+                    refine_min=2, sigma_mult=1.0,
+                ).collect()
+            }
+            assert got[qid] == want, qid
+
+    def test_cut_dot_sigma_scales_with_query_norm(self, spark):
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+        )
+
+        dim = 4
+        model = PQModel(np.zeros((2, 4, 2), dtype=np.float32),
+                        metric="dot", dim=dim, train_mse=0.01 * dim)
+        # q0 = norm 1 -> sigma 0.1; q1 = norm 5 -> sigma 0.5: the SAME
+        # score shape keeps more rows under the wider error bound
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [3.0, 4.0, 0.0, 0.0])],
+            "query_id long, query_vec array<double>",
+        )
+        scores = [9.0, 8.0, 7.95, 7.7, 7.3, 6.0]
+        kept = {}
+        for r in adaptive_refine_cut_batch(
+            self._pool(spark, {0: scores, 1: scores}), k=2, model=model,
+            queries=queries, refine_min=1, sigma_mult=1.0,
+        ).collect():
+            kept.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # rank-2 score 8.0: q0 cut 7.9 -> {0,1,2}; q1 cut 7.5 -> +7.7
+        assert kept[0] == {0, 1, 2}
+        assert kept[1] == {0, 1, 2, 3}
+        # and each equals the single-query cut at its adc_sigma
+        for qid, q in ((0, [1.0, 0.0, 0.0, 0.0]),
+                       (1, [3.0, 4.0, 0.0, 0.0])):
+            want = {
+                r["vec_id"]
+                for r in adaptive_refine_cut(
+                    self._single_pool(spark, scores), k=2,
+                    sigma=adc_sigma(model, q), refine_min=1,
+                    sigma_mult=1.0,
+                ).collect()
+            }
+            assert kept[qid] == want, qid
+
+    def test_cut_euclidean_rank_k_radius(self, spark):
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+        )
+
+        dim = 16
+        model = PQModel(np.zeros((2, 4, 8), dtype=np.float32),
+                        metric="euclidean", dim=dim, train_mse=0.4)
+        scores = [-1.0, -2.0, -2.05, -2.5, -4.0, -9.0]
+        got = {
+            r["vec_id"]
+            for r in adaptive_refine_cut_batch(
+                self._pool(spark, {7: scores}), k=2, model=model,
+                refine_min=1, sigma_mult=1.0,
+            ).collect()
+        }
+        want = {
+            r["vec_id"]
+            for r in adaptive_refine_cut(
+                self._single_pool(spark, scores), k=2, sigma=None,
+                refine_min=1, sigma_mult=1.0, model=model,
+            ).collect()
+        }
+        assert got == want
+
+    def test_cut_legacy_is_identity(self, spark):
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+        )
+
+        legacy = PQModel(np.zeros((2, 4, 16), dtype=np.float32),
+                         metric="cosine", dim=32)
+        pool = self._pool(spark, {0: [3.0, 2.0, 1.0]})
+        assert adaptive_refine_cut_batch(pool, k=1, model=legacy
+                                         ).count() == 3
+
+    def _queries(self, spark, X, qids):
+        return spark.createDataFrame(
+            [(q, [float(x) for x in X[q]]) for q in qids],
+            "query_id long, query_vec array<double>",
+        )
+
+    def test_batch_face_matches_exact_and_shrinks(self, spark, data,
+                                                  model_enc):
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+            pq_batch_candidates,
+            pq_batch_topk,
+        )
+
+        df, X = data
+        model, enc = model_enc
+        qids = [0, 123, 777]
+        queries = self._queries(spark, X, qids)
+        got = {}
+        for r in pq_batch_topk(
+            enc, df, queries, 10, model, refine_factor=32,
+            adaptive_refine=True,
+        ).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"]))
+        for q in qids:
+            want = _exact_topk(df, [float(x) for x in X[q]], 10)
+            assert [v for _, v in sorted(got[q])] == want, q
+        # the cut strictly shrinks the global pool on clustered data
+        pool = pq_batch_candidates(
+            enc, model,
+            [(q, [float(x) for x in X[q]]) for q in qids], 320,
+            with_scores=True,
+        )
+        kept = adaptive_refine_cut_batch(pool, 10, model,
+                                         queries=queries).count()
+        assert kept < pool.count()
+
+    def test_batch_face_legacy_identical_to_fixed(self, spark, data,
+                                                  model_enc):
+        from astro_vectordb_spark.operators.pq import pq_batch_topk
+
+        df, X = data
+        model, enc = model_enc
+        legacy = PQModel(model.codebooks, metric="cosine", dim=model.dim)
+        queries = self._queries(spark, X, [3, 99])
+        fixed = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk(enc, df, queries, 10, legacy,
+                                   refine_factor=16).collect()
+        )
+        adapt = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk(enc, df, queries, 10, legacy,
+                                   refine_factor=16,
+                                   adaptive_refine=True).collect()
+        )
+        assert fixed == adapt
+
+    def test_cogrouped_adaptive_matches_broadcast_adaptive(
+            self, spark, data, model_enc):
+        from astro_vectordb_spark.operators.pq import (
+            pq_batch_topk,
+            pq_batch_topk_cogrouped,
+        )
+
+        df, X = data
+        model, enc = model_enc
+        queries = self._queries(spark, X, [0, 123, 777, 1500])
+        want = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk(enc, df, queries, 10, model,
+                                   adaptive_refine=True).collect()
+        )
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, r.score)
+            for r in pq_batch_topk_cogrouped(
+                enc, df, queries, 10, model, n_blocks=5,
+                adaptive_refine=True,
+            ).collect()
+        )
+        assert got == want
+
+    def test_ivf_pq_cogrouped_adaptive_keeps_exact(self, spark, data):
+        from astro_vectordb_spark.operators.pq import (
+            ivf_pq_batch_topk_cogrouped,
+        )
+
+        df, X = data
+        enc, cents, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=64, metric="cosine", residual=True,
+            max_rows=N,
+        )
+        enc = enc.cache()
+        enc.count()
+        qids = [11, 42]
+        queries = self._queries(spark, X, qids)
+        got = {}
+        for r in ivf_pq_batch_topk_cogrouped(
+            enc, cents, df, queries, 10, model, nprobe=8,
+            adaptive_refine=True,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for q in qids:
+            want = set(_exact_topk(df, [float(x) for x in X[q]], 10))
+            # all cells probed -> pool covers truth; the cut must not
+            # lose exact top-10 members
+            assert got[q] == want, q
+        enc.unpersist()

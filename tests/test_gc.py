@@ -342,6 +342,42 @@ class TestGCOpsFilterAndConcurrency:
         # ...while the sibling namespace is untouched
         assert _batch_already_committed(spark, path, 2, op="rp_remove")
 
+    def test_zero_retries_clamped_not_none(self, spark, data, tmp_path):
+        """round-14 advice: max_retries <= 0 used to skip the retry
+        loop entirely and return None, crashing foreachBatch callers
+        that read rep['compacted'] — it must clamp to one attempt."""
+        path = str(tmp_path / "idx_clamp")
+        self._churn(spark, path=path, data=data)
+        rep = gc(spark, path, keep_last_batches=1, max_retries=0)
+        assert rep is not None and rep["compacted"] is True
+        rep2 = gc(spark, path, keep_last_batches=1, max_retries=-3)
+        assert rep2 is not None and "compacted" in rep2
+
+    def test_gc_lease_excludes_second_gc(self, spark, data, tmp_path):
+        """round-14 advice: two gcs interleaving the rename pair could
+        corrupt the log — a fresh lease makes the second gc a safe
+        no-op; a stale (crashed-owner) lease is broken; the lease is
+        released on completion."""
+        import os as _os
+
+        path = str(tmp_path / "idx_lease")
+        self._churn(spark, path=path, data=data)
+        lease = _os.path.join(path, "_gc_lease")
+        # simulate a concurrent gc holding a fresh lease
+        with open(lease, "w"):
+            pass
+        rep = gc(spark, path, keep_last_batches=1)
+        assert rep["lease_held"] is True and rep["compacted"] is False
+        assert _os.path.exists(lease)  # not ours: never released
+        # a stale lease (older than the TTL) is presumed crashed
+        old = 1_000_000.0
+        _os.utime(lease, (old, old))
+        rep = gc(spark, path, keep_last_batches=1)
+        assert rep["compacted"] is True and "lease_held" not in rep
+        assert not _os.path.exists(lease)  # released after the run
+        # replay contract intact through the lease dance
+        assert _batch_already_committed(spark, path, 2, op="rp_append")
+
 
 class TestRPPlaneWidthValidation:
     """ADVICE r12 #3: int32 cell schema — n_planes/n_refine past 31

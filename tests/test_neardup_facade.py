@@ -1,0 +1,148 @@
+"""Unified near-dup facade (round-14 verdict item 5): ``neardup.open``
+auto-detects the family from ``_meta`` and returns one handle whose
+match/append/remove/compact/groups/apply_sweep delegate to the family
+faces — the dedup analogue of the ``search.search`` kind matrix.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_vectordb_spark import neardup
+
+DIM = 16
+K = 4
+
+
+def _docs(spark, n=80):
+    rows = []
+    for i in range(n):
+        words = [f"w{(i * 7 + j * 13) % 97}" for j in range(30)]
+        rows.append((i, " ".join(words)))
+    # exact copies of docs 0..4, ids shifted
+    rows += [
+        (1000 + i, " ".join(f"w{(i * 7 + j * 13) % 97}" for j in range(30)))
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vecs(spark, n=120):
+    rng = np.random.RandomState(5)
+    C = rng.randn(K, DIM)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = C[rng.randint(0, K, n)] + 0.02 * rng.randn(n, DIM)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    rows += [(1000 + i, [float(x) for x in X[i]]) for i in range(5)]
+    cents = spark.createDataFrame(
+        [(k, [float(x) for x in C[k]]) for k in range(K)],
+        "cell_id int, centroid array<double>",
+    )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ), cents
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = _docs(spark).cache()
+    vecs, cents = _vecs(spark)
+    vecs = vecs.cache()
+    docs.count()
+    vecs.count()
+    yield docs, vecs, cents
+    docs.unpersist()
+    vecs.unpersist()
+
+
+def _build(spark, corpora, family, path):
+    docs, vecs, cents = corpora
+    hist_docs = docs.filter(F.col("doc_id") < 80)
+    hist_vecs = vecs.filter(F.col("vec_id") < 120)
+    if family == "minhash":
+        from astro_vectordb_spark.sources.vault import save_minhash_index
+
+        save_minhash_index(hist_docs, path)
+    elif family == "simhash":
+        from astro_vectordb_spark.sources.vault import save_simhash_index
+
+        save_simhash_index(hist_docs, path, max_hamming=3)
+    elif family == "rp":
+        from astro_vectordb_spark.sources.vault import save_rp_index
+
+        save_rp_index(hist_vecs, path)
+    else:
+        from astro_vectordb_spark.sources.semdedup_index import (
+            save_semdedup_index,
+        )
+
+        save_semdedup_index(hist_vecs, path, centroids=cents)
+
+
+FAMILIES = ["minhash", "simhash", "rp", "semdedup"]
+
+
+class TestKindMatrix:
+    @pytest.mark.parametrize("family", FAMILIES)
+    def test_full_lifecycle_via_handle(self, spark, corpora, tmp_path,
+                                       family):
+        docs, vecs, cents = corpora
+        path = str(tmp_path / f"nd_{family}")
+        _build(spark, corpora, family, path)
+        idx = neardup.open(spark, path)
+        assert idx.family == family
+        assert idx.meta.get("n_rows") in (80, 120)
+        text = family in ("minhash", "simhash")
+        batch = (docs if text else vecs).filter(
+            F.col("doc_id" if text else "vec_id") >= 1000
+        )
+        # exact planted copies must surface through the generic match
+        got = idx.match(batch)
+        pair_id = "new_id"
+        assert got.filter(
+            F.col(pair_id) - 1000 == F.col("hist_id")
+        ).count() == 5
+        # append + replay
+        rep = idx.append(batch, batch_id=1)
+        assert rep["appended_rows"] == 5
+        assert idx.append(batch, batch_id=1)["skipped_replay"]
+        # remove (physical)
+        rep = idx.remove([1000, 1001], batch_id=2)
+        assert rep[[k for k in rep if k.startswith("removed")][0]] == 2
+        # retroactive groups: copies collapse, min-id representative
+        keep = {r[0] for r in idx.groups().collect()}
+        assert 0 in keep and 1002 not in keep
+        # sweep-apply reaches a fixpoint
+        rep = idx.apply_sweep(batch_id=3)
+        assert rep["kept"] == len(keep)
+        assert idx.groups().count() == rep["kept"]
+        # compact face callable after churn (may be a no-op)
+        assert "compacted" in idx.compact()
+        # replay-log gc through the handle
+        assert "compacted" in idx.gc(keep_last_batches=1)
+
+    def test_refresh_dispatch(self, spark, corpora, tmp_path):
+        docs, vecs, cents = corpora
+        p_sd = str(tmp_path / "nd_sd")
+        _build(spark, corpora, "semdedup", p_sd)
+        idx = neardup.open(spark, p_sd)
+        rep = idx.refresh(centroids=cents)
+        assert rep["reassigned_rows"] == 120
+        assert idx.meta["train_sim_mean"] is not None
+        p_mh = str(tmp_path / "nd_mh")
+        _build(spark, corpora, "minhash", p_mh)
+        with pytest.raises(ValueError, match="refresh"):
+            neardup.open(spark, p_mh).refresh()
+
+    def test_non_neardup_index_rejected(self, spark, corpora, tmp_path):
+        from astro_vectordb_spark.operators.ann import ivf_build_sampled
+        from astro_vectordb_spark.sources.vault import save_ivf_index
+
+        docs, vecs, cents = corpora
+        path = str(tmp_path / "ivf")
+        assigned, centroids = ivf_build_sampled(
+            vecs.filter(F.col("vec_id") < 120), k_cells=4
+        )
+        save_ivf_index(assigned, centroids, path)
+        with pytest.raises(ValueError, match="not a near-dup index"):
+            neardup.open(spark, path)

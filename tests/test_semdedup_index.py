@@ -194,6 +194,138 @@ class TestAppendRemove:
         assert rep2["skipped_replay"]
 
 
+class TestDriftAndRefresh:
+    """Round-14 verdict item 2: append-time drift telemetry (the
+    pq_append_to_index batch-MSE pattern) + the staged-swap retrain
+    face."""
+
+    def test_save_persists_baseline_and_append_reports_drift(
+            self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        _, _, _, meta = load_semdedup_index(spark, path)
+        # corpus = centroid + 0.02 noise: baseline close to 1
+        assert meta["train_sim_mean"] > 0.95
+        assert meta["train_sim_p95"] >= meta["train_sim_mean"]
+        # an in-distribution batch reports ~baseline similarity
+        rep = semdedup_append_to_index(
+            spark, path, df.filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 250)
+            ), batch_id=1,
+        )
+        assert rep["train_sim_mean"] == pytest.approx(
+            meta["train_sim_mean"])
+        assert rep["batch_sim_mean"] > 0.95
+        # an OFF-distribution batch sinks well below the baseline —
+        # the retrain signal
+        rng = np.random.RandomState(99)
+        far = rng.randn(40, DIM)
+        drifted = spark.createDataFrame(
+            [(5000 + i, [float(x) for x in far[i]]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        rep2 = semdedup_append_to_index(spark, path, drifted, batch_id=2)
+        assert rep2["batch_sim_mean"] < rep2["train_sim_mean"] - 0.2
+        # replay-skipped batches never recompute stats
+        rep3 = semdedup_append_to_index(spark, path, drifted, batch_id=2)
+        assert rep3["skipped_replay"] and "batch_sim_mean" not in rep3
+
+    def test_legacy_index_reports_none_baseline(self, spark, data,
+                                                tmp_path):
+        """An index saved before the baseline columns existed still
+        appends fine; the report's baseline is None."""
+        df, cents = data
+        path = str(tmp_path / "sd_legacy")
+        save_semdedup_index(df.filter(F.col("vec_id") < 100), path,
+                            centroids=cents)
+        # strip the baseline columns — the pre-round-14 _meta shape
+        mp = os.path.join(path, "_meta")
+        legacy = spark.read.parquet(mp).select(
+            "k", "metric", "id_col", "vec_col", "dim", "n_rows"
+        ).collect()
+        spark.createDataFrame(
+            legacy,
+            "k int, metric string, id_col string, vec_col string, "
+            "dim int, n_rows long",
+        ).coalesce(1).write.mode("overwrite").parquet(mp)
+        rep = semdedup_append_to_index(
+            spark, path,
+            df.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)),
+            batch_id=1,
+        )
+        assert rep["appended_rows"] == 20
+        assert rep["train_sim_mean"] is None
+        assert rep["batch_sim_mean"] is not None
+
+    def test_refresh_equivalence_with_fresh_build(self, spark, data,
+                                                  tmp_path):
+        """Refreshed index == an index freshly BUILT under the same
+        new centroids: identical cells, identical groups served."""
+        from astro_vectordb_spark.sources.semdedup_index import (
+            semdedup_refresh_index,
+        )
+
+        df, cents = data
+        hist = df.filter(F.col("vec_id") < 200)
+        p_ref = str(tmp_path / "sd_refresh")
+        # build under DELIBERATELY bad centroids (random planes), then
+        # refresh with the true ones
+        rng = np.random.RandomState(3)
+        bad = spark.createDataFrame(
+            [(k, [float(x) for x in rng.randn(DIM)]) for k in range(K)],
+            "cell_id int, centroid array<double>",
+        )
+        save_semdedup_index(hist, p_ref, centroids=bad)
+        base = load_semdedup_index(spark, p_ref)[3]["train_sim_mean"]
+        rep = semdedup_refresh_index(spark, p_ref, centroids=cents)
+        assert rep["reassigned_rows"] == 200
+        assert rep["moved_rows"] > 0
+        assert rep["train_sim_mean"] > base  # refit restored fit
+        p_fresh = str(tmp_path / "sd_fresh")
+        save_semdedup_index(hist, p_fresh, centroids=cents)
+        got = load_semdedup_index(spark, p_ref)
+        want = load_semdedup_index(spark, p_fresh)
+        assert (
+            {tuple(r) for r in got[1].select("vec_id", "cell_id").collect()}
+            == {tuple(r) for r in
+                want[1].select("vec_id", "cell_id").collect()}
+        )
+        g_ref = {r["vec_id"] for r in semdedup_index_groups(
+            spark, p_ref, eps=0.95).collect()}
+        g_fresh = {r["vec_id"] for r in semdedup_index_groups(
+            spark, p_fresh, eps=0.95).collect()}
+        assert g_ref == g_fresh
+        # replay log preserved through the refresh: vectors untouched
+        assert got[0].count() == 200
+
+    def test_refresh_preserves_replay_log(self, spark, data, tmp_path):
+        from astro_vectordb_spark.sources.semdedup_index import (
+            semdedup_refresh_index,
+        )
+        from astro_vectordb_spark.sources.vault import (
+            _batch_already_committed,
+        )
+
+        df, cents = data
+        path = str(tmp_path / "sd_log")
+        save_semdedup_index(df.filter(F.col("vec_id") < 100), path,
+                            centroids=cents)
+        semdedup_append_to_index(
+            spark, path,
+            df.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)),
+            batch_id=7,
+        )
+        semdedup_refresh_index(spark, path, k_cells=K, seed=5)
+        assert _batch_already_committed(spark, path, 7,
+                                        op="semdedup_append")
+        rep = semdedup_append_to_index(
+            spark, path, df.filter(F.col("vec_id") < 150), batch_id=7
+        )
+        assert rep["skipped_replay"]
+        _, _, _, meta = load_semdedup_index(spark, path)
+        assert meta["n_rows"] == 150
+
+
 class TestGroupsAndSweep:
     def test_groups_collapse_planted_dups_min_id(self, spark, data,
                                                  tmp_path):
@@ -311,3 +443,65 @@ class TestStreaming:
         # streamed copy survived (vec 0 is already indexed history)
         assert vecs.filter(F.col("vec_id") >= 700_000).count() == 0
         assert int(meta["n_rows"]) == 100
+
+
+class TestBoundaryMultiProbe:
+    """Round-14 verdict item 7: a batch row with a thin assignment
+    margin also probes its runner-up cells — cross-boundary near-dups
+    become findable with batch-side work only."""
+
+    def test_boundary_pair_found_only_with_probe(self, spark, tmp_path):
+        import math
+
+        cents = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (DIM - 1)),
+             (1, [0.0, 1.0] + [0.0] * (DIM - 2))],
+            "cell_id int, centroid array<double>",
+        )
+        # hist vec 1 sits just on the cell-1 side of the boundary; the
+        # batch twin sits just on the cell-0 side
+        hist = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (DIM - 1)),
+             (1, [0.70, 0.714] + [0.0] * (DIM - 2))],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "sd_mp")
+        save_semdedup_index(hist, path, centroids=cents, dim=DIM)
+        batch = spark.createDataFrame(
+            [(100, [0.714, 0.70] + [0.0] * (DIM - 2))],
+            "vec_id long, embedding array<double>",
+        )
+        base = semdedup_match_index(spark, path, batch, eps=0.9)
+        assert base.count() == 0  # argmax cells differ: missed
+        mp = semdedup_match_index(spark, path, batch, eps=0.9,
+                                  n_probes=2, probe_margin=0.1)
+        got = mp.collect()
+        assert [(r["new_id"], r["hist_id"]) for r in got] == [(100, 1)]
+        assert got[0]["score"] > 0.99
+        # a margin too thin to reach the runner-up probes nothing extra
+        tight = semdedup_match_index(spark, path, batch, eps=0.9,
+                                     n_probes=2, probe_margin=1e-6)
+        assert tight.count() == 0
+        del math
+
+    def test_multiprobe_is_superset_with_bounded_extras(
+            self, spark, data, index):
+        df, _ = data
+        path, _ = index
+        batch = df.filter(F.col("vec_id") >= 200)
+        base = {
+            (r["new_id"], r["hist_id"])
+            for r in semdedup_match_index(spark, path, batch,
+                                          eps=0.9).collect()
+        }
+        mp = {
+            (r["new_id"], r["hist_id"])
+            for r in semdedup_match_index(
+                spark, path, batch, eps=0.9, n_probes=2,
+                probe_margin=0.2,
+            ).collect()
+        }
+        assert mp >= base
+        # well-separated clusters: confident assignments probe nothing
+        # extra, so the candidate volume stays bounded (not k x batch)
+        assert len(mp) <= 2 * max(len(base), 1)

@@ -102,6 +102,20 @@ class TestSaveLoadMatch:
         # tighter query distance is fine (subset of build guarantee)
         simhash_match_index(spark, path, probe, max_hamming=1).count()
 
+    def test_sql_safe31_build_distance_capped(self, spark, data, tmp_path):
+        """The SQL-safe family's chunk layout is FIXED at 4 chunks, so
+        building past hamming 3 would silently lose the pigeonhole
+        recall guarantee — save must reject it (round-14 advice)."""
+        hist = data.filter(F.col("doc_id") < 50)
+        with pytest.raises(ValueError, match="max_hamming <= 3"):
+            save_simhash_index(hist, str(tmp_path / "bad"), max_hamming=4)
+        # native64 derives max_hamming+1 chunks: any distance honored
+        p = str(tmp_path / "n64")
+        save_simhash_index(hist, p, max_hamming=5, hash_family="native64")
+        _, chunks, meta = load_simhash_index(spark, p)
+        assert meta["max_hamming"] == 5
+        assert chunks.select("chunk_idx").distinct().count() == 6
+
 
 class TestLifecycle:
     def test_append_remove_replay(self, spark, data, index):

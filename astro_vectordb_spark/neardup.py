@@ -139,6 +139,16 @@ class NearDupIndex:
 
         return _gc(self.spark, self.path, **kw)
 
+    def stream_ingest(self, stream_df: DataFrame, **kw):
+        """Start the family's Structured-Streaming ingest into this
+        index (``stream_<family>_ingest``: intra-batch collapse +
+        vs-history dedup + replayable append, with in-stream
+        ``gc_every``).  Returns the StreamingQuery."""
+        from astro_vectordb_spark.streaming import upsert as streaming
+
+        fn = getattr(streaming, f"stream_{self.family}_ingest")
+        return fn(stream_df, self.path, **kw)
+
     def __repr__(self) -> str:  # pragma: no cover - debug sugar
         return (f"NearDupIndex(family={self.family!r}, "
                 f"path={self.path!r}, n_rows={self.meta.get('n_rows')})")

@@ -72,6 +72,9 @@ def search(
     nprobe: int | None = None,
     refine_factor: int = 32,
     max_probe_frac: float | None = None,
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Serve a top-``k`` query from whatever index lives at ``path``.
 
@@ -105,6 +108,14 @@ def search(
       Selectivity widening reads the corpus size from the index's
       persisted ``_meta`` ``n_rows`` counter (maintained by every
       save/append/remove); only legacy indexes without it count once.
+    - ``adaptive_refine`` (PQ / IVF-PQ kinds; round 14 on the batch
+      companion too) = error-bound stage-2 pool sizing:
+      ``refine_factor`` becomes the ceiling and each query keeps only
+      the ADC candidates its own margin cannot rule out
+      (``operators.pq.adaptive_refine_cut``/``_batch``).  Ignored by
+      kinds with no ADC stage (exact / IVF / HNSW); legacy PQ models
+      without a stored training MSE serve the fixed pool
+      bit-identically.
     """
     kind = detect_index_kind(spark, path)
     if kind == "exact":
@@ -171,7 +182,8 @@ def search(
         return pq_topk(
             encoded, vectors, query_vector, k, model,
             refine_factor=refine_factor, strength=strength,
-            allowed_ids=allowed_ids,
+            allowed_ids=allowed_ids, adaptive_refine=adaptive_refine,
+            refine_min=refine_min, sigma_mult=sigma_mult,
         ).select("vec_id", "score")
 
     from astro_vectordb_spark.operators.pq import ivf_pq_topk
@@ -183,7 +195,8 @@ def search(
         nprobe=nprobe,
         refine_factor=refine_factor, strength=strength,
         allowed_ids=allowed_ids, n_total=meta.get("n_rows"),
-        max_probe_frac=max_probe_frac,
+        max_probe_frac=max_probe_frac, adaptive_refine=adaptive_refine,
+        refine_min=refine_min, sigma_mult=sigma_mult,
     ).select("vec_id", "score")
 
 
@@ -201,6 +214,9 @@ def search_batch(
     refine_factor: int = 32,
     max_group_rows: int | None = None,
     max_probe_frac: float | None = None,
+    adaptive_refine: bool = False,
+    refine_min: int = 4,
+    sigma_mult: float = 3.0,
 ) -> DataFrame:
     """Batch companion to :func:`search`: ``queries`` is a DataFrame
     ``(query_id long, query_vec array<float>)`` of UNBOUNDED size —
@@ -299,6 +315,8 @@ def search_batch(
         return pq_batch_topk_cogrouped(
             encoded, vectors, queries, k, model,
             refine_factor=refine_factor, strength=strength,
+            adaptive_refine=adaptive_refine, refine_min=refine_min,
+            sigma_mult=sigma_mult,
         ).select("query_id", "vec_id", "score")
 
     # ivf_pq: cell-probed batch ADC — each query scans only its
@@ -316,7 +334,8 @@ def search_batch(
         nprobe=nprobe, refine_factor=refine_factor,
         strength=strength, allowed_ids=allowed_ids,
         n_total=meta.get("n_rows"), max_group_rows=max_group_rows,
-        max_probe_frac=max_probe_frac,
+        max_probe_frac=max_probe_frac, adaptive_refine=adaptive_refine,
+        refine_min=refine_min, sigma_mult=sigma_mult,
     ).select("query_id", "vec_id", "score")
 
 

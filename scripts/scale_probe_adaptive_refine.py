@@ -193,6 +193,68 @@ def main() -> None:
             f"below fixed {np.mean(rec_f)}"
         )
 
+    # -- batch faces (round 14): the SAME cut applied plan-side inside
+    # the batch ranking — recall within 0.01 of the fixed batch path,
+    # pool ratio < 1, one plan for the whole query set (no per-query
+    # driver jobs)
+    from astro_vectordb_spark.operators.pq import (
+        adaptive_refine_cut_batch,
+        pq_batch_candidates,
+        pq_batch_topk,
+    )
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)],
+        "query_id long, query_vec array<double>",
+    )
+
+    def batch_recall(adaptive: bool):
+        got: dict = {}
+        for r in pq_batch_topk(
+            encoded, corpus, qdf, K, model, refine_factor=REFINE_MAX,
+            adaptive_refine=adaptive, refine_min=REFINE_MIN,
+            sigma_mult=SIGMA_MULT,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return float(np.mean([
+            len(got.get(i, set()) & truth) / K
+            for i, truth in enumerate(truths)
+        ]))
+
+    t0 = time.time()
+    rb_fixed = batch_recall(False)
+    tb_fixed = time.time() - t0
+    t0 = time.time()
+    rb_adapt = batch_recall(True)
+    tb_adapt = time.time() - t0
+    pool = pq_batch_candidates(
+        encoded, model, [(i, q) for i, q in enumerate(queries)],
+        K * REFINE_MAX, with_scores=True,
+    )
+    pb_fixed = pool.count() / NQ
+    pb_adapt = adaptive_refine_cut_batch(
+        pool, K, model, queries=qdf, refine_min=REFINE_MIN,
+        sigma_mult=SIGMA_MULT,
+    ).count() / NQ
+    out["pq_batch"] = {
+        "recall_fixed": round(rb_fixed, 4),
+        "recall_adaptive": round(rb_adapt, 4),
+        "pool_fixed": pb_fixed,
+        "pool_adaptive": pb_adapt,
+        "pool_ratio": round(pb_adapt / pb_fixed, 4),
+        "wall_fixed_s": round(tb_fixed, 1),
+        "wall_adaptive_s": round(tb_adapt, 1),
+    }
+    if rb_adapt < rb_fixed - 0.01:
+        failures.append(
+            f"batch adaptive recall {rb_adapt} more than 0.01 below "
+            f"fixed {rb_fixed}"
+        )
+    if pb_adapt >= pb_fixed:
+        failures.append(
+            f"batch adaptive pool {pb_adapt} not below fixed {pb_fixed}"
+        )
+
     out["failures"] = failures
     print(json.dumps(out))
 

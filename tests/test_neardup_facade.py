@@ -146,3 +146,38 @@ class TestKindMatrix:
         save_ivf_index(assigned, centroids, path)
         with pytest.raises(ValueError, match="not a near-dup index"):
             neardup.open(spark, path)
+
+
+class TestStreamDispatch:
+    def test_stream_ingest_via_handle(self, spark, corpora, tmp_path):
+        """The handle starts the family's streaming ingest (one family
+        exercises the dispatch; per-family semantics are pinned by the
+        family streaming suites)."""
+        import time
+
+        docs, _, _ = corpora
+        path = str(tmp_path / "nd_stream")
+        _build(spark, corpora, "minhash", path)
+        idx = neardup.open(spark, path)
+        first = docs.filter(F.col("doc_id") == 0).first()["text"]
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .select(
+                (F.col("value") + 900_000).alias("doc_id"),
+                F.lit(first).alias("text"),
+            )
+        )
+        q = idx.stream_ingest(stream, drop_dups=True)
+        try:
+            deadline = time.time() + 40
+            while time.time() < deadline:
+                time.sleep(3)
+                if (q.lastProgress or {}).get("batchId", 0) >= 3:
+                    break
+        finally:
+            q.stop()
+        # every streamed row was an exact copy of indexed doc 0:
+        # nothing lands
+        assert neardup.open(spark, path).meta["n_rows"] == 80

@@ -1099,3 +1099,61 @@ def test_hybrid_text_batch_matches_single_text_face(spark, tmp_path):
         assert sorted(by_q.get(qid, [])) == sorted(
             (r["doc_id"], r["score"]) for r in want
         ), f"query {qid}"
+
+
+class TestAdaptiveRefinePassThrough:
+    """Round-14: adaptive_refine= threads through both facades to the
+    PQ / IVF-PQ serving paths; on separable data the adaptive result
+    equals the fixed-pool result exactly."""
+
+    def _queries(self, spark, corpus, qids=(3, 77, 200)):
+        _, pts = corpus
+        return spark.createDataFrame(
+            [(q, [float(x) for x in pts[q]]) for q in qids],
+            "query_id long, query_vec array<float>",
+        )
+
+    def test_single_and_batch_pq(self, spark, corpus, qv, tmp_path):
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_pq_index
+
+        df, _ = corpus
+        model = pq_train(df, m=8, ks=32, metric="cosine", max_rows=N,
+                         seed=2)
+        assert model.train_mse is not None
+        path = str(tmp_path / "pq_ar")
+        save_pq_index(pq_encode(df, model), model, path)
+        fixed = [(r.vec_id, r.score) for r in search(
+            spark, path, qv, 10, vectors=df).collect()]
+        adapt = [(r.vec_id, r.score) for r in search(
+            spark, path, qv, 10, vectors=df, adaptive_refine=True
+        ).collect()]
+        assert adapt == fixed
+        qdf = self._queries(spark, corpus)
+        bf = sorted((r.query_id, r.vec_id, r.score) for r in search_batch(
+            spark, path, qdf, 10, vectors=df).collect())
+        ba = sorted((r.query_id, r.vec_id, r.score) for r in search_batch(
+            spark, path, qdf, 10, vectors=df, adaptive_refine=True
+        ).collect())
+        assert ba == bf
+
+    def test_batch_ivf_pq(self, spark, corpus, tmp_path):
+        from astro_vectordb_spark.operators.pq import ivf_pq_build
+        from astro_vectordb_spark.search import search_batch
+        from astro_vectordb_spark.sources.vault import save_ivf_pq_index
+
+        df, _ = corpus
+        encoded, cents, model = ivf_pq_build(
+            df, k_cells=8, m=8, ks=32, metric="cosine", max_rows=N,
+        )
+        path = str(tmp_path / "ivfpq_ar")
+        save_ivf_pq_index(encoded, cents, model, path)
+        qdf = self._queries(spark, corpus)
+        bf = sorted((r.query_id, r.vec_id, r.score) for r in search_batch(
+            spark, path, qdf, 10, vectors=df, nprobe=8).collect())
+        ba = sorted((r.query_id, r.vec_id, r.score) for r in search_batch(
+            spark, path, qdf, 10, vectors=df, nprobe=8,
+            adaptive_refine=True,
+        ).collect())
+        assert ba == bf

@@ -86,6 +86,15 @@ SHOW = [
     # corpus re-assignment
     "rp_index_multiprobe",
     "semdedup_index_incremental",
+    # round 14: the incremental SimHash match must show the batch
+    # signing only itself and chunk-joining the PERSISTED chunk/sig
+    # tables (no historical re-sign); the boundary multi-probe
+    # SemDeDup match must keep the batch-only shape — the top-2 probe
+    # is one map-side collect/sort/slice aggregation over the
+    # broadcast centroids, never a window over n x k rows, and history
+    # joins exactly as in the base gate
+    "simhash_index_incremental",
+    "semdedup_index_multiprobe",
 ]
 
 HEADER = """# PLANS — flagship physical plans (sf0.01, auto-generated)

@@ -833,11 +833,18 @@ def adaptive_refine_cut_batch(
     else:  # cosine
         sigma = F.lit(float(np.sqrt(mse / model.dim)))
     floor = int(k) * int(refine_min)
+    # coalesce(..., True): a null sigma (dot-metric pool row whose
+    # query_id misses the queries frame -> null _qn from the left
+    # join) must keep the row, mirroring the _adc_k-isNull branch —
+    # not silently drop everything past the rank floor.
     keep = (
         F.col("_adc_k").isNull()
         | (F.col("rank") <= floor)
-        | (F.col("adc_score")
-           >= F.col("_adc_k") - F.lit(float(sigma_mult)) * sigma)
+        | F.coalesce(
+            F.col("adc_score")
+            >= F.col("_adc_k") - F.lit(float(sigma_mult)) * sigma,
+            F.lit(True),
+        )
     )
     return joined.filter(keep).select(
         query_id_col, id_col, "adc_score", "rank"
@@ -960,6 +967,48 @@ def pq_reconstruction_mse(
 # one codebook (residual codebooks would buy stage-1 accuracy the
 # re-rank does not need at refine >= 8).
 
+def ivf_pq_residual_frame(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    metric: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, residual) = prep(v) - centroid[cell] for every assigned
+    row — the residual training corpus shared by :func:`ivf_pq_build`
+    and the vault's ``ivf_pq_refresh_index`` refit.  A bounded
+    mapInPandas over the assigned rows (the k_cells centroid matrix
+    broadcasts); trained with identity prep downstream — residuals
+    must NOT be re-normalized (prep applies to the VECTOR, the
+    residual is a plain difference in that space)."""
+    spark = assigned.sparkSession
+    cents = centroids.orderBy("cell_id").collect()
+    C = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    pos = {int(r["cell_id"]): i for i, r in enumerate(cents)}
+    bcr = spark.sparkContext.broadcast((C, pos, metric))
+
+    def _resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_, pos_, met = bcr.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _prep(np.stack(pdf[vec_col].to_numpy()), met)
+            rows_c = np.array(
+                [pos_[int(c)] for c in pdf["cell_id"].to_numpy()],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list((X - C_[rows_c]).astype(np.float64)),
+                }
+            )
+
+    return assigned.select(id_col, "cell_id", vec_col).mapInPandas(
+        _resid, schema=f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def ivf_pq_build(
     df: DataFrame,
     k_cells: int = 16,
@@ -1002,37 +1051,8 @@ def ivf_pq_build(
         vec_col=vec_col, seed=seed,
     )
     if residual:
-        # residual sample for training: prep(v) - centroid[cell], a
-        # bounded mapInPandas over the assigned rows (pq_train's
-        # hash-sample then bounds the driver transfer); trained with
-        # identity prep — residuals must NOT be re-normalized
-        spark = df.sparkSession
-        cents = centroids.orderBy("cell_id").collect()
-        C = np.array([r["centroid"] for r in cents], dtype=np.float64)
-        pos = {int(r["cell_id"]): i for i, r in enumerate(cents)}
-        bcr = spark.sparkContext.broadcast((C, pos, metric))
-
-        def _resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            C_, pos_, met = bcr.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = _prep(np.stack(pdf[vec_col].to_numpy()), met)
-                rows_c = np.array(
-                    [pos_[int(c)] for c in pdf["cell_id"].to_numpy()],
-                    dtype=np.int64,
-                )
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        vec_col: list(
-                            (X - C_[rows_c]).astype(np.float64)
-                        ),
-                    }
-                )
-
-        resid_df = assigned.select(id_col, "cell_id", vec_col).mapInPandas(
-            _resid, schema=f"{id_col} long, {vec_col} array<double>"
+        resid_df = ivf_pq_residual_frame(
+            assigned, centroids, metric, id_col=id_col, vec_col=vec_col
         )
         base = pq_train(
             resid_df, m=m, ks=ks, metric="dot", vec_col=vec_col,

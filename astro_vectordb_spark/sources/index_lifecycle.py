@@ -282,11 +282,14 @@ def append_to_index(
         absolute=all_primary.select(id_col).distinct().count(),
     )
     v._record_batch(spark, path, batch_id, op=family.append_op)
+    # extra merges FIRST: a stats_fn returning a colliding key (e.g.
+    # "appended_rows") must not overwrite the core replay/sync fields
+    # callers depend on — core wins on collision.
     return {
+        **extra,
         "appended_rows": int(max(synced - backlog, 0)),
         "repaired_rows": int(backlog),
         "skipped_replay": False,
-        **extra,
     }
 
 
@@ -629,10 +632,16 @@ class SemDeDupFamily(BucketIndexFamily):
     # per-vector assigned-centroid similarity — the yardstick the
     # append-time drift report compares each batch against (legacy
     # indexes lack the columns; loaders see None and the report omits
-    # the baseline)
+    # the baseline).  probe_margin (round 15): when set, the cells
+    # table persists a margin-gated SECOND cell per thin-margin row
+    # (``cell_id_2``) so history-side faces (groups/sweep) catch
+    # near-dup pairs straddling a cell boundary INSIDE the stored
+    # corpus — the batch-vs-history dial (match n_probes=) cannot see
+    # those.  None (and every legacy index) = argmax-1 cells only.
     meta_schema = (
         "k int, metric string, id_col string, vec_col string, dim int, "
-        "train_sim_mean double, train_sim_p95 double, n_rows long"
+        "train_sim_mean double, train_sim_p95 double, "
+        "probe_margin double, n_rows long"
     )
 
     def __init__(self) -> None:
@@ -665,14 +674,49 @@ class SemDeDupFamily(BucketIndexFamily):
                 "_as", similarity(F.col(vec_col), F.col("centroid"), metric)
             )
         )
-        # argmax by (similarity desc, cell_id asc) as ONE map-side
-        # combinable aggregation: max_by over the ordering struct
-        # (_as, -cell_id) — identical tie rule to the window form the
-        # oracle replays, without shuffling n x k rows by id
-        return scored.groupBy(id_col).agg(
-            F.max_by(
-                "cell_id", F.struct(F.col("_as"), -F.col("cell_id"))
-            ).alias("cell_id")
+        margin = m.get("probe_margin")
+        if margin is None:
+            # argmax by (similarity desc, cell_id asc) as ONE map-side
+            # combinable aggregation: max_by over the ordering struct
+            # (_as, -cell_id) — identical tie rule to the window form
+            # the oracle replays, without shuffling n x k rows by id
+            return scored.groupBy(id_col).agg(
+                F.max_by(
+                    "cell_id", F.struct(F.col("_as"), -F.col("cell_id"))
+                ).alias("cell_id")
+            )
+        # probe_margin set: also persist the margin-gated runner-up
+        # cell.  Same collect/sort/slice aggregation shape as the
+        # batch-side multi-probe kernel (map-side combinable, k structs
+        # per id — k is control-plane sized by construction: the
+        # centroids fit on the driver); slot 1 IS the argmax tie rule,
+        # so ``cell_id`` is bit-identical to the max_by path and
+        # ``cell_id_2`` is null unless sim_1 - sim_2 <= margin.
+        top = scored.groupBy(id_col).agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_as").alias("s"),
+                                (-F.col("cell_id")).alias("nc"),
+                                F.col("cell_id").alias("cell_id"),
+                            )
+                        )
+                    )
+                ),
+                1, 2,
+            ).alias("_t")
+        )
+        return top.select(
+            id_col,
+            F.col("_t")[0]["cell_id"].alias("cell_id"),
+            F.when(
+                (F.size("_t") > 1)
+                & (F.col("_t")[0]["s"] - F.col("_t")[1]["s"]
+                   <= F.lit(float(margin))),
+                F.col("_t")[1]["cell_id"],
+            ).alias("cell_id_2"),
         )
 
     def pair_score(self, ctx: IndexCtx, a, b):

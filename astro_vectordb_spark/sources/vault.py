@@ -1022,14 +1022,30 @@ def ivf_pq_append_to_index(
     residual = bool(meta.get("residual", False)) or bool(
         getattr(model, "residual", False)
     )
-    # drift report only for raw-encoded indexes: a residual index's
-    # fidelity is relative to each row's assigned centroid, and the
-    # raw-space reconstruction error is not the comparable quantity
-    batch_mse = (
-        pq_reconstruction_mse(new_rows, model)
-        if n_appended and not residual
-        else None
-    )
+    # drift report: raw indexes measure raw-space reconstruction MSE;
+    # a residual index's fidelity is relative to each row's assigned
+    # centroid, so its batch MSE is measured in RESIDUAL space (the
+    # same space its persisted train_mse was measured in — pq_train on
+    # the residual frame with identity prep), keeping the two
+    # comparable for the retrain decision ivf_pq_refresh_index answers
+    batch_mse = None
+    if n_appended:
+        if residual:
+            from astro_vectordb_spark.operators.pq import (
+                PQModel,
+                ivf_pq_residual_frame,
+            )
+
+            resid = ivf_pq_residual_frame(
+                assigned, centroids, meta["metric"]
+            )
+            shim = PQModel(
+                model.codebooks, metric="dot", dim=model.dim,
+                rotation=model.rotation,
+            )
+            batch_mse = pq_reconstruction_mse(resid, shim)
+        else:
+            batch_mse = pq_reconstruction_mse(new_rows, model)
     touched: list = []
     if n_appended:
         if residual:
@@ -1514,6 +1530,208 @@ def pq_compact_index(
     _replace_dir(spark, _write, codes_path)
     return {"compacted": True, "files_before": n_files, "rows": n_rows,
             "target_files": ideal}
+
+
+def _write_codebooks(spark: SparkSession, model, path: str) -> None:
+    """Staged-swap the tiny codebook table (codebooks + OPQ rotation
+    sentinel rows + the ``train_mse`` baseline sentinel)."""
+
+    def _write(staging: str) -> None:
+        spark.createDataFrame(
+            model.to_rows(), "subspace int, code int, centroid array<float>"
+        ).write.mode("overwrite").parquet(staging)
+
+    _replace_dir(spark, _write, os.path.join(path, "codebooks"))
+
+
+def _refresh_corpus(
+    spark: SparkSession,
+    stored_ids: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    face: str,
+) -> DataFrame:
+    """The re-encode corpus for a PQ-family refresh: ``vectors``
+    restricted to the ids currently in the codes table, duplicate ids
+    collapsed deterministically.  Raises when coverage is incomplete —
+    a stored id whose floats are missing cannot be re-encoded under
+    new codebooks (and silently dropping it would shrink the index)."""
+    corpus = _dedup_ids_deterministic(vectors, id_col=id_col).join(
+        stored_ids, id_col
+    )
+    n_stored = stored_ids.count()
+    n_corpus = corpus.count()
+    if n_corpus < n_stored:
+        raise ValueError(
+            f"{face}: vectors frame covers {n_corpus}/{n_stored} stored "
+            f"ids — every id in the codes table needs its float vector "
+            f"to re-encode (pass the same corpus the index was built "
+            f"and appended from)"
+        )
+    return corpus
+
+
+def pq_refresh_index(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 50_000,
+    seed: int = 42,
+    opq_iters: int | None = None,
+) -> dict:
+    """Retrain the codebooks and RE-ENCODE the stored codes table in
+    place — the answer to ``pq_append_to_index``'s MSE drift report
+    (the same report->refresh symmetry ``semdedup_refresh_index``
+    gives the semantic family): when batch MSE climbs far above the
+    ``train_mse`` baseline, the new data has drifted off the trained
+    codebooks and stage-1 ADC ordering degrades; refresh refits and
+    restores it WITHOUT a rebuild.
+
+    What it does NOT pay: the float ``vectors`` table (the big one) is
+    never rewritten, nothing re-ingests, and the ``_batches`` replay
+    log is preserved verbatim — a stream appending through the refresh
+    keeps its exactly-once contract.  What it does pay: one bounded
+    codebook refit (``pq_train``'s driver-side hash-sample — never a
+    corpus-scaling fit) and ONE corpus encode pass staged-swapped into
+    ``codes/`` (m bytes/vector — ~32x smaller than the float table a
+    rebuild also rewrites).  ``vectors`` must cover every stored id
+    (the codes table defines membership; coverage is checked).
+
+    ``opq_iters=None`` keeps the family: models persisted with an OPQ
+    rotation refresh with OPQ (8 alternations), plain models refresh
+    plain.  ``m``/``ks``/``metric`` come from ``_meta`` — refresh
+    never changes the index shape (that is a rebuild).
+
+    Crash ordering: the new codes swap first, then the codebooks.  A
+    crash between the swaps leaves codes/codebooks mismatched — ADC
+    stage-1 ordering is garbage until healed (stage-2 still re-ranks
+    its candidates exactly) — and re-running the refresh (idempotent:
+    deterministic sample + seed) heals it.  Single-writer maintenance
+    op, same contract as ``pq_compact_index``.
+
+    Returns ``{"reencoded_rows", "train_mse_before", "train_mse_after",
+    "rotation"}``."""
+    from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+
+    _recover_swap(spark, os.path.join(path, "codes"))
+    encoded, old_model, meta = load_pq_index(spark, path)
+    stored = encoded.select(id_col).distinct().localCheckpoint(eager=True)
+    corpus = _refresh_corpus(spark, stored, vectors, id_col,
+                             "pq_refresh_index")
+    if opq_iters is None:
+        opq_iters = 8 if old_model.rotation is not None else 0
+    model = pq_train(
+        corpus, m=int(meta["m"]), ks=int(meta["ks"]),
+        metric=meta["metric"], vec_col=vec_col, id_col=id_col,
+        max_rows=max_rows, seed=seed, opq_iters=opq_iters,
+    )
+    fresh = pq_encode(corpus, model, id_col=id_col, vec_col=vec_col)
+
+    def _write(staging: str) -> None:
+        fresh.write.mode("overwrite").parquet(staging)
+
+    _replace_dir(spark, _write, os.path.join(path, "codes"))
+    _write_codebooks(spark, model, path)
+    return {
+        "reencoded_rows": int(stored.count()),
+        "train_mse_before": old_model.train_mse,
+        "train_mse_after": model.train_mse,
+        "rotation": model.rotation is not None,
+    }
+
+
+def ivf_pq_refresh_index(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 50_000,
+    seed: int = 42,
+    opq_iters: int | None = None,
+) -> dict:
+    """:func:`pq_refresh_index` for a cell-partitioned IVF-PQ index:
+    refit the codebooks (on cell RESIDUALS when the model is
+    residual-encoded) and re-encode the codes table in place — the
+    CENTROIDS and every row's cell assignment stay frozen, so the
+    cell partitioning (the file-pruning contract serving relies on)
+    is preserved verbatim and no assignment pass is paid.  Centroid
+    drift is a different, cheaper signal with its own lifecycle
+    answer (rebuild, or SemDeDup-style reassignment); codebook drift
+    is what the per-batch MSE report measures.
+
+    Same coverage check, crash ordering (codes swap, then codebooks;
+    re-run to heal), replay-log preservation, and report shape as the
+    flat face."""
+    from astro_vectordb_spark.operators.pq import (
+        PQModel,
+        ivf_pq_encode_residual,
+        ivf_pq_residual_frame,
+        pq_encode,
+        pq_train,
+    )
+
+    _recover_swap(spark, os.path.join(path, "codes"))
+    encoded, centroids, old_model, meta = load_ivf_pq_index(spark, path)
+    # one stored row per id with its frozen cell (duplicate code rows
+    # from at-least-once appends collapse to the min cell)
+    stored = (
+        encoded.groupBy(id_col)
+        .agg(F.min("cell_id").alias("cell_id"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = _refresh_corpus(
+        spark, stored.select(id_col), vectors, id_col,
+        "ivf_pq_refresh_index",
+    )
+    assigned = corpus.join(stored, id_col)
+    if opq_iters is None:
+        opq_iters = 8 if old_model.rotation is not None else 0
+    if old_model.residual:
+        resid = ivf_pq_residual_frame(
+            assigned, centroids, meta["metric"], id_col=id_col,
+            vec_col=vec_col,
+        )
+        base = pq_train(
+            resid, m=int(meta["m"]), ks=int(meta["ks"]), metric="dot",
+            vec_col=vec_col, id_col=id_col, max_rows=max_rows,
+            seed=seed, opq_iters=opq_iters,
+        )
+        model = PQModel(
+            base.codebooks, metric=meta["metric"], dim=base.dim,
+            residual=True, rotation=base.rotation,
+            train_mse=base.train_mse,
+        )
+        fresh = ivf_pq_encode_residual(
+            assigned, model, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        model = pq_train(
+            corpus, m=int(meta["m"]), ks=int(meta["ks"]),
+            metric=meta["metric"], vec_col=vec_col, id_col=id_col,
+            max_rows=max_rows, seed=seed, opq_iters=opq_iters,
+        )
+        fresh = assigned.select(id_col, "cell_id").join(
+            pq_encode(corpus, model, id_col=id_col, vec_col=vec_col),
+            id_col,
+        )
+
+    def _write(staging: str) -> None:
+        fresh.repartition("cell_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(staging)
+
+    _replace_dir(spark, _write, os.path.join(path, "codes"))
+    _write_codebooks(spark, model, path)
+    return {
+        "reencoded_rows": int(stored.count()),
+        "train_mse_before": old_model.train_mse,
+        "train_mse_after": model.train_mse,
+        "rotation": model.rotation is not None,
+        "residual": bool(old_model.residual),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -2418,11 +2636,23 @@ def gc(
     both proceed); the operational contract remains one gc owner per
     index — a stream's in-loop ``gc_every`` gc owns its index — with
     the lease turning accidental overlap into a safe no-op instead of
-    silent corruption."""
+    silent corruption.
+
+    Lease ownership is FENCED with a unique owner token written into
+    the lease file: a gc outliving the TTL whose lease was broken by a
+    second gc must not, on its way out, delete the SECOND owner's
+    lease (which would let a third gc start while the second still
+    runs — the overlap chain the lease exists to prevent).  The
+    finally-clause re-reads the lease and deletes it only when it
+    still carries this call's token; a mismatched token means
+    ownership moved, so the file is left for its new owner."""
+    import uuid
+
     max_retries = max(1, int(max_retries))
     fs, _ = _hadoop_fs(spark, path)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     lease = HPath(os.path.join(path, "_gc_lease"))
+    token = uuid.uuid4().hex
 
     def _lease_held_report() -> dict:
         return {"compacted": False, "rows_before": 0, "rows_after": 0,
@@ -2442,6 +2672,10 @@ def gc(
         fs.delete(lease, False)
         if not fs.createNewFile(lease):
             return _lease_held_report()
+    # stamp the token AFTER the atomic claim (the freshly-created
+    # lease's mtime protects the overwrite window: a TTL-honoring
+    # breaker never breaks a lease this young)
+    _lease_stamp(fs, lease, token)
     try:
         return _gc_locked(
             spark, path, keep_last_batches=keep_last_batches,
@@ -2450,7 +2684,36 @@ def gc(
             max_retries=max_retries,
         )
     finally:
-        fs.delete(lease, False)
+        if _lease_read(fs, lease) == token:
+            fs.delete(lease, False)
+
+
+def _lease_stamp(fs, lease, token: str) -> None:
+    """Overwrite the (already-claimed) lease file with ``token``."""
+    out = fs.create(lease, True)
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _lease_read(fs, lease) -> str | None:
+    """Token currently in the lease file; None if unreadable/absent."""
+    try:
+        stream = fs.open(lease)
+    except Exception:
+        return None
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 64:
+            data.append(b)
+            b = stream.read()
+        return data.decode("ascii", errors="replace")
+    except Exception:
+        return None
+    finally:
+        stream.close()
 
 
 def _gc_locked(

@@ -370,6 +370,35 @@ class TestBatchAdaptive:
             }
             assert kept[qid] == want, qid
 
+    def test_cut_dot_missing_query_keeps_all(self, spark):
+        """round-15 advice: a dot-metric pool row whose query_id is
+        absent from the queries frame gets a null norm from the left
+        join — the cut must keep-all for that query (mirroring the
+        _adc_k-isNull branch), not silently drop rows past the rank
+        floor."""
+        from astro_vectordb_spark.operators.pq import (
+            adaptive_refine_cut_batch,
+        )
+
+        dim = 4
+        model = PQModel(np.zeros((2, 4, 2), dtype=np.float32),
+                        metric="dot", dim=dim, train_mse=0.01 * dim)
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])],
+            "query_id long, query_vec array<double>",
+        )
+        scores = [9.0, 8.0, 7.95, 7.7, 7.3, 6.0]
+        kept = {}
+        for r in adaptive_refine_cut_batch(
+            self._pool(spark, {0: scores, 5: scores}), k=2, model=model,
+            queries=queries, refine_min=1, sigma_mult=1.0,
+        ).collect():
+            kept.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # q0 present: normal cut (norm 1 -> sigma 0.1 -> cut 7.9)
+        assert kept[0] == {0, 1, 2}
+        # q5 missing from queries: keep-all, never a silent recall cliff
+        assert kept[5] == set(range(len(scores)))
+
     def test_cut_euclidean_rank_k_radius(self, spark):
         from astro_vectordb_spark.operators.pq import (
             adaptive_refine_cut_batch,

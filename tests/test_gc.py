@@ -378,6 +378,43 @@ class TestGCOpsFilterAndConcurrency:
         # replay contract intact through the lease dance
         assert _batch_already_committed(spark, path, 2, op="rp_append")
 
+    def test_gc_lease_fenced_by_owner_token(self, spark, data, tmp_path,
+                                            monkeypatch):
+        """round-15 advice: a gc outliving the TTL whose lease was
+        broken by a second gc must NOT finally-delete the second
+        owner's lease (that would let a third gc start while the
+        second still runs).  Inject the break mid-run: while gc A is
+        inside _gc_locked, replace the lease with a foreign token —
+        A's exit must leave the foreign lease in place."""
+        import os as _os
+
+        from astro_vectordb_spark.sources import vault as v
+
+        path = str(tmp_path / "idx_fence")
+        self._churn(spark, path=path, data=data)
+        lease = _os.path.join(path, "_gc_lease")
+        real = v._gc_locked
+
+        def hijack(*a, **kw):
+            # second gc broke A's "stale" lease and stamped its own
+            with open(lease, "w") as fh:
+                fh.write("foreign-owner-token")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(v, "_gc_locked", hijack)
+        rep = v.gc(spark, path, keep_last_batches=1)
+        assert rep["compacted"] is True
+        # A saw a foreign token on exit: the new owner's lease survives
+        assert _os.path.exists(lease)
+        with open(lease) as fh:
+            assert fh.read() == "foreign-owner-token"
+        _os.remove(lease)
+        # unbroken run: the token round-trips and the lease is released
+        monkeypatch.setattr(v, "_gc_locked", real)
+        rep = v.gc(spark, path, keep_last_batches=1)
+        assert rep["compacted"] is True or rep.get("lease_held") is True
+        assert not _os.path.exists(lease)
+
 
 class TestRPPlaneWidthValidation:
     """ADVICE r12 #3: int32 cell schema — n_planes/n_refine past 31

@@ -130,6 +130,33 @@ class TestAppend:
         _, _, meta = load_minhash_index(spark, path)
         assert int(meta["n_rows"]) == 60
 
+    def test_stats_fn_cannot_shadow_core_report_fields(
+            self, spark, corpus_rows, tmp_path):
+        """round-15 advice: the stats_fn extras merge FIRST in the
+        append report — a hook returning a colliding key (e.g.
+        'appended_rows') must not overwrite the core replay/sync
+        fields callers branch on."""
+        from astro_vectordb_spark.sources.index_lifecycle import (
+            MinhashFamily,
+            append_to_index,
+        )
+
+        path = str(tmp_path / "idx")
+        save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)
+        rep = append_to_index(
+            spark, path, MinhashFamily(), _mkdocs(spark, corpus_rows[40:]),
+            batch_id=0,
+            stats_fn=lambda ctx, fresh: {
+                "appended_rows": -999,
+                "skipped_replay": True,
+                "custom_stat": 7,
+            },
+        )
+        # core fields win on collision; non-colliding extras survive
+        assert rep["appended_rows"] == 20
+        assert rep["skipped_replay"] is False
+        assert rep["custom_stat"] == 7
+
     def test_dedup_ids_anti_join(self, spark, corpus_rows, tmp_path):
         path = str(tmp_path / "idx")
         save_minhash_index(_mkdocs(spark, corpus_rows[:40]), path)

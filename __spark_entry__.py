@@ -2176,6 +2176,34 @@ def semdedup_full_index_path(spark, sf_dir: str) -> str:
     return path
 
 
+_SEMDEDUP_PROBED_CACHE: dict[str, str] = {}
+
+
+def semdedup_probed_index_path(spark, sf_dir: str) -> str:
+    """Build-once-per-session persisted SemDeDup index over the FULL
+    corpus with the round-15 stored boundary-probe dial
+    (``store_probe_margin=0.02``): thin-margin rows persist their
+    runner-up cell as ``cell_id_2``, so the GROUPS face can catch
+    near-dup pairs straddling a cell boundary inside the stored
+    corpus.  Kept separate from ``semdedup_full_index_path`` so the
+    base ``semdedup_fixed`` gate's semantics stay byte-identical."""
+    if sf_dir in _SEMDEDUP_PROBED_CACHE:
+        return _SEMDEDUP_PROBED_CACHE[sf_dir]
+    import tempfile
+
+    from astro_vectordb_spark.sources.semdedup_index import (
+        save_semdedup_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="astro_sd_probed_")
+    save_semdedup_index(
+        _emb(spark, sf_dir), path, centroids=_semdedup_cents16(spark),
+        dim=64, store_probe_margin=0.02,
+    )
+    _SEMDEDUP_PROBED_CACHE[sf_dir] = path
+    return path
+
+
 def semdedup_index_path(spark, sf_dir: str) -> str:
     """Build-once-per-session persisted SemDeDup index over the
     HISTORICAL corpus slice (vec_id % 5 != 4), built THROUGH the
@@ -2225,6 +2253,32 @@ def _q_semdedup_fixed(spark, sf_dir):
 
     return semdedup_index_groups(
         spark, semdedup_full_index_path(spark, sf_dir), eps=0.4,
+        keep="min_id",
+    )
+
+
+def _q_semdedup_groups_probed(spark, sf_dir):
+    # round 15 (verdict item 4): HISTORY-side boundary probing,
+    # oracled — the r14 multi-probe dial only helped batch-vs-history;
+    # a near-dup pair straddling a cell boundary INSIDE the stored
+    # corpus was invisible to groups()/sweep because both members sit
+    # in their (different) argmax cells.  This gate serves
+    # semdedup_index_groups from an index persisted with
+    # store_probe_margin=0.02: every stored row whose assignment
+    # margin is thin (sim_1 - sim_2 <= 0.02) ALSO persists its rank-2
+    # cell (cell_id_2, computed in the same assignment pass), and the
+    # pair search runs over the expanded membership.  The expanded
+    # cells are deterministic from the same 16 centroid literals —
+    # the DuckDB twin re-derives rank-1 + margin-gated rank-2 per id
+    # with the identical (sim desc, cell_id asc) tie rule — so the
+    # whole persisted dial sits on one driver hash.  The keep set is
+    # a SUBSET of semdedup_fixed's (more pairs only merge groups).
+    from astro_vectordb_spark.sources.semdedup_index import (
+        semdedup_index_groups,
+    )
+
+    return semdedup_index_groups(
+        spark, semdedup_probed_index_path(spark, sf_dir), eps=0.4,
         keep="min_id",
     )
 
@@ -2584,63 +2638,52 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 14 (the driver checks the FIRST 50
+    # Driver-window rotation, round 15 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in (10, per NOTES_r13's promise + round-14 verdict item 1):
-    #     simhash_index_incremental (full-gate-green in r13, never
-    #     driver-signed — batch trimmed to the doc_id % 20 == 4 slice
-    #     per verdict What's-wrong #4, oracle changed in lockstep),
-    #     the brand-new semdedup_index_multiprobe (verdict item 7),
-    #     and the first 8 of the 15 entries rotated out in round 13,
-    #     due back over r14-15 (threshold_cap, near_dup_jaccard,
-    #     quality_scores, doc_fingerprints, batch_topk_quantized,
-    #     embed_then_search, decontaminate, pack_sequences);
-    #   - out (10, all >= 2-round driver-green, families untouched
-    #     this round, reps in-window): the 9 entries that returned in
-    #     r13 and re-signed green (topk_euclidean, null_semantics,
-    #     similarity_join, knn_classify, lang_id, stratified_sample,
-    #     range_join, dup_rate_by_source, embed_docs — topk family
-    #     reps topk_exact/batch_topk/filtered_topk stay; text rep
-    #     text_stats + the returning quality_scores/doc_fingerprints;
-    #     embed rep embed_then_search returns; curation reps
-    #     dup_span_removal + decontaminate/pack_sequences) plus
-    #     facade_hybrid_rerank_gate (retrieval: 6 sibling facade/rerank
-    #     reps stay in-window);
+    #   - in (8, per NOTES_r14's promise + round-14 verdict item 2):
+    #     the brand-new semdedup_groups_probed (r14 verdict item 4 —
+    #     persisted history-side boundary probes, oracled) and the
+    #     remaining 7 of NOTES_r13's rotated-out list, due back this
+    #     round: gopher_filter, dup_spans, snippets, prf_expand,
+    #     cross_rerank, bm25_batch, facade_hybrid_text_gate;
+    #   - out (8, all multi-round driver-green, families untouched
+    #     this round, reps in-window): tombstone_delete +
+    #     upsert_keep_latest (crud: point_lookup/sync_merge stay),
+    #     filtered_topk + topk_quantized (topk/quantize:
+    #     topk_exact/batch_topk/batch_topk_quantized stay), text_stats
+    #     (text: quality_scores/doc_fingerprints stay), validate_dim
+    #     (ann: ann_ivf_exact stays), dup_span_removal (curation:
+    #     decontaminate/pack_sequences + returning gopher_filter/
+    #     dup_spans stay), facade_hybrid_batch_gate (retrieval: 5
+    #     sibling facade gates + the 5 returning retrieval entries
+    #     stay);
     #   - held in-window because their code changed this round: the
-    #     SemDeDup family (drift telemetry + refresh + multi-probe:
-    #     semdedup_fixed, semdedup_index_incremental), the shared
-    #     lifecycle-core append (stats_fn hook: minhash/RP/simhash
-    #     index gates), the IVF-PQ + batch-topk reps (batch
-    #     adaptive-refine plumbing touched pq_batch_candidates /
-    #     rank_topk_per_query: facade_ivfpq_gate, ann_ivfpq_*_exact,
-    #     batch_topk), read_your_writes (vault.gc lease + clamp).
-    #   - due back round 15 (the remaining 7 of NOTES_r13's list):
-    #     gopher_filter, dup_spans, snippets, prf_expand, cross_rerank,
-    #     bm25_batch, facade_hybrid_text_gate.
+    #     SemDeDup family (stored boundary probes touched the family
+    #     bucketize + groups + refresh: semdedup_fixed,
+    #     semdedup_index_incremental, semdedup_index_multiprobe), the
+    #     shared lifecycle-core append (extras-first merge order:
+    #     minhash/RP/simhash index gates), the PQ/IVF-PQ reps (refresh
+    #     faces + batch-cut null guard + residual batch MSE:
+    #     facade_ivfpq_gate, ann_ivfpq_*_exact, batch_topk_quantized),
+    #     read_your_writes (vault.gc owner-token fencing).
+    #   - due back round 16: the 8 rotated out this round plus the
+    #     r14 returning tranche once re-signed.
     return {
         # -- stable core (driver-signed r11+r12, kept as family reps)
         "topk_exact": _q_topk_exact,
         "point_lookup": _q_point_lookup,
-        "tombstone_delete": _q_tombstone_delete,
         "batch_topk": _q_batch_topk,
         "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
         "ann_ivf_exact": _q_ann_ivf_exact,
-        "validate_dim": _q_validate_dim,
         "multimodal_decode": _q_multimodal_decode,
-        "topk_quantized": _q_topk_quantized,
         "read_your_writes": _q_read_your_writes,
-        "filtered_topk": _q_filtered_topk,
         "bm25_topk": _q_bm25_topk,
-        "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_gate": _q_facade_hybrid_gate,
-        "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
         "facade_hybrid_prf_gate": _q_facade_hybrid_prf_gate,
         "cross_rerank_batch": _q_cross_rerank_batch,
         "facade_hybrid_prf_batch_gate": _q_facade_hybrid_prf_batch_gate,
         "facade_text_batch_gate": _q_facade_text_batch_gate,
-        "upsert_keep_latest": _q_upsert_keep_latest,
         "sync_merge": _q_sync_merge,
         "dedup_groups": _q_dedup_groups,
         "near_dup_simhash_sql": _q_near_dup_simhash_sql,
@@ -2666,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_index_incremental": _q_rp_index_incremental,
         "rp_index_groups": _q_rp_index_groups,
         "semdedup_fixed": _q_semdedup_fixed,
+        "semdedup_groups_probed": _q_semdedup_groups_probed,
         "rp_index_multiprobe": _q_rp_index_multiprobe,
         "semdedup_index_incremental": _q_semdedup_index_incremental,
         # -- IN: first driver signing (landed late in r13, trimmed
@@ -2681,9 +2725,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_then_search": _q_embed_then_search,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        # -- IN: the remaining 7 of NOTES_r13's rotated-out list
+        "gopher_filter": _q_gopher_filter,
+        "dup_spans": _q_dup_spans,
+        "snippets": _q_snippets,
+        "prf_expand": _q_prf_expand,
+        "cross_rerank": _q_cross_rerank,
+        "bm25_batch": _q_bm25_batch,
+        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
         # (window boundary: 50 entries above this line)
         # -- OUT this round (>= 2-round-green, families untouched,
         # reps in-window above):
+        "tombstone_delete": _q_tombstone_delete,
+        "upsert_keep_latest": _q_upsert_keep_latest,
+        "filtered_topk": _q_filtered_topk,
+        "topk_quantized": _q_topk_quantized,
+        "text_stats": _q_text_stats,
+        "validate_dim": _q_validate_dim,
+        "dup_span_removal": _q_dup_span_removal,
+        "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
         "similarity_join": _q_similarity_join,
@@ -2694,14 +2754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "embed_docs": _q_embed_docs,
         "facade_hybrid_rerank_gate": _q_facade_hybrid_rerank_gate,
-        # -- OUT since round 13, due back round 15:
-        "gopher_filter": _q_gopher_filter,
-        "dup_spans": _q_dup_spans,
-        "snippets": _q_snippets,
-        "prf_expand": _q_prf_expand,
-        "cross_rerank": _q_cross_rerank,
-        "bm25_batch": _q_bm25_batch,
-        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
         # -- full-gate-only (oracled every round by check_oracle.py)
         "events_hourly": _q_events_hourly,
         "session_stats": _q_session_stats,
@@ -3321,6 +3373,58 @@ pairs AS (
     ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT id AS vec_id FROM comp WHERE id = component
+UNION ALL
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM comp)
+""",
+        # history-side boundary probes (round 15): every stored row's
+        # cell membership expands to rank-1 PLUS the margin-gated
+        # rank-2 cell (s1 - s2 <= 0.02, same tie rule); pairs over the
+        # expanded membership, exact cosine at eps, closure, min-id
+        "semdedup_groups_probed": f"""
+WITH RECURSIVE cents AS ({_semdedup_cents_sql(k=16)}),
+ascore AS (
+  SELECT e.vec_id, ct.cell_id, {_cos('e.embedding', 'ct.c')} AS s
+  FROM embeddings e CROSS JOIN cents ct
+),
+arank AS (
+  SELECT vec_id, cell_id, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id)
+           AS rk
+  FROM ascore
+),
+a1 AS (SELECT vec_id, cell_id, s FROM arank WHERE rk = 1),
+asg AS (
+  SELECT vec_id, cell_id FROM a1
+  UNION
+  SELECT r.vec_id, r.cell_id
+  FROM arank r JOIN a1 ON r.vec_id = a1.vec_id
+  WHERE r.rk = 2 AND a1.s - r.s <= 0.02
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM asg a JOIN asg b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
   WHERE {_cos('ea.embedding', 'eb.embedding')} > 0.4
 ),
 edges AS (

@@ -100,6 +100,8 @@ def _write_meta_row(spark: SparkSession, path: str, meta: dict) -> None:
         else float(meta["train_sim_mean"]),
         None if meta.get("train_sim_p95") is None
         else float(meta["train_sim_p95"]),
+        None if meta.get("probe_margin") is None
+        else float(meta["probe_margin"]),
         None if meta.get("n_rows") is None else int(meta["n_rows"]),
     )
     df = spark.createDataFrame([row], schema)
@@ -120,6 +122,7 @@ def save_semdedup_index(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    store_probe_margin: float | None = None,
 ) -> None:
     """Build + persist the SemDeDup index: fit (or take) the
     centroids, store them, assign the corpus once (the expensive
@@ -130,7 +133,19 @@ def save_semdedup_index(
     face (a prior fit, a taxonomy, fixed literals for the oracle).
     Otherwise centroids fit on a bounded driver-side sample
     (``ann.ivf_build_sampled``'s deterministic NumPy Lloyd's — the
-    fit never scales with the corpus)."""
+    fit never scales with the corpus).
+
+    ``store_probe_margin`` (round 15, opt-in): persist a margin-gated
+    SECOND cell per thin-margin row (``cell_id_2`` in the cells
+    table, null for confidently-assigned rows) so the HISTORY-side
+    faces — :func:`semdedup_index_groups` and the sweep — catch
+    near-dup pairs straddling a cell boundary inside the stored
+    corpus.  The batch-vs-history dial (``semdedup_match_index``'s
+    ``n_probes``) cannot reach those pairs: both members are already
+    stored and each lives in one argmax cell.  Storage overhead is
+    bounded by the margin rule (only thin-margin rows carry a second
+    id-sized value); the rule stays a deterministic function of the
+    centroid literals, so the whole dial remains oracle-replayable."""
     from astro_vectordb_spark.sources.index_lifecycle import save_index
 
     spark = df.sparkSession
@@ -146,12 +161,16 @@ def save_semdedup_index(
     cents = centroids.select("cell_id", "centroid")
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     k = spark.read.parquet(os.path.join(path, "centroids")).count()
+    margin = (
+        None if store_probe_margin is None else float(store_probe_margin)
+    )
     params = {"k": int(k), "metric": str(metric), "id_col": str(id_col),
-              "vec_col": str(vec_col), "dim": int(dim)}
+              "vec_col": str(vec_col), "dim": int(dim),
+              "probe_margin": margin}
     save_index(
         df, path, _semdedup_family(), params,
         meta_values=(int(k), str(metric), str(id_col), str(vec_col),
-                     int(dim), None, None),
+                     int(dim), None, None, margin),
     )
     # train-time drift baseline: mean/p95 similarity-to-assigned-
     # centroid over the stored corpus — ONE join of the two compact
@@ -377,12 +396,16 @@ def semdedup_compact_index(
     )
 
 
+_KEEP_MARGIN = object()  # sentinel: refresh preserves the stored dial
+
+
 def semdedup_refresh_index(
     spark: SparkSession,
     path: str,
     centroids: DataFrame | None = None,
     k_cells: int | None = None,
     seed: int = 42,
+    store_probe_margin=_KEEP_MARGIN,
 ) -> dict:
     """Retrain the frozen centroids and REASSIGN the stored corpus in
     place — the answer to the drift report
@@ -407,6 +430,14 @@ def semdedup_refresh_index(
     (which re-derives cells from the stored vectors + centroids);
     serving faces keep returning verified-exact pairs either way,
     with blocking recall degraded until healed.
+
+    ``store_probe_margin``: by default the stored boundary-probe dial
+    (``probe_margin`` in ``_meta``; see :func:`save_semdedup_index`)
+    is PRESERVED through the refresh — thin-margin rows re-derive
+    their ``cell_id_2`` under the new centroids in the same fused
+    pass.  Pass a float to adopt or re-tune the dial without a
+    rebuild (the cells table is being rewritten anyway), or ``None``
+    to drop it.
 
     Returns ``{"k", "reassigned_rows", "moved_rows", "train_sim_mean",
     "train_sim_p95"}`` — ``moved_rows`` = ids whose cell changed (the
@@ -435,34 +466,74 @@ def semdedup_refresh_index(
     # needs it; the compact table is id + cell_id only)
     old_asg = old_cells.select(id_col, F.col("cell_id").alias("_old"))
     old_asg = old_asg.localCheckpoint(eager=True)
+    margin = (
+        meta.get("probe_margin")
+        if store_probe_margin is _KEEP_MARGIN
+        else store_probe_margin
+    )
+    margin = None if margin is None else float(margin)
     meta_new = dict(meta)
     meta_new["k"] = int(k_new)
+    meta_new["probe_margin"] = margin
     # ONE corpus pass: the same broadcast + map-side argmax the family
     # bucketize kernel runs (identical tie rule: max_by over
     # (_as, -cell_id)), widened to also keep the assigned similarity —
     # the new baseline stats and the moved count then come from the
-    # pinned compact result instead of re-reading the vectors
+    # pinned compact result instead of re-reading the vectors.  With a
+    # probe margin the same pass keeps the top-2 slice instead, so the
+    # re-derived ``cell_id_2`` rides the identical scan.
     from astro_vectordb_spark.functions.vector import similarity
 
     new_cents = _read_maybe_swapped(spark, cpath)
-    assigned = (
+    scored = (
         vecs.select(id_col, vec_col)
         .crossJoin(F.broadcast(new_cents.select("cell_id", "centroid")))
         .withColumn(
             "_as", similarity(F.col(vec_col), F.col("centroid"),
                               meta["metric"])
         )
-        .groupBy(id_col)
-        .agg(
+    )
+    if margin is None:
+        assigned = scored.groupBy(id_col).agg(
             F.max_by(
                 "cell_id", F.struct(F.col("_as"), -F.col("cell_id"))
             ).alias("cell_id"),
             F.max("_as").alias("_s"),
         )
-    ).localCheckpoint(eager=True)
+        cell_cols = [id_col, "cell_id"]
+    else:
+        top = scored.groupBy(id_col).agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_as").alias("s"),
+                                (-F.col("cell_id")).alias("nc"),
+                                F.col("cell_id").alias("cell_id"),
+                            )
+                        )
+                    )
+                ),
+                1, 2,
+            ).alias("_t")
+        )
+        assigned = top.select(
+            F.col(id_col),
+            F.col("_t")[0]["cell_id"].alias("cell_id"),
+            F.when(
+                (F.size("_t") > 1)
+                & (F.col("_t")[0]["s"] - F.col("_t")[1]["s"]
+                   <= F.lit(margin)),
+                F.col("_t")[1]["cell_id"],
+            ).alias("cell_id_2"),
+            F.col("_t")[0]["s"].alias("_s"),
+        )
+        cell_cols = [id_col, "cell_id", "cell_id_2"]
+    assigned = assigned.localCheckpoint(eager=True)
 
     def _write_cells(staging: str) -> None:
-        assigned.select(id_col, "cell_id").write.mode(
+        assigned.select(*cell_cols).write.mode(
             "overwrite"
         ).partitionBy("cell_id").parquet(staging)
 
@@ -492,6 +563,7 @@ def semdedup_index_groups(
     eps: float = 0.95,
     keep: str = "min_id",
     max_cluster_rows: int | None = None,
+    use_stored_probes: bool = True,
 ) -> DataFrame:
     """Corpus-wide SemDeDup of the ALREADY-INGESTED corpus from its
     persisted index alone — the corpus is never re-assigned: the
@@ -504,7 +576,18 @@ def semdedup_index_groups(
     ties by id ascending).  Singletons keep themselves; members of a
     cell capped out of the pair search (``max_cluster_rows``) keep
     themselves — the guard can only under-dedup.  Returns the KEEP
-    set, one ``(id_col)`` row per surviving vector."""
+    set, one ``(id_col)`` row per surviving vector.
+
+    BOUNDARY PROBES (round 15): an index saved (or refreshed) with
+    ``store_probe_margin`` persists a margin-gated second cell per
+    thin-margin row; when present (and ``use_stored_probes``), the
+    pair search runs over the EXPANDED cell membership — each row
+    joins within its argmax cell AND its stored runner-up — so
+    near-dup pairs straddling a cell boundary inside the stored
+    corpus are found (the base search misses them by design).  The
+    result is a superset of the base pairs; the expanded self-join
+    dedups pairs (two rows can now share both cells), and the exact
+    verify at ``eps`` is unchanged."""
     from astro_vectordb_spark.functions.vector import similarity
     from astro_vectordb_spark.operators.dedup import connected_components
     from astro_vectordb_spark.sources.index_lifecycle import (
@@ -520,10 +603,34 @@ def semdedup_index_groups(
     vecs, cells, cents, meta = load_semdedup_index(spark, path)
     ctx = IndexCtx(spark, path, meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cand = bucket_self_pairs(
-        cells, fam.bucket_keys, id_col, max_bucket_size=max_cluster_rows,
-        unique_assignment=True,
+    probed = (
+        use_stored_probes
+        and meta.get("probe_margin") is not None
+        and "cell_id_2" in cells.columns
     )
+    if probed:
+        scope = cells.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array("cell_id", "cell_id_2"),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            ).alias("cell_id"),
+        )
+        cand = bucket_self_pairs(
+            scope, fam.bucket_keys, id_col,
+            max_bucket_size=max_cluster_rows,
+            unique_assignment=False,  # shared cells can repeat a pair
+        )
+    else:
+        cand = bucket_self_pairs(
+            cells, fam.bucket_keys, id_col,
+            max_bucket_size=max_cluster_rows,
+            unique_assignment=True,
+        )
     pairs = verify_pairs(ctx, fam, cand, vecs, eps)
     if keep == "min_id":
         return keep_from_pairs(vecs, pairs, id_col)

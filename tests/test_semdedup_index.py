@@ -445,6 +445,169 @@ class TestStreaming:
         assert int(meta["n_rows"]) == 100
 
 
+class TestStoredBoundaryProbes:
+    """Round-15 verdict item 4: the match-face multi-probe dial only
+    helps batch-vs-history; a near-dup pair straddling a cell boundary
+    INSIDE the stored corpus needs the persisted margin-gated second
+    cell (``store_probe_margin`` -> ``cell_id_2``) so groups()/sweep
+    can see it."""
+
+    def _boundary_corpus(self, spark):
+        cents = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (DIM - 1)),
+             (1, [0.0, 1.0] + [0.0] * (DIM - 2))],
+            "cell_id int, centroid array<double>",
+        )
+        # vec 1 assigns to cell 1, vec 2 to cell 0 — a cos>0.999 pair
+        # the argmax-1 pair search can never meet; vec 0 is a
+        # confidently-assigned bystander
+        hist = spark.createDataFrame(
+            [(0, [1.0] + [0.0] * (DIM - 1)),
+             (1, [0.70, 0.714] + [0.0] * (DIM - 2)),
+             (2, [0.714, 0.70] + [0.0] * (DIM - 2))],
+            "vec_id long, embedding array<double>",
+        )
+        return cents, hist
+
+    def test_groups_find_stored_boundary_pair_only_with_margin(
+            self, spark, tmp_path):
+        cents, hist = self._boundary_corpus(spark)
+        base_path = str(tmp_path / "sd_nb")
+        save_semdedup_index(hist, base_path, centroids=cents, dim=DIM)
+        kept = {int(r[0]) for r in
+                semdedup_index_groups(spark, base_path, eps=0.99).collect()}
+        assert kept == {0, 1, 2}  # boundary pair missed by design
+        probed_path = str(tmp_path / "sd_pb")
+        save_semdedup_index(hist, probed_path, centroids=cents, dim=DIM,
+                            store_probe_margin=0.1)
+        kept2 = {int(r[0]) for r in
+                 semdedup_index_groups(spark, probed_path,
+                                       eps=0.99).collect()}
+        assert kept2 == {0, 1}  # pair found, min-id representative
+        # opt-out restores the base semantics on the same index
+        kept3 = {int(r[0]) for r in
+                 semdedup_index_groups(spark, probed_path, eps=0.99,
+                                       use_stored_probes=False).collect()}
+        assert kept3 == {0, 1, 2}
+
+    def test_storage_overhead_bounded_and_cell1_unchanged(
+            self, spark, data, tmp_path):
+        """On well-separated clusters almost no row is thin-margin:
+        the second cell is null nearly everywhere (bounded storage),
+        and the argmax cell is bit-identical to a margin-less save."""
+        df, cents = data
+        hist = df.filter(F.col("vec_id") < 200)
+        p0 = str(tmp_path / "sd_m0")
+        p1 = str(tmp_path / "sd_m1")
+        save_semdedup_index(hist, p0, centroids=cents)
+        save_semdedup_index(hist, p1, centroids=cents,
+                            store_probe_margin=0.1)
+        _, cells0, _, _ = load_semdedup_index(spark, p0)
+        _, cells1, _, meta1 = load_semdedup_index(spark, p1)
+        assert meta1["probe_margin"] == pytest.approx(0.1)
+        a0 = {(int(r.vec_id), int(r.cell_id)) for r in cells0.collect()}
+        a1 = {(int(r.vec_id), int(r.cell_id))
+              for r in cells1.select("vec_id", "cell_id").collect()}
+        assert a0 == a1
+        n = cells1.count()
+        n2 = cells1.filter(F.col("cell_id_2").isNotNull()).count()
+        assert n2 <= 0.1 * n, (n2, n)  # the margin rule bounds storage
+
+    def test_append_and_compact_maintain_probe_cells(self, spark,
+                                                     tmp_path):
+        cents, hist = self._boundary_corpus(spark)
+        path = str(tmp_path / "sd_ap")
+        # seed the index with only the bystander + one boundary member
+        save_semdedup_index(
+            hist.filter(F.col("vec_id") < 2), path, centroids=cents,
+            dim=DIM, store_probe_margin=0.1,
+        )
+        rep = semdedup_append_to_index(
+            spark, path, hist.filter(F.col("vec_id") == 2), batch_id=1
+        )
+        assert rep["appended_rows"] == 1
+        _, cells, _, _ = load_semdedup_index(spark, path)
+        got = {int(r.vec_id): (int(r.cell_id),
+                               None if r.cell_id_2 is None
+                               else int(r.cell_id_2))
+               for r in cells.collect()}
+        assert got[0] == (0, None)       # confident: no second cell
+        assert got[1] == (1, 0) and got[2] == (0, 1)
+        kept = {int(r[0]) for r in
+                semdedup_index_groups(spark, path, eps=0.99).collect()}
+        assert kept == {0, 1}
+        # compact re-derives the probe cells from the stored vectors
+        semdedup_compact_index(spark, path, target_rows_per_file=1,
+                               min_file_ratio=0.0)
+        _, cells2, _, _ = load_semdedup_index(spark, path)
+        got2 = {int(r.vec_id): (int(r.cell_id),
+                                None if r.cell_id_2 is None
+                                else int(r.cell_id_2))
+                for r in cells2.collect()}
+        assert got2 == got
+
+    def test_sweep_applies_boundary_dedup(self, spark, tmp_path):
+        cents, hist = self._boundary_corpus(spark)
+        path = str(tmp_path / "sd_sw")
+        save_semdedup_index(hist, path, centroids=cents, dim=DIM,
+                            store_probe_margin=0.1)
+        rep = semdedup_apply_groups(spark, path, eps=0.99, batch_id=9)
+        assert rep["removed_rows"] == 1
+        vecs, _, _, _ = load_semdedup_index(spark, path)
+        assert {int(r.vec_id) for r in vecs.select("vec_id").collect()} \
+            == {0, 1}
+
+    def test_refresh_preserves_retunes_and_drops_margin(
+            self, spark, tmp_path):
+        from astro_vectordb_spark.sources.semdedup_index import (
+            semdedup_refresh_index,
+        )
+
+        cents, hist = self._boundary_corpus(spark)
+        path = str(tmp_path / "sd_rf")
+        save_semdedup_index(hist, path, centroids=cents, dim=DIM,
+                            store_probe_margin=0.1)
+        # default: the dial survives the refresh (same centroids)
+        semdedup_refresh_index(spark, path, centroids=cents)
+        _, cells, _, meta = load_semdedup_index(spark, path)
+        assert meta["probe_margin"] == pytest.approx(0.1)
+        assert "cell_id_2" in cells.columns
+        assert cells.filter(F.col("cell_id_2").isNotNull()).count() == 2
+        kept = {int(r[0]) for r in
+                semdedup_index_groups(spark, path, eps=0.99).collect()}
+        assert kept == {0, 1}
+        # retune wider; then drop the dial entirely
+        semdedup_refresh_index(spark, path, centroids=cents,
+                               store_probe_margin=0.5)
+        _, _, _, meta2 = load_semdedup_index(spark, path)
+        assert meta2["probe_margin"] == pytest.approx(0.5)
+        semdedup_refresh_index(spark, path, centroids=cents,
+                               store_probe_margin=None)
+        _, cells3, _, meta3 = load_semdedup_index(spark, path)
+        assert meta3["probe_margin"] is None
+        assert "cell_id_2" not in cells3.columns
+        kept3 = {int(r[0]) for r in
+                 semdedup_index_groups(spark, path, eps=0.99).collect()}
+        assert kept3 == {0, 1, 2}
+
+    def test_probed_keep_set_is_subset_of_base(self, spark, data,
+                                               tmp_path):
+        """More pairs can only merge groups: the probed keep set is a
+        subset of the base keep set (never a recall regression)."""
+        df, cents = data
+        hist = df.filter(F.col("vec_id") < 200)
+        p0 = str(tmp_path / "sd_s0")
+        p1 = str(tmp_path / "sd_s1")
+        save_semdedup_index(hist, p0, centroids=cents)
+        save_semdedup_index(hist, p1, centroids=cents,
+                            store_probe_margin=0.3)
+        k0 = {int(r[0]) for r in
+              semdedup_index_groups(spark, p0, eps=0.95).collect()}
+        k1 = {int(r[0]) for r in
+              semdedup_index_groups(spark, p1, eps=0.95).collect()}
+        assert k1 <= k0
+
+
 class TestBoundaryMultiProbe:
     """Round-14 verdict item 7: a batch row with a thin assignment
     margin also probes its runner-up cells — cross-boundary near-dups

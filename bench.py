@@ -83,6 +83,36 @@ def main() -> None:
             print(f"bench: {name} failed (warm-up): {e}", file=sys.stderr)
             cold[name] = -1.0
 
+    # Host-drift self-control (round-15 verdict item 7): a 3-query
+    # untouched-control set timed immediately BEFORE and AFTER the
+    # main sweep.  Earlier rounds needed a next-round interleaved A/B
+    # to adjudicate whether a driver-artifact mover was code or a
+    # drifting host (r14: a uniform 1.18x artifact shift on untouched
+    # code, contradicted by two local runs); with the end/start ratio
+    # recorded IN the artifact, a drifting host is self-evident in one
+    # read.  Controls are stable sub-second scans/aggregations whose
+    # files rarely change; the ratio is wall-over-wall on identical
+    # plans minutes apart — ~1.0 on a quiet host.
+    _CONTROLS = ("point_lookup", "pricing_summary", "topk_exact")
+
+    def _time_controls() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname in _CONTROLS:
+            cfn = entrymod.queries().get(cname)
+            if cfn is None:
+                continue
+            t0 = time.time()
+            try:
+                cfn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out[cname] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001
+                out[cname] = -1.0
+        return out
+
+    ctrl_start = _time_controls() if only is None else {}
+
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         t0 = time.time()
@@ -93,6 +123,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    ctrl_end = _time_controls() if only is None else {}
+    ctrl_ratio = None
+    shared = [
+        c for c in ctrl_start
+        if c in ctrl_end and ctrl_start[c] > 0 and ctrl_end[c] > 0
+    ]
+    if shared:
+        ctrl_ratio = round(
+            sum(ctrl_end[c] for c in shared)
+            / sum(ctrl_start[c] for c in shared), 3
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
@@ -112,6 +154,11 @@ def main() -> None:
                 "cold_queries": cold,
                 "sf": sf,
                 "ann_metrics": ann,
+                "control_drift": {
+                    "start": ctrl_start,
+                    "end": ctrl_end,
+                    "ratio": ctrl_ratio,
+                },
             }
         )
     )
@@ -138,6 +185,8 @@ def main() -> None:
         }
         if drop_unit:
             del head["unit"]
+        if ctrl_ratio is not None:
+            head["cd"] = ctrl_ratio  # host-drift self-control ratio
         if not lean:
             head["n_queries"] = len(timings)
             head["cold_total_sec"] = round(cold_total, 1)
@@ -175,6 +224,8 @@ def main() -> None:
         ) -> str:
             head = {"metric": "total_query_wall_sec"} if with_metric else {}
             head["value"] = round(total, 1)
+            if ctrl_ratio is not None:
+                head["cd"] = ctrl_ratio
             head[key] = " ".join(
                 f"{k}:{fmt(v)}" for k, v in timings.items()
             )
@@ -214,6 +265,8 @@ def main() -> None:
                     str(round(v, 2)) for v in timings.values()
                 ),
             }
+            if ctrl_ratio is not None:
+                head["cd"] = ctrl_ratio
             slowest = sorted(
                 timings.items(), key=lambda kv: -kv[1]
             )

@@ -168,13 +168,74 @@ class MaintainedIndex:
         commit, so its gc is a no-op here."""
         return self._vault("gc")(self.spark, self.path, **kw)
 
+    # -- streaming -------------------------------------------------------
+    _STREAM_INGEST = {
+        "hnsw": "stream_index_ingest",
+        "pq": "stream_pq_ingest",
+        "bm25": "stream_bm25_ingest",
+    }
+    _STREAM_REMOVE = {
+        "ivf": "stream_ivf_remove",
+        "hnsw": "stream_hnsw_remove",
+        "pq": "stream_pq_remove",
+        "ivf_pq": "stream_pq_remove",  # shared codes-table remover
+        "bm25": "stream_bm25_remove",
+    }
+
+    def stream_ingest(self, stream_df: DataFrame, **kw):
+        """Start the kind's Structured-Streaming ingest into this
+        index (replayable per-micro-batch appends).  Returns the
+        StreamingQuery.  IVF/IVF-PQ ingest streams are not wired —
+        batch ``append`` per micro-batch via ``foreachBatch`` is the
+        supported shape for those kinds."""
+        from astro_vectordb_spark.streaming import upsert as streaming
+
+        name = self._STREAM_INGEST.get(self.kind)
+        if name is None:
+            raise ValueError(
+                f"the {self.kind} kind has no streaming-ingest face; "
+                "drive append() from your own foreachBatch"
+            )
+        return getattr(streaming, name)(stream_df, self.path, **kw)
+
+    def stream_remove(self, stream_df: DataFrame, **kw):
+        """Start the kind's streaming DELETE face (physical removes,
+        replay-logged).  Returns the StreamingQuery."""
+        from astro_vectordb_spark.streaming import upsert as streaming
+
+        return getattr(streaming, self._STREAM_REMOVE[self.kind])(
+            stream_df, self.path, **kw
+        )
+
     # -- serving ---------------------------------------------------------
-    def search(self, query, k: int = 10, **kw) -> DataFrame:
-        """Serve one query through the kind-detecting facade: a vector
-        (Sequence) routes to ``search.search``; a text string routes
-        to ``search.search_text`` (BM25)."""
+    def search(self, query, k: int = 10, *, docs: DataFrame | None = None,
+               **kw) -> DataFrame:
+        """Serve one query through this index.  Vector kinds route to
+        the kind-detecting ``search.search`` (a string query embeds
+        first via ``search.search_text``).  A BM25 index serves the
+        query's terms against its persisted statistics
+        (``bm25_topk_indexed``) — pass ``docs=`` (the corpus frame;
+        the index stores vocabulary-sized statistics, never the
+        text)."""
         from astro_vectordb_spark import search as s
 
+        if self.kind == "bm25":
+            if docs is None:
+                raise ValueError(
+                    "bm25 search needs docs= (the corpus frame; the "
+                    "index persists statistics only)"
+                )
+            from astro_vectordb_spark.operators.keyword import (
+                bm25_topk_indexed,
+            )
+            from astro_vectordb_spark.sources.vault import load_bm25_index
+
+            ts, cs = load_bm25_index(self.spark, self.path)
+            terms = (
+                s._query_tokens(query) if isinstance(query, str)
+                else [str(t) for t in query]
+            )
+            return bm25_topk_indexed(docs, ts, cs, terms, k, **kw)
         if isinstance(query, str):
             return s.search_text(self.spark, self.path, query, k, **kw)
         return s.search(self.spark, self.path, query, k, **kw)

@@ -70,7 +70,7 @@ class TestKindMatrix:
         idx = index.open(spark, path)
         assert idx.kind == "hnsw"
         stats = idx.health()
-        assert stats["shards"] and "m" in stats
+        assert stats["num_shards"] == 2 and "m" in stats
         idx.append(_extra(spark), seed=3)
         idx.remove([9000])
         rep = idx.rebalance(target_rows_per_shard=100_000)
@@ -146,6 +146,63 @@ class TestKindMatrix:
         assert rep2["removed_docs"] == 5
         with pytest.raises(ValueError, match="refresh|trained"):
             idx.refresh(docs)
+        # lexical serving through the handle needs the corpus frame
+        got = idx.search("spark shuffle", k=3, docs=docs).collect()
+        assert len(got) == 3
+        with pytest.raises(ValueError, match="docs="):
+            idx.search("spark shuffle", k=3)
+
+
+class TestStreamDispatch:
+    def test_stream_ingest_and_remove_via_handle(self, spark, embeddings,
+                                                 tmp_path):
+        """One kind exercises each streaming dispatch (per-kind
+        semantics are pinned by the streaming suites); unsupported
+        kinds raise with the supported shape named."""
+        import time
+
+        from astro_vectordb_spark.operators.ann import ivf_build
+        from astro_vectordb_spark.operators.pq import pq_encode, pq_train
+        from astro_vectordb_spark.sources.vault import (
+            save_ivf_index,
+            save_pq_index,
+        )
+
+        model = pq_train(embeddings, m=8, ks=16, max_rows=N, seed=3)
+        path = str(tmp_path / "pq_stream")
+        save_pq_index(pq_encode(embeddings, model), model, path)
+        idx = index.open(spark, path)
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "5")
+            .load()
+            .select(
+                (F.col("value") + 900_000).alias("vec_id"),
+                F.array(*[F.lit(float(i)) for i in range(DIM)]).alias(
+                    "embedding"
+                ),
+            )
+        )
+        q = idx.stream_ingest(
+            stream, checkpoint=str(tmp_path / "ckpt")
+        )
+        try:
+            deadline = time.time() + 40
+            while time.time() < deadline:
+                time.sleep(3)
+                if (q.lastProgress or {}).get("batchId", 0) >= 2:
+                    break
+        finally:
+            q.stop()
+        assert spark.read.parquet(path + "/codes").filter(
+            F.col("vec_id") >= 900_000
+        ).count() > 0
+        # ivf has no ingest stream: the error names the alternative
+        assigned, cents = ivf_build(embeddings, k_cells=4)
+        ivf_path = str(tmp_path / "ivf_stream")
+        save_ivf_index(assigned, cents, ivf_path)
+        with pytest.raises(ValueError, match="foreachBatch"):
+            index.open(spark, ivf_path).stream_ingest(stream)
 
 
 class TestDetection:

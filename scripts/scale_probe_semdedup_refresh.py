@@ -6,10 +6,12 @@ retrain, and ``semdedup_refresh_index`` is the HOW — refit on a
 bounded sample, one staged-swap reassignment pass, vectors never
 rewritten, replay log preserved.  The claim this probe pins:
 
-- refresh wall is materially below a full rebuild
-  (``save_semdedup_index`` from the same vectors: encode + vector
-  rewrite + assignment + baseline) — the vectors table is the part
-  that scales with corpus bytes, and refresh skips exactly it;
+- the refresh-vs-rebuild wall ratio WIDENS with corpus size and the
+  refresh wins outright at the larger scale (``save_semdedup_index``
+  from the same vectors re-encodes + rewrites the vectors table —
+  the part whose bytes scale with the corpus — which refresh skips;
+  at toy scale Spark job overhead dominates both sides, so the
+  per-scale wall is reported as data, not asserted);
 - the drift signal round-trips: an off-distribution batch reports
   batch_sim_mean well under the train baseline; after a refresh the
   baseline tracks the new mixture and the SAME batch's vectors assign
@@ -17,6 +19,14 @@ rewritten, replay log preserved.  The claim this probe pins:
 - correctness through the refresh: planted exact copies of indexed
   vectors still surface at score exactly 1.0, and the replay log
   still dedups a committed batch id.
+
+Round-15 verdict item 5: the r14 probe ran at ONE corpus size
+(240k x 32d), where Spark job overhead dominates and the refresh-vs-
+rebuild wall ratio (1.14x) understated the claim.  The probe now runs
+the SAME scenario at 1x and 4x corpus and asserts the wall gap WIDENS
+with scale — the refresh skips exactly the corpus-byte-scaling work
+(vector rewrite + re-ingest), so its advantage must grow as the
+vectors table grows.
 
 Prints one JSON line; evidence artifact: SCALE_PROBE_SEMDEDUP_REFRESH.json.
 """
@@ -39,6 +49,7 @@ N = 240_000
 K = 64
 EPS = 0.97
 BATCH = 2_000
+SCALES = (1, 4)
 
 
 def _vec(idc, centers, salt="c", noise=0.4):
@@ -54,7 +65,7 @@ def _vec(idc, centers, salt="c", noise=0.4):
     )
 
 
-def main() -> None:
+def run_scale(spark, mult: int) -> dict:
     from astro_vectordb_spark.sources.semdedup_index import (
         load_semdedup_index,
         save_semdedup_index,
@@ -64,14 +75,13 @@ def main() -> None:
     )
     from astro_vectordb_spark.sources.vault import _batch_already_committed
 
-    spark = get_spark("semdedup-refresh-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"dim": DIM, "n": N, "k": K, "eps": EPS}
+    n = N * mult
+    out: dict = {"dim": DIM, "n": n, "k": K, "eps": EPS}
     failures: list[str] = []
     shutil.rmtree("/tmp/scale_sd_refresh", ignore_errors=True)
 
     (
-        spark.range(N)
+        spark.range(n)
         .select(F.col("id").alias("vec_id"),
                 _vec(F.col("id"), 64).alias("embedding"))
         .write.mode("overwrite").parquet("/tmp/scale_sd_refresh/corpus")
@@ -135,11 +145,6 @@ def main() -> None:
     out["vecs_mb_untouched_by_refresh"] = _dir_mb(
         "/tmp/scale_sd_refresh/idx/vecs")
     out["cells_mb_rewritten"] = _dir_mb("/tmp/scale_sd_refresh/idx/cells")
-    if t_refresh >= t_rebuild:
-        failures.append(
-            f"refresh {t_refresh:.1f}s not cheaper than rebuild "
-            f"{t_rebuild:.1f}s"
-        )
     # the refit saw the drifted rows (they were appended): the new
     # baseline covers the mixture, and the drifted slice now assigns
     # near it — the same batch re-scored must no longer scream drift
@@ -165,6 +170,34 @@ def main() -> None:
         failures.append(f"planted {hits}/20 found after refresh")
 
     out["failures"] = failures
+    corpus.unpersist()
+    drifted.unpersist()
+    return out
+
+
+def main() -> None:
+    spark = get_spark("semdedup-refresh-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # absorb first-job JIT/codegen so scale 1x is not the cold run
+    spark.range(2_000_000).select(F.sum("id")).collect()
+    runs = [run_scale(spark, m) for m in SCALES]
+    out = {"runs": runs,
+           "failures": [f for r in runs for f in r["failures"]]}
+    # the 100 TB claim: the refresh advantage must WIDEN with corpus
+    # size (refresh skips exactly the corpus-byte-scaling work)
+    r1, r4 = runs[0], runs[-1]
+    out["wall_gap_1x"] = r1["refresh_vs_rebuild"]
+    out["wall_gap_4x"] = r4["refresh_vs_rebuild"]
+    if r4["refresh_vs_rebuild"] <= r1["refresh_vs_rebuild"]:
+        out["failures"].append(
+            f"wall gap did not widen with scale: 1x "
+            f"{r1['refresh_vs_rebuild']} vs 4x {r4['refresh_vs_rebuild']}"
+        )
+    if r4["refresh_s"] >= r4["rebuild_s"]:
+        out["failures"].append(
+            f"refresh {r4['refresh_s']}s not cheaper than rebuild "
+            f"{r4['rebuild_s']}s at the 4x scale"
+        )
     print(json.dumps(out))
 
 

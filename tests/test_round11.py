@@ -274,7 +274,10 @@ class TestResidualIvfPq:
             spark, path, df.filter(F.col("vec_id") >= 3800), batch_id=0
         )
         assert rep["appended_rows"] == 200
-        assert rep["batch_mse"] is None  # raw-space MSE n/a for residual
+        # round 15: residual appends report batch_mse in RESIDUAL space
+        # (the space train_mse is fit in) — previously None, which left
+        # the refresh decision blind for residual indexes
+        assert rep["batch_mse"] is not None and rep["batch_mse"] >= 0.0
         # an appended vector is its own nearest neighbor through the
         # facade (residual codes were appended consistently)
         got = search(

@@ -298,6 +298,41 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_docs`` behind the conditional scan-parallelism guard.
+
+    The testdata corpora ship as single-row-group parquet, so the scan
+    is ONE task and every per-row stage above it (tokenization,
+    higher-order folds, Arrow embed kernels) serializes on one core
+    while 31 sit idle.  ``ensure_scan_parallelism`` is the guide-§2.5
+    "repartition immediately after the read" remedy made conditional:
+    on a normal 100 TB layout (scan splits >= cluster parallelism) it
+    is a no-op and the plan is unchanged.
+
+    Used ONLY by the queries where the round-15 interleaved A/B showed
+    the exchange paying for itself (heavy per-row compute: signatures,
+    BM25 folds, shingle explodes, Arrow embed kernels) — for cheap
+    scans and many-small-job facades the added exchange measured as a
+    net loss, so those keep the plain read.
+
+    ROUND-ROBIN (no key) deliberately: hash-repartitioning on doc_id
+    lets the downstream per-doc groupBys reuse the partitioning and
+    drop their own exchange — which sounds like a win but removes the
+    exchange that was the SHARED-SUBPLAN REUSE point, so e.g. a
+    signature table consumed by both legs of a band self-join gets
+    recomputed per leg (measured 1.5-3x task-time blowups).  Keyless
+    repartition keeps those exchanges (and their ReusedExchange) in
+    place while still parallelizing the scan-side compute."""
+    from astro_vectordb_spark.operators.partitioning import (
+        ensure_scan_parallelism,
+    )
+
+    return ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        cache_key=f"{sf_dir}/documents",
+    )
+
+
 def _q_embedding_near_dup_blocked(spark, sf_dir):
     # RP-LSH blocked embedding near-dup on the FULL embeddings table:
     # multi-table hyperplane buckets -> id-only candidate join -> exact
@@ -348,7 +383,7 @@ def _q_near_dup_minhash_sql(spark, sf_dir):
     from astro_vectordb_spark.operators.dedup import minhash_lsh_pairs_sql_safe
 
     return minhash_lsh_pairs_sql_safe(
-        _docs(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
+        _docs_par(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
     )
 
 
@@ -493,19 +528,19 @@ def _q_dedup_groups(spark, sf_dir):
 
 
 def _q_text_stats(spark, sf_dir):
-    return text_stats(_docs(spark, sf_dir))
+    return text_stats(_docs_par(spark, sf_dir))
 
 
 def _q_quality_scores(spark, sf_dir):
-    return quality_scores(_docs(spark, sf_dir))
+    return quality_scores(_docs_par(spark, sf_dir))
 
 
 def _q_lang_id(spark, sf_dir):
-    return language_id(_docs(spark, sf_dir))
+    return language_id(_docs_par(spark, sf_dir))
 
 
 def _q_doc_fingerprints(spark, sf_dir):
-    return doc_fingerprints(_docs(spark, sf_dir))
+    return doc_fingerprints(_docs_par(spark, sf_dir))
 
 
 def _q_events_sliding(spark, sf_dir):
@@ -687,7 +722,7 @@ def _q_embed_docs(spark, sf_dir):
     # in pytest.
     from astro_vectordb_spark.functions.embed import embed_text
 
-    return embed_text(_docs(spark, sf_dir)).select(
+    return embed_text(_docs_par(spark, sf_dir)).select(
         "doc_id", *_array_digest("embedding")
     )
 
@@ -807,6 +842,11 @@ def _q_profile_lineitem(spark, sf_dir):
     # safe (no per-group value buffering) AND bit-parity with the
     # quantile_cont oracle — unlike the full-buffer F.percentile path
     # this used to pin.
+    # NOTE (r15): repartitioning the single-row-group lineitem read
+    # before the unpivot was tried and MEASURED SLOWER (interleaved
+    # A/B 1.36x) — the raw-table exchange costs more than the unpivot
+    # parallelism buys because the histogram's map-side partial agg
+    # already collapses the explode before its shuffle.  Left plain.
     return profile_numeric(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
@@ -1109,7 +1149,7 @@ def _q_bm25_topk(spark, sf_dir):
     # projection (per-term tf arrays) + a broadcast 1-row stats agg.
     from astro_vectordb_spark.operators.keyword import bm25_topk
 
-    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+    return bm25_topk(_docs_par(spark, sf_dir), _BM25_TERMS, k=10)
 
 
 def _ranked_lists_for_hybrid(spark, sf_dir):
@@ -1388,7 +1428,7 @@ def _q_chunk_maxsim(spark, sf_dir):
         maxsim_topk,
     )
 
-    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=10, stride=5)
+    chunks = chunk_documents(_docs_par(spark, sf_dir), chunk_tokens=10, stride=5)
     cvecs = embed_text(chunks, text_col="chunk_text")
     qrows = (
         cvecs.filter((F.col("doc_id") == 0) & (F.col("chunk_id") < 2))
@@ -1405,7 +1445,7 @@ def _q_repetition_stats(spark, sf_dir):
     # construction + two map-side-combined aggregations.
     from astro_vectordb_spark.operators.curation import repetition_stats
 
-    return repetition_stats(_docs(spark, sf_dir))
+    return repetition_stats(_docs_par(spark, sf_dir))
 
 
 def _q_gopher_filter(spark, sf_dir):
@@ -1413,7 +1453,7 @@ def _q_gopher_filter(spark, sf_dir):
     # flags + conjunction, so rejections are attributable.
     from astro_vectordb_spark.operators.curation import gopher_filter
 
-    return gopher_filter(_docs(spark, sf_dir))
+    return gopher_filter(_docs_par(spark, sf_dir))
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -1525,7 +1565,7 @@ def _q_redact_pii(spark, sf_dir):
     # projection, zero shuffles.
     from astro_vectordb_spark.operators.curation import redact_pii
 
-    return redact_pii(_docs(spark, sf_dir))
+    return redact_pii(_docs_par(spark, sf_dir))
 
 
 def _q_pack_strict(spark, sf_dir):
@@ -1582,7 +1622,7 @@ def _q_dup_spans(spark, sf_dir):
     # n_spans = 0, frac 0.0.
     from astro_vectordb_spark.operators.dedup import duplicate_spans
 
-    base = _docs(spark, sf_dir).select("doc_id", "text")
+    base = _docs_par(spark, sf_dir).select("doc_id", "text")
     shared = "qq ww ee rr tt yy uu ii oo"  # 9 tokens: 2 dup 8-gram positions
     planted = spark.createDataFrame(
         [
@@ -1604,7 +1644,7 @@ def _q_dup_span_removal(spark, sf_dir):
     # hash covers the full rewritten text of every document.
     from astro_vectordb_spark.operators.dedup import remove_duplicate_spans
 
-    base = _docs(spark, sf_dir).select("doc_id", "text")
+    base = _docs_par(spark, sf_dir).select("doc_id", "text")
     shared = "qq ww ee rr tt yy uu ii oo"
     planted = spark.createDataFrame(
         [
@@ -1649,9 +1689,14 @@ def hybrid_index_paths(spark, sf_dir: str) -> tuple[str, str]:
     vec_path = os.path.join(
         tempfile.mkdtemp(prefix="astro_hyb_vec_"), "emb.parquet"
     )
+    # embed in parallel (docs_par above), but land ONE parquet file:
+    # guide §6 output sizing — ~1 MB of vectors as 32 shards makes
+    # every downstream single-query scan pay 32 task launches for
+    # ~130 rows each (A/B'd: the single-face hybrid gates regressed
+    # 1.3-1.5x against the sharded layout)
     embed_text(survivors).select(
         F.col("doc_id").alias("vec_id"), "embedding"
-    ).write.mode("overwrite").parquet(vec_path)
+    ).repartition(1).write.mode("overwrite").parquet(vec_path)
 
     bm25_path = tempfile.mkdtemp(prefix="astro_hyb_bm25_")
     ts, cs = bm25_term_stats(docs.filter(F.col("doc_id") % 10 != 3))
@@ -1712,7 +1757,7 @@ def _q_bm25_batch(spark, sf_dir):
         bm25_term_stats,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     term_stats, corpus_stats = bm25_term_stats(docs)
     qs = spark.createDataFrame(
         _BM25_BATCH_CASES, "query_id long, terms array<string>"
@@ -1762,7 +1807,7 @@ def _q_cross_rerank(spark, sf_dir):
     from astro_vectordb_spark.operators.keyword import bm25_topk
     from astro_vectordb_spark.operators.rerank import cross_encoder_rerank
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
     cand = bm25_topk(docs, _BM25_TERMS, k=_RRF_C).select("doc_id").join(
         docs.select("doc_id", "text"), "doc_id"
@@ -2477,7 +2522,7 @@ def _q_snippets(spark, sf_dir):
     # zero shuffles, scan-linear.
     from astro_vectordb_spark.operators.keyword import snippet_extract
 
-    return snippet_extract(_docs(spark, sf_dir), _BM25_TERMS, window=8)
+    return snippet_extract(_docs_par(spark, sf_dir), _BM25_TERMS, window=8)
 
 
 def _q_prf_expand(spark, sf_dir):

@@ -54,6 +54,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 
 from astro_vectordb_spark.functions.embed import DEFAULT_DIM, hash_embedder
@@ -71,6 +72,15 @@ def _fold_dot(a, b) -> float:
     return acc
 
 
+def _fold_dot_rows(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Row-wise left-fold float64 dot, vectorized: ``np.cumsum`` is a
+    strictly sequential running total, so its last prefix equals the
+    per-element ``acc += x * y`` loop bit-for-bit (float32 operands
+    convert to float64 exactly; the products are the same float64
+    values in the same order)."""
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
 def hash_cross_scorer(
     queries: pd.Series, docs: pd.Series, dim: int = DEFAULT_DIM
 ) -> pd.Series:
@@ -78,14 +88,22 @@ def hash_cross_scorer(
     query and doc text, float64 tree identical to the SQL twin
     ``dot / (sqrt(dot_aa) * sqrt(dot_bb))``.  Zero-norm sides (empty
     or NULL text) score None — the try_divide convention, dropped by
-    the rerank operator."""
+    the rerank operator.  Batch-vectorized (guide §4.2): the whole
+    Arrow batch folds through NumPy with the exact sequential
+    accumulation the scalar loop used (see ``_fold_dot_rows``)."""
     qv = hash_embedder(queries, dim)
     dv = hash_embedder(docs, dim)
-    out = []
-    for a, b in zip(qv, dv):
-        denom = math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
-        out.append(_fold_dot(a, b) / denom if denom > 0 else None)
-    return pd.Series(out, dtype="float64")
+    if len(qv) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack(qv.to_numpy()).astype(np.float64)
+    b = np.stack(dv.to_numpy()).astype(np.float64)
+    denom = np.sqrt(_fold_dot_rows(a, a)) * np.sqrt(_fold_dot_rows(b, b))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scores = _fold_dot_rows(a, b) / denom
+    # denom == 0 -> None (NaN -> null through Arrow), the try_divide
+    # convention the scalar loop implemented with an explicit None
+    scores = np.where(denom > 0, scores, np.nan)
+    return pd.Series(scores, dtype="float64")
 
 
 _SCORER_REGISTRY: dict[str, Callable[..., CrossKernel]] = {}

@@ -30,34 +30,76 @@ from pyspark.sql.functions import pandas_udf
 DEFAULT_DIM = 64
 
 
+_WS_RE = re.compile(r"\s+")
+
+# token -> 64-bit md5 prefix, memoized per python worker: natural-
+# language batches repeat tokens heavily, so the md5 (the kernel's
+# dominant cost) runs once per DISTINCT token per worker instead of
+# once per occurrence.  Module-level so a reused worker keeps it across
+# tasks (the function lives in an importable module — guide §4.5);
+# bounded so a 100 TB vocabulary can't grow worker RSS without limit.
+_TOKEN_U_CACHE: dict[str, int] = {}
+_TOKEN_U_CACHE_MAX = 1 << 20
+
+
+def _token_u(tok: str) -> int:
+    u = _TOKEN_U_CACHE.get(tok)
+    if u is None:
+        (u,) = _struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])
+        if len(_TOKEN_U_CACHE) >= _TOKEN_U_CACHE_MAX:
+            _TOKEN_U_CACHE.clear()
+        _TOKEN_U_CACHE[tok] = u
+    return u
+
+
 def hash_embedder(texts: pd.Series, dim: int = DEFAULT_DIM) -> pd.Series:
     """STUB embedder: deterministic feature-hashed bag-of-words,
     L2-normalized.  Tokens are hashed into ``dim`` buckets with a sign
     bit — the classic hashing trick, so similar token bags get similar
-    vectors (exercises real similarity structure downstream)."""
-    out = []
-    for t in texts:
-        v = np.zeros(dim, dtype=np.float64)
+    vectors (exercises real similarity structure downstream).
+
+    Vectorized batch kernel (bit-identical to the original per-row
+    loop): bucket votes are ±1.0 float64 additions — exact integers,
+    so accumulation order cannot change the counts — gathered with one
+    ``np.bincount`` over (row, bucket) pairs; each row's norm is
+    ``sqrt`` of an exact integer sum of squares, so the vectorized
+    reduction equals the per-row ``np.linalg.norm``; the final divide
+    and float32 cast are the same elementwise ops as before.  Tokens
+    are md5-hashed once per distinct token per worker (``_token_u``)."""
+    n_rows = len(texts)
+    rows: list[int] = []
+    cols: list[int] = []
+    signs: list[float] = []
+    for i, t in enumerate(texts):
         if t is None or (isinstance(t, float) and np.isnan(t)):
             # NULL text -> zero vector, matching the SQL twin where a
             # NULL row yields no tokens (str(None) would tokenize the
             # literal "none")
-            out.append(v.astype(np.float32))
             continue
         # \s+ regex split (empties dropped) rather than str.split() so
         # the tokenizer is the same function the DuckDB oracle twin
         # (string_split_regex(..., '\s+')) evaluates
-        for tok in (x for x in re.split(r"\s+", str(t).lower()) if x):
-            h = hashlib.md5(tok.encode()).digest()
-            (u,) = _struct.unpack("<Q", h[:8])
-            idx = u % dim
-            sign = 1.0 if (u >> 63) & 1 else -1.0
-            v[idx] += sign
-        n = np.linalg.norm(v)
-        if n > 0:
-            v /= n
-        out.append(v.astype(np.float32))
-    return pd.Series(out)
+        for tok in _WS_RE.split(str(t).lower()):
+            if not tok:
+                continue
+            u = _token_u(tok)
+            rows.append(i)
+            cols.append(u % dim)
+            signs.append(1.0 if (u >> 63) & 1 else -1.0)
+    if rows:
+        flat = np.asarray(rows, dtype=np.int64) * dim + np.asarray(
+            cols, dtype=np.int64
+        )
+        m = np.bincount(
+            flat, weights=np.asarray(signs), minlength=n_rows * dim
+        ).reshape(n_rows, dim)
+    else:
+        m = np.zeros((n_rows, dim), dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    nz = norms > 0
+    m[nz] /= norms[nz, None]
+    m32 = m.astype(np.float32)
+    return pd.Series(list(m32))
 
 
 # --------------------------------------------------------------------------

@@ -1174,7 +1174,13 @@ def connected_components(
     non-converged state instead of silently returning split components.
     For adversarial long-chain graphs (diameter > max_iter) raise
     ``max_iter`` or pre-contract with large-star/small-star; near-dup
-    clusters in practice have single-digit diameters.
+    clusters in practice have single-digit diameters.  (r15 note: a
+    pointer-jumping variant — label(label(x)) per round for
+    O(log diameter) convergence — was tried and MEASURED NEUTRAL TO
+    SLOWER on the bench graphs: their diameters are already 2-4, so
+    the extra labels self-join per round cost more than the saved
+    round.  Reverted; large-star/small-star remains the deep-graph
+    escape.)
 
     This is the correct closure for transitive duplicate groups, vs the
     one-pass greedy ``dedup_keep_representatives`` (which can split a

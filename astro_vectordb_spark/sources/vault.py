@@ -1788,13 +1788,41 @@ def _read_bm25_tables(
     return out
 
 
+# (abspath, committed version) -> (rows, schema) of the 1-row corpus
+# stats table.  Serving-path control plane: every BM25 query needs
+# (n, avgdl) as literals, and reading a 1-row parquet per query costs
+# a cluster job each time; pinning the row per COMMITTED VERSION makes
+# those reads driver-local (LocalTableScan — no job) while any append/
+# remove commit (which swaps the version pointer) naturally invalidates
+# the entry.  The query itself still computes from the parquet corpus
+# and term stats every invocation.
+_BM25_CORPUS_STATS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def load_bm25_index(spark: SparkSession, path: str):
     """(term_stats, corpus_stats) live snapshots (legacy layouts
-    included — see ``_read_bm25_tables``)."""
+    included — see ``_read_bm25_tables``).  ``corpus_stats`` comes back
+    as a driver-local 1-row relation (same schema/values as the
+    committed parquet) so downstream ``first()``/join consumers don't
+    pay a cluster job per lookup; see ``_BM25_CORPUS_STATS_CACHE``."""
+    from astro_vectordb_spark.sources.versioned import current_version
+
     tables = _read_bm25_tables(spark, path)
     if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
-    return tables["term_stats"], tables["corpus_stats"]
+    ts, cs = tables["term_stats"], tables["corpus_stats"]
+    ver = (
+        current_version(os.path.join(path, "stats"))
+        or current_version(os.path.join(path, "corpus_stats"))
+        or ""
+    )
+    key = (os.path.abspath(path), ver)
+    hit = _BM25_CORPUS_STATS_CACHE.get(key)
+    if hit is None:
+        hit = (cs.collect(), cs.schema)
+        _BM25_CORPUS_STATS_CACHE[key] = hit
+    cs_local = spark.createDataFrame(hit[0], hit[1])
+    return ts, cs_local
 
 
 def bm25_append_to_index(

@@ -89,11 +89,17 @@ def main() -> int:
     runs_b: list[dict[str, float]] = []
     t_start = time.time()
     for rep in range(args.reps):
-        print(f"rep {rep + 1}/{args.reps}: side A ({args.ref_a})",
-              file=sys.stderr)
-        runs_a.append(_run_bench(tree_a, args.queries, args.sf_dir))
-        print(f"rep {rep + 1}/{args.reps}: side B (HEAD)", file=sys.stderr)
-        runs_b.append(_run_bench(REPO, args.queries, args.sf_dir))
+        # Alternate the within-rep order (A,B / B,A / A,B ...): a
+        # fixed order lets PERIODIC host noise land systematically on
+        # one side — a round-15 null test (identical code both sides)
+        # measured a 2.9x "regression" on the always-second side.
+        sides = [("A", tree_a, runs_a), ("B", REPO, runs_b)]
+        if rep % 2 == 1:
+            sides.reverse()
+        for label, tree, sink in sides:
+            print(f"rep {rep + 1}/{args.reps}: side {label}",
+                  file=sys.stderr)
+            sink.append(_run_bench(tree, args.queries, args.sf_dir))
 
     shared = sorted(
         set.intersection(*(set(r) for r in runs_a + runs_b))

@@ -1474,7 +1474,13 @@ def _q_decontaminate_fuzzy(spark, sf_dir):
     # oracle-replayable.  Benchmark side broadcast, corpus linear.
     from astro_vectordb_spark.operators.curation import decontaminate_fuzzy
 
-    docs = _docs(spark, sf_dir)
+    # _docs_par (round-16 re-try of the r15 revert, which predates the
+    # alternating A/B harness): the corpus-side shingle + poly-hash
+    # projection is the query's dominant per-row compute and runs as
+    # ONE task above the single-row-group scan without the exchange.
+    # The benchmark side (~1% of docs) shares the read; its banding is
+    # broadcast either way.
+    docs = _docs_par(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate_fuzzy(docs, bench, threshold=0.5)
 
@@ -1689,11 +1695,12 @@ def hybrid_index_paths(spark, sf_dir: str) -> tuple[str, str]:
     vec_path = os.path.join(
         tempfile.mkdtemp(prefix="astro_hyb_vec_"), "emb.parquet"
     )
-    # embed in parallel (docs_par above), but land ONE parquet file:
-    # guide §6 output sizing — ~1 MB of vectors as 32 shards makes
-    # every downstream single-query scan pay 32 task launches for
-    # ~130 rows each (A/B'd: the single-face hybrid gates regressed
-    # 1.3-1.5x against the sharded layout)
+    # plain _docs read (the _docs_par exchange was A/B'd a net loss on
+    # this once-per-session build — NOTES r15 "facade legs"), and land
+    # ONE parquet file: guide §6 output sizing — ~1 MB of vectors as
+    # 32 shards makes every downstream single-query scan pay 32 task
+    # launches for ~130 rows each (A/B'd: the single-face hybrid gates
+    # regressed 1.3-1.5x against the sharded layout)
     embed_text(survivors).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     ).repartition(1).write.mode("overwrite").parquet(vec_path)
@@ -1713,6 +1720,25 @@ def hybrid_index_paths(spark, sf_dir: str) -> tuple[str, str]:
     return vec_path, bm25_path
 
 
+def _hyb_survivors(spark, sf_dir):
+    """The hybrid gates' corpus leg (survivor docs) behind the
+    conditional scan-parallelism guard.
+
+    Round 16 re-try of the r15 revert: the r15 A/B that rejected
+    ``_docs_par`` on the facade legs ran under the FIXED-order harness
+    whose null test later measured a 2.9x bias against side B — and
+    the instrumented breakdown shows the gates' task time concentrated
+    in the interpreted BM25 fold + tokenize running as ONE task above
+    the single-row-group scan (facade_hybrid_prf_batch_gate: 65.7 s of
+    task time, ~0 shuffle).  The corpus legs (lexical pricing,
+    feedback pool, snippet source) get the exchange; the bounded
+    point-lookups that embed the query keep the plain pushed-filter
+    read."""
+    return _docs_par(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 7 != 2
+    )
+
+
 def _q_facade_hybrid_gate(spark, sf_dir):
     # one-call hybrid retrieval through BOTH persisted index families:
     # vector list via search() kind-detection over the embedded
@@ -1726,7 +1752,7 @@ def _q_facade_hybrid_gate(spark, sf_dir):
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     qv = (
         embed_text(docs.filter(F.col("doc_id") == 0))
         .first()["embedding"]
@@ -1782,7 +1808,7 @@ def _q_facade_hybrid_batch_gate(spark, sf_dir):
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     qids = sorted(_HYB_BATCH_TERMS)
     qv = embed_text(docs.filter(F.col("doc_id").isin(qids))).select(
         F.col("doc_id").alias("query_id"),
@@ -1864,8 +1890,7 @@ def _q_facade_hybrid_text_gate(spark, sf_dir):
     from astro_vectordb_spark.search import hybrid_search_text
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     return hybrid_search_text(
         spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
         k=10, fetch_k=_RRF_C,
@@ -1889,8 +1914,7 @@ def _q_facade_hybrid_prf_gate(spark, sf_dir):
     from astro_vectordb_spark.search import hybrid_search_text
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     return hybrid_search_text(
         spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
         k=10, fetch_k=_RRF_C, prf=True, n_feedback=10, n_expand=5,
@@ -1912,8 +1936,7 @@ def _q_facade_hybrid_prf_batch_gate(spark, sf_dir):
     from astro_vectordb_spark.search import hybrid_search_text_batch
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(i, " ".join(_HYB_BATCH_TERMS[i])) for i in sorted(_HYB_BATCH_TERMS)],
         "query_id long, query_text string",
@@ -1967,8 +1990,7 @@ def _q_facade_hybrid_rerank_gate(spark, sf_dir):
     from astro_vectordb_spark.search import hybrid_search_text
 
     vec_path, bm25_path = hybrid_index_paths(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    survivors = _hyb_survivors(spark, sf_dir)
     return hybrid_search_text(
         spark, vec_path, bm25_path, survivors, "Merge  HASH spark",
         k=10, fetch_k=_RRF_C, rerank=True, rerank_depth=30,
@@ -2555,7 +2577,11 @@ def _q_curation_e2e(spark, sf_dir):
     )
     from astro_vectordb_spark.operators.dedup import exact_dedup
 
-    base = _docs(spark, sf_dir).select("doc_id", "text")
+    # _docs_par (round-16 re-try of the r15 revert, which predates the
+    # alternating A/B harness): the gopher gate + fingerprint stages
+    # are per-row tokenize/normalize compute serialized on the
+    # single-row-group scan without the exchange.
+    base = _docs_par(spark, sf_dir).select("doc_id", "text")
     # plant rows each stage must DROP (the clean corpus has no exact
     # dups and passes the gate, so without these the composite hash
     # would not pin survivor selection): 20 exact duplicates (dedup
@@ -2683,37 +2709,37 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-window rotation, round 15 (the driver checks the FIRST 50
+    # Driver-window rotation, round 16 (the driver checks the FIRST 50
     # entries; ALL oracled entries are verified every round by the
     # full gate, scripts/check_oracle.py):
-    #   - in (8, per NOTES_r14's promise + round-14 verdict item 2):
-    #     the brand-new semdedup_groups_probed (r14 verdict item 4 —
-    #     persisted history-side boundary probes, oracled) and the
-    #     remaining 7 of NOTES_r13's rotated-out list, due back this
-    #     round: gopher_filter, dup_spans, snippets, prf_expand,
-    #     cross_rerank, bm25_batch, facade_hybrid_text_gate;
-    #   - out (8, all multi-round driver-green, families untouched
-    #     this round, reps in-window): tombstone_delete +
-    #     upsert_keep_latest (crud: point_lookup/sync_merge stay),
-    #     filtered_topk + topk_quantized (topk/quantize:
-    #     topk_exact/batch_topk/batch_topk_quantized stay), text_stats
-    #     (text: quality_scores/doc_fingerprints stay), validate_dim
-    #     (ann: ann_ivf_exact stays), dup_span_removal (curation:
-    #     decontaminate/pack_sequences + returning gopher_filter/
-    #     dup_spans stay), facade_hybrid_batch_gate (retrieval: 5
-    #     sibling facade gates + the 5 returning retrieval entries
-    #     stay);
-    #   - held in-window because their code changed this round: the
-    #     SemDeDup family (stored boundary probes touched the family
-    #     bucketize + groups + refresh: semdedup_fixed,
-    #     semdedup_index_incremental, semdedup_index_multiprobe), the
-    #     shared lifecycle-core append (extras-first merge order:
-    #     minhash/RP/simhash index gates), the PQ/IVF-PQ reps (refresh
-    #     faces + batch-cut null guard + residual batch MSE:
-    #     facade_ivfpq_gate, ann_ivfpq_*_exact, batch_topk_quantized),
-    #     read_your_writes (vault.gc owner-token fencing).
-    #   - due back round 16: the 8 rotated out this round plus the
-    #     r14 returning tranche once re-signed.
+    #   - in (8, exactly NOTES_r15's promise): tombstone_delete,
+    #     upsert_keep_latest, filtered_topk, topk_quantized,
+    #     text_stats, validate_dim, dup_span_removal,
+    #     facade_hybrid_batch_gate — the 8 rotated out in round 15,
+    #     due back this round.
+    #   - out (8, the r14 returning tranche, all two-round driver-
+    #     green, families untouched this round or repped in-window):
+    #     threshold_cap (topk: topk_exact/batch_topk + returning
+    #     filtered_topk stay), near_dup_jaccard (one-shot jaccard is
+    #     kernel-untouched this round; near_dup_native_exactdup +
+    #     the SQL twins stay), quality_scores + doc_fingerprints
+    #     (text analysis untouched; returning text_stats reps),
+    #     batch_topk_quantized + embed_then_search (quantize/embed
+    #     kernels untouched; returning topk_quantized + in-window
+    #     facade_text_batch_gate rep), decontaminate + pack_sequences
+    #     (exact-gram decontamination and packing untouched;
+    #     returning dup_span_removal + gopher_filter/dup_spans rep
+    #     curation).
+    #   - held in-window because their code changed this round (the
+    #     Arrow exact-fold pair verify + char-poly kernel + BM25
+    #     stats-token fix): the SemDeDup family (semdedup_fixed,
+    #     semdedup_groups_probed, semdedup_index_*), the RP family
+    #     (rp_index_*), embedding_near_dup_blocked +
+    #     embedding_dedup_groups + dedup_groups, the minhash/simhash
+    #     SQL families (near_dup_*_sql, minhash_index_*,
+    #     simhash_index_incremental, minhash_apply_sweep), bm25_topk
+    #     and every hybrid facade gate.
+    #   - due back round 17: the 8 rotated out this round.
     return {
         # -- stable core (driver-signed r11+r12, kept as family reps)
         "topk_exact": _q_topk_exact,
@@ -2761,26 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch this round) + the brand-new round-14 gate
         "simhash_index_incremental": _q_simhash_index_incremental,
         "semdedup_index_multiprobe": _q_semdedup_index_multiprobe,
-        # -- IN: first tranche of the 15 rotated out in round 13
-        "threshold_cap": _q_threshold_cap,
-        "near_dup_jaccard": _q_near_dup_jaccard,
-        "quality_scores": _q_quality_scores,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "batch_topk_quantized": _q_batch_topk_quantized,
-        "embed_then_search": _q_embed_then_search,
-        "decontaminate": _q_decontaminate,
-        "pack_sequences": _q_pack_sequences,
-        # -- IN: the remaining 7 of NOTES_r13's rotated-out list
-        "gopher_filter": _q_gopher_filter,
-        "dup_spans": _q_dup_spans,
-        "snippets": _q_snippets,
-        "prf_expand": _q_prf_expand,
-        "cross_rerank": _q_cross_rerank,
-        "bm25_batch": _q_bm25_batch,
-        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
-        # (window boundary: 50 entries above this line)
-        # -- OUT this round (>= 2-round-green, families untouched,
-        # reps in-window above):
+        # -- IN (round 16): the 8 rotated out in round 15, back per
+        # NOTES_r15's promise
         "tombstone_delete": _q_tombstone_delete,
         "upsert_keep_latest": _q_upsert_keep_latest,
         "filtered_topk": _q_filtered_topk,
@@ -2789,6 +2797,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_dim": _q_validate_dim,
         "dup_span_removal": _q_dup_span_removal,
         "facade_hybrid_batch_gate": _q_facade_hybrid_batch_gate,
+        # -- kept from the r15 returning tranche (curation/retrieval
+        # reps for families touched this round)
+        "gopher_filter": _q_gopher_filter,
+        "dup_spans": _q_dup_spans,
+        "snippets": _q_snippets,
+        "prf_expand": _q_prf_expand,
+        "cross_rerank": _q_cross_rerank,
+        "bm25_batch": _q_bm25_batch,
+        "facade_hybrid_text_gate": _q_facade_hybrid_text_gate,
+        # (window boundary: 50 entries above this line)
+        # -- OUT this round (the r14 returning tranche, 2-round-green,
+        # families untouched this round or repped in-window above):
+        "threshold_cap": _q_threshold_cap,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "batch_topk_quantized": _q_batch_topk_quantized,
+        "embed_then_search": _q_embed_then_search,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "topk_euclidean": _q_topk_euclidean,
         "null_semantics": _q_null_semantics,
         "similarity_join": _q_similarity_join,

@@ -67,6 +67,63 @@ def make_score_udf(query_vector: Sequence[float], metric: str = "cosine"):
     return score
 
 
+def _fold_dot_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise left-fold float64 dot, vectorized: ``np.cumsum`` is a
+    strictly sequential running total, so its last prefix equals the
+    expression kernel's ``F.aggregate`` left fold bit-for-bit (float32
+    operands convert to float64 exactly; the products are the same
+    float64 values accumulated in the same order).  Same argument as
+    ``functions.crossenc._fold_dot_rows``, pinned bitwise by
+    tests/test_exact_kernels_r16.py.  (The only representable
+    difference is the SIGN of a zero sum — the fold seeds with +0.0 —
+    which cannot survive the strictly-positive threshold filters every
+    verify path applies.)"""
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+def make_exact_pair_score_udf(metric: str = "cosine"):
+    """BIT-EXACT pandas_udf twin of the expression pair kernel
+    (``functions.vector.similarity(a, b, metric)`` with the
+    interpreted fold): same float64 products in the same sequential
+    order (see ``_fold_dot_rows``), same ``sqrt``/divide tree, the
+    try_divide zero-denominator convention (NULL, dropped by every
+    score>threshold filter), and the similarity NULL-input contract
+    (either side NULL -> -1.0).  Unlike :func:`make_pair_score_udf`
+    (BLAS order, last-ulp drift) this kernel is oracle-hash-safe, so
+    the correctness-gated verify paths (RP / SemDeDup pair
+    verification) can run it: ~7x the per-core throughput of the
+    interpreted fold at 64 dims (module header numbers), with the
+    Python boundary paid once per Arrow batch (guide §4.2)."""
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    @pandas_udf("double")
+    def score(a: pd.Series, b: pd.Series) -> pd.Series:
+        valid = a.notna().to_numpy() & b.notna().to_numpy()
+        # NULL-input contract: similarity() returns -1.0, not NULL
+        out = np.full(len(a), -1.0, dtype=np.float64)
+        if valid.any():
+            ma = np.stack(a[valid].to_numpy()).astype(np.float64)
+            mb = np.stack(b[valid].to_numpy()).astype(np.float64)
+            if metric == "cosine":
+                dots = _fold_dot_rows(ma, mb)
+                den = np.sqrt(_fold_dot_rows(ma, ma)) * np.sqrt(
+                    _fold_dot_rows(mb, mb)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sub = dots / den
+                # try_divide: zero denominator -> NULL (NaN -> null
+                # through the nullable Float64 conversion below)
+                sub = np.where(den != 0, sub, np.nan)
+            else:  # euclidean
+                d = ma - mb
+                sub = 1.0 / (1.0 + np.sqrt(_fold_dot_rows(d, d)))
+            out[valid] = sub
+        return pd.Series(pd.array(out, dtype="Float64"))
+
+    return score
+
+
 def make_pair_score_udf(metric: str = "cosine"):
     """pandas_udf scoring two vector columns elementwise (similarity
     join / batch top-K shape): both sides arrive as Arrow batches."""

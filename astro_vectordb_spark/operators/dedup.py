@@ -15,8 +15,12 @@ over documents.  Five family members, all DataFrame -> DataFrame:
                          similarity_join for small frames
 
 Scale notes (100 TB):
-* Everything is expression-level (no Python UDFs) and blocks candidate
-  pairs before scoring — the O(n^2) cross product never materializes.
+* Everything blocks candidate pairs before scoring — the O(n^2) cross
+  product never materializes.  The per-string/per-pair inner kernels
+  (char-poly hash, exact cosine verify) run as Arrow-batched kernels
+  bit-identical to their expression twins (guide §4.2; pins in
+  tests/test_exact_kernels_r16.py); all blocking/banding/grouping
+  stays expression-level.
 * The shingle inverted index (explode -> join on shingle) shuffles
   O(total shingles); hot shingles are bounded by ``max_shingle_df``
   (document-frequency cap), the standard guard against the
@@ -304,9 +308,12 @@ POLY_MOD = 2_147_483_647  # 2^31 - 1
 BAND_BASE = 1_000_003
 
 
-def _char_poly_hash(s):
-    """Char-level polynomial hash, pure int64 arithmetic — ANSI-SQL
-    reproducible (DuckDB list_reduce twin), unlike xxhash64."""
+def _char_poly_hash_expr(s):
+    """Char-level polynomial hash as a PURE EXPRESSION — ANSI-SQL
+    reproducible (DuckDB list_reduce twin), unlike xxhash64.  This is
+    the semantic definition (and the reference side of the bitwise pin
+    in tests/test_exact_kernels_r16.py); the serving form is the
+    Arrow kernel below, which reproduces the same integers exactly."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
@@ -314,6 +321,56 @@ def _char_poly_hash(s):
     return F.aggregate(
         chars, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % POLY_MOD
     )
+
+
+# string -> 31-bit poly hash, memoized per python worker: shingle and
+# token streams repeat strings heavily, so the Horner loop runs once
+# per DISTINCT string per worker (the embed._token_u pattern, guide
+# §4.5).  Module-level so a reused worker keeps it across tasks;
+# bounded so a 100 TB vocabulary can't grow worker RSS without limit.
+_POLY_HASH_CACHE: dict[str, int] = {}
+_POLY_HASH_CACHE_MAX = 1 << 20
+
+
+def _char_poly_hash_py(s: str) -> int:
+    """Python twin of ``_char_poly_hash_expr``: Spark ``ascii()``
+    returns the first CODE POINT (incl. astral plane — empirically
+    pinned for ü/日/🎉 in tests/test_exact_kernels_r16.py), and
+    ``substr`` counts code points exactly like Python string
+    iteration, so ``ord`` per char + the same Horner recurrence in
+    unbounded Python ints reproduces the int64 arithmetic exactly
+    (acc < 2^31, acc*131 + cp < 2^63: no overflow on either side)."""
+    h = _POLY_HASH_CACHE.get(s)
+    if h is None:
+        h = 0
+        for c in s:
+            h = (h * 131 + ord(c)) % POLY_MOD
+        if len(_POLY_HASH_CACHE) >= _POLY_HASH_CACHE_MAX:
+            _POLY_HASH_CACHE.clear()
+        _POLY_HASH_CACHE[s] = h
+    return h
+
+
+def _char_poly_hash(s):
+    """Serving form of the char-level polynomial hash: an
+    Arrow-batched pandas_udf computing the identical integers (guide
+    §4.2 — the expression form is an interpreted per-char fold whose
+    ``substr(s, i, 1)`` is O(i) on UTF8String, i.e. O(len^2) per
+    string; the kernel is O(len) per DISTINCT string and O(1) on
+    memo hits).  NULL in -> NULL out, '' -> 0, both matching the
+    expression fold; bit-equality pinned by
+    tests/test_exact_kernels_r16.py over corpus tokens, shingles and
+    non-ASCII synthetics."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _poly(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _char_poly_hash_py(v) for v in col],
+            dtype="Int64",
+        )
+
+    return _poly(s)
 
 
 def _collapse_exact_texts(
@@ -1084,17 +1141,29 @@ def rp_block_pairs(
             .unionByName(chain_pairs)
             .distinct()
         )
+    from astro_vectordb_spark.functions.vector_np import (
+        make_exact_pair_score_udf,
+    )
+
     ea = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     eb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     return (
         cand.join(ea, on="a_id")
         .join(eb, on="b_id")
-        # fold verify (no dim=): the interpreted fold measures ~2x
-        # FASTER than the unrolled codegen chain at these dims —
-        # re-measured this round on the within-cluster pair shape
-        # (91 s fold vs unrolled not finishing 7 min at dim=32), same
-        # conclusion as the topk kernel note (operators/topk.py)
-        .withColumn("score", similarity(F.col("a_vec"), F.col("b_vec"), metric))
+        # Arrow exact-fold verify (round 16): bit-identical to the
+        # interpreted fold (same float64 products, same sequential
+        # accumulation — vector_np._fold_dot_rows), ~7x its per-core
+        # throughput.  The r15 note that the FOLD beats the unrolled
+        # codegen chain at these dims still holds (91 s fold vs
+        # unrolled not finishing 7 min at dim=32) — this swaps the
+        # fold for a vectorized kernel, not for the unrolled chain.
+        # Pinned bitwise by tests/test_exact_kernels_r16.py.
+        .withColumn(
+            "score",
+            make_exact_pair_score_udf(metric)(
+                F.col("a_vec"), F.col("b_vec")
+            ),
+        )
         .filter(F.col("score") > F.lit(float(threshold)))
         .select("a_id", "b_id", F.round("score", JACCARD_DECIMALS).alias("score"))
     )
@@ -1721,12 +1790,20 @@ def semantic_dedup(
     b = scope.select(
         F.col(id_col).alias("b_id"), "cell_id", F.col(vec_col).alias("_bv")
     )
+    from astro_vectordb_spark.functions.vector_np import (
+        make_exact_pair_score_udf,
+    )
+
     pairs = (
         a.join(b, "cell_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        # fold verify: measured faster than the unrolled form on this
-        # exact shape (see rp_block_pairs note)
-        .withColumn("_s", similarity(F.col("_av"), F.col("_bv"), metric))
+        # Arrow exact-fold verify: bit-identical to the interpreted
+        # fold, vectorized (see rp_block_pairs note + the bitwise pin
+        # in tests/test_exact_kernels_r16.py)
+        .withColumn(
+            "_s",
+            make_exact_pair_score_udf(metric)(F.col("_av"), F.col("_bv")),
+        )
         .filter(F.col("_s") > F.lit(float(eps)))
         .select("a_id", "b_id")
     )

@@ -302,6 +302,7 @@ def bm25_topk_indexed(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_col: str = "score",
+    _df_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-K against PRE-BUILT statistics: the per-query plan is
     a |terms|-row filter on the stats table (driver-side, bounded
@@ -310,11 +311,19 @@ def bm25_topk_indexed(
     (same float64 expression tree; df/n/avgdl enter as literals, idf
     still computed engine-side), so the same oracle hash-matches
     both paths.  At 100 TB this halves per-query corpus work and is
-    the right shape for a query service."""
+    the right shape for a query service.
+
+    ``_df_map`` (private, round-16 §5 job-count cut): a caller that
+    already holds the terms' document frequencies (e.g. the PRF loop,
+    which prices the SAME original terms twice and learns the
+    expansion terms' df from the expansion collect) passes them here
+    and skips this call's stats-collect job.  Values must come from
+    the same committed stats snapshot; missing terms price df=0
+    exactly like the collected path."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [str(t).lower() for t in query_terms]
-    df_map = {
+    df_map = _df_map if _df_map is not None else {
         r["term"]: int(r["df"])
         for r in term_stats.filter(F.col("term").isin(terms)).collect()
     }
@@ -708,6 +717,8 @@ def prf_expand_terms(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_df: bool = False,
+    _df_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion: run the indexed
     BM25 query, take the top ``n_feedback`` documents as a relevance
@@ -724,7 +735,15 @@ def prf_expand_terms(
     the feedback.  Returns ``(term, score)``, top ``n_expand`` by
     (score desc, term asc), score rounded to 6 decimals — feed the
     terms back into ``bm25_topk_indexed`` for the expanded query.
-    """
+
+    ``with_df=True`` (round-16 §5 job-count cut) appends the corpus
+    ``df`` each expansion term was priced with (0 for terms outside
+    the index) so the caller's follow-up ``bm25_topk_indexed`` over
+    the expanded list can price WITHOUT its own stats-collect job;
+    the default output schema is unchanged (the ``prf_expand`` oracle
+    pins it).  ``_df_map`` passes the original terms' already-known
+    frequencies through to the feedback query (same contract as
+    ``bm25_topk_indexed._df_map``)."""
     terms = [str(t).lower() for t in query_terms]
     cs = corpus_stats.first()
     if cs is None:
@@ -734,6 +753,7 @@ def prf_expand_terms(
     fb = bm25_topk_indexed(
         docs, term_stats, corpus_stats, terms, n_feedback,
         k1=k1, b=b, id_col=id_col, text_col=text_col,
+        _df_map=_df_map,
     ).select(id_col)
     fb_docs = fb.join(docs.select(id_col, text_col), id_col)
     fb_df = (
@@ -757,9 +777,13 @@ def prf_expand_terms(
     idf = F.log(
         F.lit(1.0) + (F.lit(n) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
     )
+    extra = (
+        [F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df")]
+        if with_df else []
+    )
     out = (
         priced.select(
-            "term", (F.col("_dffb") * idf).alias("score")
+            "term", (F.col("_dffb") * idf).alias("score"), *extra
         )
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(n_expand)

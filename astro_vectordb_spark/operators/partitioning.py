@@ -28,7 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (path-or-key, parallelism) -> scan partition count
+# (path-or-key, parallelism) -> scan partition count.
+#
+# STATIC-INPUT ASSUMPTION (documented per round-16 ADVICE): the memo
+# never invalidates, so it is only correct for tables whose file/row-
+# group layout is fixed for the session — the driver-provided testdata
+# parquets the entry module keys it on.  A table REWRITTEN in-session
+# at the same path would keep the stale count and could mis-decide the
+# repartition (a perf-only risk, never correctness: both branches
+# compute the same rows).  Callers with mutable tables should pass
+# cache_key=None (probe every call) or key on a layout fingerprint.
 _SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
 
 

@@ -360,6 +360,7 @@ def hybrid_search(
     refine_factor: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _bm25_df_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """One-call HYBRID retrieval — the front door of a production
     retrieval stack: the vector list served from whatever index lives
@@ -420,7 +421,7 @@ def hybrid_search(
         lex_docs = restrict_to_allowed(docs, allowed_ids, id_col=id_col)
     lex_list = bm25_topk_indexed(
         lex_docs, term_stats, corpus_stats, query_terms, fetch,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, _df_map=_bm25_df_map,
     )
 
     if fusion == "weighted":
@@ -680,13 +681,31 @@ def hybrid_search_text(
             fb_docs = restrict_to_allowed(
                 docs, hybrid_kwargs["allowed_ids"], id_col=id_col
             )
+        # ONE stats-collect for the whole PRF loop (round-16 §5
+        # job-count cut): the original terms' df feed the feedback
+        # query AND the final lexical leg; the expansion terms' df
+        # ride the expansion collect itself (with_df=True) — three
+        # bounded pricing jobs become one, values byte-identical
+        # (same committed snapshot, df=0 for unindexed terms either
+        # way).
+        low_terms = [str(t).lower() for t in qterms]
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(
+                F.col("term").isin(low_terms)
+            ).collect()
+        }
         expanded = prf_expand_terms(
             fb_docs, term_stats, corpus_stats, qterms,
             n_feedback=n_feedback, n_expand=n_expand,
             id_col=id_col, text_col=text_col,
+            with_df=True, _df_map=df_map,
         )
         # bounded collect: n_expand rows by construction
-        qterms = qterms + [r["term"] for r in expanded.collect()]
+        for r in expanded.collect():
+            qterms = qterms + [r["term"]]
+            df_map[str(r["term"]).lower()] = int(r["df"])
+        hybrid_kwargs["_bm25_df_map"] = df_map
     fused = hybrid_search(
         spark, vector_index_path, bm25_index_path, docs, qv, qterms,
         (rerank_depth if rerank_depth is not None else 3 * k) if rerank else k,

@@ -1758,6 +1758,12 @@ def save_bm25_index(
          "batches": empty_log},
         os.path.join(path, "stats"), 0,
     )
+    # a rebuild at the same path always commits v0 again — drop any
+    # cached corpus-stats rows for the path (the pointer-mtime token
+    # already re-keys them; this keeps the dead entries from lingering)
+    ap = os.path.abspath(path)
+    for k in [k for k in _BM25_CORPUS_STATS_CACHE if k[0] == ap]:
+        del _BM25_CORPUS_STATS_CACHE[k]
 
 
 def _read_bm25_tables(
@@ -1788,7 +1794,7 @@ def _read_bm25_tables(
     return out
 
 
-# (abspath, committed version) -> (rows, schema) of the 1-row corpus
+# (abspath, version token) -> (rows, schema) of the 1-row corpus
 # stats table.  Serving-path control plane: every BM25 query needs
 # (n, avgdl) as literals, and reading a 1-row parquet per query costs
 # a cluster job each time; pinning the row per COMMITTED VERSION makes
@@ -1796,7 +1802,39 @@ def _read_bm25_tables(
 # remove commit (which swaps the version pointer) naturally invalidates
 # the entry.  The query itself still computes from the parquet corpus
 # and term stats every invocation.
-_BM25_CORPUS_STATS_CACHE: dict[tuple[str, str], tuple] = {}
+#
+# Staleness discipline (round-16 ADVICE fix): the version string alone
+# is NOT a content discriminator — ``save_bm25_index`` always commits
+# v0, so rebuilding an index at the same path in one session reuses
+# the version name.  The token therefore includes the POINTER FILE's
+# mtime_ns (``os.replace`` installs a fresh inode per swap), it is
+# read BEFORE the tables (so a concurrent commit between the two reads
+# can't cache new stats under an old key), and the entry is only
+# stored if the pointer is UNCHANGED after the collect (a swap during
+# the read serves that call uncached and the next call re-keys).
+_BM25_CORPUS_STATS_CACHE: dict[tuple, tuple] = {}
+
+
+def _bm25_version_token(path: str):
+    """(layout, version, pointer mtime_ns) of the committed BM25
+    statistics at ``path`` — probing the same layouts in the same
+    order as ``_read_bm25_tables`` — or None when nothing is
+    committed."""
+    from astro_vectordb_spark.sources.versioned import (
+        CURRENT,
+        current_version,
+    )
+
+    for sub in ("stats", "corpus_stats"):
+        base = os.path.join(path, sub)
+        ver = current_version(base)
+        if ver is not None:
+            try:
+                mt = os.stat(os.path.join(base, CURRENT)).st_mtime_ns
+            except OSError:
+                mt = -1
+            return (sub, ver, mt)
+    return None
 
 
 def load_bm25_index(spark: SparkSession, path: str):
@@ -1805,22 +1843,20 @@ def load_bm25_index(spark: SparkSession, path: str):
     as a driver-local 1-row relation (same schema/values as the
     committed parquet) so downstream ``first()``/join consumers don't
     pay a cluster job per lookup; see ``_BM25_CORPUS_STATS_CACHE``."""
-    from astro_vectordb_spark.sources.versioned import current_version
-
+    token = _bm25_version_token(path)  # BEFORE the table reads
     tables = _read_bm25_tables(spark, path)
     if tables is None:
         raise FileNotFoundError(f"no committed BM25 index at {path}")
     ts, cs = tables["term_stats"], tables["corpus_stats"]
-    ver = (
-        current_version(os.path.join(path, "stats"))
-        or current_version(os.path.join(path, "corpus_stats"))
-        or ""
-    )
-    key = (os.path.abspath(path), ver)
+    key = (os.path.abspath(path), token)
     hit = _BM25_CORPUS_STATS_CACHE.get(key)
     if hit is None:
         hit = (cs.collect(), cs.schema)
-        _BM25_CORPUS_STATS_CACHE[key] = hit
+        # cache only if no commit landed between the token read and
+        # the collect — otherwise the rows may belong to the NEWER
+        # version and would be served stale under the OLD key
+        if token is not None and _bm25_version_token(path) == token:
+            _BM25_CORPUS_STATS_CACHE[key] = hit
     cs_local = spark.createDataFrame(hit[0], hit[1])
     return ts, cs_local
 

@@ -249,11 +249,24 @@ def main() -> None:
             # values in queries() order, "qh" an md5 prefix of the
             # name list so bench_compare zips names back only when the
             # order provably matches (rotation changes the order
-            # between rounds).  ~700 chars worst case for 104 queries;
-            # the leftover budget carries "qtop", a NAMED map of the
-            # slowest queries (as many as fit), so a human reading the
-            # driver artifact alone still sees where the time went.
+            # between rounds; scripts/bench_orders.json commits each
+            # round's order keyed by qh, so a rotated-away order stays
+            # decodable).  ~700 chars worst case for 104 queries; the
+            # leftover budget carries, in priority order:
+            #  - "qnz" (round 16, additions-only): zlib+base64 of the
+            #    space-joined NAME LIST in qv's order — the full
+            #    name:sec map is then self-contained in the artifact
+            #    (zip qnz with qv) even though the plain names
+            #    (~1.9 KB for 116 queries) cannot fit a 2000-char
+            #    window next to qv; bench_compare.py decodes it, so
+            #    per-query comparability survives window rotation
+            #    without any external order table.
+            #  - "qtop", a NAMED plain-text map of the slowest queries
+            #    (as many as still fit), so a human reading the driver
+            #    artifact alone sees where the time went.
+            import base64
             import hashlib
+            import zlib
 
             names = list(timings)
             head = {
@@ -267,6 +280,12 @@ def main() -> None:
             }
             if ctrl_ratio is not None:
                 head["cd"] = ctrl_ratio
+            qnz = base64.b64encode(
+                zlib.compress(" ".join(names).encode(), 9)
+            ).decode()
+            base_len = len(json.dumps(head, separators=(",", ":")))
+            if base_len + len(qnz) + len('"qnz":"",') <= tail_budget:
+                head["qnz"] = qnz
             slowest = sorted(
                 timings.items(), key=lambda kv: -kv[1]
             )

@@ -53,26 +53,58 @@ def _parse_bench_line(line: str) -> dict[str, float] | None:
             except ValueError:
                 return None
         return out or None
+    # compressed in-artifact name list ("qnz": zlib+base64 of the
+    # space-joined names in qv's order — round 16, emitted when the
+    # plain name:sec map cannot fit the driver's 2000-char stdout-tail
+    # capture): zip it with qv for the full per-query map
+    qnz, vals = obj.get("qnz"), obj.get("qv")
+    if isinstance(qnz, str) and isinstance(vals, str):
+        import base64
+        import zlib
+
+        try:
+            names = zlib.decompress(base64.b64decode(qnz)).decode().split()
+            parts = vals.split()
+            if names and len(names) == len(parts):
+                return {n: float(v) for n, v in zip(names, parts)}
+        except Exception:  # noqa: BLE001
+            pass
     # values-only last resort ("qv" + "qh"): zip names back from the
-    # current __spark_entry__.queries() order, but ONLY if the md5
-    # prefix proves the order matches (window rotation reorders the
-    # dict between rounds — silently zipping a stale order would
-    # attribute times to the wrong queries)
+    # current __spark_entry__.queries() order — or, when window
+    # rotation has reordered the dict since the artifact was written,
+    # from the committed per-round order snapshot
+    # (scripts/bench_orders.json, keyed by the qh md5 prefix) — but
+    # ONLY if the md5 prefix proves the order matches (silently
+    # zipping a stale order would attribute times to the wrong
+    # queries)
     vals = obj.get("qv")
     if isinstance(vals, str):
         import hashlib
+        import json as _json
 
+        names = None
         try:
             sys.path.insert(0, os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))
             import __spark_entry__ as entrymod
 
-            names = list(entrymod.queries())
+            live = list(entrymod.queries())
+            if hashlib.md5(
+                ",".join(live).encode()
+            ).hexdigest()[:8] == obj.get("qh"):
+                names = live
         except Exception:  # noqa: BLE001
-            return None
-        if hashlib.md5(
-            ",".join(names).encode()
-        ).hexdigest()[:8] != obj.get("qh"):
+            pass
+        if names is None:
+            try:
+                with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_orders.json",
+                )) as fh:
+                    names = _json.load(fh).get(obj.get("qh"))
+            except Exception:  # noqa: BLE001
+                names = None
+        if names is None:
             return None
         parts = vals.split()
         if len(parts) != len(names):

@@ -21,7 +21,11 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+# resolve the ENCLOSING tree (not a hardcoded path): running the copy
+# inside an A/B worktree must measure THAT worktree's engine
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as entrymod
 from astro_vectordb_spark.session import get_spark

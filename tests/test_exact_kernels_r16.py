@@ -150,3 +150,41 @@ class TestCharPolyHashKernel:
         for c in s:
             acc = (acc * 131 + ord(c)) % POLY_MOD
         assert _char_poly_hash_py(s) == acc
+
+
+class TestBm25StatsCacheStaleness:
+    """Round-16 ADVICE (medium): save_bm25_index always commits v0, so
+    a same-path rebuild within one session used to serve the OLD
+    cached (n, avgdl) under the reused (path, 'v0') key.  The cache
+    key now carries the version pointer's mtime_ns, read BEFORE the
+    tables."""
+
+    def test_same_path_rebuild_serves_fresh_corpus_stats(
+        self, spark, tmp_path
+    ):
+        from astro_vectordb_spark.operators.keyword import bm25_term_stats
+        from astro_vectordb_spark.sources.vault import (
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        path = str(tmp_path / "bm25")
+        docs1 = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(4)],
+            "doc_id long, text string",
+        )
+        ts, cs = bm25_term_stats(docs1)
+        save_bm25_index(ts, cs, path)
+        _, cs_local = load_bm25_index(spark, path)
+        assert cs_local.first()["n"] == 4
+
+        # rebuild at the SAME path (commits v0 again) with a corpus of
+        # a different size — the loaded stats must reflect it
+        docs2 = spark.createDataFrame(
+            [(i, "delta epsilon") for i in range(9)],
+            "doc_id long, text string",
+        )
+        ts2, cs2 = bm25_term_stats(docs2)
+        save_bm25_index(ts2, cs2, path)
+        _, cs_local2 = load_bm25_index(spark, path)
+        assert cs_local2.first()["n"] == 9
